@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-pipeline primitives: tokenization, shingling,
+  * MinHash, SimHash, fingerprints, quality stats. Everything here is a
+  * built-in Catalyst expression / higher-order function — no UDFs, so the
+  * whole text pipeline stays inside whole-stage codegen and scales
+  * linearly with no driver involvement.
+  *
+  * Cross-engine determinism policy (the DuckDB oracle must agree
+  * bit-for-bit):
+  *  - all hashing is MD5-based (identical in every engine), folded to an
+  *    unsigned 32-bit int via the first 8 hex chars;
+  *  - ratios are emitted as integer parts-per-million (floor), never as
+  *    floating point;
+  *  - every fold over doubles is an explicit left-to-right `aggregate`,
+  *    never a shuffle-order-dependent SUM.
+  */
+object TextFunctions {
+
+  /** Large prime < 2^31 used as the MinHash modulus. (2p+1)*h+c stays
+    * under 2^63 for h < 2^32, so 64-bit arithmetic never overflows. */
+  val MinhashPrime: Long = 2038074743L
+
+  /** Lowercased whitespace tokens, blanks removed; [] for blank input. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** Tokens preserving case (for uppercase-ratio style stats). */
+  def rawTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** GPT-ish pre-tokenizer count: word runs or single non-space symbols.
+    * A cheap, deterministic stand-in for a BPE token count. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
+
+  /** Unsigned 32-bit hash of a string: first 8 hex chars of md5.
+    * DuckDB mirror: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT). */
+  def hex32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Word k-shingles: ["a b c d e"] windows joined by single spaces.
+    * Short docs (< k tokens) yield one shingle with all tokens — never
+    * an empty set, so MinHash is total. */
+  def shingles(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /** One MinHash value: min over shingles of ((2p+1)*h32 + p*p+7) mod P.
+    * Affine permutations keep everything in exact integer arithmetic. */
+  def minhashAt(sh: Column, p: Int): Column =
+    array_min(transform(sh, s =>
+      (hex32(s) * (2 * p + 1) + (p.toLong * p + 7)) % MinhashPrime))
+
+  /** Full MinHash signature as an array of `perms` longs. */
+  def minhashSig(sh: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)), p =>
+      array_min(transform(sh, s =>
+        (hex32(s) * (p * 2 + 1) + (p * p + lit(7))) % MinhashPrime)))
+
+  /** LSH band key `b` over a signature column: md5 of the band index and
+    * its `rows` signature values — one short string per band. Docs
+    * sharing any band key are near-dup candidates. */
+  def bandKey(sig: Column, b: Int, rows: Int): Column = {
+    val parts = lit(b) +: (0 until rows).map(r => get(sig, lit(b * rows + r)))
+    md5(concat_ws("_", parts: _*))
+  }
+
+  /** 32-bit SimHash over distinct tokens: bit b is set when more token
+    * hashes have bit b set than not. Pure integer arithmetic. */
+  def simhash32(toks: Column): Column = {
+    val hs = transform(array_distinct(toks), t => hex32(t))
+    (0 until 32).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (a, h) => a + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 32-bit codes held in longs. */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Floor-divide two integer columns scaled by `scale` — the one ratio
+    * shape both engines agree on bit-for-bit: exact integer operands,
+    * one IEEE double division (numerator < 2^53), floor, long. DuckDB
+    * mirror: CAST(FLOOR(a*scale/b) AS BIGINT). */
+  def ratioScaled(a: Column, b: Column, scale: Long): Column =
+    when(b === 0, 0L).otherwise(floor(a.cast("long") * scale / b))
+
+  /** Exact Jaccard similarity of two token-set columns, in ppm (floor). */
+  def jaccardPpm(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(array_distinct(concat(a, b))).cast("long")
+    ratioScaled(inter, union, 1000000L)
+  }
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def docFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Winnowing-ish min-shingle fingerprint: smallest md5 over word
+    * 5-grams — stable under small edits far from the minimizer. */
+  def minShingleFingerprint(toks: Column): Column =
+    array_min(transform(shingles(toks, 5), s => md5(s)))
+
+  // ---- quality stats (all integer ppm) ----
+
+  private def countMatches(text: Column, charClass: String): Column =
+    (length(text) - length(regexp_replace(text, charClass, ""))).cast("long")
+
+  def punctPpm(text: Column): Column =
+    ratioScaled(countMatches(text, "[.,;:!?]"), length(text), 1000000L)
+
+  def digitPpm(text: Column): Column =
+    ratioScaled(countMatches(text, "[0-9]"), length(text), 1000000L)
+
+  def upperPpm(text: Column): Column =
+    ratioScaled(countMatches(text, "[A-Z]"), length(text), 1000000L)
+
+  /** Ratio of tokens that are stopwords, ppm. */
+  def stopwordPpm(toks: Column, stopwords: Seq[String]): Column = {
+    val hits = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    ratioScaled(hits, size(toks), 1000000L)
+  }
+
+  /** Mean token length in milli-chars (x1000, floor). */
+  def meanTokenLenMilli(toks: Column): Column = {
+    val total = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    ratioScaled(total, size(toks), 1000L)
+  }
+
+  /** Stopword sets for the n-gram language-ID heuristic. Tie-break is the
+    * fixed order en, de, fr, es (first max wins). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que"))
+
+  /** Language-ID: argmax of stopword hits (fixed tie-break order),
+    * "und" (undetermined) when no stopword from any set appears. */
+  def langId(toks: Column): Column = {
+    val votes = LangStopwords.map { case (lang, sw) =>
+      lang -> size(filter(toks, t => t.isin(sw: _*))).cast("long")
+    }
+    val best = greatest(votes.map(_._2): _*)
+    votes.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
+      when(v === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}

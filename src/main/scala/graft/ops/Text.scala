@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator pack over the `documents` table: tokenization,
+  * quality scoring, language-ID, fingerprinting — the per-document stages
+  * of a training-data pipeline. Every stage is a narrow (shuffle-free)
+  * projection of built-in expressions, so at 100 TB it runs as a single
+  * embarrassingly-parallel scan; the only shuffle in this pack is the
+  * final small aggregation in q25.
+  *
+  * DuckDB-oracle conventions: integer ppm ratios, md5-based hashing,
+  * left-fold arithmetic — see TextFunctions.
+  */
+object Text {
+
+  /** Shared DuckDB SQL fragments (must mirror TextFunctions exactly). */
+  private val DToks =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+  /** q21 — token counting: whitespace tokens + BPE-ish regex tokens. */
+  val q21TokenStats: Q = Q(
+    "q21_token_stats",
+    s"""SELECT doc_id,
+       |  CAST(len($DToks) AS BIGINT) AS n_tok,
+       |  CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_retok,
+       |  n_chars,
+       |  CAST(length(text) AS BIGINT) AS text_len
+       |FROM documents ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        regexTokenCount(col("text")).cast("long").as("n_retok"),
+        col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  /** q22 — quality scoring: punct/digit/upper/stopword ratios (ppm) and
+    * mean token length; a keep/drop flag like a corpus-filtering stage. */
+  val q22QualityScore: Q = Q(
+    "q22_quality_score",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $DToks AS toks FROM documents
+       |), r AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |      CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)*1000000/len(toks)) AS BIGINT) END AS stop_ppm
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN length(text)=0 THEN 0 ELSE CAST(FLOOR(
+       |    CAST((length(text)-length(regexp_replace(text,'[.,;:!?]','','g'))) AS BIGINT)*1000000/length(text)) AS BIGINT) END AS punct_ppm,
+       |  CASE WHEN length(text)=0 THEN 0 ELSE CAST(FLOOR(
+       |    CAST((length(text)-length(regexp_replace(text,'[0-9]','','g'))) AS BIGINT)*1000000/length(text)) AS BIGINT) END AS digit_ppm,
+       |  CASE WHEN length(text)=0 THEN 0 ELSE CAST(FLOOR(
+       |    CAST((length(text)-length(regexp_replace(text,'[A-Z]','','g'))) AS BIGINT)*1000000/length(text)) AS BIGINT) END AS upper_ppm,
+       |  stop_ppm,
+       |  CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (x,y) -> x+y) AS BIGINT)*1000/len(toks)) AS BIGINT) END AS mean_tok_milli,
+       |  CASE WHEN len(toks) BETWEEN 5 AND 100000 AND stop_ppm >= 10000
+       |       THEN 1 ELSE 0 END AS keep_flag
+       |FROM r ORDER BY doc_id""") { (s, d) =>
+    val en = LangStopwords.head._2
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        punctPpm(col("text")).as("punct_ppm"),
+        digitPpm(col("text")).as("digit_ppm"),
+        upperPpm(col("text")).as("upper_ppm"),
+        stopwordPpm(col("toks"), en).as("stop_ppm"),
+        meanTokenLenMilli(col("toks")).as("mean_tok_milli"),
+        when(size(col("toks")).between(5, 100000)
+          && stopwordPpm(col("toks"), en) >= 10000, 1).otherwise(0).as("keep_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of TextFunctions.langId (argmax with fixed tie order). */
+  private val DLangVotes = Seq(
+    "en" -> "('the','a','and','of','to','in','is','it')",
+    "de" -> "('der','die','das','und','ist','ein','nicht','mit')",
+    "fr" -> "('le','la','les','et','est','un','une','dans')",
+    "es" -> "('el','los','las','y','es','un','una','que')")
+  private val DVoteCols = DLangVotes.map { case (l, sw) =>
+    s"CAST(len(list_filter(toks, t -> t IN $sw)) AS BIGINT) AS v_$l"
+  }.mkString(",\n       |    ")
+
+  /** q23 — language-ID by stopword votes, compared with the labeled lang. */
+  val q23LangId: Q = Q(
+    "q23_lang_id",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM v
+       |)
+       |SELECT doc_id, lang, lang_pred,
+       |  CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS agree
+       |FROM p ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        langId(col("toks")).as("lang_pred"))
+      .withColumn("agree", when(col("lang") === col("lang_pred"), 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of word-5-gram shingles over `toks`. */
+  private def dShingles(toks: String): String =
+    s"list_transform(range(1, greatest(len($toks)-4, 1)+1), i -> array_to_string($toks[i:i+4], ' '))"
+
+  /** q24 — document fingerprinting: whole-doc md5 + min-shingle
+    * (winnowing-style) fingerprint stable under small edits. */
+  val q24Fingerprint: Q = Q(
+    "q24_fingerprint",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |)
+       |SELECT doc_id,
+       |  md5(array_to_string(toks, ' ')) AS doc_fp,
+       |  list_min(list_transform(${dShingles("toks")}, s -> md5(s))) AS min_shingle_fp
+       |FROM t ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("toks"))).as("doc_fp"),
+        minShingleFingerprint(col("toks")).as("min_shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** q25 — corpus roll-up: per (labeled lang, predicted lang, source
+    * bucket) doc counts and integer-exact mean stats. The pack's only
+    * shuffle; group keys are low-cardinality so AQE coalesces it. */
+  val q25LangSourceAgg: Q = Q(
+    "q25_lang_source_agg",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, n_chars, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang, source, n_chars, len(toks) AS n_tok,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT lang, source, n_chars, n_tok,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM v
+       |)
+       |SELECT lang, lang_pred, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+       |  CAST(FLOOR(SUM(n_chars)*1000/SUM(CAST(n_tok AS BIGINT))) AS BIGINT) AS chars_per_tok_milli
+       |FROM p GROUP BY lang, lang_pred
+       |ORDER BY lang, lang_pred""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"),
+        langId(col("toks")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tok").as("total_toks"),
+        floor(sum("n_chars") * 1000 / sum("n_tok")).as("chars_per_tok_milli"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
+    q24Fingerprint, q25LangSourceAgg)
+}

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Every registered query, in registration order. */
-  def registry: Seq[Q] = ops.Relational.all ++ ops.Text.all
+  def registry: Seq[Q] =
+    ops.Relational.all ++ ops.Text.all ++ ops.Dedup.all ++ ops.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,251 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack: exact hash-dedup, MinHash+LSH banding, SimHash
+  * byte-banding, n-gram Jaccard verification, and canonical resolution —
+  * the near-dup removal stages of a training-data pipeline.
+  *
+  * The documents table has no natural duplicates, so every query runs
+  * over a `corpus` that unions in synthetic copies (exact copies for
+  * doc_id%7=0, near-copies with the first token dropped for doc_id%5=0).
+  * Both engines construct the corpus identically, which makes the LSH
+  * output non-trivial AND oracle-checkable.
+  *
+  * Scale design: signatures/bands are per-row narrow projections (no
+  * shuffle); the only shuffles are the band-key self-join and the final
+  * group-bys — exactly the shape you want at 100 TB, where the band join
+  * touches only k rows per band bucket instead of O(n²) pairs. Banding
+  * parameters (16 perms, 4 bands × 4 rows) target ~J>0.7 pairs.
+  */
+object Dedup {
+
+  /** Corpus with synthesized duplicates: (doc_id, toks). */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        slice(col("toks"), lit(2), size(col("toks"))).as("toks"))
+    val exact = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("toks"))
+    base.unionByName(near).unionByName(exact)
+  }
+
+  // ---- DuckDB mirrors of the corpus and the signature primitives ----
+
+  private val DCorpus =
+    """base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL SELECT doc_id+1000000, toks[2:] FROM base WHERE doc_id%5=0
+      |  UNION ALL SELECT doc_id+2000000, toks FROM base WHERE doc_id%7=0
+      |)""".stripMargin
+
+  private val DHex32 = "CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)"
+
+  /** 5-gram shingles over toks (mirror of TextFunctions.shingles). */
+  private val DSh =
+    "list_transform(range(1, greatest(len(toks)-4, 1)+1), i -> array_to_string(toks[i:i+4], ' '))"
+
+  /** 16-perm MinHash signature over shingle list `sh`. */
+  private val DSig =
+    s"list_transform(range(0,16), p -> list_min(list_transform(sh, s -> ($DHex32*(2*p+1) + (p*p+7)) % 2038074743)))"
+
+  /** q26 — exact dedup: hash-groupBy on the normalized text fingerprint;
+    * canonical = min doc_id, members kept for audit (A1 semantics:
+    * duplicates are recorded, not silently dropped). */
+  val q26ExactDedup: Q = Q(
+    "q26_exact_dedup",
+    s"""WITH $DCorpus
+       |SELECT md5(array_to_string(toks, ' ')) AS fp,
+       |  COUNT(*) AS n_copies,
+       |  MIN(doc_id) AS canonical,
+       |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS members
+       |FROM corpus
+       |GROUP BY 1 ORDER BY canonical""") { (s, d) =>
+    corpus(s, d)
+      .groupBy(md5(concat_ws(" ", col("toks"))).as("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), "|").as("members"))
+      .orderBy("canonical")
+  }
+
+  /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */
+  private def bandRows(s: SparkSession, d: String): DataFrame = {
+    val sig = corpus(s, d)
+      .withColumn("sig", minhashSig(shingles(col("toks"), 5), 16))
+    sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
+  }
+
+  private val DBands =
+    s"""sigs AS (
+       |  SELECT doc_id, sh, $DSig AS sig FROM (SELECT doc_id, $DSh AS sh FROM corpus)
+       |), bands AS (
+       |  SELECT doc_id, md5(concat_ws('_', b, sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])) AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |)""".stripMargin
+
+  /** q27 — MinHash+LSH candidate pairs with the signature-estimated
+    * similarity. Pairs sharing ≥1 of 4 bands; est = matching minhashes/16. */
+  val q27MinhashLsh: Q = Q(
+    "q27_minhash_lsh",
+    s"""WITH $DCorpus, $DBands
+       |SELECT doc_a, doc_b,
+       |  CAST(FLOOR(list_sum(list_transform(range(1,17),
+       |    i -> CASE WHEN sx.sig[i] = sy.sig[i] THEN 1 ELSE 0 END))*1000000/16) AS BIGINT) AS est_ppm
+       |FROM cand
+       |JOIN sigs sx ON sx.doc_id = doc_a
+       |JOIN sigs sy ON sy.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = corpus(s, d)
+      .select(col("doc_id"), minhashSig(shingles(col("toks"), 5), 16).as("sig"))
+    val matches = aggregate(sequence(lit(1), lit(16)), lit(0L),
+      (acc, i) => acc + when(element_at(col("sx"), i) === element_at(col("sy"), i), 1L)
+        .otherwise(0L))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sx")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sy")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(matches * 1000000L / 16).as("est_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val DSimhash =
+    """CAST(list_sum(list_transform(range(0,32), b ->
+      |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** q28 — SimHash near-dup: 32-bit code over 5-gram shingle features
+    * (token-set features would collapse on a small vocabulary), byte-
+    * banded LSH (4 bands of 8 bits), Hamming ≤ 8 verification. */
+  val q28SimhashPairs: Q = Q(
+    "q28_simhash_pairs",
+    s"""WITH $DCorpus, codes AS (
+       |  SELECT doc_id, $DSimhash AS code
+       |  FROM (SELECT doc_id, list_transform(list_distinct($DSh), s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM corpus)
+       |), cbands AS (
+       |  SELECT doc_id, code, b, (code >> (8*b)) & 255 AS byte
+       |  FROM codes CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.code AS ca, y.code AS cb
+       |  FROM cbands x JOIN cbands y ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(ca, cb)) <= 8
+       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val codes = corpus(s, d)
+      .select(col("doc_id"), simhash32(shingles(col("toks"), 5)).as("code"))
+    val cbands = codes.select(col("doc_id"), col("code"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("code"), 8 * b).bitwiseAND(255).as("byte"))): _*)).as("bb"))
+      .select(col("doc_id"), col("code"), col("bb.b").as("b"), col("bb.byte").as("byte"))
+    cbands.as("x").join(cbands.as("y"),
+        col("x.b") === col("y.b") && col("x.byte") === col("y.byte")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.code").as("ca"), col("y.code").as("cb"))
+      .distinct()
+      .filter(hamming32(col("ca"), col("cb")) <= 8)
+      .select(col("doc_a"), col("doc_b"), hamming32(col("ca"), col("cb")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q29 — n-gram Jaccard verification of the LSH candidates: exact
+    * 5-shingle set Jaccard, dup verdict at J ≥ 0.7. The
+    * candidate-then-verify split is the scale pattern: exact Jaccard only
+    * runs on the tiny candidate set, never on all pairs. */
+  val q29JaccardVerify: Q = Q(
+    "q29_jaccard_verify",
+    s"""WITH $DCorpus, $DBands
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN len(list_distinct(sx.sh || sy.sh)) = 0 THEN 0
+       |       ELSE CAST(FLOOR(CAST(len(list_intersect(sx.sh, sy.sh)) AS BIGINT)*1000000
+       |                 / len(list_distinct(sx.sh || sy.sh))) AS BIGINT) END AS jac_ppm,
+       |  CASE WHEN len(list_distinct(sx.sh || sy.sh)) > 0
+       |        AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |       THEN 1 ELSE 0 END AS is_dup
+       |FROM cand
+       |JOIN sigs sx ON sx.doc_id = doc_a
+       |JOIN sigs sy ON sy.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpus(s, d)
+      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        when(uni === 0, 0L).otherwise(floor(inter * 1000000L / uni)).as("jac_ppm"),
+        when(uni > 0 && inter * 1000000L >= uni * 700000L, 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q30 — dedup resolution: every corpus doc mapped to its canonical
+    * (min verified-duplicate neighbor, else itself); survivors =
+    * canonical rows. One-hop min is exact here because synthetic dup
+    * edges always point at the base doc. */
+  val q30DedupResolve: Q = Q(
+    "q30_dedup_resolve",
+    s"""WITH $DCorpus, $DBands, verified AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |  WHERE len(list_distinct(sx.sh || sy.sh)) > 0
+       |    AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |)
+       |SELECT c.doc_id,
+       |  least(c.doc_id, COALESCE(MIN(v.doc_a), c.doc_id)) AS canonical,
+       |  CASE WHEN COALESCE(MIN(v.doc_a), c.doc_id) < c.doc_id THEN 1 ELSE 0 END AS is_dup
+       |FROM corpus c LEFT JOIN verified v ON v.doc_b = c.doc_id
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpus(s, d)
+      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select("doc_a", "doc_b")
+    corpus(s, d).as("c")
+      .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
+      .groupBy(col("c.doc_id").as("doc_id"))
+      .agg(least(col("doc_id"), coalesce(min(col("v.doc_a")), col("doc_id"))).as("canonical"),
+        when(coalesce(min(col("v.doc_a")), col("doc_id")) < col("doc_id"), 1)
+          .otherwise(0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
+    q29JaccardVerify, q30DedupResolve)
+}

@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search pack over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, banded
+  * random-hyperplane LSH as the scale path, embedding-cosine near-dup,
+  * and deterministic per-label centroids.
+  *
+  * Scale design: the query side is tiny and explicitly `broadcast()`, so
+  * brute-force KNN is one map-side pass over the corpus (no shuffle of
+  * the big side) followed by a top-k window over query-id — at 100 TB
+  * the corpus scan parallelizes per-partition and only k rows per query
+  * survive to the shuffle. The LSH variant replaces the full scan with a
+  * band-bucket equi-join, the same candidate-then-verify shape as MinHash
+  * dedup.
+  *
+  * Determinism policy: all dot products are explicit left-to-right folds
+  * in double precision (never a shuffle-order SUM), emitted as floor-ppm
+  * integers; hyperplane signs derive from md5, identical in both engines.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Planes = 16
+  private val BandBits = 4 // 4 bands x 4 planes
+
+  /** Hyperplane sign s(p,i) = +1 iff first md5 hex digit of "p_i" < '8'.
+    * Computed here via MessageDigest and mirrored in DuckDB SQL by
+    * md5() — both are the same public MD5. */
+  private def planeSign(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+  }
+
+  private def planeLit(p: Int): Column =
+    array((0 until Dim).map(i => lit(planeSign(p, i))): _*)
+
+  /** Left-fold dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Cosine similarity in floor-ppm between two array<double> columns. */
+  private def cosPpm(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, 0L)
+      .otherwise(floor(dot(a, b) / (na * nb) * 1000000L))
+  }
+
+  /** 16-bit hyperplane signature bucket of an array<double> column. */
+  private def lshBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(dot(v, planeLit(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Band b (4 bits) of a bucket column. */
+  private def band(bucket: Column, b: Int): Column =
+    shiftright(bucket, b * BandBits).bitwiseAND((1 << BandBits) - 1)
+
+  // ---- DuckDB mirrors ----
+
+  private val DVec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def dDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,${Dim + 1}), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  private def dCosPpm(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dDot(a, a)}) = 0 OR sqrt(${dDot(b, b)}) = 0 THEN 0
+       |ELSE CAST(FLOOR(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})) * 1000000) AS BIGINT) END""".stripMargin
+
+  /** planes as a 16-element list of 64-double sign lists (1-indexed). */
+  private val DPlanes =
+    """planes AS (
+      |  SELECT list(signs ORDER BY p) AS pl FROM (
+      |    SELECT p, list_transform(range(0,64), i ->
+      |      CASE WHEN CAST(concat('0x', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) AS INT) < 8
+      |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS signs
+      |    FROM range(0,16) t(p))
+      |)""".stripMargin
+
+  private val DBucket =
+    s"""CAST(list_sum(list_transform(range(0,16), p ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1,${Dim + 1}), i -> v[i] * pl[p+1][i])), (x,y) -> x+y) > 0
+       |         THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** q31 — exact KNN: brute-force cosine top-10 for 5 query vectors.
+    * Query side broadcast; corpus side never shuffles before top-k. */
+  val q31KnnBrute: Q = Q(
+    "q31_knn_brute",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${dCosPpm("qv", "v")} AS cos_ppm
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "vec_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q32 — ANN via banded hyperplane LSH: candidates share ≥1 of 4
+    * 4-bit signature bands with the query; cosine re-ranks candidates
+    * only. The bucket column is computed map-side (planes are literals /
+    * broadcast at scale) — the full scan of q31 becomes an equi-join. */
+  val q32AnnLsh: Q = Q(
+    "q32_ann_lsh",
+    s"""WITH $DPlanes, vecs AS (
+       |  SELECT vec_id, v, $DBucket AS bucket
+       |  FROM (SELECT vec_id, $DVec AS v FROM embeddings) CROSS JOIN planes
+       |), vbands AS (
+       |  SELECT vec_id, v, b, (bucket >> (4*b)) & 15 AS bv
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+       |), qs AS (SELECT vec_id AS query_id, v AS qv, b, bv FROM vbands WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT query_id, qv, c.vec_id, c.v
+       |  FROM qs JOIN vbands c ON qs.b = c.b AND qs.bv = c.bv AND c.vec_id <> query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, ${dCosPpm("qv", "v")} AS cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val vbands = vecs.select(col("vec_id"), col("v"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val qs = vbands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("b"), col("bv"))
+    val cand = vbands.as("c").join(broadcast(qs).as("q"),
+        col("q.b") === col("c.b") && col("q.bv") === col("c.bv")
+          && col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("q.qv"), col("c.vec_id"), col("c.v"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    cand
+      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "vec_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q33 — embedding-cosine near-dup: corpus + perturbed copies
+    * (element 1 scaled by 1.001 for vec_id%10=0), LSH-band candidates,
+    * pairs verified at cosine ≥ 0.999. */
+  val q33EmbedNearDup: Q = Q(
+    "q33_embed_near_dup",
+    s"""WITH $DPlanes, base AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), aug AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id+1000000, list_transform(range(1,${Dim + 1}), i -> CASE WHEN i = 1 THEN v[i]*1.001 ELSE v[i] END)
+       |  FROM base WHERE vec_id % 10 = 0
+       |), vecs AS (
+       |  SELECT vec_id, v, $DBucket AS bucket FROM aug CROSS JOIN planes
+       |), vbands AS (
+       |  SELECT vec_id, v, b, (bucket >> (4*b)) & 15 AS bv
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb
+       |  FROM vbands x JOIN vbands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id
+       |)
+       |SELECT vec_a, vec_b, ${dCosPpm("va", "vb")} AS cos_ppm
+       |FROM pairs WHERE ${dCosPpm("va", "vb")} >= 999000
+       |ORDER BY vec_a, vec_b""") { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val aug = base.unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x * 1.001).otherwise(x)).as("v")))
+    val vecs = aug.withColumn("bucket", lshBucket(col("v")))
+    val vbands = vecs.select(col("vec_id"), col("v"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    vbands.as("x").join(vbands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .select(col("vec_a"), col("vec_b"), cosPpm(col("va"), col("vb")).as("cos_ppm"))
+      .filter(col("cos_ppm") >= 999000L)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q34 — per-label centroids with a deterministic fold: embeddings
+    * collected in vec_id order per label, summed left-to-right per
+    * dimension, centroid norm emitted as floor-ppm. (A shuffle-order
+    * SUM of doubles would be nondeterministic — this is the
+    * deterministic equivalent; at scale, switch to a two-level
+    * fixed-order combine or decimal accumulation.) */
+  val q34Centroid: Q = Q(
+    "q34_centroid",
+    s"""WITH byl AS (
+       |  SELECT label, list(${DVec} ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |  FROM embeddings GROUP BY label
+       |), summed AS (
+       |  SELECT label, n,
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)), vs),
+       |      (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])) AS sv
+       |  FROM byl
+       |), cent AS (
+       |  SELECT label, n, list_transform(sv, x -> x / n) AS c FROM summed
+       |)
+       |SELECT label, CAST(n AS BIGINT) AS n,
+       |  CAST(FLOOR(sqrt(${dDot("c", "c")}) * 1000000) AS BIGINT) AS centroid_norm_ppm
+       |FROM cent ORDER BY label""") { (s, d) =>
+    val zero = array_repeat(lit(0.0), Dim)
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+          _.getField("v")).as("vs"))
+      .select(col("label"), col("n"),
+        aggregate(col("vs"), zero, (acc, e) => zip_with(acc, e, (x, y) => x + y)).as("sv"))
+      .select(col("label"), col("n"),
+        transform(col("sv"), x => x / col("n")).as("c"))
+      .select(col("label"), col("n"),
+        floor(sqrt(dot(col("c"), col("c"))) * 1000000L).as("centroid_norm_ppm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid)
+}

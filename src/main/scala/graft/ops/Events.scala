@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operator pack over the `events` table: sessionization,
+  * funnel analysis, analytic window frames, and an as-of join — the
+  * batch shapes of the streaming layer (graft.streaming holds the
+  * Structured Streaming equivalents).
+  *
+  * Determinism: event times are compared in integer epoch micros/seconds
+  * (`Tables.events` floors parquet nanos to micros; oracles mirror with
+  * DuckDB `epoch_us`). Orderings always tie-break on `event_id`.
+  *
+  * Scale: every query is one shuffle on `user_id` (the natural session
+  * key); window chains reuse the same partitioning, so Catalyst plans a
+  * single Exchange followed by in-partition sorts.
+  */
+object Events {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** q37 — sessionization: a new session starts after a >30 min gap;
+    * per-session event counts, duration, purchases. The batch twin of
+    * mapGroupsWithState sessionization. */
+  val q37Sessionize: Q = Q(
+    "q37_sessionize",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts)//1000000 AS sec, ts
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM ev
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events,
+      |  MIN(sec) AS start_sec, MAX(sec) - MIN(sec) AS duration_sec,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wRun).cast("long"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("sec").as("start_sec"),
+        (max("sec") - min("sec")).as("duration_sec"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q38 — funnel: first view → first click after it → first purchase
+    * after that, per user; one window partitioning, three chained
+    * min-over-partition passes (no extra shuffles). */
+  val q38Funnel: Q = Q(
+    "q38_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts)//1000000 AS sec FROM events
+      |), v AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
+      |    OVER (PARTITION BY user_id) AS first_view
+      |  FROM ev
+      |), c AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND sec >= first_view THEN sec END)
+      |    OVER (PARTITION BY user_id) AS first_click
+      |  FROM v
+      |), p AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sec >= first_click THEN sec END)
+      |    OVER (PARTITION BY user_id) AS first_purchase
+      |  FROM c
+      |)
+      |SELECT user_id,
+      |  MIN(first_view) AS first_view_sec,
+      |  MIN(first_click) AS first_click_sec,
+      |  MIN(first_purchase) AS first_purchase_sec,
+      |  CASE WHEN MIN(first_purchase) IS NOT NULL THEN 3
+      |       WHEN MIN(first_click) IS NOT NULL THEN 2
+      |       WHEN MIN(first_view) IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM p GROUP BY user_id
+      |ORDER BY user_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" && col("sec") >= col("first_view"),
+          col("sec"))).over(w))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" && col("sec") >= col("first_click"),
+          col("sec"))).over(w))
+      .groupBy("user_id")
+      .agg(min("first_view").as("first_view_sec"),
+        min("first_click").as("first_click_sec"),
+        min("first_purchase").as("first_purchase_sec"),
+        when(min("first_purchase").isNotNull, 3)
+          .when(min("first_click").isNotNull, 2)
+          .when(min("first_view").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** q39 — analytic frames: lag/lead and a 3-row moving decimal sum per
+    * user timeline (SURVEY §2.5's "absent in reference, free in Spark"
+    * row, exercised explicitly). */
+  val q39WindowFrames: Q = Q(
+    "q39_window_frames",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts)//1000000 AS sec,
+      |    CAST(value AS DECIMAL(18,2)) AS v, ts
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, sec,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |  lag(v) OVER w AS prev_v,
+      |  lead(v) OVER w AS next_v,
+      |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mv_sum
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, rn""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wf = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"), dec(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        row_number().over(w).cast("long").as("rn"),
+        lag("v", 1).over(w).as("prev_v"),
+        lead("v", 1).over(w).as("next_v"),
+        sum("v").over(wf).cast(DecimalType(18, 2)).as("mv_sum"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** q40 — as-of join: each purchase matched to the user's most recent
+    * view at-or-before it (micros precision). Spark expresses it as a
+    * union + carry-forward window — one shuffle, no range-join blowup;
+    * DuckDB verifies with its native ASOF JOIN. At scale this beats an
+    * inequality join because the state is one row per group, not a
+    * per-pair comparison. */
+  val q40AsofJoin: Q = Q(
+    "q40_asof_join",
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  p.us//1000000 AS purchase_sec,
+      |  v.us//1000000 AS last_view_sec,
+      |  (p.us - v.us)//1000000 AS gap_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+      |ORDER BY p.event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (unix_micros(col("ts"))).as("us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    // views sort before purchases at equal micros so >= matches ASOF.
+    val w = Window.partitionBy("user_id").orderBy("us", "is_p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        floor(col("us") / 1000000L).as("purchase_sec"),
+        floor(col("last_view_us") / 1000000L).as("last_view_sec"),
+        floor((col("us") - col("last_view_us")) / 1000000L).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin)
+}

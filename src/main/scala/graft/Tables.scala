@@ -26,9 +26,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // `ts div 1000` — integer division; `/` would go through DOUBLE and
+    // lose sub-µs precision at 2024 epoch-nano magnitudes (> 2^53).
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

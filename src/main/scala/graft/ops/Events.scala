@@ -185,5 +185,39 @@ object Events {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin)
+  /** q41 — native session_window aggregation (the same operator the
+    * streaming layer runs incrementally; see graft.streaming). Session
+    * boundary is gap >= 30 min — an event exactly at last+gap falls
+    * outside the window — which the oracle mirrors in integer micros. */
+  val q41SessionWindow: Q = Q(
+    "q41_session_window",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, ts FROM events
+      |), lagged AS (
+      |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM ev
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |  COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start_us""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("n_purchases"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
+    q41SessionWindow)
 }

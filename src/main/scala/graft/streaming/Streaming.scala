@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer: the incremental twins of the batch event
+  * operators (SURVEY §2.8 — the reference's day-at-a-time incremental
+  * merge maps onto file-source streams + Trigger.AvailableNow).
+  *
+  * Design rules:
+  *  - every streaming transform is also valid in batch (same DataFrame
+  *    code), so correctness is provable by stream-vs-batch equivalence
+  *    on the same input — StreamingSpec does exactly that;
+  *  - event-time only: watermarks bound state, no processing-time
+  *    semantics anywhere;
+  *  - sinks go through foreachBatch → idempotent partitioned parquet
+  *    (dynamic partition overwrite), the scale-safe version of the
+  *    reference's delete-then-append CSV merge (3:25-27).
+  */
+object Streaming {
+
+  /** Parquet schema of the raw events table (ts stored as nano longs —
+    * see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet, nanos → micros ts.
+    * The file source requires a directory; the testdata ships a single
+    * file, so it is staged (hard-linked/copied once) into a per-sf temp
+    * directory. A production layout would already be a partitioned
+    * directory and stream directly. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stagedEventsDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def stagedEventsDir(sfDir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "events.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-events-" + Integer.toHexString(sfDir.hashCode))
+    Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      try Files.createLink(dst, src)
+      catch { case _: Exception =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+    }
+    dir.toString
+  }
+
+  /** Tumbling-window hourly counts with a 1-hour watermark — the
+    * streaming twin of q14. Works unchanged in batch. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Native session windows (30-min gap) per user — the streaming twin
+    * of q37/q41 sessionization. Works unchanged in batch. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("n_purchases"))
+
+  /** Streaming exact-dedup on event_id with bounded state (watermark
+    * ages out old keys) — the incremental twin of q26's hash dedup. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run any of the above to completion over the currently-available
+    * input (Trigger.AvailableNow) into an in-memory table; returns the
+    * query after termination. Update mode emits every group's final
+    * running value for finite input — equal to the batch answer. */
+  def runToMemory(df: DataFrame, name: String, mode: String = "update"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Incremental ingest sink: append the stream to date-partitioned
+    * parquet via foreachBatch with dynamic partition overwrite — each
+    * re-delivered date partition replaces its previous version
+    * idempotently (the Spark-native version of the reference's
+    * delete-then-rebuild merge, K2/U1). */
+  def ingestToParquet(events: DataFrame, outDir: String, checkpoint: String): StreamingQuery = {
+    val q = events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

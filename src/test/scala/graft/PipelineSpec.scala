@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.ZipXml
+import org.apache.spark.sql.functions._
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** End-to-end pipeline test (SURVEY §7 minimum slice): fixture ZIPs of
+  * XMLs → unzip/dispatch/parse/flatten → date-partitioned parquet →
+  * unionByName merge with lineage — scan, flatMap, from_xml, error
+  * capture, union, agg, sink in one pass. */
+class PipelineSpec extends SparkSpec {
+
+  private def makeZip(path: String, entries: (String, Array[Byte])*): Unit = {
+    val out = new ZipOutputStream(new FileOutputStream(path))
+    entries.foreach { case (name, bytes) =>
+      out.putNextEntry(new ZipEntry(name))
+      out.write(bytes)
+      out.closeEntry()
+    }
+    out.close()
+  }
+
+  private val tedXml =
+    """<TED_EXPORT><TD_DOCUMENT_TYPE CODE="7"/><NOTICE_DATA><NO_DOC_OJS>S-1</NO_DOC_OJS></NOTICE_DATA>
+      |<CONTRACTING_BODY><OFFICIALNAME>Conseil général</OFFICIALNAME></CONTRACTING_BODY></TED_EXPORT>""".stripMargin
+
+  private val uk7Xml =
+    "<UK7_2023><NOTICE_ID>U-1</NOTICE_ID><TENDER><TITLE>t</TITLE><VALUE>5.00</VALUE><CATEGORY>works</CATEGORY></TENDER><BUYER><NAME>B</NAME></BUYER><TAGS><TAG>award</TAG></TAGS></UK7_2023>"
+
+  test("zip scan -> extract -> partitioned parquet -> merge") {
+    val raw = Files.createTempDirectory("graft-raw").toString
+    // day 1: UTF-8 TED (with é) + UK7 + a non-XML entry that must be skipped
+    makeZip(s"$raw/notices-2024-01-01.zip",
+      "a.xml" -> tedXml.getBytes("UTF-8"),
+      "b.xml" -> uk7Xml.getBytes("UTF-8"),
+      "readme.txt" -> "ignore me".getBytes("UTF-8"))
+    // day 2: latin-1 TED (exercises the charset fallback) + malformed
+    makeZip(s"$raw/notices-2024-01-02.zip",
+      "c.xml" -> tedXml.getBytes("ISO-8859-1"),
+      "d.xml" -> "<TED_EXPORT><broken".getBytes("UTF-8"))
+
+    val extracted = ZipXml.extractDir(spark, raw)
+      .withColumn("ingest_date",
+        regexp_extract(col("source_zip"), """(\d{4}-\d{2}-\d{2})""", 1))
+    assert(extracted.count() == 4) // txt skipped
+
+    // charset fallback preserved the é both days
+    val names = extracted.filter(col("source_form") === "TED" && col("parse_error").isNull)
+      .select("buyer_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("Conseil général"))
+
+    // error capture: malformed row kept with parse_error + lineage
+    val bad = extracted.filter(col("parse_error").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("source_xml_file") == "d.xml")
+
+    // K1 sink: date-partitioned parquet; U1/U2 merge with lineage
+    val outDir = Files.createTempDirectory("graft-extracted").toString
+    extracted.write.mode("overwrite").partitionBy("ingest_date").parquet(outDir)
+    val merged = spark.read.parquet(outDir)
+      .withColumn("source_file", input_file_name())
+    assert(merged.count() == 4)
+    assert(merged.select("ingest_date").distinct().count() == 2)
+    val perDay = merged.groupBy(col("ingest_date").cast("string").as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDay == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.sources.{Multimodal => MM}
+import org.apache.spark.sql.functions._
+
+/** Multimodal metadata queries. The binary payload is md5-derived, so
+  * the DuckDB oracle reconstructs the same bytes as hex strings and
+  * mirrors the stub-decode arithmetic with conv()-style hex slices —
+  * the metadata path is fully hash-checked even though the decode is a
+  * stub (sources.Multimodal). */
+object Multimodal {
+
+  /** Spark-side: byte j (0-based) of the payload as a long, computed on
+    * the hex string so it exactly matches the oracle. */
+  private def hexByte(hex: org.apache.spark.sql.Column, j: Int) =
+    conv(substring(hex, 2 * j + 1, 2), 16, 10).cast("long")
+
+  private val DHex = "md5(text) || md5(text || '2')"
+  private def dByte(j: Int) =
+    s"CAST(concat('0x', substr(hx, ${2 * j + 1}, 2)) AS BIGINT)"
+  private val DSumBytes = (0 until 32).map(dByte).mkString(" + ")
+
+  /** q43 — media metadata extraction: kind/format routing + stub-decode
+    * stats, verified byte-for-byte via hex arithmetic. */
+  val q43MediaMeta: Q = Q(
+    "q43_media_meta",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'jpg' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    $DHex AS hx
+       |  FROM documents
+       |)
+       |SELECT doc_id, kind, format,
+       |  CAST(${dByte(0)} % 48 + 16 AS INT) AS width,
+       |  CAST(${dByte(1)} % 48 + 16 AS INT) AS height,
+       |  32 AS n_bytes,
+       |  CAST(FLOOR(($DSumBytes) * 1000 / 32) AS BIGINT) AS mean_byte_milli
+       |FROM m ORDER BY doc_id""") { (s, d) =>
+    MM.decodeAll(MM.mediaTable(s, d)).toDF()
+      .withColumn("n_bytes", col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** q44 — corpus stats per (kind, format): the group-by after decode,
+    * exactly the shape of a real media-pipeline profiling pass. */
+  val q44MediaAgg: Q = Q(
+    "q44_media_agg",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'jpg' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    $DHex AS hx
+       |  FROM documents
+       |), meta AS (
+       |  SELECT kind, format,
+       |    CAST(${dByte(0)} % 48 + 16 AS INT) AS width,
+       |    CAST(${dByte(1)} % 48 + 16 AS INT) AS height
+       |  FROM m
+       |)
+       |SELECT kind, format, COUNT(*) AS n,
+       |  CAST(MIN(width) AS INT) AS min_w, CAST(MAX(width) AS INT) AS max_w,
+       |  CAST(SUM(width * height) AS BIGINT) AS total_px
+       |FROM meta GROUP BY kind, format ORDER BY kind, format""") { (s, d) =>
+    MM.decodeAll(MM.mediaTable(s, d)).toDF()
+      .groupBy("kind", "format")
+      .agg(count(lit(1)).as("n"),
+        min("width").as("min_w"), max("width").as("max_w"),
+        sum(col("width").cast("long") * col("height")).as("total_px"))
+      .orderBy("kind", "format")
+  }
+
+  val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg)
+}

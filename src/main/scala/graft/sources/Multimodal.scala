@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in batched per-partition
+  * passes — the Spark-side architecture of an image/audio/video
+  * pipeline.
+  *
+  * The decode itself is a STUB: this container has no image/audio
+  * codecs, so `decodeStub` computes deterministic pseudo-stats from the
+  * bytes (clearly fake, but the plumbing — schema, batching, partition
+  * behavior, typed Dataset API — is real and tested). Swap `decodeStub`
+  * for a real codec (JNI/javacv) without touching anything else: the
+  * per-partition iterator shape is exactly where a real decoder would
+  * amortize its init cost (the JVM analogue of mapInPandas batching).
+  *
+  * Media bytes are synthesized from the documents table (32 bytes =
+  * unhex(md5(text) ++ md5(text+"2"))), so both engines can reconstruct
+  * them — the metadata path stays DuckDB-oracle-checkable via hex
+  * arithmetic (ops.Multimodal).
+  */
+object Multimodal {
+
+  /** One media file: opaque payload + typed metadata columns. */
+  final case class MediaFile(
+      doc_id: Long, kind: String, format: String, content: Array[Byte])
+
+  /** Decoded stub-stats for one payload. */
+  final case class MediaMeta(
+      doc_id: Long, kind: String, format: String,
+      width: Int, height: Int, n_bytes: Int, mean_byte_milli: Long)
+
+  /** Binary media table derived deterministically from documents. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        kindCol(col("doc_id")).as("kind"),
+        formatCol(col("doc_id")).as("format"),
+        unhex(concat(md5(col("text")), md5(concat(col("text"), lit("2"))))).as("content"))
+      .as[MediaFile]
+  }
+
+  def kindCol(docId: Column): Column =
+    when(docId % 3 === 0, "image").when(docId % 3 === 1, "audio").otherwise("video")
+
+  def formatCol(docId: Column): Column =
+    when(docId % 3 === 0, "jpg").when(docId % 3 === 1, "wav").otherwise("mp4")
+
+  /** STUB decode — deterministic pseudo-stats standing in for a real
+    * codec: "width"/"height" from the first two bytes, mean byte value
+    * in milli-units. A real implementation would decode `content` here. */
+  def decodeStub(f: MediaFile): MediaMeta = {
+    val b = f.content.map(_ & 0xff)
+    MediaMeta(f.doc_id, f.kind, f.format,
+      width = b(0) % 48 + 16,
+      height = b(1) % 48 + 16,
+      n_bytes = b.length,
+      mean_byte_milli = b.map(_.toLong).sum * 1000L / b.length)
+  }
+
+  /** Batched per-partition decode: one pass per partition, codec init
+    * amortized across the partition's files. */
+  def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      // real codecs would initialize once here, per partition
+      it.map(decodeStub)
+    }
+  }
+
+  /** STUB frame sampling for video payloads: treat the payload as 8
+    * 4-byte "frames", keep every `everyN`-th, fingerprint each. A real
+    * implementation would demux + decode keyframes here. */
+  def frameSampleStub(f: MediaFile, everyN: Int): Seq[(Int, String)] =
+    f.content.grouped(4).zipWithIndex
+      .filter { case (_, i) => i % everyN == 0 }
+      .map { case (frame, i) =>
+        i -> frame.map(b => f"${b & 0xff}%02x").mkString
+      }.toSeq
+
+  /** Frames as rows: (doc_id, frame_idx, frame_hex). */
+  def sampleFrames(files: Dataset[MediaFile], everyN: Int): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "video")
+      .flatMap(f => frameSampleStub(f, everyN).map { case (i, hx) => (f.doc_id, i, hx) })
+      .toDF("doc_id", "frame_idx", "frame_hex")
+  }
+}

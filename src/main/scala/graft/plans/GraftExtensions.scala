@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for graft's native expressions — enable
+  * with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (done by Verify/Bench/tests); the functions then resolve from both
+  * the SQL parser and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming(a, b) takes two arguments")
+        HammingDistance(args.head, args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Specs for the custom Catalyst layer: extension-registered native
+  * expression (eval + codegen paths agree with the built-in equivalent)
+  * and the MinHash Aggregator (partial-agg signature == expression-side
+  * signature). */
+class PlanSpec extends SparkSpec {
+
+  test("graft_hamming resolves via extensions and matches bit_count(xor)") {
+    val df = spark.range(1000).select(
+      hex32(col("id").cast("string")).as("a"),
+      hex32(concat(lit("x"), col("id").cast("string"))).as("b"))
+    val got = df.selectExpr("graft_hamming(a, b) AS h", "bit_count(a ^ b) AS want")
+    assert(got.filter(col("h") =!= col("want").cast("long")).count() == 0)
+    // null-safety
+    val n = spark.sql("SELECT graft_hamming(CAST(NULL AS LONG), 5L) AS h").head()
+    assert(n.isNullAt(0))
+    // stays inside whole-stage codegen: the Project carrying the
+    // expression bears the `*(n)` codegen-stage marker
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_hamming") && l.trim.startsWith("*(")))
+  }
+
+  test("MinHashAgg signature equals the expression-side minhashSig") {
+    import graft.functions.MinHashAgg
+    val docs = Tables.documents(spark, sf).limit(50)
+    val exprSide = docs
+      .select(col("doc_id"), minhashSig(shingles(tokens(col("text")), 5), 16).as("sig"))
+    val mh = udaf(new MinHashAgg(16))
+    val aggSide = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 5)).as("s"))
+      .select(col("doc_id"), hex32(col("s")).as("h"))
+      .groupBy("doc_id").agg(mh(col("h")).as("sig"))
+    assert(exprSide.exceptAll(aggSide).isEmpty && aggSide.exceptAll(exprSide).isEmpty)
+  }
+}

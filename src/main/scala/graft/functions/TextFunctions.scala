@@ -56,11 +56,26 @@ object TextFunctions {
     array_min(transform(sh, s =>
       (hex32(s) * (2 * p + 1) + (p.toLong * p + 7)) % MinhashPrime))
 
-  /** Full MinHash signature as an array of `perms` longs. */
+  /** MinHash signature over PRE-HASHED shingles (an array<long> of
+    * hex32 values). Callers should materialize the hash array as its
+    * own column first — hashing inside the per-permutation lambda would
+    * recompute every md5 `perms` times (a 16x slowdown measured at
+    * sf0.1); over precomputed hashes each permutation is pure integer
+    * arithmetic. Built as a static array (not transform-over-sequence)
+    * so `hs` is referenced `perms` times — which stops CollapseProject
+    * from inlining the expensive hash expression back into a lambda. */
+  def minhashSigFromHashes(hs: Column, perms: Int): Column =
+    array((0 until perms).map(p =>
+      array_min(transform(hs, h =>
+        (h * (2 * p + 1) + (p.toLong * p + 7)) % MinhashPrime))): _*)
+
+  /** Hash array for minhashSigFromHashes / simhash32FromHashes. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => hex32(s))
+
+  /** Full MinHash signature from raw shingle strings (convenience; for
+    * hot paths precompute shingleHashes as a column first). */
   def minhashSig(sh: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)), p =>
-      array_min(transform(sh, s =>
-        (hex32(s) * (p * 2 + 1) + (p * p + lit(7))) % MinhashPrime)))
+    minhashSigFromHashes(shingleHashes(sh), perms)
 
   /** LSH band key `b` over a signature column: md5 of the band index and
     * its `rows` signature values — one short string per band. Docs
@@ -72,14 +87,18 @@ object TextFunctions {
 
   /** 32-bit SimHash over distinct tokens: bit b is set when more token
     * hashes have bit b set than not. Pure integer arithmetic. */
-  def simhash32(toks: Column): Column = {
-    val hs = transform(array_distinct(toks), t => hex32(t))
+  def simhash32(toks: Column): Column =
+    simhash32FromHashes(transform(array_distinct(toks), t => hex32(t)))
+
+  /** SimHash over a PRE-HASHED feature array (see minhashSigFromHashes
+    * for why callers should materialize the hashes column: the 32
+    * per-bit aggregates would otherwise each recompute every md5). */
+  def simhash32FromHashes(hs: Column): Column =
     (0 until 32).map { b =>
       val vote = aggregate(hs, lit(0L),
         (a, h) => a + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Hamming distance between two 32-bit codes held in longs. */
   def hamming32(a: Column, b: Column): Column =

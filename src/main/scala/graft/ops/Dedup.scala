@@ -78,10 +78,17 @@ object Dedup {
       .orderBy("canonical")
   }
 
+  /** Signatures with the shingle hashes materialized once (md5 per
+    * shingle exactly once; each permutation is integer-only). */
+  private def sigTable(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .withColumn("hs", shingleHashes(shingles(col("toks"), 5)))
+      .withColumn("sig", minhashSigFromHashes(col("hs"), 16))
+      .drop("hs")
+
   /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */
   private def bandRows(s: SparkSession, d: String): DataFrame = {
-    val sig = corpus(s, d)
-      .withColumn("sig", minhashSig(shingles(col("toks"), 5), 16))
+    val sig = sigTable(s, d)
     sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
   }
@@ -114,8 +121,7 @@ object Dedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sigs = corpus(s, d)
-      .select(col("doc_id"), minhashSig(shingles(col("toks"), 5), 16).as("sig"))
+    val sigs = sigTable(s, d).select(col("doc_id"), col("sig"))
     val matches = aggregate(sequence(lit(1), lit(16)), lit(0L),
       (acc, i) => acc + when(element_at(col("sx"), i) === element_at(col("sy"), i), 1L)
         .otherwise(0L))
@@ -151,7 +157,8 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(ca, cb)) <= 8
        |ORDER BY doc_a, doc_b""") { (s, d) =>
     val codes = corpus(s, d)
-      .select(col("doc_id"), simhash32(shingles(col("toks"), 5)).as("code"))
+      .withColumn("hs", transform(array_distinct(shingles(col("toks"), 5)), s => hex32(s)))
+      .select(col("doc_id"), simhash32FromHashes(col("hs")).as("code"))
     val cbands = codes.select(col("doc_id"), col("code"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),

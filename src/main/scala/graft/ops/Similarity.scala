@@ -201,18 +201,29 @@ object Similarity {
       base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), (x, i) => when(i === 0, x * 1.001).otherwise(x)).as("v")))
-    val vecs = aug.withColumn("bucket", lshBucket(col("v")))
-    val vbands = vecs.select(col("vec_id"), col("v"),
+    // norms once per vector; the band self-join and pair-distinct move
+    // only (id, band) rows — vectors re-attach after dedup, so the
+    // shuffle never carries 64-dim arrays.
+    val vecs = aug
+      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val vbands = vecs.select(col("vec_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
-      .select(col("vec_id"), col("v"), col("bb.b").as("b"), col("bb.bv").as("bv"))
-    vbands.as("x").join(vbands.as("y"),
+      .select(col("vec_id"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val pairs = vbands.as("x").join(vbands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
           && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-      .select(col("vec_a"), col("vec_b"), cosPpm(col("va"), col("vb")).as("cos_ppm"))
+    val side = vecs.select(col("vec_id"), col("v"), col("norm"))
+    pairs
+      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        when(col("na") === 0.0 || col("nb") === 0.0, 0L)
+          .otherwise(floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000L))
+          .as("cos_ppm"))
       .filter(col("cos_ppm") >= 999000L)
       .orderBy("vec_a", "vec_b")
   }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.ops.Ocds
+import graft.functions.RefFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contracts Finder extract stage (reference 2a, SURVEY E2): monthly
+  * CSVs of notice URIs → first-column projection (P1) + blank skip (P5)
+  * → per-URI dedup **with audit rows** (A1 — duplicates become status
+  * rows, never dropped) → per-partition HTTP JSON fetch with bounded
+  * retry (S1/S2 — transport injected so tests and offline runs use a
+  * fake) → OCDS flatten (X1, reusing the release schema) → parquet
+  * partitioned by the filename-encoded date (F6/K1), with a legacy CSV
+  * export (K2).
+  *
+  * Scale shape: dedup happens BEFORE the expensive fetch (the
+  * "push cheap reduction below expensive op" ordering the reference
+  * hand-codes); the fetch itself is a mapPartitions enrichment so one
+  * connection/client serves a whole partition, and executors give the
+  * fan-out the reference only gets by running scripts side-by-side.
+  */
+object ContractsFinder {
+
+  /** Injected transport: url → body. Throw IOException for transient
+    * failures (retried), return invalid JSON for permanent ones. */
+  type Fetcher = String => String
+
+  /** S1 retry loop: up to `maxRetries` attempts on IOException. */
+  def fetchWithRetry(fetch: Fetcher, maxRetries: Int = 3)(url: String): String = {
+    var attempt = 1
+    while (true) {
+      try return fetch(url)
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** S5/S6/P1/P5/F6 — URI rows from every monthly CSV under `csvDir`:
+    * first column only, blanks skipped, per-file row_index in file
+    * order, date parsed from the filename. */
+  def uriTable(spark: SparkSession, csvDir: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(s"$csvDir/*.csv")
+    val firstCol = raw.columns.head
+    // per-file row order: monotonically_increasing_id is ascending
+    // within a partition and csv files split per-partition in order, so
+    // ranking it per file reproduces the reference's row_index.
+    val w = Window.partitionBy("csv_file").orderBy("mono")
+    raw
+      .select(col(firstCol).as("uri"),
+        input_file_name().as("csv_file"),
+        monotonically_increasing_id().as("mono"))
+      .withColumn("row_index", row_number().over(w).cast("long"))
+      .drop("mono")
+      .filter(col("uri").isNotNull && trim(col("uri")) =!= "")
+      .withColumn("file_date", concat_ws("-",
+        filenameYear(col("csv_file")), filenameMonth(col("csv_file")),
+        filenameDay(col("csv_file"))))
+  }
+
+  /** A1 — dedup-with-audit: first occurrence of each URI (by file, then
+    * row) is fetchable; later duplicates stay as audit rows with
+    * status='duplicate_uri_skipped_fetch'. Row count is preserved. */
+  def dedupWithAudit(uris: DataFrame): DataFrame = {
+    val w = Window.partitionBy("uri").orderBy("csv_file", "row_index")
+    uris
+      .withColumn("rn", row_number().over(w))
+      .withColumn("status",
+        when(col("rn") === 1, "pending_fetch").otherwise("duplicate_uri_skipped_fetch"))
+      .drop("rn")
+  }
+
+  /** S2 — per-partition enrichment: fetch each pending URI, mark
+    * failures instead of failing the job. `mkFetcher` runs once per
+    * partition (connection/client reuse). */
+  def enrich(spark: SparkSession, deduped: DataFrame, mkFetcher: () => Fetcher,
+      maxRetries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("uri", "csv_file", "row_index", "file_date", "status")
+    val ds = deduped.select(cols.map(col): _*)
+      .as[(String, String, Long, String, String)]
+    ds.mapPartitions { it =>
+      lazy val fetch = mkFetcher()
+      it.map { case (uri, f, i, d, status) =>
+        if (status != "pending_fetch") (uri, f, i, d, status, null: String)
+        else {
+          try {
+            val body = fetchWithRetry(fetch, maxRetries)(uri)
+            (uri, f, i, d, "ok", body)
+          } catch {
+            case _: Exception => (uri, f, i, d, "fetch_failed_or_invalid_json", null: String)
+          }
+        }
+      }
+    }.toDF("uri", "csv_file", "row_index", "file_date", "status", "body")
+  }
+
+  /** X1 — flatten the fetched OCDS release into the wide row (subset of
+    * the q35 flatten), preserving audit rows: a body that fails to
+    * parse downgrades status to fetch_failed_or_invalid_json. */
+  def flatten(enriched: DataFrame): DataFrame = {
+    val r = from_json(col("body"), Ocds.releaseSchema)
+    val parsed = r.getField("ocid").isNotNull
+    val buyer = findFirstById(r.getField("parties"), r.getField("buyer").getField("id"))
+    val sups = partiesWithRole(r.getField("parties"), "supplier")
+    enriched.select(
+      col("uri"), col("csv_file"), col("row_index"), col("file_date"),
+      when(col("status") === "ok" && !parsed, "fetch_failed_or_invalid_json")
+        .otherwise(col("status")).as("status"),
+      r.getField("ocid").as("ocid"),
+      r.getField("date").as("release_date"),
+      firstOrNull(r.getField("tag")).as("notice_tag"),
+      buyer.getField("name").as("buyer_name"),
+      pipeJoin(transform(sups, p => p.getField("name"))).as("supplier_names"),
+      r.getField("tender").getField("title").as("tender_title"),
+      r.getField("tender").getField("value").getField("amount").as("tender_value"),
+      firstOrNull(r.getField("awards")).getField("value").getField("amount")
+        .as("first_award_value"))
+  }
+
+  /** Full stage: CSVs → wide parquet partitioned by file_date (K1). */
+  def runStage(spark: SparkSession, csvDir: String, outDir: String,
+      mkFetcher: () => Fetcher): Unit = {
+    val wide = flatten(enrich(spark, dedupWithAudit(uriTable(spark, csvDir)), mkFetcher))
+    wide.write.mode("overwrite").partitionBy("file_date").parquet(outDir)
+  }
+
+  /** K2 — legacy single-CSV export with header (idempotent overwrite
+    * replaces the reference's delete-then-append). */
+  def exportCsv(df: DataFrame, outDir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(outDir)
+}

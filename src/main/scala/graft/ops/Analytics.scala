@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics-layer shapes beyond the reference (SURVEY §2.4's "free via
+  * Catalyst" row): pivot and grouping sets, plus an approx-sketch query
+  * checked rows-only (HLL implementations differ across engines, so the
+  * exact-distinct companion column carries the oracle). */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** q48 — pivot: order counts and revenue per (priority, status),
+    * statuses pivoted to columns. Oracle mirrors with CASE aggregation —
+    * the relational definition of pivot. */
+  val q48Pivot: Q = Q(
+    "q48_pivot",
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val piv = o.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+    piv.select(col("o_orderpriority"),
+      col("F_n").as("n_f"), col("O_n").as("n_o"), col("P_n").as("n_p"),
+      col("F_rev").as("rev_f"), col("O_rev").as("rev_o"), col("P_rev").as("rev_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q49 — GROUPING SETS: mixed granularities in one pass (per status,
+    * per priority, grand total) with grouping_id disambiguation. */
+  val q49GroupingSets: Q = Q(
+    "q49_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("bigint").as("gid"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q50 — distinct sketches: approx_count_distinct next to the exact
+    * count. No oracle (HLL differs per engine); the driver's rows-only
+    * check applies, and AnalyticsSpec bounds the relative error. */
+  val q50Sketch: Q = Q.noOracle("q50_sketch") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch)
+}

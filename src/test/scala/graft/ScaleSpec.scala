@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-engineering proofs on small data: bucketed co-located joins
+  * eliminate the shuffle entirely (the 100 TB fact-fact join strategy),
+  * and the salted skew join is semantically invisible. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans with no shuffle exchange") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+
+    Tables.orders(s, sf).write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.lineitem(s, sf).write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+
+    val joined = s.table("lineitem_b")
+      .join(s.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // bucket-aligned SMJ: no Exchange below the join (only the final
+    // single agg shuffle on the tiny grouped result may remain)
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side shuffled:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side shuffled:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+
+    // and the answer matches the unbucketed join
+    val want = Tables.lineitem(s, sf)
+      .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
+  }
+
+  test("salted skew join equals its unsalted relational answer") {
+    val salted = ops.Scale.q51SaltedSkewJoin.fn(spark, sf)
+    // unsalted reference computed directly
+    val fact = Tables.orders(spark, sf)
+      .select(when(col("o_orderkey") % 10 < 8, 0L)
+        .otherwise(col("o_custkey") % 100).as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim-"), col("id").cast("string")).as("dim_name"))
+    val want = dim.join(fact, Seq("k"), "left")
+      .groupBy("k", "dim_name")
+      .agg(count(col("price")).as("n"),
+        sum(col("price")).cast("decimal(18,2)").as("revenue"))
+    assert(salted.exceptAll(want).isEmpty && want.exceptAll(salted).isEmpty)
+  }
+}

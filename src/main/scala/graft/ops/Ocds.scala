@@ -2,66 +2,99 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.RefFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** OCDS-release flatten pack — the reference's core "query" (2a:255-643):
-  * a nested release package (buyer, parties[], tender.items[].
-  * deliveryAddresses[], awards[].documents[]) flattened to one wide row
-  * per notice using only Catalyst expressions and higher-order functions.
+  * a nested release package flattened to one wide row per notice using
+  * only Catalyst expressions and higher-order functions, covering every
+  * section family of the reference flatten: release meta, planning
+  * (budget, milestones, documents), tender (status/method/category/SME
+  * suitability/periods/classification/documents/items/geography), buyer
+  * party with address+contact (J1 lookup), supplier parties (J2
+  * filter + A2 joins), and the first award with its documents (W1 + J3).
   *
-  * Test shape: both engines deterministically construct an OCDS-ish
-  * release per order from the TPC-H tables. Spark then does the real
-  * thing — serialize to a JSON string, parse back with `from_json`, and
-  * flatten the nested structure with the §2.3/§2.4/§2.5 operators (J1
-  * buyer lookup, J2 supplier role filter, J3 first doc of type, W1
-  * first-element, A2 pipe-join, A4 order-preserving distinct). The
-  * DuckDB oracle computes the same wide row relationally, so the
-  * hash-compare verifies the entire parse→flatten path, not just the
-  * construction.
+  * Test shape: both engines deterministically construct an OCDS release
+  * per order from the TPC-H tables. Spark then does the real thing —
+  * serialize to a JSON string, parse back with `from_json`, flatten with
+  * HOFs — while the DuckDB oracle computes the same 36-column row
+  * relationally, so the hash-compare verifies the entire parse→flatten
+  * path.
   *
-  * Scale: one groupBy(orderkey) to build the nested side (the shuffle a
-  * real ingest wouldn't have — data arrives nested), then the flatten
-  * itself is a narrow per-row projection: at 100 TB it runs scan-local
-  * with no shuffle, which is the whole point of HOFs over explode+join.
+  * Scale: one groupBy(orderkey) builds the nested side (real ingest data
+  * arrives already nested); the flatten itself is a narrow per-row
+  * projection — scan-local, shuffle-free, whole-stage codegen.
   */
 object Ocds {
 
   /** Closed OCDS-ish schema for from_json (cf SURVEY §1.2). */
-  val releaseSchema: StructType = StructType(Seq(
-    StructField("ocid", StringType),
-    StructField("date", StringType),
-    StructField("tag", ArrayType(StringType)),
-    StructField("buyer", StructType(Seq(
-      StructField("id", StringType),
-      StructField("name", StringType)))),
-    StructField("parties", ArrayType(StructType(Seq(
-      StructField("id", StringType),
-      StructField("name", StringType),
-      StructField("roles", ArrayType(StringType)),
-      StructField("region", StringType))))),
-    StructField("tender", StructType(Seq(
-      StructField("id", StringType),
-      StructField("title", StringType),
-      StructField("value", StructType(Seq(
-        StructField("amount", DecimalType(18, 2))))),
-      StructField("items", ArrayType(StructType(Seq(
-        StructField("id", LongType),
-        StructField("quantity", DecimalType(18, 2)),
-        StructField("deliveryAddresses", ArrayType(StructType(Seq(
-          StructField("postalCode", StringType)))))))))))),
-    StructField("awards", ArrayType(StructType(Seq(
-      StructField("id", StringType),
-      StructField("value", StructType(Seq(
-        StructField("amount", DecimalType(18, 2))))),
-      StructField("suppliers", ArrayType(StructType(Seq(
-        StructField("id", StringType))))),
-      StructField("documents", ArrayType(StructType(Seq(
-        StructField("documentType", StringType),
-        StructField("url", StringType)))))))))))
+  val releaseSchema: StructType = {
+    val doc = StructType(Seq(
+      StructField("documentType", StringType),
+      StructField("url", StringType)))
+    val value = StructType(Seq(StructField("amount", DecimalType(18, 2))))
+    StructType(Seq(
+      StructField("ocid", StringType),
+      StructField("date", StringType),
+      StructField("language", StringType),
+      StructField("initiationType", StringType),
+      StructField("tag", ArrayType(StringType)),
+      StructField("buyer", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType)))),
+      StructField("parties", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("roles", ArrayType(StringType)),
+        StructField("region", StringType),
+        StructField("address", StructType(Seq(
+          StructField("streetAddress", StringType),
+          StructField("postalCode", StringType),
+          StructField("countryName", StringType)))),
+        StructField("contactPoint", StructType(Seq(
+          StructField("name", StringType),
+          StructField("email", StringType)))))))),
+      StructField("planning", StructType(Seq(
+        StructField("budget", value),
+        StructField("milestones", ArrayType(StructType(Seq(
+          StructField("id", StringType),
+          StructField("type", StringType),
+          StructField("dueDate", StringType))))),
+        StructField("documents", ArrayType(doc))))),
+      StructField("tender", StructType(Seq(
+        StructField("id", StringType),
+        StructField("title", StringType),
+        StructField("status", StringType),
+        StructField("procurementMethod", StringType),
+        StructField("mainProcurementCategory", StringType),
+        StructField("suitability", StructType(Seq(
+          StructField("sme", BooleanType),
+          StructField("vcse", BooleanType)))),
+        StructField("tenderPeriod", StructType(Seq(
+          StructField("startDate", StringType),
+          StructField("endDate", StringType)))),
+        StructField("classification", StructType(Seq(
+          StructField("id", StringType),
+          StructField("description", StringType)))),
+        StructField("value", value),
+        StructField("documents", ArrayType(doc)),
+        StructField("items", ArrayType(StructType(Seq(
+          StructField("id", LongType),
+          StructField("quantity", DecimalType(18, 2)),
+          StructField("deliveryAddresses", ArrayType(StructType(Seq(
+            StructField("postalCode", StringType)))))))))))),
+      StructField("awards", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("date", StringType),
+        StructField("status", StringType),
+        StructField("value", value),
+        StructField("suppliers", ArrayType(StructType(Seq(
+          StructField("id", StringType))))),
+        StructField("documents", ArrayType(doc))))))))
+  }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: Column) = c.cast(DecimalType(18, 2))
 
   /** One JSON release string per order, deterministically assembled. */
   def releaseJson(s: SparkSession, d: String): DataFrame = {
@@ -80,47 +113,95 @@ object Ocds {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(byOrder, col("o_orderkey") === col("l_orderkey"))
-    val ocid = concat(lit("ocds-"), col("o_orderkey").cast("string"))
+    val k = col("o_orderkey")
+    val ocid = concat(lit("ocds-"), k.cast("string"))
     val buyerId = concat(lit("c"), col("o_custkey").cast("string"))
     val buyerParty = struct(
       buyerId.as("id"), col("c_name").as("name"),
-      array(lit("buyer")).as("roles"), col("n_name").as("region"))
+      array(lit("buyer")).as("roles"), col("n_name").as("region"),
+      struct(
+        concat(lit("St-"), (col("o_custkey") % 50).cast("string")).as("streetAddress"),
+        concat(lit("PS"), (col("o_custkey") % 1000).cast("string")).as("postalCode"),
+        col("n_name").as("countryName")).as("address"),
+      struct(
+        concat(lit("Officer "), col("c_name")).as("name"),
+        concat(lower(regexp_replace(col("c_name"), "#", "-")), lit("@example.gov.uk"))
+          .as("email")).as("contactPoint"))
     val supParties = transform(col("sups"), sp => struct(
       concat(lit("s"), sp.getField("l_suppkey").cast("string")).as("id"),
       sp.getField("s_name").as("name"),
       array(lit("supplier"), lit("payee")).as("roles"),
-      lit(null: String).as("region")))
+      lit(null: String).as("region"),
+      lit(null).cast("struct<streetAddress:string,postalCode:string,countryName:string>")
+        .as("address"),
+      lit(null).cast("struct<name:string,email:string>").as("contactPoint")))
     val tagStr = when(col("o_orderstatus") === "F", "award")
       .when(col("o_orderstatus") === "O", "tender").otherwise("planning")
+    // budget must stay exact-scale-2 decimal arithmetic: a x0.9 multiply
+    // lands on .925 halves where Spark (HALF_UP) and DuckDB (half-even)
+    // round apart.
+    val planning = struct(
+      struct((dec(col("o_totalprice")) - lit(BigDecimal("1000.00")))
+        .cast(DecimalType(18, 2)).as("amount")).as("budget"),
+      array(
+        struct(lit("m1").as("id"), lit("engagement").as("type"),
+          date_format(date_sub(col("o_orderdate"), 30), "yyyy-MM-dd").as("dueDate")),
+        struct(lit("m2").as("id"), lit("publication").as("type"),
+          date_format(date_sub(col("o_orderdate"), 10), "yyyy-MM-dd").as("dueDate"))).as("milestones"),
+      array(struct(lit("plannedProcurementNotice").as("documentType"),
+        concat(lit("https://plan.example/"), ocid).as("url"))).as("documents"))
+    val tender = struct(
+      concat(ocid, lit("-t")).as("id"),
+      col("o_orderpriority").as("title"),
+      when(col("o_orderstatus") === "F", "complete")
+        .when(col("o_orderstatus") === "O", "active").otherwise("planned").as("status"),
+      when(k % 2 === 0, "open").otherwise("selective").as("procurementMethod"),
+      when(k % 3 === 0, "works").when(k % 3 === 1, "services").otherwise("goods")
+        .as("mainProcurementCategory"),
+      struct((k % 2 === 0).as("sme"), (k % 5 === 0).as("vcse")).as("suitability"),
+      struct(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("startDate"),
+        date_format(date_add(col("o_orderdate"), 40), "yyyy-MM-dd").as("endDate"))
+        .as("tenderPeriod"),
+      struct(
+        concat(lit("CPV-45"), (k % 90).cast("string")).as("id"),
+        lit("Construction work").as("description")).as("classification"),
+      struct(dec(col("o_totalprice")).as("amount")).as("value"),
+      array(struct(lit("tenderNotice").as("documentType"),
+        concat(lit("https://tender.example/"), ocid).as("url"))).as("documents"),
+      transform(col("items"), it => struct(
+        it.getField("l_linenumber").cast("long").as("id"),
+        it.getField("qty").as("quantity"),
+        array(struct(it.getField("pc").as("postalCode"))).as("deliveryAddresses")))
+        .as("items"))
     val award = struct(
       concat(ocid, lit("-a")).as("id"),
+      date_format(date_add(col("o_orderdate"), 60), "yyyy-MM-dd").as("date"),
+      lit("active").as("status"),
       struct(col("award_total").as("amount")).as("value"),
       transform(col("sups"), sp =>
-        struct(concat(lit("s"), sp.getField("l_suppkey").cast("string")).as("id"))).as("suppliers"),
+        struct(concat(lit("s"), sp.getField("l_suppkey").cast("string")).as("id")))
+        .as("suppliers"),
       array(struct(lit("awardNotice").as("documentType"),
         concat(lit("https://notices.example/"), ocid).as("url"))).as("documents"))
+    val noAwards = lit(null).cast(releaseSchema("awards").dataType)
     val release = struct(
       ocid.as("ocid"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+      lit("en").as("language"),
+      lit("tender").as("initiationType"),
       array(tagStr).as("tag"),
       struct(buyerId.as("id"), col("c_name").as("name")).as("buyer"),
       concat(array(buyerParty), supParties).as("parties"),
-      struct(
-        concat(ocid, lit("-t")).as("id"),
-        col("o_orderpriority").as("title"),
-        struct(dec(col("o_totalprice")).as("amount")).as("value"),
-        transform(col("items"), it => struct(
-          it.getField("l_linenumber").cast("long").as("id"),
-          it.getField("qty").as("quantity"),
-          array(struct(it.getField("pc").as("postalCode"))).as("deliveryAddresses"))).as("items")).as("tender"),
+      planning.as("planning"),
+      tender.as("tender"),
       when(col("o_orderstatus") === "F", array(award))
-        .otherwise(expr("CAST(array() AS ARRAY<STRUCT<id:STRING,value:STRUCT<amount:DECIMAL(18,2)>,suppliers:ARRAY<STRUCT<id:STRING>>,documents:ARRAY<STRUCT<documentType:STRING,url:STRING>>>>)"))
-        .as("awards"))
+        .otherwise(noAwards).as("awards"))
     base.select(col("o_orderkey"), to_json(release).as("release_json"))
   }
 
   /** q35 — the wide flatten: parse the JSON release and extract every
-    * reference field shape with HOFs only. */
+    * reference section shape with HOFs only (36 columns). */
   val q35OcdsFlatten: Q = Q(
     "q35_ocds_flatten",
     """WITH sup AS (
@@ -152,17 +233,39 @@ object Ocds {
       |)
       |SELECT 'ocds-' || CAST(o_orderkey AS VARCHAR) AS ocid,
       |  strftime(o_orderdate, '%Y-%m-%d') AS release_date,
+      |  'en' AS language, 'tender' AS initiation_type,
       |  CASE o_orderstatus WHEN 'F' THEN 'award' WHEN 'O' THEN 'tender' ELSE 'planning' END AS notice_tag,
-      |  'c' || CAST(o_custkey AS VARCHAR) AS buyer_id,
-      |  c_name AS buyer_name,
-      |  n_name AS buyer_region,
-      |  supplier_ids, supplier_names,
-      |  CAST(n_supplier_parties AS BIGINT) AS n_supplier_parties,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 1000.00 AS DECIMAL(18,2)) AS planning_budget,
+      |  strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') AS first_milestone_due,
+      |  'engagement|publication' AS milestone_types,
+      |  'https://plan.example/ocds-' || CAST(o_orderkey AS VARCHAR) AS planning_doc_url,
       |  o_orderpriority AS tender_title,
+      |  CASE o_orderstatus WHEN 'F' THEN 'complete' WHEN 'O' THEN 'active' ELSE 'planned' END AS tender_status,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'open' ELSE 'selective' END AS procurement_method,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'works' WHEN o_orderkey % 3 = 1 THEN 'services' ELSE 'goods' END AS main_category,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'WORKS' WHEN o_orderkey % 3 = 1 THEN 'SERVICES' ELSE 'SUPPLIES' END AS ctype,
+      |  o_orderkey % 2 = 0 AS sme_suitable,
+      |  o_orderkey % 5 = 0 AS vcse_suitable,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS tender_start,
+      |  strftime(o_orderdate + INTERVAL 40 DAY, '%Y-%m-%d') AS tender_end,
+      |  'CPV-45' || CAST(o_orderkey % 90 AS VARCHAR) AS classification_id,
+      |  'https://tender.example/ocds-' || CAST(o_orderkey AS VARCHAR) AS tender_doc_url,
       |  CAST(o_totalprice AS DECIMAL(18,2)) AS tender_value,
       |  CAST(n_items AS BIGINT) AS n_items,
       |  item_postcodes,
+      |  'c' || CAST(o_custkey AS VARCHAR) AS buyer_id,
+      |  c_name AS buyer_name,
+      |  n_name AS buyer_region,
+      |  'St-' || CAST(o_custkey % 50 AS VARCHAR) AS buyer_street,
+      |  'PS' || CAST(o_custkey % 1000 AS VARCHAR) AS buyer_postcode,
+      |  n_name AS buyer_country,
+      |  'Officer ' || c_name AS buyer_contact_name,
+      |  lower(replace(c_name, '#', '-')) || '@example.gov.uk' AS buyer_contact_email,
+      |  supplier_ids, supplier_names,
+      |  CAST(n_supplier_parties AS BIGINT) AS n_supplier_parties,
       |  CASE WHEN o_orderstatus = 'F' THEN award_total ELSE NULL END AS first_award_value,
+      |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 60 DAY, '%Y-%m-%d') ELSE NULL END AS award_date,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'active' ELSE NULL END AS award_status,
       |  CASE WHEN o_orderstatus = 'F' THEN 'https://notices.example/ocds-' || CAST(o_orderkey AS VARCHAR) ELSE NULL END AS award_doc_url
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -176,26 +279,54 @@ object Ocds {
     val r = col("r")
     val buyerParty = findFirstById(r.getField("parties"), r.getField("buyer").getField("id"))
     val sups = partiesWithRole(r.getField("parties"), "supplier")
+    val planning = r.getField("planning")
+    val tender = r.getField("tender")
     val firstAward = firstOrNull(r.getField("awards"))
     val awardDoc = firstDocOfType(firstAward.getField("documents"), "awardNotice")
+    val tenderDoc = firstDocOfType(tender.getField("documents"), "tenderNotice")
+    val planDoc = firstDocOfType(planning.getField("documents"), "plannedProcurementNotice")
     parsed.select(
       r.getField("ocid").as("ocid"),
       r.getField("date").as("release_date"),
+      r.getField("language").as("language"),
+      r.getField("initiationType").as("initiation_type"),
       firstOrNull(r.getField("tag")).as("notice_tag"),
+      planning.getField("budget").getField("amount").as("planning_budget"),
+      firstOrNull(planning.getField("milestones")).getField("dueDate").as("first_milestone_due"),
+      pipeJoin(transform(planning.getField("milestones"), m => m.getField("type")))
+        .as("milestone_types"),
+      planDoc.getField("url").as("planning_doc_url"),
+      tender.getField("title").as("tender_title"),
+      tender.getField("status").as("tender_status"),
+      tender.getField("procurementMethod").as("procurement_method"),
+      tender.getField("mainProcurementCategory").as("main_category"),
+      ctypeFromCategory(tender.getField("mainProcurementCategory")).as("ctype"),
+      tender.getField("suitability").getField("sme").as("sme_suitable"),
+      tender.getField("suitability").getField("vcse").as("vcse_suitable"),
+      tender.getField("tenderPeriod").getField("startDate").as("tender_start"),
+      tender.getField("tenderPeriod").getField("endDate").as("tender_end"),
+      tender.getField("classification").getField("id").as("classification_id"),
+      tenderDoc.getField("url").as("tender_doc_url"),
+      tender.getField("value").getField("amount").as("tender_value"),
+      size(tender.getField("items")).cast("long").as("n_items"),
+      pipeJoin(array_distinct(flatten(transform(
+        tender.getField("items"),
+        it => transform(it.getField("deliveryAddresses"),
+          a => a.getField("postalCode")))))).as("item_postcodes"),
       buyerParty.getField("id").as("buyer_id"),
       buyerParty.getField("name").as("buyer_name"),
       buyerParty.getField("region").as("buyer_region"),
+      buyerParty.getField("address").getField("streetAddress").as("buyer_street"),
+      buyerParty.getField("address").getField("postalCode").as("buyer_postcode"),
+      buyerParty.getField("address").getField("countryName").as("buyer_country"),
+      buyerParty.getField("contactPoint").getField("name").as("buyer_contact_name"),
+      buyerParty.getField("contactPoint").getField("email").as("buyer_contact_email"),
       pipeJoin(transform(sups, p => p.getField("id"))).as("supplier_ids"),
       pipeJoin(transform(sups, p => p.getField("name"))).as("supplier_names"),
       size(sups).cast("long").as("n_supplier_parties"),
-      r.getField("tender").getField("title").as("tender_title"),
-      r.getField("tender").getField("value").getField("amount").as("tender_value"),
-      size(r.getField("tender").getField("items")).cast("long").as("n_items"),
-      pipeJoin(array_distinct(flatten(transform(
-        r.getField("tender").getField("items"),
-        it => transform(it.getField("deliveryAddresses"),
-          a => a.getField("postalCode")))))).as("item_postcodes"),
       firstAward.getField("value").getField("amount").as("first_award_value"),
+      firstAward.getField("date").as("award_date"),
+      firstAward.getField("status").as("award_status"),
       awardDoc.getField("url").as("award_doc_url"))
       .orderBy("ocid")
   }

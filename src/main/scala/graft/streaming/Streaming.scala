@@ -88,6 +88,68 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One event for custom-state processing (ts in epoch seconds). */
+  final case class Ev(user_id: Long, sec: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** One completed session emitted by the custom-state sessionizer. */
+  final case class Sess(user_id: Long, start_sec: Long, duration_sec: Long,
+      n_events: Int, n_purchases: Int)
+
+  /** Open-session state (public: the state encoder codegen needs
+    * accessible constructor + accessors). */
+  final case class SessState(start: Long, last: Long, n: Int, nPurchase: Int)
+
+  /** Custom-state sessionization via flatMapGroupsWithState (SURVEY
+    * §2.8): per-user state holds the open session; a >30 min gap (or an
+    * event-time timeout) closes it and emits one Sess row. State is one
+    * tiny struct per user — bounded by the watermark, not by history —
+    * which is what makes arbitrary-window sessionization feasible on an
+    * unbounded stream. Events inside a micro-batch are sorted per user
+    * (bounded per batch); an ordered source can skip that sort. */
+  def sessionizeCustomState(events: DataFrame): org.apache.spark.sql.Dataset[Sess] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val GapSec = 1800L
+    val evs = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("ts"))
+      .as[Ev]
+    def close(s: SessState, uid: Long): Sess =
+      Sess(uid, s.start, s.last - s.start, s.n, s.nPurchase)
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Sess](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(close(_, uid))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.sec, e.event_type))
+            val emitted = Seq.newBuilder[Sess]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val p = if (e.event_type == "purchase") 1 else 0
+              cur match {
+                case Some(s) if e.sec - s.last <= GapSec =>
+                  cur = Some(SessState(s.start, e.sec, s.n + 1, s.nPurchase + p))
+                case Some(s) =>
+                  emitted += close(s, uid)
+                  cur = Some(SessState(e.sec, e.sec, 1, p))
+                case None =>
+                  cur = Some(SessState(e.sec, e.sec, 1, p))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + GapSec) * 1000L)
+            }
+            emitted.result().iterator
+          }
+      }
+  }
+
   /** Run any of the above to completion over the currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * query after termination. Update mode emits every group's final

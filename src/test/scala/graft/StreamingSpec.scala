@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization emits exactly the closed sessions") {
+    val q = Streaming.runToMemory(
+      Streaming.sessionizeCustomState(Streaming.eventsStream(spark, sf)).toDF(),
+      "custom_sessions", mode = "append")
+    val got = spark.table("custom_sessions")
+    // batch truth: q37-style sessions; with a single AvailableNow batch
+    // the stream emits every session except each user's final one
+    // (still open in state when the stream ends).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val all = batchEvents
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum("is_new").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("sec").as("start_sec"),
+        (max("sec") - min("sec")).as("duration_sec"),
+        count(lit(1)).cast("int").as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).cast("int").as("n_purchases"))
+    val lastPerUser = all.groupBy("user_id").agg(max("sess").as("sess"))
+    val nonFinal = all.join(lastPerUser, Seq("user_id", "sess"), "left_anti").drop("sess")
+    val allSess = all.drop("sess")
+    val gotSel = got.select("user_id", "start_sec", "duration_sec", "n_events", "n_purchases")
+    // every non-final session must be emitted (closed by a newer event);
+    // final sessions may also emit via event-time timeout; nothing else.
+    assert(nonFinal.exceptAll(gotSel).isEmpty, "missing closed sessions")
+    assert(gotSel.exceptAll(allSess).isEmpty, "emitted a session batch never saw")
+    assert(got.count() > 0)
+    q.stop()
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -94,6 +94,19 @@ object Ocds {
         StructField("documents", ArrayType(doc))))))))
   }
 
+  /** OCDS release PACKAGE (FIXTURES.md A2): top-level meta wrapping
+    * `releases[]` — the reference consumes `releases[0]` (2a:276). */
+  val packageSchema: StructType = StructType(Seq(
+    StructField("uri", StringType),
+    StructField("publishedDate", StringType),
+    StructField("publisher", StructType(Seq(
+      StructField("name", StringType),
+      StructField("scheme", StringType),
+      StructField("uid", StringType)))),
+    StructField("version", StringType),
+    StructField("license", StringType),
+    StructField("releases", ArrayType(releaseSchema))))
+
   private def dec(c: Column) = c.cast(DecimalType(18, 2))
 
   /** One JSON release string per order, deterministically assembled. */
@@ -197,7 +210,18 @@ object Ocds {
       tender.as("tender"),
       when(col("o_orderstatus") === "F", array(award))
         .otherwise(noAwards).as("awards"))
-    base.select(col("o_orderkey"), to_json(release).as("release_json"))
+    // wrap in the release package (FIXTURES.md A2): the flatten must
+    // then select releases[0], as the reference does.
+    val pkg = struct(
+      concat(lit("https://api.example/packages/"), ocid).as("uri"),
+      concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T00:00:00Z"))
+        .as("publishedDate"),
+      struct(lit("UK Government").as("name"), lit("GB-GOV").as("scheme"),
+        lit("GB-GOV-01").as("uid")).as("publisher"),
+      lit("1.1").as("version"),
+      lit("OGL-UK-3.0").as("license"),
+      array(release).as("releases"))
+    base.select(col("o_orderkey"), to_json(pkg).as("release_json"))
   }
 
   /** q35 — the wide flatten: parse the JSON release and extract every
@@ -231,7 +255,11 @@ object Ocds {
       |    COUNT(*) AS n_items
       |  FROM lineitem GROUP BY 1
       |)
-      |SELECT 'ocds-' || CAST(o_orderkey AS VARCHAR) AS ocid,
+      |SELECT 'https://api.example/packages/ocds-' || CAST(o_orderkey AS VARCHAR) AS package_uri,
+      |  strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z' AS published_date,
+      |  'UK Government' AS publisher_name,
+      |  '1.1' AS ocds_version,
+      |  'ocds-' || CAST(o_orderkey AS VARCHAR) AS ocid,
       |  strftime(o_orderdate, '%Y-%m-%d') AS release_date,
       |  'en' AS language, 'tender' AS initiation_type,
       |  CASE o_orderstatus WHEN 'F' THEN 'award' WHEN 'O' THEN 'tender' ELSE 'planning' END AS notice_tag,
@@ -275,7 +303,9 @@ object Ocds {
       |JOIN tot ON tot.ok = o_orderkey
       |ORDER BY ocid""") { (s, d) =>
     val parsed = releaseJson(s, d)
-      .select(from_json(col("release_json"), releaseSchema).as("r"))
+      .select(from_json(col("release_json"), packageSchema).as("p"))
+      .select(col("p"), firstOrNull(col("p").getField("releases")).as("r"))
+    val p = col("p")
     val r = col("r")
     val buyerParty = findFirstById(r.getField("parties"), r.getField("buyer").getField("id"))
     val sups = partiesWithRole(r.getField("parties"), "supplier")
@@ -286,6 +316,10 @@ object Ocds {
     val tenderDoc = firstDocOfType(tender.getField("documents"), "tenderNotice")
     val planDoc = firstDocOfType(planning.getField("documents"), "plannedProcurementNotice")
     parsed.select(
+      p.getField("uri").as("package_uri"),
+      p.getField("publishedDate").as("published_date"),
+      p.getField("publisher").getField("name").as("publisher_name"),
+      p.getField("version").as("ocds_version"),
       r.getField("ocid").as("ocid"),
       r.getField("date").as("release_date"),
       r.getField("language").as("language"),
@@ -347,7 +381,8 @@ object Ocds {
         when(col("o_orderkey") % 97 === 0,
           concat(lit("{corrupt::"), col("release_json"))).otherwise(col("release_json")))
     corrupted
-      .select(from_json(col("release_json"), releaseSchema).as("r"))
+      .select(firstOrNull(from_json(col("release_json"), packageSchema)
+        .getField("releases")).as("r"))
       .select(when(col("r").getField("ocid").isNull, "parse_error").otherwise("ok").as("status"),
         col("r").getField("ocid").isNotNull.as("parsed"))
       .groupBy("status")

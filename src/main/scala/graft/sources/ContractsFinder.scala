@@ -100,11 +100,12 @@ object ContractsFinder {
     }.toDF("uri", "csv_file", "row_index", "file_date", "status", "body")
   }
 
-  /** X1 — flatten the fetched OCDS release into the wide row (subset of
-    * the q35 flatten), preserving audit rows: a body that fails to
-    * parse downgrades status to fetch_failed_or_invalid_json. */
+  /** X1 — flatten the fetched OCDS release package into the wide row
+    * (subset of the q35 flatten; the reference consumes releases[0]),
+    * preserving audit rows: a body that fails to parse downgrades
+    * status to fetch_failed_or_invalid_json. */
   def flatten(enriched: DataFrame): DataFrame = {
-    val r = from_json(col("body"), Ocds.releaseSchema)
+    val r = firstOrNull(from_json(col("body"), Ocds.packageSchema).getField("releases"))
     val parsed = r.getField("ocid").isNotNull
     val buyer = findFirstById(r.getField("parties"), r.getField("buyer").getField("id"))
     val sups = partiesWithRole(r.getField("parties"), "supplier")

@@ -11,12 +11,14 @@ import java.nio.file.{Files, Paths}
   * non-serializable suite into the task). */
 object CfFixtures extends Serializable {
   def ocds(id: String): String =
-    s"""{"ocid":"$id","date":"2024-03-01","tag":["tender"],
+    s"""{"uri":"https://api.example/packages/$id","publishedDate":"2024-03-01T00:00:00Z",
+       |"publisher":{"name":"UK Government"},"version":"1.1","releases":[
+       |{"ocid":"$id","date":"2024-03-01","tag":["tender"],
        |"buyer":{"id":"b1","name":"Council $id"},
        |"parties":[{"id":"b1","name":"Council $id","roles":["buyer"],"region":"R"},
        |           {"id":"s1","name":"Supplier A","roles":["supplier"],"region":null}],
        |"tender":{"id":"t","title":"T-$id","value":{"amount":10.50},"items":[]},
-       |"awards":[]}""".stripMargin.replaceAll("\n", "")
+       |"awards":[]}]}""".stripMargin.replaceAll("\n", "")
 
   // transport: /flaky fails once then succeeds (exercises S1 retry);
   // /bad always fails; /invalid returns non-JSON

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Enrichment pack: calendar gap-fill (the resample/forward-fill every
+  * time-series training pipeline needs) and fuzzy entity linkage (the
+  * CF⋈FaT buyer/supplier matching SURVEY §2.3 marks as implied by the
+  * reference's purpose). */
+object Enrich {
+
+  /** q52 — monthly revenue spine per region with forward fill: months
+    * with no orders carry the last known value (last-ignoreNulls over
+    * an ordered window after a calendar left join). Spine × regions is
+    * tiny and broadcast; the fact side aggregates before joining. */
+  val q52GapFill: Q = Q(
+    "q52_gap_fill",
+    """WITH months AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS DATE) AS m
+      |), regions AS (SELECT DISTINCT r_regionkey, r_name FROM region),
+      |spine AS (SELECT m, r_regionkey, r_name FROM months CROSS JOIN regions),
+      |rev AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, r_regionkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.m AS month_start, s.r_name,
+      |  rev AS rev_raw,
+      |  last_value(rev IGNORE NULLS) OVER (PARTITION BY s.r_regionkey ORDER BY s.m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+      |FROM spine s LEFT JOIN rev ON rev.m = s.m AND rev.r_regionkey = s.r_regionkey
+      |ORDER BY s.r_name, s.m""") { (s, d) =>
+    val months = s.range(1).select(explode(sequence(
+      lit(java.sql.Date.valueOf("1995-01-01")),
+      lit(java.sql.Date.valueOf("1998-12-01")),
+      expr("interval 1 month"))).as("m"))
+    val regions = Tables.region(s, d).select("r_regionkey", "r_name").distinct()
+    val spine = months.crossJoin(broadcast(regions))
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("rm"),
+        col("r_regionkey").as("rk"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+    val w = Window.partitionBy("r_regionkey").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(rev, col("rm") === col("m") && col("rk") === col("r_regionkey"), "left")
+      .select(col("m").as("month_start"), col("r_name"), col("r_regionkey"),
+        col("rev").as("rev_raw"))
+      .withColumn("rev_filled", last("rev_raw", ignoreNulls = true).over(
+        Window.partitionBy("r_regionkey").orderBy("month_start")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("r_regionkey")
+      .orderBy("r_name", "month_start")
+  }
+
+  /** q53 — fuzzy entity linkage: noisy buyer names (zero-padding
+    * stripped for custkey%4=0) matched back to canonical names with
+    * levenshtein ≤ 5, blocked on the name suffix so the pair space is
+    * per-block instead of O(n²) — the blocking-key + edit-distance
+    * candidate/verify shape of record linkage at scale. */
+  val q53FuzzyLink: Q = Q(
+    "q53_fuzzy_link",
+    """WITH canon AS (
+      |  SELECT c_custkey AS ck, c_name AS canonical,
+      |    substring(c_name, length(c_name) - 2, 3) AS blk
+      |  FROM customer
+      |), noisy AS (
+      |  SELECT c_custkey AS nk, replace(c_name, '#000', '#') AS noisy_name,
+      |    substring(c_name, length(c_name) - 2, 3) AS blk
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |)
+      |SELECT nk, noisy_name, ck, canonical,
+      |  CAST(levenshtein(noisy_name, canonical) AS BIGINT) AS dist
+      |FROM noisy JOIN canon USING (blk)
+      |WHERE levenshtein(noisy_name, canonical) <= 5
+      |ORDER BY nk, ck""") { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val blk = substring(col("c_name"), -3, 3)
+    val canon = cust.select(col("c_custkey").as("ck"),
+      col("c_name").as("canonical"), blk.as("blk"))
+    val noisy = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("nk"),
+        regexp_replace(col("c_name"), "#000", "#").as("noisy_name"), blk.as("blk"))
+    noisy.join(canon, "blk")
+      .filter(levenshtein(col("noisy_name"), col("canonical")) <= 5)
+      .select(col("nk"), col("noisy_name"), col("ck"), col("canonical"),
+        levenshtein(col("noisy_name"), col("canonical")).cast("long").as("dist"))
+      .orderBy("nk", "ck")
+  }
+
+  val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink)
+}

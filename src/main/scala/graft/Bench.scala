@@ -22,17 +22,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The noop sink evaluates EVERY output column; count() would let
+    // Catalyst prune the projections and time only the scan.
+    def run(q: Q, dir: String): Unit =
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     // One warmup pass on the smallest SF to exclude JVM/codegen warmup from
     // the per-query numbers (the driver measures steady-state throughput).
     SparkEntry.registry.foreach { q =>
-      try q.fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try run(q, "/root/testdata/sf0.001")
+      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
     }
 
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try run(q, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

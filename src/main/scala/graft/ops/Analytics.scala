@@ -67,5 +67,37 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch)
+  /** q56 — MapType operators: per-customer status→count built as a real
+    * map column (map_from_entries), then read back via map_entries /
+    * map_values / try_element_at lookup. The oracle checks the
+    * map-free relational rendering of the same facts. */
+  val q56MapOps: Q = Q(
+    "q56_map_ops",
+    """WITH st AS (
+      |  SELECT o_custkey, o_orderstatus AS s, COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_custkey,
+      |  string_agg(s || '=' || CAST(c AS VARCHAR), '|' ORDER BY s) AS status_counts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_statuses,
+      |  MAX(CASE WHEN s = 'F' THEN c END) AS f_count,
+      |  CAST(SUM(c) AS BIGINT) AS total
+      |FROM st GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+    val st = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderstatus").as("s"))
+      .agg(count(lit(1)).as("c"))
+    st.groupBy("o_custkey")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("s"), col("c")))))
+        .as("m"))
+      .select(col("o_custkey"),
+        array_join(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))),
+          "|").as("status_counts"),
+        size(col("m")).cast("long").as("n_statuses"),
+        try_element_at(col("m"), lit("F")).as("f_count"),
+        aggregate(map_values(col("m")), lit(0L), (a, v) => a + v).as("total"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps)
 }

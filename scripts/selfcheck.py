@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — strictly harder.
 
 Reads the Verify output dir (one parquet dir per query + oracle_sql.json),
 runs each oracle SQL in DuckDB against the same sf tables, and compares
 result sets with columns sorted by name and rows sorted by all columns.
 
+Strictness (ADVICE.md r01): the driver hash-compares *rendered* values, so
+a Spark DECIMAL column vs a DuckDB float64 column fails there even when
+values are numerically identical. This gate therefore:
+  * fetches exact values via fetchall() (decimal.Decimal preserved, no
+    pandas float64 coercion), and
+  * treats any column TYPE difference between the Spark parquet and the
+    oracle result as a FAILURE, not a warning.
+
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 """
 import json
+import math
 import sys
 
 import duckdb
@@ -16,10 +25,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
-    return df
+def fetch(con, sql):
+    """Run sql; return (colnames, coltypes, canonical sorted rows)."""
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    # sort columns by name (driver behavior), then rows by all values
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    names_sorted = [names[i] for i in order]
+    types = con.execute(f"DESCRIBE {sql}").fetchall()
+    tmap = {t[0]: t[1] for t in types}
+    types_sorted = [tmap[n] for n in names_sorted]
+    canon_rows = sorted(
+        [tuple(r[i] for i in order) for r in rows],
+        key=lambda row: tuple(
+            (v is not None, str(type(v)), str(v)) for v in row))
+    return names_sorted, types_sorted, canon_rows
+
+
+def vals_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b and type(a) is type(b)
 
 
 def main(sf_dir, out_dir):
@@ -30,37 +61,39 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
-            want = con.execute(sql).fetchdf()
-            g, w = canon(got), canon(want)
-            if list(g.columns) != list(w.columns):
-                print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            g_names, g_types, g_rows = fetch(
+                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            w_names, w_types, w_rows = fetch(con, sql)
+            if g_names != w_names:
+                print(f"FAIL {name}: columns {g_names} vs {w_names}")
                 n_fail += 1
                 continue
-            if len(g) != len(w):
-                print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            if g_types != w_types:
+                diffs = [(n, gt, wt) for n, gt, wt
+                         in zip(g_names, g_types, w_types) if gt != wt]
+                print(f"FAIL {name}: column TYPE mismatch {diffs}")
                 n_fail += 1
                 continue
-            gs = g.astype(str)
-            ws = w.astype(str)
-            neq = (gs != ws)
-            if neq.any().any():
-                bad_cols = [c for c in gs.columns if neq[c].any()]
-                idx = neq.any(axis=1).idxmax()
-                print(f"FAIL {name}: value mismatch in {bad_cols}; first bad row {idx}:")
-                print("  spark :", g.iloc[idx].to_dict())
-                print("  duckdb:", w.iloc[idx].to_dict())
-                # dtype hint
-                print("  dtypes spark:", dict(g.dtypes.astype(str)),
-                      "duckdb:", dict(w.dtypes.astype(str)))
+            if len(g_rows) != len(w_rows):
+                print(f"FAIL {name}: rows {len(g_rows)} vs {len(w_rows)}")
+                n_fail += 1
+                continue
+            bad = None
+            for i, (gr, wr) in enumerate(zip(g_rows, w_rows)):
+                for c, (gv, wv) in enumerate(zip(gr, wr)):
+                    if not vals_equal(gv, wv):
+                        bad = (i, g_names[c], gv, wv)
+                        break
+                if bad:
+                    break
+            if bad:
+                i, cname, gv, wv = bad
+                print(f"FAIL {name}: value mismatch row {i} col {cname}: "
+                      f"spark={gv!r} ({type(gv).__name__}) "
+                      f"duckdb={wv!r} ({type(wv).__name__})")
                 n_fail += 1
             else:
-                # also surface dtype-level differences as warnings
-                dt = [(c, str(g[c].dtype), str(w[c].dtype))
-                      for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
-                flag = f" (dtype diff: {dt})" if dt else ""
-                print(f"PASS {name} ({len(g)} rows){flag}")
+                print(f"PASS {name} ({len(g_rows)} rows)")
                 n_pass += 1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")

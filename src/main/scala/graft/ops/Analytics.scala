@@ -21,15 +21,15 @@ object Analytics {
       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
       |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_f,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_o,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_p
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""") { (s, d) =>
     val o = Tables.orders(s, d)
     val piv = o.groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("rev"))
     piv.select(col("o_orderpriority"),
       col("F_n").as("n_f"), col("O_n").as("n_o"), col("P_n").as("n_p"),
       col("F_rev").as("rev_f"), col("O_rev").as("rev_o"), col("P_rev").as("rev_p"))

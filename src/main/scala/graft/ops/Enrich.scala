@@ -31,9 +31,9 @@ object Enrich {
       |  GROUP BY 1, 2
       |)
       |SELECT s.m AS month_start, s.r_name,
-      |  rev AS rev_raw,
-      |  last_value(rev IGNORE NULLS) OVER (PARTITION BY s.r_regionkey ORDER BY s.m
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+      |  CAST(rev AS DOUBLE) AS rev_raw,
+      |  CAST(last_value(rev IGNORE NULLS) OVER (PARTITION BY s.r_regionkey ORDER BY s.m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_filled
       |FROM spine s LEFT JOIN rev ON rev.m = s.m AND rev.r_regionkey = s.r_regionkey
       |ORDER BY s.r_name, s.m""") { (s, d) =>
     val months = s.range(1).select(explode(sequence(
@@ -49,7 +49,7 @@ object Enrich {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("rm"),
         col("r_regionkey").as("rk"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .cast(DecimalType(18, 2)).as("rev"))
+        .cast("double").as("rev"))
     val w = Window.partitionBy("r_regionkey").orderBy("m")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(rev, col("rm") === col("m") && col("rk") === col("r_regionkey"), "left")

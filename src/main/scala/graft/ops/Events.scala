@@ -128,10 +128,10 @@ object Events {
       |)
       |SELECT event_id, user_id, sec,
       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-      |  lag(v) OVER w AS prev_v,
-      |  lead(v) OVER w AS next_v,
+      |  CAST(lag(v) OVER w AS DOUBLE) AS prev_v,
+      |  CAST(lead(v) OVER w AS DOUBLE) AS next_v,
       |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mv_sum
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum
       |FROM ev
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, rn""") { (s, d) =>
@@ -142,9 +142,9 @@ object Events {
         unix_timestamp(col("ts")).as("sec"), dec(col("value")).as("v"))
       .select(col("event_id"), col("user_id"), col("sec"),
         row_number().over(w).cast("long").as("rn"),
-        lag("v", 1).over(w).as("prev_v"),
-        lead("v", 1).over(w).as("next_v"),
-        sum("v").over(wf).cast(DecimalType(18, 2)).as("mv_sum"))
+        lag("v", 1).over(w).cast("double").as("prev_v"),
+        lead("v", 1).over(w).cast("double").as("next_v"),
+        sum("v").over(wf).cast("double").as("mv_sum"))
       .orderBy("user_id", "rn")
   }
 

@@ -284,7 +284,7 @@ object Ocds {
       |  strftime(o_orderdate, '%Y-%m-%d') AS release_date,
       |  'en' AS language, 'tender' AS initiation_type,
       |  CASE o_orderstatus WHEN 'F' THEN 'award' WHEN 'O' THEN 'tender' ELSE 'planning' END AS notice_tag,
-      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 1000.00 AS DECIMAL(18,2)) AS planning_budget,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 1000.00 AS DOUBLE) AS planning_budget,
       |  strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') AS first_milestone_due,
       |  'engagement|publication' AS milestone_types,
       |  strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') || '|' ||
@@ -309,8 +309,8 @@ object Ocds {
       |       ELSE 'AC-' || CAST(o_orderkey % 5 AS VARCHAR) || ';AC-' || CAST(o_orderkey % 7 AS VARCHAR)
       |  END AS additional_classification_ids,
       |  'https://tender.example/ocds-' || CAST(o_orderkey AS VARCHAR) AS tender_doc_url,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS tender_value,
-      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 500.00 AS DECIMAL(18,2)) AS tender_min_value,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tender_value,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 500.00 AS DOUBLE) AS tender_min_value,
       |  CAST(n_items AS BIGINT) AS n_items,
       |  item_postcodes,
       |  'c' || CAST(o_custkey AS VARCHAR) AS buyer_id,
@@ -323,7 +323,7 @@ object Ocds {
       |  lower(replace(c_name, '#', '-')) || '@example.gov.uk' AS buyer_contact_email,
       |  supplier_ids, supplier_names,
       |  CAST(n_supplier_parties AS BIGINT) AS n_supplier_parties,
-      |  CASE WHEN o_orderstatus = 'F' THEN award_total ELSE NULL END AS first_award_value,
+      |  CAST(CASE WHEN o_orderstatus = 'F' THEN award_total ELSE NULL END AS DOUBLE) AS first_award_value,
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 60 DAY, '%Y-%m-%d') ELSE NULL END AS award_date,
       |  CASE WHEN o_orderstatus = 'F' THEN 'active' ELSE NULL END AS award_status,
       |  CASE WHEN o_orderstatus = 'F' THEN supplier_ids ELSE NULL END AS award_supplier_ids,
@@ -361,7 +361,7 @@ object Ocds {
       r.getField("language").as("language"),
       r.getField("initiationType").as("initiation_type"),
       firstOrNull(r.getField("tag")).as("notice_tag"),
-      planning.getField("budget").getField("amount").as("planning_budget"),
+      planning.getField("budget").getField("amount").cast("double").as("planning_budget"),
       firstOrNull(planning.getField("milestones")).getField("dueDate").as("first_milestone_due"),
       pipeJoin(transform(planning.getField("milestones"), m => m.getField("type")))
         .as("milestone_types"),
@@ -383,8 +383,8 @@ object Ocds {
       joinUnique(transform(tender.getField("additionalClassifications"),
         c => c.getField("id"))).as("additional_classification_ids"),
       tenderDoc.getField("url").as("tender_doc_url"),
-      tender.getField("value").getField("amount").as("tender_value"),
-      tender.getField("minValue").getField("amount").as("tender_min_value"),
+      tender.getField("value").getField("amount").cast("double").as("tender_value"),
+      tender.getField("minValue").getField("amount").cast("double").as("tender_min_value"),
       size(tender.getField("items")).cast("long").as("n_items"),
       pipeJoin(array_distinct(flatten(transform(
         tender.getField("items"),
@@ -401,7 +401,7 @@ object Ocds {
       pipeJoin(transform(sups, p => p.getField("id"))).as("supplier_ids"),
       pipeJoin(transform(sups, p => p.getField("name"))).as("supplier_names"),
       size(sups).cast("long").as("n_supplier_parties"),
-      firstAward.getField("value").getField("amount").as("first_award_value"),
+      firstAward.getField("value").getField("amount").cast("double").as("first_award_value"),
       firstAward.getField("date").as("award_date"),
       firstAward.getField("status").as("award_status"),
       pipeJoin(transform(firstAward.getField("suppliers"), sp => sp.getField("id")))

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.DecimalType
   * the synthetic testdata tables.
   *
   * Numeric policy: doubles are cast to DECIMAL early and all arithmetic is
-  * exact decimal so Spark and the DuckDB oracle agree bit-for-bit. Output
+  * exact decimal so Spark and the DuckDB oracle agree bit-for-bit; the FINAL
+  * output column is then cast to DOUBLE on both engines (the exact decimal
+  * rounds to the identical float64 either way, and a float64 column hashes
+  * identically through pyarrow and DuckDB — DECIMAL outputs render as
+  * Decimal-vs-float strings and fail the driver's hash compare). Output
   * integer columns are BIGINT on both sides.
   */
 object Relational {
@@ -25,9 +29,9 @@ object Relational {
   val q01PricingAgg: Q = Q(
     "q01_pricing_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -37,10 +41,10 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -67,7 +71,7 @@ object Relational {
   val q03RegionRevenue: Q = Q(
     "q03_region_revenue",
     """SELECT r_name, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -80,7 +84,7 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy("r_name")
   }
 
@@ -88,7 +92,7 @@ object Relational {
   val q04TopOrders: Q = Q(
     "q04_top_orders",
     """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderstatus = 'F'
       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
@@ -99,7 +103,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -303,7 +307,7 @@ object Relational {
     "q13_rollup",
     """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
       |  COUNT(*) AS n_cust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -315,7 +319,7 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(grouping_id().cast("bigint").as("gid"),
         count(lit(1)).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast(DecimalType(18, 2)).as("bal"))
+        sum(dec(col("c_acctbal"))).cast("double").as("bal"))
       .select("r_name", "n_name", "gid", "n_cust", "bal")
       .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
@@ -327,14 +331,14 @@ object Relational {
     "q14_hourly_events",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     Tables.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy("hour", "event_type")
   }
 
@@ -344,13 +348,13 @@ object Relational {
     "q15_json_extract",
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1 ORDER BY 1""") { (s, d) =>
     Tables.events(s, d)
       .groupBy((expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy("k_bucket")
   }
 
@@ -434,8 +438,8 @@ object Relational {
   val q20HavingAgg: Q = Q(
     "q20_having_agg",
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
       |FROM orders
       |GROUP BY o_custkey
       |HAVING COUNT(*) >= 5
@@ -443,8 +447,8 @@ object Relational {
     Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-        min(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("min_price"),
-        max(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("max_price"))
+        min(dec(col("o_totalprice"))).cast("double").as("min_price"),
+        max(dec(col("o_totalprice"))).cast("double").as("max_price"))
       .filter(col("n_orders") >= 5)
       .orderBy("o_custkey")
   }

@@ -30,7 +30,7 @@ object Scale {
       |  SELECT unnest(range(0, 100)) AS k
       |)
       |SELECT d.k AS k, 'dim-' || CAST(d.k AS VARCHAR) AS dim_name, COUNT(f.k) AS n,
-      |  CAST(SUM(f.price) AS DECIMAL(18,2)) AS revenue
+      |  CAST(SUM(f.price) AS DOUBLE) AS revenue
       |FROM dim d LEFT JOIN fact f ON f.k = d.k
       |GROUP BY d.k ORDER BY d.k""") { (s, d) =>
     val Salts = 8
@@ -45,7 +45,7 @@ object Scale {
     dim.join(fact, Seq("k", "salt"), "left")
       .groupBy(col("k"), col("dim_name"))
       .agg(count(col("price")).as("n"),
-        sum(col("price")).cast(DecimalType(18, 2)).as("revenue"))
+        sum(col("price")).cast("double").as("revenue"))
       .orderBy("k")
   }
 

@@ -37,7 +37,7 @@ object Xml {
       |  CASE WHEN k % 89 = 0 OR k % 3 = 0 THEN NULL
       |       WHEN k % 2 = 0 THEN 'UKC1' || CAST(k % 5 AS VARCHAR)
       |       ELSE 'UKD2' || CAST(k % 5 AS VARCHAR) END AS nuts,
-      |  CASE WHEN k % 89 = 0 THEN NULL ELSE price END AS value_amount,
+      |  CAST(CASE WHEN k % 89 = 0 THEN NULL ELSE price END AS DOUBLE) AS value_amount,
       |  CASE WHEN k % 89 = 0 OR k % 3 = 0 THEN NULL ELSE 'GBP' END AS currency,
       |  CASE WHEN k % 89 = 0 OR k % 3 = 0 THEN NULL
       |       WHEN st = 'F' THEN 'CONTRACT_AWARD'
@@ -90,6 +90,7 @@ object Xml {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select(when(k % 89 === 0, substring(xml, 1, 40)).otherwise(xml).as("xml"))
     FatXml.extract(docs, Seq.empty)
+      .withColumn("value_amount", col("value_amount").cast("double"))
       .orderBy(col("source_form"), col("doc_id").asc_nulls_first,
         col("buyer_name").asc_nulls_first, col("value_amount").asc_nulls_first)
   }

@@ -156,14 +156,21 @@ object Similarity {
         struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
       .select(col("vec_id"), col("v"), col("bb.b").as("b"), col("bb.bv").as("bv"))
     val qs = vbands.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("b"), col("bv"))
+      .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+    // candidate dedup moves only (query_id, vec_id) — the 64-dim vectors
+    // re-attach after the distinct (query side broadcast, corpus side an
+    // equi-join on vec_id), so the dedup shuffle never carries arrays.
     val cand = vbands.as("c").join(broadcast(qs).as("q"),
         col("q.b") === col("c.b") && col("q.bv") === col("c.bv")
           && col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("q.qv"), col("c.vec_id"), col("c.v"))
+      .select(col("q.query_id"), col("c.vec_id"))
       .distinct()
+    val qvecs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
     cand
+      .join(broadcast(qvecs), "query_id")
+      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
       .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -335,10 +342,16 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("cell"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
-    broadcast(probes).as("p").join(assign.as("a"),
+    // as in q32: dedup on ids only, then re-attach vectors (queries are
+    // broadcast; corpus vectors join back on vec_id after the distinct).
+    val qvecs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    broadcast(probes.select(col("query_id"), col("cell"))).as("p").join(assign.as("a"),
         col("p.cell") === col("a.cell") && col("a.vec_id") =!= col("p.query_id"))
-      .select(col("p.query_id"), col("p.qv"), col("a.vec_id"), col("a.v"))
+      .select(col("p.query_id"), col("a.vec_id"))
       .distinct()
+      .join(broadcast(qvecs), "query_id")
+      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
       .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)

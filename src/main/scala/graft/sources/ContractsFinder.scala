@@ -47,16 +47,23 @@ object ContractsFinder {
   def uriTable(spark: SparkSession, csvDir: String): DataFrame = {
     val raw = spark.read.option("header", "true").csv(s"$csvDir/*.csv")
     val firstCol = raw.columns.head
-    // per-file row order: monotonically_increasing_id is ascending
-    // within a partition and csv files split per-partition in order, so
-    // ranking it per file reproduces the reference's row_index.
-    val w = Window.partitionBy("csv_file").orderBy("mono")
+    // per-file row order, guaranteed: when one CSV splits into several
+    // read tasks, input_file_block_start() orders the chunks by their
+    // byte offset inside the file, and monotonically_increasing_id() is
+    // ascending within each task — so (block_start, mono) reconstructs
+    // file order even when partition ids are assigned out of file order
+    // (mono alone is NOT ordered across a file's splits).
+    val w = Window.partitionBy("csv_file").orderBy("block_start", "mono")
     raw
       .select(col(firstCol).as("uri"),
         input_file_name().as("csv_file"),
+        input_file_block_start().as("block_start"),
         monotonically_increasing_id().as("mono"))
       .withColumn("row_index", row_number().over(w).cast("long"))
-      .drop("mono")
+      .drop("mono", "block_start")
+      // row_index is assigned BEFORE the blank filter: the reference's
+      // `df.iloc[:,0].dropna()` keeps pandas' original positional index,
+      // so its enumeration also counts skipped blank rows.
       .filter(col("uri").isNotNull && trim(col("uri")) =!= "")
       .withColumn("file_date", concat_ws("-",
         filenameYear(col("csv_file")), filenameMonth(col("csv_file")),

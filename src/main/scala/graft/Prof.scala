@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler: noop-sink timing for a subset of registered queries.
+  * Usage: runMain graft.Prof q42_xml_flatten q35_ocds_flatten */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-prof").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val byName = SparkEntry.queries
+    // warmup
+    byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
+    for (name <- args; _ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      byName(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

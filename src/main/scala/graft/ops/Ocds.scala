@@ -407,6 +407,7 @@ object Ocds {
       pipeJoin(transform(firstAward.getField("suppliers"), sp => sp.getField("id")))
         .as("award_supplier_ids"),
       awardDoc.getField("url").as("award_doc_url"))
+      .transform(Q.stageBarrier)
       .orderBy("ocid")
   }
 

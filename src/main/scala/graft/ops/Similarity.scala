@@ -232,6 +232,7 @@ object Similarity {
           .otherwise(floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000L))
           .as("cos_ppm"))
       .filter(col("cos_ppm") >= 999000L)
+      .transform(Q.stageBarrier)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -89,8 +89,8 @@ object Xml {
     val docs = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select(when(k % 89 === 0, substring(xml, 1, 40)).otherwise(xml).as("xml"))
-    FatXml.extract(docs, Seq.empty)
-      .withColumn("value_amount", col("value_amount").cast("double"))
+    Q.stageBarrier(FatXml.extract(docs, Seq.empty)
+        .withColumn("value_amount", col("value_amount").cast("double")))
       .orderBy(col("source_form"), col("doc_id").asc_nulls_first,
         col("buyer_name").asc_nulls_first, col("value_amount").asc_nulls_first)
   }

@@ -99,5 +99,83 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps)
+  /** q57 — exact interpolated percentiles per group. Prices are lifted
+    * to integer cents first so the interpolation `lower + (upper-lower)
+    * * frac` runs on exactly-representable doubles — both engines use
+    * that same formula, so the result is bit-identical. (For sketch-based
+    * quantiles at scale, approx_percentile is the one-pass companion;
+    * exact percentile is a per-group sort, fine when groups are bounded.) */
+  val q57Percentiles: Q = Q(
+    "q57_percentiles",
+    """WITH t AS (
+      |  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  quantile_cont(cents, 0.25) AS p25,
+      |  quantile_cont(cents, 0.5) AS p50,
+      |  quantile_cont(cents, 0.75) AS p75,
+      |  quantile_cont(cents, 0.9) AS p90
+      |FROM t GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), cents.as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("cents"), lit(0.25)).as("p25"),
+        percentile(col("cents"), lit(0.5)).as("p50"),
+        percentile(col("cents"), lit(0.75)).as("p75"),
+        percentile(col("cents"), lit(0.9)).as("p90"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q58 — CUBE: all four grouping combinations in one pass, money as
+    * exact decimal internally, DOUBLE at the boundary (q13's policy). */
+  val q58Cube: Q = Q(
+    "q58_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "n", "rev")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q59 — analytic rank family: dense_rank / percent_rank / cume_dist /
+    * ntile over a unique ordering (ties broken by key, so every rank is
+    * deterministic; percent_rank's (rank-1)/(n-1) divides small exact
+    * ints — bit-identical across engines). */
+  val q59RankFamily: Q = Q(
+    "q59_rank_family",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  percent_rank() OVER w AS prk,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast("bigint").as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
+    q57Percentiles, q58Cube, q59RankFamily)
 }

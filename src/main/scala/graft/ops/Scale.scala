@@ -49,5 +49,50 @@ object Scale {
       .orderBy("k")
   }
 
-  val all: Seq[Q] = Seq(q51SaltedSkewJoin)
+  /** q60 — bucketed range join: events counted into 60 overlapping
+    * 8-hour windows. A naive interval join is a broadcast-nested-loop
+    * (O(events x windows) comparisons); the scale path decomposes each
+    * window into its covered hour buckets, equi-joins on the bucket, and
+    * applies the interval predicate as a cheap residual — the join
+    * becomes hash-partitionable and each event is compared only against
+    * windows that share its hour. Timestamps are compared as integer
+    * micros on both engines (the repo's nanos→micros floor rule). */
+  val q60RangeJoin: Q = Q(
+    "q60_range_join",
+    """WITH w AS (
+      |  SELECT CAST(i AS BIGINT) AS w_id,
+      |    1704067200000000 + i*43200000000 AS start_us,
+      |    1704067200000000 + i*43200000000 + 57600000000 AS end_us
+      |  FROM (SELECT unnest(range(0,60)) AS i)
+      |), e AS (SELECT epoch_us(ts) AS us FROM events)
+      |SELECT w_id, start_us, CAST(COUNT(us) AS BIGINT) AS n_events
+      |FROM w LEFT JOIN e ON us >= start_us AND us < end_us
+      |GROUP BY w_id, start_us
+      |ORDER BY w_id""") { (s, d) =>
+    val HourUs = 3600L * 1000000L
+    // 16h windows every 12h: overlapping, so one event can land in two
+    // windows — the decomposition must not dedup across windows.
+    val windows = s.range(60).select(col("id").as("w_id"),
+      (lit(1704067200000000L) + col("id") * 43200000000L).as("start_us"))
+      .withColumn("end_us", col("start_us") + 57600000000L)
+    // each 16h window covers 16 hour buckets (exclusive end ⇒ never 17)
+    val wBuckets = windows
+      .withColumn("h", explode(sequence(lit(0L), lit(15L))))
+      .withColumn("bucket", col("start_us") + col("h") * HourUs)
+      .drop("h")
+    val events = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"))
+      // integer bucket math (us - us % hour): no double division drift
+      .withColumn("bucket", col("us") - pmod(col("us"), lit(HourUs)))
+    val counts = events.join(broadcast(wBuckets), Seq("bucket"))
+      .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+      .groupBy("w_id").agg(count(lit(1)).as("n_events"))
+    windows.select("w_id", "start_us")
+      .join(counts, Seq("w_id"), "left")
+      .select(col("w_id"), col("start_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("w_id")
+  }
+
+  val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin)
 }

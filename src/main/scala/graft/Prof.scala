@@ -13,7 +13,10 @@ object Prof {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val byName = SparkEntry.queries
+    val byName: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+        "xml_construct" -> ((s, d) => ops.Xml.docsTable(s, d)),
+        "json_construct" -> ((s, d) => ops.Ocds.releaseJson(s, d)))
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {

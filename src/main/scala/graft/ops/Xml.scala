@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.sources.FatXml
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -15,6 +16,48 @@ import org.apache.spark.sql.types.DecimalType
   * category→CTYPE, tags→group), X4 (priority dispatch), X5 (parse_error
   * audit rows). */
 object Xml {
+
+  /** Deterministic per-order XML documents (the q42 input half, exposed
+    * so construct cost can be profiled separately from parse cost). */
+  def docsTable(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val price = col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
+    val tdCode = when(col("o_orderstatus") === "F", "7")
+      .when(col("o_orderstatus") === "O", "3").otherwise("0")
+    val nutsElem = when(k % 2 === 0,
+      concat(lit("""<NUTS2016 CODE="UKC1"""), (k % 5).cast("string"), lit("\"/>")))
+      .otherwise(concat(lit("""<NUTS2021 CODE="UKD2"""), (k % 5).cast("string"), lit("\"/>")))
+    val cat = when(k % 4 === 0, "Works")
+      .when(k % 4 === 1, "Professional Services")
+      .when(k % 4 === 2, "supply of goods")
+      .otherwise("misc")
+    val tags = when(k % 2 === 0, "<TAG>award</TAG><TAG>live</TAG>")
+      .otherwise("<TAG>planning</TAG><TAG>live</TAG>")
+    val tedXml = concat(
+      lit("""<TED_EXPORT><TD_DOCUMENT_TYPE CODE=""""), tdCode, lit("\"/>"),
+      lit("<NOTICE_DATA><NO_DOC_OJS>2024/S-"), k.cast("string"), lit("</NO_DOC_OJS>"),
+      lit("""<ORIGINAL_CPV CODE="45"""), (k % 10).cast("string"), lit("""000">descA</ORIGINAL_CPV>"""),
+      lit("""<ORIGINAL_CPV CODE="30"""), (k % 7).cast("string"), lit("""000">descB</ORIGINAL_CPV>"""),
+      nutsElem, lit("</NOTICE_DATA>"),
+      lit("<TRANSLATION_SECTION><ML_TITLES>"),
+      lit("""<ML_TI_DOC LG="FR"><TI_TEXT>titre-"""), k.cast("string"), lit("</TI_TEXT></ML_TI_DOC>"),
+      lit("""<ML_TI_DOC LG="EN"><TI_TEXT>title-"""), k.cast("string"), lit("</TI_TEXT></ML_TI_DOC>"),
+      lit("</ML_TITLES></TRANSLATION_SECTION>"),
+      lit("<CONTRACTING_BODY><OFFICIALNAME>"), col("c_name"), lit("</OFFICIALNAME></CONTRACTING_BODY>"),
+      lit("""<OBJECT_CONTRACT><VAL_TOTAL CURRENCY="GBP">"""), price,
+      lit("</VAL_TOTAL></OBJECT_CONTRACT></TED_EXPORT>"))
+    val ukXml = concat(
+      lit("<UK7_2023><NOTICE_ID>UK7-"), k.cast("string"), lit("</NOTICE_ID>"),
+      lit("<TENDER><TITLE>"), col("o_orderpriority"), lit("</TITLE>"),
+      lit("<VALUE>"), price, lit("</VALUE>"),
+      lit("<CATEGORY>"), cat, lit("</CATEGORY></TENDER>"),
+      lit("<BUYER><NAME>"), col("c_name"), lit("</NAME></BUYER>"),
+      lit("<TAGS>"), tags, lit("</TAGS></UK7_2023>"))
+    val xml = when(k % 3 === 0, ukXml).otherwise(tedXml)
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(when(k % 89 === 0, substring(xml, 1, 40)).otherwise(xml).as("xml"))
+  }
 
   val q42XmlFlatten: Q = Q(
     "q42_xml_flatten",
@@ -52,43 +95,7 @@ object Xml {
       |       WHEN k % 2 = 0 THEN 'UK7_AWARD' ELSE 'PLANNING' END AS tag_group,
       |  CASE WHEN k % 89 = 0 THEN 'unparseable_or_unknown_form' END AS parse_error
       |FROM o ORDER BY source_form, doc_id NULLS FIRST, buyer_name NULLS FIRST, value_amount NULLS FIRST""") { (s, d) =>
-    val k = col("o_orderkey")
-    val price = col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
-    val tdCode = when(col("o_orderstatus") === "F", "7")
-      .when(col("o_orderstatus") === "O", "3").otherwise("0")
-    val nutsElem = when(k % 2 === 0,
-      concat(lit("""<NUTS2016 CODE="UKC1"""), (k % 5).cast("string"), lit("\"/>")))
-      .otherwise(concat(lit("""<NUTS2021 CODE="UKD2"""), (k % 5).cast("string"), lit("\"/>")))
-    val cat = when(k % 4 === 0, "Works")
-      .when(k % 4 === 1, "Professional Services")
-      .when(k % 4 === 2, "supply of goods")
-      .otherwise("misc")
-    val tags = when(k % 2 === 0, "<TAG>award</TAG><TAG>live</TAG>")
-      .otherwise("<TAG>planning</TAG><TAG>live</TAG>")
-    val tedXml = concat(
-      lit("""<TED_EXPORT><TD_DOCUMENT_TYPE CODE=""""), tdCode, lit("\"/>"),
-      lit("<NOTICE_DATA><NO_DOC_OJS>2024/S-"), k.cast("string"), lit("</NO_DOC_OJS>"),
-      lit("""<ORIGINAL_CPV CODE="45"""), (k % 10).cast("string"), lit("""000">descA</ORIGINAL_CPV>"""),
-      lit("""<ORIGINAL_CPV CODE="30"""), (k % 7).cast("string"), lit("""000">descB</ORIGINAL_CPV>"""),
-      nutsElem, lit("</NOTICE_DATA>"),
-      lit("<TRANSLATION_SECTION><ML_TITLES>"),
-      lit("""<ML_TI_DOC LG="FR"><TI_TEXT>titre-"""), k.cast("string"), lit("</TI_TEXT></ML_TI_DOC>"),
-      lit("""<ML_TI_DOC LG="EN"><TI_TEXT>title-"""), k.cast("string"), lit("</TI_TEXT></ML_TI_DOC>"),
-      lit("</ML_TITLES></TRANSLATION_SECTION>"),
-      lit("<CONTRACTING_BODY><OFFICIALNAME>"), col("c_name"), lit("</OFFICIALNAME></CONTRACTING_BODY>"),
-      lit("""<OBJECT_CONTRACT><VAL_TOTAL CURRENCY="GBP">"""), price,
-      lit("</VAL_TOTAL></OBJECT_CONTRACT></TED_EXPORT>"))
-    val ukXml = concat(
-      lit("<UK7_2023><NOTICE_ID>UK7-"), k.cast("string"), lit("</NOTICE_ID>"),
-      lit("<TENDER><TITLE>"), col("o_orderpriority"), lit("</TITLE>"),
-      lit("<VALUE>"), price, lit("</VALUE>"),
-      lit("<CATEGORY>"), cat, lit("</CATEGORY></TENDER>"),
-      lit("<BUYER><NAME>"), col("c_name"), lit("</NAME></BUYER>"),
-      lit("<TAGS>"), tags, lit("</TAGS></UK7_2023>"))
-    val xml = when(k % 3 === 0, ukXml).otherwise(tedXml)
-    val docs = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .select(when(k % 89 === 0, substring(xml, 1, 40)).otherwise(xml).as("xml"))
+    val docs = docsTable(s, d)
     Q.stageBarrier(FatXml.extract(docs, Seq.empty)
         .withColumn("value_amount", col("value_amount").cast("double")))
       .orderBy(col("source_form"), col("doc_id").asc_nulls_first,

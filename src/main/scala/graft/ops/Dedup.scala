@@ -253,6 +253,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q61 — connected-components dedup resolution: the transitive closure
+    * q30's one-hop min cannot see (a near-copy and an exact copy of the
+    * same base doc are connected only THROUGH the base). Implemented the
+    * way a 100 TB dedup graph is resolved: iterative min-label
+    * propagation — each round every node takes the min of its own label
+    * and its neighbors' labels, two shuffles per round, converging in
+    * O(diameter) rounds. The edge set is materialized once
+    * (localCheckpoint — the cluster equivalent is a checkpoint to
+    * durable storage) so the LSH+verify subtree isn't recomputed per
+    * round. The DuckDB oracle computes the same fixpoint with a
+    * recursive CTE. */
+  val q61ConnectedComponents: Q = Q(
+    "q61_connected_components",
+    s"""WITH RECURSIVE $DCorpus, $DBands, verified AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |  WHERE len(list_distinct(sx.sh || sy.sh)) > 0
+       |    AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  UNION ALL SELECT doc_b, doc_a FROM verified
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS component,
+       |  CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS is_canonical
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpus(s, d)
+      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select("doc_a", "doc_b")
+    val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    var labels = corpus(s, d)
+      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, col("a") === col("id"))
+        .groupBy(col("b")).agg(min(col("comp")).as("nmin"))
+      val next = labels.join(neighborMin, col("id") === col("b"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"),
+      when(col("comp") === col("id"), 1).otherwise(0).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
-    q29JaccardVerify, q30DedupResolve)
+    q29JaccardVerify, q30DedupResolve, q61ConnectedComponents)
 }

@@ -360,6 +360,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q62 — int8 scalar quantization of embeddings (the 4x storage cut a
+    * 100 TB embedding store takes before ANN): per-vector max-abs scale
+    * to [-127, 127], floor quantize (floor, not round — identical across
+    * engines), and the reconstruction-error account in floor-ppm. All
+    * folds are explicit left-to-right; every double op has the same
+    * shape on both engines, so results are bit-identical. */
+  val q62Quantize: Q = Q(
+    "q62_quantize",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), mx AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+       |      (m, x) -> greatest(m, x)) AS maxabs
+       |  FROM vecs
+       |), sc AS (
+       |  SELECT vec_id, v, 127.0 / maxabs AS scale FROM mx WHERE maxabs > 0
+       |), qs AS (
+       |  SELECT vec_id, v, scale,
+       |    list_transform(v, x -> CAST(FLOOR(x * scale) AS BIGINT)) AS q
+       |  FROM sc
+       |)
+       |SELECT vec_id,
+       |  list_min(q) AS q_min,
+       |  list_max(q) AS q_max,
+       |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+       |  CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, ${Dim + 1}), i -> abs(v[i] - CAST(q[i] AS DOUBLE) / scale))),
+       |    (a, e) -> a + e) * 1000000) AS BIGINT) AS err_ppm
+       |FROM qs ORDER BY vec_id""") { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("maxabs",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (m, x) => greatest(m, x)))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("q", transform(col("v"), x => floor(x * col("scale")).cast("long")))
+      .select(col("vec_id"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+        floor(aggregate(
+          zip_with(col("v"), col("q"), (x, q) => abs(x - q.cast("double") / col("scale"))),
+          lit(0.0), (a, e) => a + e) * 1000000L).cast("long").as("err_ppm"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
-    q54AnnIvf)
+    q54AnnIvf, q62Quantize)
 }

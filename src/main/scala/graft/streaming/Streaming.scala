@@ -150,6 +150,25 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views in the preceding hour. Both sides watermarked and the
+    * join condition bounds event-time distance, so view state expires —
+    * the state store holds one hour of views per user, not history.
+    * Works unchanged in batch (the interval-join twin of q40's as-of). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+        col("user_id") === col("v_user")
+          && col("view_ts") >= col("p_ts") - expr("interval 1 hour")
+          && col("view_ts") <= col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("view_ts"))
+  }
+
   /** Run any of the above to completion over the currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * query after termination. Update mode emits every group's final

@@ -25,6 +25,14 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_hamming") && l.trim.startsWith("*(")))
   }
 
+  test("q60 bucketed range join plans as a hash join, not a nested loop") {
+    val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must be a residual filter, not the join condition")
+  }
+
   test("MinHashAgg signature equals the expression-side minhashSig") {
     import graft.functions.MinHashAgg
     val docs = Tables.documents(spark, sf).limit(50)

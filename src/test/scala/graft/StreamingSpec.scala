@@ -72,6 +72,17 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val q = Streaming.runToMemory(
+      Streaming.purchaseViewJoin(Streaming.eventsStream(spark, sf)), "pvjoin",
+      mode = "append")
+    val got = spark.table("pvjoin")
+    val want = Streaming.purchaseViewJoin(batchEvents)
+    assert(got.count() > 0)
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+    q.stop()
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

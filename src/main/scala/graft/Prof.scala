@@ -16,7 +16,25 @@ object Prof {
     val byName: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
         "xml_construct" -> ((s, d) => ops.Xml.docsTable(s, d)),
-        "json_construct" -> ((s, d) => ops.Ocds.releaseJson(s, d)))
+        "json_construct" -> ((s, d) => ops.Ocds.releaseJson(s, d)),
+        "q36_pruned" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.types._
+          val slim = StructType(Seq(StructField("releases", ArrayType(
+            StructType(Seq(StructField("ocid", StringType)))))))
+          val corrupted = ops.Ocds.releaseJson(s, d)
+            .withColumn("release_json",
+              when(col("o_orderkey") % 97 === 0,
+                concat(lit("{corrupt::"), col("release_json"))).otherwise(col("release_json")))
+          corrupted
+            .select(try_element_at(from_json(col("release_json"), slim)
+              .getField("releases"), lit(1)).as("r"))
+            .select(when(col("r").getField("ocid").isNull, "parse_error").otherwise("ok").as("status"),
+              col("r").getField("ocid").isNotNull.as("parsed"))
+            .groupBy("status")
+            .agg(count(lit(1)).as("n"), count(when(col("parsed"), 1)).as("n_parsed"))
+            .orderBy("status")
+        })
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {

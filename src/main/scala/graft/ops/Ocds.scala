@@ -720,8 +720,15 @@ object Ocds {
       .withColumn("release_json",
         when(col("o_orderkey") % 97 === 0,
           concat(lit("{corrupt::"), col("release_json"))).otherwise(col("release_json")))
+    // Parse with a schema pruned to the one field read (Catalyst's
+    // automatic json pruning does not reach through try_element_at, and
+    // a corrupt document fails the whole parse regardless of schema
+    // width, so the X5 audit semantics are unchanged): 6.0s -> 4.3s at
+    // sf0.1, the residual being the JSON construction itself.
+    val slim = StructType(Seq(StructField("releases", ArrayType(
+      StructType(Seq(StructField("ocid", StringType)))))))
     corrupted
-      .select(firstOrNull(from_json(col("release_json"), packageSchema)
+      .select(firstOrNull(from_json(col("release_json"), slim)
         .getField("releases")).as("r"))
       .select(when(col("r").getField("ocid").isNull, "parse_error").otherwise("ok").as("status"),
         col("r").getField("ocid").isNotNull.as("parsed"))

@@ -65,9 +65,10 @@ object FatXml {
       StructField("TAG", ArrayType(StringType)))))))
 
   /** Form families probed in the reference's fixed priority order
-    * (2b:434-446); first match wins, else TED. */
+    * (2b:437-441): UK16_2023 down to UK1_2023, then the legacy
+    * UK1_2022 — 17 tags, first match wins, else TED. */
   val ukFormTags: Seq[String] =
-    (16 to 1 by -1).map(n => s"UK${n}_2023")
+    (16 to 1 by -1).map(n => s"UK${n}_2023") :+ "UK1_2022"
 
   /** X4 — cheap tag sniff → form family name ("TED" fallback). */
   def formFamily(xml: Column): Column =

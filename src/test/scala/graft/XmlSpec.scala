@@ -72,6 +72,17 @@ class XmlSpec extends SparkSpec {
     assert(extract(both).head.getAs[String]("source_form") == "UK16_2023")
   }
 
+  test("legacy UK1_2022 form dispatches after every 2023 form (ref 2b:437-441)") {
+    assert(FatXml.ukFormTags.last == "UK1_2022")
+    assert(FatXml.ukFormTags.size == 17)
+    val legacy = uk7.replace("UK7_2023", "UK1_2022").replace("UK7-42", "UK1L-1")
+    val r = extract(legacy).head
+    assert(r.getAs[String]("source_form") == "UK1_2022")
+    // UK1_2023 beats UK1_2022 when both tags appear
+    val both = s"<UK1_2023><NOTE>${legacy.replace("<", "[").replace(">", "]")}</NOTE><NOTICE_ID>UK1-1</NOTICE_ID></UK1_2023>"
+    assert(extract(both).head.getAs[String]("source_form") == "UK1_2023")
+  }
+
   test("malformed XML yields an audit row with parse_error, not a dropped row") {
     val rows = extract(ted, "<TED_EXPORT><NOTICE_DATA>broken")
     assert(rows.size == 2)

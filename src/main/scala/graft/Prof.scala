@@ -10,6 +10,7 @@ object Prof {
     val spark = SparkSession.builder()
       .appName("graft-prof").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,6 +36,16 @@ object Prof {
             .agg(count(lit(1)).as("n"), count(when(col("parsed"), 1)).as("n_parsed"))
             .orderBy("status")
         })
+    if (args.contains("simhash_plan")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      val hs = Tables.documents(spark, sf).limit(20)
+        .select(col("doc_id"),
+          shingleHashes(array_distinct(shingles(tokens(col("text")), 5))).as("hs"))
+      val both = hs.select(col("doc_id"), expr("graft_simhash(hs)").as("native"))
+      println(both.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {

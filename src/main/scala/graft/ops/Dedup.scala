@@ -156,9 +156,11 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(ca, cb)) <= 8
        |ORDER BY doc_a, doc_b""") { (s, d) =>
+    // graft_simhash: native one-pass codegen expression (PlanSpec pins
+    // equality with the 32-aggregate HOF formulation).
     val codes = corpus(s, d)
       .withColumn("hs", transform(array_distinct(shingles(col("toks"), 5)), s => hex32(s)))
-      .select(col("doc_id"), simhash32FromHashes(col("hs")).as("code"))
+      .select(col("doc_id"), expr("graft_simhash(hs)").as("code"))
     val cbands = codes.select(col("doc_id"), col("code"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),

@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_hamming(a, b) takes two arguments")
         HammingDistance(args.head, args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(hashes) takes one argument")
+        SimHash32(args.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

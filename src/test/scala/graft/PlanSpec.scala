@@ -25,6 +25,29 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_hamming") && l.trim.startsWith("*(")))
   }
 
+  test("graft_simhash matches the HOF simhash and stays in codegen") {
+    val hs = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        shingleHashes(array_distinct(shingles(tokens(col("text")), 5))).as("hs"))
+    val both = hs.select(col("doc_id"),
+      expr("graft_simhash(hs)").as("native"),
+      simhash32FromHashes(col("hs")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty array: all votes -1 -> code 0; null array -> null
+    val edge = spark.sql(
+      "SELECT graft_simhash(CAST(array() AS ARRAY<BIGINT>)) AS e, " +
+        "graft_simhash(CAST(NULL AS ARRAY<BIGINT>)) AS n")
+    assert(edge.head.getLong(0) == 0L && edge.head.isNullAt(1))
+    // codegen marker on a projection free of HOF lambdas (lambdas are
+    // codegen-fallback and would evict the whole project from WSCG)
+    val nat = spark.range(100)
+      .select(array(col("id"), col("id") * 7, col("id") + 13).as("hs"))
+      .selectExpr("graft_simhash(hs) AS native")
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_simhash") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

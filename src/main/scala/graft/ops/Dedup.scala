@@ -79,12 +79,17 @@ object Dedup {
   }
 
   /** Signatures with the shingle hashes materialized once (md5 per
-    * shingle exactly once; each permutation is integer-only). */
+    * shingle exactly once; each permutation is integer-only). The table
+    * is localCheckpoint'd because every consumer references it 2-4 times
+    * (band self-join sides + signature re-joins) and each reference
+    * would otherwise recompute the full shingle+md5+minhash subtree —
+    * the cluster equivalent is a checkpoint/cached staging table. */
   private def sigTable(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
       .withColumn("hs", shingleHashes(shingles(col("toks"), 5)))
       .withColumn("sig", minhashSigFromHashes(col("hs"), 16))
       .drop("hs")
+      .localCheckpoint()
 
   /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */
   private def bandRows(s: SparkSession, d: String): DataFrame = {
@@ -202,6 +207,7 @@ object Dedup {
       .distinct()
     val sh = corpus(s, d)
       .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
     cand
@@ -239,6 +245,7 @@ object Dedup {
       .distinct()
     val sh = corpus(s, d)
       .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
     val verified = cand
@@ -293,6 +300,7 @@ object Dedup {
       .distinct()
     val sh = corpus(s, d)
       .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
     val verified = cand

@@ -148,9 +148,12 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""") { (s, d) =>
+    // materialized once: the band self-join + vector re-joins would
+    // otherwise recompute the 16 hyperplane dot products per reference
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
+      .localCheckpoint()
     val vbands = vecs.select(col("vec_id"), col("v"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
@@ -214,6 +217,7 @@ object Similarity {
     val vecs = aug
       .withColumn("bucket", lshBucket(col("v")))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint()
     val vbands = vecs.select(col("vec_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), band(col("bucket"), b).as("bv"))): _*)).as("bb"))
@@ -332,9 +336,12 @@ object Similarity {
           aggregate(col("vs"), array_repeat(lit(0.0), Dim),
             (acc, e) => zip_with(acc, e, (x, y) => x + y)),
           x => x / col("n")).as("c"))
+    // assign + probes both read the scored table; materialize the
+    // centroid scoring once instead of running the crossJoin twice
     val scored = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("label"),
         cosPpm(col("v"), col("c")).as("s"))
+      .localCheckpoint()
     val wAssign = Window.partitionBy("vec_id").orderBy(col("s").desc, col("label"))
     val assign = scored
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)

@@ -150,6 +150,54 @@ object Streaming {
       }
   }
 
+  /** Output row of the transformWithState counter. */
+  final case class UserCounts(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Per-user running counters on Spark 4's transformWithState API
+    * (StatefulProcessor + typed ValueState, RocksDB state store): the
+    * successor to flatMapGroupsWithState — named state slots with
+    * per-slot TTL instead of one opaque state object. Update mode
+    * emits the running totals per key each batch. */
+  class UserCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserCounts] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[UserCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserCounts]("counts",
+        org.apache.spark.sql.Encoders.product[UserCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserCounts] = {
+      var n = 0L
+      var np = 0L
+      if (st.exists()) {
+        val prev = st.get()
+        n = prev.n_events
+        np = prev.n_purchases
+      }
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") np += 1
+      }
+      val out = UserCounts(key, n, np)
+      st.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  /** transformWithState wiring for the counter processor. Requires the
+    * RocksDB state store provider (set by the caller/spec). */
+  def userCountsTws(events: DataFrame): org.apache.spark.sql.Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views in the preceding hour. Both sides watermarked and the
     * join condition bounds event-time distance, so view state expires —

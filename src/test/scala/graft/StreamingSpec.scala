@@ -83,6 +83,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState running counters == batch counts (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.runToMemory(
+        Streaming.userCountsTws(Streaming.eventsStream(spark, sf)).toDF(),
+        "tws_counts", mode = "update")
+      // update mode re-emits per batch; last value per user is the total
+      val got = spark.table("tws_counts")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"))
+      val want = batchEvents.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      assert(got.count() > 0)
+      assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

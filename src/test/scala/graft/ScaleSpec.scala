@@ -52,7 +52,23 @@ class ScaleSpec extends SparkSpec {
     val want = dim.join(fact, Seq("k"), "left")
       .groupBy("k", "dim_name")
       .agg(count(col("price")).as("n"),
-        sum(col("price")).cast("decimal(18,2)").as("revenue"))
+        sum(col("price")).cast("double").as("revenue"))
     assert(salted.exceptAll(want).isEmpty && want.exceptAll(salted).isEmpty)
+  }
+
+  test("date-partitioned write prunes partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val read = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    assert(plan.contains("event_date"), s"filter not on the partition column:\n$plan")
+    val got = read.count()
+    val want = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(got == want && got > 0)
   }
 }

@@ -178,6 +178,38 @@ object Text {
       .orderBy("lang", "lang_pred")
   }
 
+  /** q63 — heavy hitters: top-10 tokens per language by frequency (the
+    * vocabulary/stopword-mining stage of a corpus pipeline). Explode is
+    * map-side; the (lang, token) count partial-aggregates before its one
+    * shuffle, and the top-k window runs on the already-tiny count table
+    * partitioned by lang — the standard frequent-items shape at scale.
+    * Ties break on the token string so ranks are deterministic. */
+  val q63TokenTopk: Q = Q(
+    "q63_token_topk",
+    s"""WITH tok AS (
+       |  SELECT lang, unnest($DToks) AS token FROM documents
+       |), cnt AS (
+       |  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT lang, token, n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+       |  FROM cnt
+       |)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, token, n
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY lang, rk""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "rk", "token", "n")
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
-    q24Fingerprint, q25LangSourceAgg)
+    q24Fingerprint, q25LangSourceAgg, q63TokenTopk)
 }

@@ -132,7 +132,8 @@ object Ocds {
           StructField("startDate", StringType),
           StructField("endDate", StringType)))),
         StructField("suppliers", ArrayType(StructType(Seq(
-          StructField("id", StringType))))),
+          StructField("id", StringType),
+          StructField("name", StringType))))),
         StructField("documents", ArrayType(doc))))))))
   }
 
@@ -305,7 +306,8 @@ object Ocds {
         date_format(date_add(col("o_orderdate"), 465), "yyyy-MM-dd").as("endDate"))
         .as("contractPeriod"),
       transform(col("sups"), sp =>
-        struct(concat(lit("s"), sp.getField("l_suppkey").cast("string")).as("id")))
+        struct(concat(lit("s"), sp.getField("l_suppkey").cast("string")).as("id"),
+          sp.getField("s_name").as("name")))
         .as("suppliers"),
       array(mkDoc(concat(lit("doc-a-"), k.cast("string")),
         lit("awardNotice"), lit("Award notice"),
@@ -498,6 +500,7 @@ object Ocds {
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 100 DAY, '%Y-%m-%d') END AS award_contract_start,
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 465 DAY, '%Y-%m-%d') END AS award_contract_end,
       |  CASE WHEN o_orderstatus = 'F' THEN supplier_ids END AS award_supplier_ids,
+      |  CASE WHEN o_orderstatus = 'F' THEN supplier_names END AS award_supplier_names,
       |  CASE WHEN o_orderstatus = 'F' THEN 'doc-a-' || CAST(o_orderkey AS VARCHAR) END AS award_doc_ids,
       |  CASE WHEN o_orderstatus = 'F' THEN 'awardNotice' END AS award_doc_types,
       |  CASE WHEN o_orderstatus = 'F' THEN 'Award notice' END AS award_doc_descriptions,
@@ -505,7 +508,12 @@ object Ocds {
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 62 DAY, '%Y-%m-%d') || 'T00:00:00Z' END AS award_doc_published,
       |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 63 DAY, '%Y-%m-%d') || 'T00:00:00Z' END AS award_doc_modified,
       |  CASE WHEN o_orderstatus = 'F' THEN 'text/html' END AS award_doc_formats,
-      |  CASE WHEN o_orderstatus = 'F' THEN 'en' END AS award_doc_languages
+      |  CASE WHEN o_orderstatus = 'F' THEN 'en' END AS award_doc_languages,
+      |  'Tender notice' AS tender_notice_description,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'Award notice' END AS award_notice_description,
+      |  CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate + INTERVAL 62 DAY, '%Y-%m-%d') || 'T00:00:00Z' END AS award_notice_published,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'text/html' END AS award_notice_format,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'en' END AS award_notice_language
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -686,6 +694,8 @@ object Ocds {
       firstAward.getField("contractPeriod").getField("endDate").as("award_contract_end"),
       pipeJoin(transform(firstAward.getField("suppliers"), sp => sp.getField("id")))
         .as("award_supplier_ids"),
+      pipeJoin(transform(firstAward.getField("suppliers"), sp => sp.getField("name")))
+        .as("award_supplier_names"),
       pipeJoin(transform(firstAward.getField("documents"), dd => dd.getField("id")))
         .as("award_doc_ids"),
       pipeJoin(transform(firstAward.getField("documents"), dd => dd.getField("documentType")))
@@ -700,7 +710,14 @@ object Ocds {
       pipeJoin(transform(firstAward.getField("documents"), dd => dd.getField("format")))
         .as("award_doc_formats"),
       pipeJoin(transform(firstAward.getField("documents"), dd => dd.getField("language")))
-        .as("award_doc_languages"))
+        .as("award_doc_languages"),
+      // the reference's "links" section: the first tenderNotice /
+      // awardNotice document surfaced as its own column family (J3)
+      tenderDoc.getField("description").as("tender_notice_description"),
+      awardDoc.getField("description").as("award_notice_description"),
+      awardDoc.getField("datePublished").as("award_notice_published"),
+      awardDoc.getField("format").as("award_notice_format"),
+      awardDoc.getField("language").as("award_notice_language"))
       .transform(Q.stageBarrier)
       .orderBy("ocid")
   }

@@ -185,6 +185,45 @@ object Streaming {
     }
   }
 
+  /** Output row of the MapState histogram processor. */
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type histogram on transformWithState MapState: one
+    * state map per user keyed by event type — the keyed-sub-state shape
+    * (e.g. per-feature counters) that flatMapGroupsWithState could only
+    * fake with one serialized blob. Update mode re-emits the full
+    * histogram per batch. */
+  class TypeCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var m: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("byType",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val prev = if (m.containsKey(e.event_type)) m.getValue(e.event_type) else 0L
+        m.updateValue(e.event_type, prev + 1)
+      }
+      m.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** transformWithState wiring for the MapState histogram. */
+  def typeCountsTws(events: DataFrame): org.apache.spark.sql.Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** transformWithState wiring for the counter processor. Requires the
     * RocksDB state store provider (set by the caller/spec). */
   def userCountsTws(events: DataFrame): org.apache.spark.sql.Dataset[UserCounts] = {

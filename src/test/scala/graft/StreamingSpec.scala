@@ -110,6 +110,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState histogram == batch (user, type) counts") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.runToMemory(
+        Streaming.typeCountsTws(Streaming.eventsStream(spark, sf)).toDF(),
+        "tws_hist", mode = "update")
+      val got = spark.table("tws_hist")
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+      val want = batchEvents.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() > 0)
+      assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -71,5 +71,24 @@ object Multimodal {
       .orderBy("kind", "format")
   }
 
-  val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg)
+  /** q64 — video frame sampling: every 2nd stub-frame of each video
+    * payload as (doc_id, frame_idx, frame_hex) rows — the demux/keyframe
+    * plumbing of a media pipeline with the codec stubbed (the 32-byte
+    * payload is 8 four-byte "frames"). The oracle reconstructs each kept
+    * frame as a hex slice of the same md5-derived payload, so the
+    * Dataset flatMap path is fully hash-checked. */
+  val q64FrameSample: Q = Q(
+    "q64_frame_sample",
+    s"""WITH m AS (
+       |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 2
+       |)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  substr(hx, i*8 + 1, 8) AS frame_hex
+       |FROM m CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) t
+       |ORDER BY doc_id, frame_idx""") { (s, d) =>
+    MM.sampleFrames(MM.mediaTable(s, d), everyN = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample)
 }

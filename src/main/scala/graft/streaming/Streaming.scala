@@ -224,6 +224,44 @@ object Streaming {
       .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Output row of the ListState last-events processor. */
+  final case class LastEvents(user_id: Long, last3_secs: String)
+
+  /** Last-3 event timestamps per user on transformWithState ListState —
+    * the bounded-recent-history shape (feature windows, "last N actions"
+    * context) kept as a typed list instead of a serialized blob. Events
+    * inside a batch are sorted per user before appending (bounded per
+    * batch), mirroring the fMGWS sessionizer. */
+  class LastEventsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, LastEvents] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var ls: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ls = getHandle.getListState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[LastEvents] = {
+      val incoming = rows.toSeq.sortBy(e => (e.sec, e.ts.getTime)).map(_.sec)
+      val prev = if (ls.exists()) ls.get().toSeq else Seq.empty
+      val kept = (prev ++ incoming).takeRight(3)
+      ls.put(kept.toArray)
+      Iterator.single(LastEvents(key, kept.mkString("|")))
+    }
+  }
+
+  /** transformWithState wiring for the ListState last-events processor. */
+  def lastEventsTws(events: DataFrame): org.apache.spark.sql.Dataset[LastEvents] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new LastEventsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** transformWithState wiring for the counter processor. Requires the
     * RocksDB state store provider (set by the caller/spec). */
   def userCountsTws(events: DataFrame): org.apache.spark.sql.Dataset[UserCounts] = {

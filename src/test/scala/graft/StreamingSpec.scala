@@ -134,6 +134,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState last-3 == batch window tail") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.runToMemory(
+        Streaming.lastEventsTws(Streaming.eventsStream(spark, sf)).toDF(),
+        "tws_last", mode = "update")
+      // single AvailableNow batch -> one row per user with the final list
+      val got = spark.table("tws_last")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("sec").desc, col("ts").desc)
+      val want = batchEvents
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("sec"), col("ts")))),
+          e => e.getField("sec").cast("string"))).as("last3_secs"))
+      assert(got.count() > 0)
+      assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -176,6 +176,28 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** q65 — top-3 orders per customer through the custom whole-operator
+    * path (plans.TopKPerGroupPlan → Strategy → bounded-heap exec): the
+    * same answer as a row_number window, but O(n log k) streaming heaps
+    * after one clustered exchange instead of a full per-partition sort.
+    * The oracle computes the window spelling. */
+  val q65TopkOperator: Q = Q(
+    "q65_topk_operator",
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, price DESC, o_orderkey""") { (s, d) =>
+    val in = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+    graft.plans.TopKPerGroup(in, Seq("o_custkey"),
+        Seq("price" -> false, "o_orderkey" -> true), k = 3)
+      .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
-    q57Percentiles, q58Cube, q59RankFamily)
+    q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator)
 }

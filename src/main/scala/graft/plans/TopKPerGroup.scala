@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (SURVEY §7 preference (c)): exact top-k rows
+  * per group without a global window sort.
+  *
+  * `Window row_number() ... WHERE rn <= k` — the relational spelling —
+  * sorts EVERY row of every partition (O(n log n) after the shuffle) and
+  * only then drops all but k. This operator keeps a bounded heap of k
+  * rows per group instead: one streaming pass after the same clustered
+  * exchange, O(n log k), no sort buffer, no spill proportional to group
+  * size. At 100 TB with heavy groups the window sort is the bottleneck;
+  * the heap never holds more than k rows per group.
+  *
+  * Wiring: logical marker node → planner Strategy → UnaryExecNode whose
+  * requiredChildDistribution lets EnsureRequirements insert the one
+  * hash exchange. Registered via GraftExtensions.
+  */
+case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of a group must be in one partition for per-partition
+    * heaps to be exact; EnsureRequirements adds the hash exchange. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = sortOrder
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ordering = GenerateOrdering.generate(orderE, childOutput)
+      // heap head = the WORST kept row (reverse ordering), evicted when
+      // a better candidate arrives and the heap is full
+      val heapCmp: java.util.Comparator[InternalRow] = ordering.reverse
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) {
+          heap.add(row.copy())
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: lower the logical marker to the heap exec. */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, s, k, child) =>
+      TopKPerGroupExec(g, s, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public name-based API: exact top-`k` rows per group. `orders` is
+  * (columnName, ascending). */
+object TopKPerGroup {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+
+  def apply(df: DataFrame, groupCols: Seq[String],
+      orders: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${plan.output.map(_.name)}"))
+    val g = groupCols.map(attr)
+    val s = orders.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.graft.PlanShim.ofRows(df.sparkSession,
+      TopKPerGroupPlan(g, s, k, plan))
+  }
+}

@@ -56,6 +56,26 @@ class PlanSpec extends SparkSpec {
       "interval predicate must be a residual filter, not the join condition")
   }
 
+  test("TopKPerGroup plans as heap exec after one exchange, no window sort") {
+    val in = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+    val topk = graft.plans.TopKPerGroup(in, Seq("o_custkey"),
+      Seq("price" -> false, "o_orderkey" -> true), k = 3)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"missing clustered exchange:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"window/sort crept in:\n$plan")
+    // equivalence with the window spelling
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("price").desc, col("o_orderkey"))
+    val want = in.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+    assert(topk.exceptAll(want).isEmpty && want.exceptAll(topk).isEmpty)
+  }
+
   test("MinHashAgg signature equals the expression-side minhashSig") {
     import graft.functions.MinHashAgg
     val docs = Tables.documents(spark, sf).limit(50)

@@ -90,5 +90,45 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample)
+  /** q66 — image resize metadata: source dims from the stub decode,
+    * fixed 16x16 target, scale factors in floor-ppm — the dims-in /
+    * dims+factors-out plumbing of a thumbnail stage, codec stubbed. */
+  val q66ImageResize: Q = Q(
+    "q66_image_resize",
+    s"""WITH m AS (
+       |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 0
+       |)
+       |SELECT doc_id,
+       |  CAST(${dByte(0)} % 48 + 16 AS INT) AS src_w,
+       |  CAST(${dByte(1)} % 48 + 16 AS INT) AS src_h,
+       |  16 AS dst_w, 16 AS dst_h,
+       |  16000000 // (${dByte(0)} % 48 + 16) AS scale_w_ppm,
+       |  16000000 // (${dByte(1)} % 48 + 16) AS scale_h_ppm
+       |FROM m ORDER BY doc_id""") { (s, d) =>
+    MM.resizeAll(MM.mediaTable(s, d), dstW = 16, dstH = 16)
+      .orderBy("doc_id")
+  }
+
+  /** q67 — audio feature extraction: per-window byte-sum "energy" over
+    * the 8 four-byte windows of each audio payload (stands in for RMS
+    * over decoded samples; the flatMap window shape is the real part). */
+  val q67AudioEnergy: Q = Q(
+    "q67_audio_energy",
+    {
+      val winSum = (j: Int) => (0 until 4).map(b => dByte(j * 4 + b)).mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 1
+         |)
+         |SELECT doc_id, CAST(i AS INT) AS win_idx,
+         |  CASE ${(0 until 8).map(j => s"WHEN i = $j THEN ${winSum(j)}").mkString(" ")}
+         |  END AS energy
+         |FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t
+         |ORDER BY doc_id, win_idx"""
+    }) { (s, d) =>
+    MM.audioEnergy(MM.mediaTable(s, d))
+      .orderBy("doc_id", "win_idx")
+  }
+
+  val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
+    q66ImageResize, q67AudioEnergy)
 }

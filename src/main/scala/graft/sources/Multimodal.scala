@@ -89,4 +89,40 @@ object Multimodal {
       .flatMap(f => frameSampleStub(f, everyN).map { case (i, hx) => (f.doc_id, i, hx) })
       .toDF("doc_id", "frame_idx", "frame_hex")
   }
+
+  /** STUB image resize: source dims from the decode stub, fixed target,
+    * scale factors in floor-ppm. A real implementation would decode and
+    * resample pixels here; the metadata plumbing (dims in, dims +
+    * factors out) is the real pipeline shape. */
+  def resizeStub(f: MediaFile, dstW: Int, dstH: Int): (Long, Int, Int, Int, Int, Long, Long) = {
+    val b = f.content.map(_ & 0xff)
+    val srcW = b(0) % 48 + 16
+    val srcH = b(1) % 48 + 16
+    (f.doc_id, srcW, srcH, dstW, dstH,
+      dstW.toLong * 1000000L / srcW, dstH.toLong * 1000000L / srcH)
+  }
+
+  /** Resized-image metadata rows for the image subset. */
+  def resizeAll(files: Dataset[MediaFile], dstW: Int, dstH: Int): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "image")
+      .mapPartitions(it => it.map(resizeStub(_, dstW, dstH)))
+      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "scale_w_ppm", "scale_h_ppm")
+  }
+
+  /** STUB audio feature extraction: the 32-byte payload as 8 four-byte
+    * windows, per-window "energy" = byte sum (stands in for RMS over
+    * samples). */
+  def audioEnergyStub(f: MediaFile): Seq[(Long, Int, Long)] =
+    f.content.grouped(4).zipWithIndex
+      .map { case (win, i) => (f.doc_id, i, win.map(b => (b & 0xff).toLong).sum) }
+      .toSeq
+
+  /** Per-window energy rows for the audio subset. */
+  def audioEnergy(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "audio")
+      .flatMap(audioEnergyStub)
+      .toDF("doc_id", "win_idx", "energy")
+  }
 }

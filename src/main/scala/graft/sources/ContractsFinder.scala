@@ -112,12 +112,19 @@ object ContractsFinder {
     * preserving audit rows: a body that fails to parse downgrades
     * status to fetch_failed_or_invalid_json. */
   def flatten(enriched: DataFrame): DataFrame = {
-    val r = firstOrNull(from_json(col("body"), Ocds.packageSchema).getField("releases"))
+    // package parsed once (CollapseProject won't duplicate the non-cheap
+    // aliased from_json even though many fields read it)
+    val withPkg = enriched.withColumn("_pkg", from_json(col("body"), Ocds.packageSchema))
+    val pkg = col("_pkg")
+    val r = firstOrNull(pkg.getField("releases"))
     val parsed = r.getField("ocid").isNotNull
     val buyer = findFirstById(r.getField("parties"), r.getField("buyer").getField("id"))
     val sups = partiesWithRole(r.getField("parties"), "supplier")
-    enriched.select(
+    withPkg.select(
       col("uri"), col("csv_file"), col("row_index"), col("file_date"),
+      // the reference's identification uri: `top_uri or uri` (2a:501) —
+      // package-level uri preferred, fetched uri as the fallback
+      coalesce(pkg.getField("uri"), col("uri")).as("package_uri"),
       when(col("status") === "ok" && !parsed, "fetch_failed_or_invalid_json")
         .otherwise(col("status")).as("status"),
       r.getField("ocid").as("ocid"),

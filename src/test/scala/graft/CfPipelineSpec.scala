@@ -67,6 +67,10 @@ class CfPipelineSpec extends SparkSpec {
     val ok = wide.filter(col("uri") === "http://x/a" && col("status") === "ok").head()
     assert(ok.getAs[String]("ocid") == "a" && ok.getAs[String]("buyer_name") == "Council a")
     assert(ok.getAs[String]("supplier_names") == "Supplier A")
+    // reference 2a:501 `top_uri or uri`: package uri when parsed,
+    // fetched uri as the fallback for unparseable bodies
+    assert(ok.getAs[String]("package_uri") == "https://api.example/packages/a")
+    assert(inv.getAs[String]("package_uri") == "http://x/invalid")
 
     // sinks: partitioned parquet + legacy CSV with header
     val outP = Files.createTempDirectory("graft-cf-out").toString

@@ -267,8 +267,11 @@ object Dedup {
     * same base doc are connected only THROUGH the base). Implemented the
     * way a 100 TB dedup graph is resolved: iterative min-label
     * propagation — each round every node takes the min of its own label
-    * and its neighbors' labels, two shuffles per round, converging in
-    * O(diameter) rounds. The edge set is materialized once
+    * and its neighbors' labels, then pointer-jumps (comp := label(comp))
+    * so the round count grows as O(log diameter), not O(diameter); a
+    * 50-round cap therefore covers any realistic graph, and hitting it
+    * without convergence throws instead of silently emitting wrong
+    * labels. The edge set is materialized once
     * (localCheckpoint — the cluster equivalent is a checkpoint to
     * durable storage) so the LSH+verify subtree isn't recomputed per
     * round. The DuckDB oracle computes the same fixpoint with a
@@ -316,18 +319,32 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, col("a") === col("id"))
         .groupBy(col("b")).agg(min(col("comp")).as("nmin"))
-      val next = labels.join(neighborMin, col("id") === col("b"), "left")
+      val propagated = labels.join(neighborMin, col("id") === col("b"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jumping: comp := label(comp). Every comp value is itself a
+      // node id (min over ids seen), so the self-join shortcuts each label
+      // to its label's label, halving the remaining hop distance to the
+      // component minimum — O(log diameter) rounds instead of O(diameter).
+      val next = propagated.as("l")
+        .join(propagated.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+          col("l.comp") === col("p.pid"))
+        .select(col("l.id").as("id"), least(col("l.comp"), col("pcomp")).as("comp"))
         .localCheckpoint()
       converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp")).isEmpty
       labels = next
       rounds += 1
     }
+    // With pointer jumping 50 rounds covers diameters up to ~2^50; if we
+    // still haven't converged something is wrong — fail loudly rather than
+    // silently emitting unconverged component labels.
+    if (!converged) throw new IllegalStateException(
+      s"connected-components did not converge after $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("comp").as("component"),
       when(col("comp") === col("id"), 1).otherwise(0).as("is_canonical"))
       .orderBy("doc_id")

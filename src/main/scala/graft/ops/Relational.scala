@@ -19,6 +19,15 @@ import org.apache.spark.sql.types.DecimalType
   * identically through pyarrow and DuckDB — DECIMAL outputs render as
   * Decimal-vs-float strings and fail the driver's hash compare). Output
   * integer columns are BIGINT on both sides.
+  *
+  * Limit of the DOUBLE boundary: the cast is bit-identical only while the
+  * decimal's UNSCALED value stays within 2^53 (~9e13 at scale 2, i.e.
+  * sums below ~90 billion currency units). Beyond that DuckDB's int64
+  * storage→double→÷10^scale path can double-round where Spark's
+  * BigDecimal.doubleValue rounds once, differing in the last ulp. Queries
+  * whose sums could cross that at large SF must round to a fixed scale
+  * BEFORE the DOUBLE cast on both engines (ROUND(x, 2) keeps both inside
+  * one rounding step).
   */
 object Relational {
 

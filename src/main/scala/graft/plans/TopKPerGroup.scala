@@ -19,6 +19,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * size. At 100 TB with heavy groups the window sort is the bottleneck;
   * the heap never holds more than k rows per group.
   *
+  * Memory bound: the per-partition map holds k rows for EVERY distinct
+  * group key in that partition — O(groups-per-partition × k) with no
+  * spill. This operator targets the heavy-group/moderate-cardinality
+  * regime (top-k per customer/language/day). When group keys are nearly
+  * unique (cardinality ≈ row count), size partitions so that
+  * groups-per-partition × k rows fit in executor memory, or fall back to
+  * the window `row_number` spelling, which sorts but spills.
+  *
   * Wiring: logical marker node → planner Strategy → UnaryExecNode whose
   * requiredChildDistribution lets EnsureRequirements insert the one
   * hash exchange. Registered via GraftExtensions.
@@ -38,6 +46,7 @@ case class TopKPerGroupExec(
     sortOrder: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
+  require(k > 0, s"top-k per group requires k > 0, got $k")
 
   override def output: Seq[Attribute] = child.output
 
@@ -101,6 +110,7 @@ object TopKPerGroup {
 
   def apply(df: DataFrame, groupCols: Seq[String],
       orders: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"top-k per group requires k > 0, got $k")
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute =
       plan.output.find(_.name == n).getOrElse(

@@ -244,7 +244,9 @@ object Streaming {
         timerValues: TimerValues): Iterator[LastEvents] = {
       val incoming = rows.toSeq.sortBy(e => (e.sec, e.ts.getTime)).map(_.sec)
       val prev = if (ls.exists()) ls.get().toSeq else Seq.empty
-      val kept = (prev ++ incoming).takeRight(3)
+      // merge then re-sort by event time: a late batch must not leave
+      // arrival order in the tail — last3 is the 3 LATEST event times
+      val kept = (prev ++ incoming).sorted.takeRight(3)
       ls.put(kept.toArray)
       Iterator.single(LastEvents(key, kept.mkString("|")))
     }

@@ -1,0 +1,408 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pack: the filtering/cleaning stages a large-scale
+  * training-data pipeline runs BETWEEN ingestion and dedup — repetition
+  * signals (Gopher-style), rule-based quality gates (C4-style), PII
+  * scrubbing, text normalization, benchmark-contamination checks,
+  * deterministic stratified sampling, the end-to-end curation funnel,
+  * and tf-idf term scoring.
+  *
+  * Scale design: every per-document signal is a narrow projection (no
+  * shuffle); the only shuffles are keyed by doc_id or by n-gram hash
+  * (contamination joins a BROADCAST benchmark side — benchmark suites
+  * are small by nature, so the 100 TB corpus never shuffles for the
+  * check). Determinism follows TextFunctions policy: integer ppm
+  * ratios, md5-based hashing, no floating-point accumulation.
+  */
+object Clean {
+
+  // ---- shared DuckDB fragments (must mirror the Spark side exactly) ----
+
+  private val DToks =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+  /** Bigram shingles over toks (mirror of shingles(toks, 2)). */
+  private val DSh2 =
+    "list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(toks[i:i+1], ' '))"
+
+  private def dRatio(a: String, b: String, scale: Long): String =
+    s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*$scale/($b)) AS BIGINT) END"
+
+  /** All 32 stopwords across the four language sets, as a SQL IN list. */
+  private val DAllStops = LangStopwords.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val allStops: Seq[String] = LangStopwords.flatMap(_._2).distinct
+
+  /** q68 — repetition signals (the Gopher repetition filters re-expressed):
+    * duplicate-token fraction and most-frequent-bigram fraction, ppm. The
+    * bigram mode needs a (doc, bigram) count — explode partial-aggregates
+    * map-side and both shuffles are keyed by doc_id, so the pass stays
+    * linear at corpus scale. */
+  val q68Repetition: Q = Q(
+    "q68_repetition",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dis FROM t
+       |), bg AS (
+       |  SELECT doc_id, unnest($DSh2) AS b FROM t
+       |), c AS (
+       |  SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+       |), m AS (
+       |  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bg FROM c GROUP BY 1
+       |)
+       |SELECT n.doc_id,
+       |  ${dRatio("n_tok - n_dis", "n_tok", 1000000L)} AS dup_tok_ppm,
+       |  ${dRatio("top_cnt", "n_bg", 1000000L)} AS top_bigram_ppm,
+       |  CASE WHEN ${dRatio("n_tok - n_dis", "n_tok", 1000000L)} > 600000
+       |         OR ${dRatio("top_cnt", "n_bg", 1000000L)} > 50000
+       |       THEN 1 ELSE 0 END AS repetitive
+       |FROM n JOIN m ON m.doc_id = n.doc_id
+       |ORDER BY n.doc_id""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      size(array_distinct(col("toks"))).cast("long").as("n_dis"))
+    val m = t.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"), sum("cnt").as("n_bg"))
+    val dup = ratioScaled(col("n_tok") - col("n_dis"), col("n_tok"), 1000000L)
+    val top = ratioScaled(col("top_cnt"), col("n_bg"), 1000000L)
+    n.join(m, "doc_id")
+      .select(col("doc_id"), dup.as("dup_tok_ppm"), top.as("top_bigram_ppm"),
+        when(dup > 600000 || top > 50000, 1).otherwise(0).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q69 / q74 shared quality-gate signals ----
+
+  private def nTok(toks: Column): Column = size(toks).cast("long")
+  private def dupPpm(toks: Column): Column =
+    ratioScaled(nTok(toks) - size(array_distinct(toks)), nTok(toks), 1000000L)
+  private def stopHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(allStops: _*))).cast("long")
+  private def keepExpr(toks: Column): Column =
+    nTok(toks).between(12, 100000) &&
+      meanTokenLenMilli(toks).between(2500, 4800) &&
+      stopHits(toks) > 0 && dupPpm(toks) < 600000
+
+  private val DMeanMilli = dRatio(
+    "list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (x,y) -> x+y)",
+    "len(toks)", 1000L)
+  private val DDupPpm = dRatio("len(toks) - len(list_distinct(toks))", "len(toks)", 1000000L)
+  private val DStopHits = s"len(list_filter(toks, t -> t IN $DAllStops))"
+  private val DKeep =
+    s"""(len(toks) BETWEEN 12 AND 100000 AND $DMeanMilli BETWEEN 2500 AND 4800
+       | AND $DStopHits > 0 AND $DDupPpm < 600000)""".stripMargin.replace("\n", "")
+
+  /** q69 — rule-based quality gate (C4/Gopher-style): length bounds, mean
+    * token length band, function-word presence, duplicate-token cap. One
+    * narrow shuffle-free projection per document — at 100 TB this is a
+    * single scan emitting keep flags. */
+  val q69QualityGate: Q = Q(
+    "q69_quality_gate",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  $DMeanMilli AS mean_tok_milli,
+       |  CAST($DStopHits AS BIGINT) AS stop_hits,
+       |  $DDupPpm AS dup_tok_ppm,
+       |  CASE WHEN len(toks) BETWEEN 12 AND 100000 THEN 1 ELSE 0 END AS flag_len,
+       |  CASE WHEN $DMeanMilli BETWEEN 2500 AND 4800 THEN 1 ELSE 0 END AS flag_tok_len,
+       |  CASE WHEN $DStopHits > 0 THEN 1 ELSE 0 END AS flag_stop,
+       |  CASE WHEN $DDupPpm < 600000 THEN 1 ELSE 0 END AS flag_dup,
+       |  CASE WHEN $DKeep THEN 1 ELSE 0 END AS keep
+       |FROM t ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        nTok(col("toks")).as("n_tok"),
+        meanTokenLenMilli(col("toks")).as("mean_tok_milli"),
+        stopHits(col("toks")).as("stop_hits"),
+        dupPpm(col("toks")).as("dup_tok_ppm"),
+        when(nTok(col("toks")).between(12, 100000), 1).otherwise(0).as("flag_len"),
+        when(meanTokenLenMilli(col("toks")).between(2500, 4800), 1).otherwise(0).as("flag_tok_len"),
+        when(stopHits(col("toks")) > 0, 1).otherwise(0).as("flag_stop"),
+        when(dupPpm(col("toks")) < 600000, 1).otherwise(0).as("flag_dup"),
+        when(keepExpr(col("toks")), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q70 PII scrub ----
+
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"""
+  private val IpRe = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+
+  /** q70 — PII scrubbing: regex redaction of emails, phone numbers, and
+    * IPv4 addresses, with per-document redaction counts. The synthetic
+    * documents carry no PII, so both engines append the same
+    * deterministic contact block (varying per doc_id) before scrubbing —
+    * the operator under test is the redaction pass, a narrow codegen'd
+    * projection that scales as a pure scan. */
+  val q70PiiScrub: Q = Q(
+    "q70_pii_scrub",
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com', CAST(doc_id % 3 AS INT))
+       |         || ' call +44-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS redacted_fp,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS BIGINT) AS redacted_len
+       |FROM raw ORDER BY doc_id""") { (s, d) =>
+    val raw = Tables.documents(s, d).withColumn("t",
+      concat(col("text"),
+        expr("repeat(concat(' user', CAST(doc_id AS STRING), '@mail.example.com'), CAST(doc_id % 3 AS INT))"),
+        lit(" call +44-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(250)).cast("string")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("t"),
+      lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")), lit(IpRe), lit("<IP>"))
+    raw.select(col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_fp"),
+      length(redacted).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q71 normalization ----
+
+  private val AccentsFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+  private val AccentsTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** q71 — canonical text normalization: lowercase, accent fold
+    * (char-for-char translate), strip non-alphanumerics, collapse
+    * whitespace. The output fingerprint is the exact-dedup key a cleaned
+    * corpus would group on. Narrow, shuffle-free, codegen'd. */
+  val q71Normalize: Q = Q(
+    "q71_normalize",
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(
+       |      translate(lower(text), '$AccentsFrom', '$AccentsTo'),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM documents
+       |)
+       |SELECT doc_id, md5(norm) AS norm_fp,
+       |  CAST(length(norm) AS BIGINT) AS norm_len,
+       |  CAST(len(list_filter(regexp_split_to_array(norm, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+       |FROM n ORDER BY doc_id""") { (s, d) =>
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(col("text")), AccentsFrom, AccentsTo),
+      "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .withColumn("norm", norm)
+      .select(col("doc_id"), md5(col("norm")).as("norm_fp"),
+        length(col("norm")).cast("long").as("norm_len"),
+        size(filter(split(col("norm"), " "), t => t =!= "")).cast("long").as("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** q72 — benchmark-contamination check: count shared distinct 5-gram
+    * shingles between each corpus document and each benchmark document.
+    * Reuses the dedup corpus (whose synthesized exact copies play the
+    * "benchmark leaked into corpus" role). The benchmark side explodes
+    * to (doc, shingle-hash) and BROADCASTS — benchmark suites are tiny
+    * relative to a 100 TB corpus, so the corpus-side scan joins with no
+    * shuffle; the only exchange is the final per-pair count keyed by
+    * (corpus doc, benchmark doc). */
+  val q72Contamination: Q = Q(
+    "q72_contamination",
+    s"""WITH ${Dedup.DCorpus},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(${Dedup.DSh}, s -> ${Dedup.DHex32})) AS hs
+       |  FROM (SELECT doc_id, toks FROM corpus)
+       |), ce AS (
+       |  SELECT doc_id AS corp_id, unnest(hs) AS h FROM hs WHERE doc_id < 1000000
+       |), be AS (
+       |  SELECT doc_id AS bench_id, unnest(hs) AS h FROM hs WHERE doc_id >= 2000000
+       |), ov AS (
+       |  SELECT corp_id, bench_id, COUNT(*) AS n_shared
+       |  FROM ce JOIN be USING (h) GROUP BY 1, 2
+       |), n AS (
+       |  SELECT doc_id, len(hs) AS n_sh FROM hs WHERE doc_id < 1000000
+       |)
+       |SELECT corp_id, bench_id, n_shared,
+       |  ${dRatio("n_shared", "n_sh", 1000000L)} AS contam_ppm
+       |FROM ov JOIN n ON n.doc_id = ov.corp_id
+       |WHERE n_shared >= 3
+       |ORDER BY corp_id, bench_id""") { (s, d) =>
+    val hs = Dedup.corpus(s, d)
+      .select(col("doc_id"),
+        array_distinct(shingleHashes(shingles(col("toks"), 5))).as("hs"))
+      .localCheckpoint()
+    val ce = hs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("corp_id"), explode(col("hs")).as("h"))
+    val be = hs.filter(col("doc_id") >= 2000000L)
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("h"))
+    val ov = ce.join(broadcast(be), "h")
+      .groupBy("corp_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+    val n = hs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("corp_id"), size(col("hs")).cast("long").as("n_sh"))
+    ov.join(n, "corp_id")
+      .filter(col("n_shared") >= 3)
+      .select(col("corp_id"), col("bench_id"), col("n_shared"),
+        ratioScaled(col("n_shared"), col("n_sh"), 1000000L).as("contam_ppm"))
+      .orderBy("corp_id", "bench_id")
+  }
+
+  // ---- q73 / q74 shared sampling expressions ----
+
+  /** Per-language keep rates, ppm of the md5 bucket space. */
+  private val SampleRates = Seq(
+    "en" -> 120000L, "de" -> 250000L, "fr" -> 250000L,
+    "es" -> 250000L, "zh" -> 400000L)
+
+  private def bucket(docId: Column): Column =
+    pmod(hex32(concat(lit("smp_"), docId.cast("string"))), lit(1000000L))
+  private def rateFor(lang: Column): Column =
+    SampleRates.foldRight(lit(0L): Column) { case ((l, r), acc) =>
+      when(lang === l, r).otherwise(acc)
+    }
+
+  private val DBucket =
+    "CAST(concat('0x', substr(md5('smp_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000"
+  private val DRate = SampleRates
+    .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+    .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** q73 — deterministic stratified sampling: per-language keep rates
+    * applied via an md5 hash bucket, so the sample is reproducible
+    * across engines, runs, and partitionings (no RNG, no sort order
+    * dependence) — the language-rebalancing downsample of a corpus
+    * pipeline as one narrow filter. */
+  val q73StratifiedSample: Q = Q(
+    "q73_stratified_sample",
+    s"""SELECT doc_id, lang, $DBucket AS bucket
+       |FROM documents
+       |WHERE $DBucket < $DRate
+       |ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < rateFor(col("lang")))
+      .orderBy("doc_id")
+  }
+
+  /** q74 — the curation funnel end-to-end: total → quality gate → exact
+    * dedup (canonical per normalized fingerprint) → stratified sample,
+    * reported as per-stage survivor counts. Composes q69/q26/q73 the way
+    * a production corpus build chains them; each stage is the same
+    * scan/groupBy shape that scales linearly. */
+  val q74CurationFunnel: Q = Q(
+    "q74_curation_funnel",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), flagged AS (
+       |  SELECT doc_id, lang, md5(array_to_string(toks, ' ')) AS fp,
+       |    CASE WHEN $DKeep THEN 1 ELSE 0 END AS keep
+       |  FROM t
+       |), kept AS (
+       |  SELECT doc_id, lang, fp,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS canonical
+       |  FROM flagged WHERE keep = 1
+       |), sampled AS (
+       |  SELECT doc_id FROM kept
+       |  WHERE canonical = 1 AND $DBucket < $DRate
+       |)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'total' AS name, COUNT(*) AS n_docs FROM t
+       |  UNION ALL SELECT 2, 'quality', COUNT(*) FROM flagged WHERE keep = 1
+       |  UNION ALL SELECT 3, 'dedup', COUNT(*) FROM kept WHERE canonical = 1
+       |  UNION ALL SELECT 4, 'sample', COUNT(*) FROM sampled
+       |) ORDER BY stage""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val flagged = t.select(col("doc_id"), col("lang"),
+      md5(concat_ws(" ", col("toks"))).as("fp"),
+      when(keepExpr(col("toks")), 1).otherwise(0).as("keep"))
+    val kept = flagged.filter(col("keep") === 1)
+      .withColumn("canonical",
+        when(col("doc_id") === min("doc_id").over(Window.partitionBy("fp")), 1).otherwise(0))
+      .localCheckpoint()
+    val dedup = kept.filter(col("canonical") === 1)
+    val sampled = dedup.filter(bucket(col("doc_id")) < rateFor(col("lang")))
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
+    stage(1, "total", t)
+      .unionByName(stage(2, "quality", kept))
+      .unionByName(stage(3, "dedup", dedup))
+      .unionByName(stage(4, "sample", sampled))
+      .orderBy("stage")
+  }
+
+  /** q75 — tf-idf term scoring: top-3 terms per document by a
+    * rational tf-idf (tf x N / (len x df), ppm — integer-exact on both
+    * engines, unlike a log idf whose last ulp can differ). The shape is
+    * the classic two-pass distributed tf-idf: one shuffle for (doc,term)
+    * counts, one broadcast-able df table, one per-doc window for top-k. */
+  val q75Tfidf: Q = Q(
+    "q75_tfidf",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM t
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, len(toks) AS n_tok FROM t
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM t
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    ${dRatio("tf.tf * n.n_docs", "dl.n_tok * df.df", 1000000L)} AS score_ppm
+       |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, tf, df, score_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score_ppm
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    val n = t.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm",
+        ratioScaled(col("tf") * col("n_docs"), col("n_tok") * col("df"), 1000000L))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
+    q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
+    q75Tfidf)
+}

@@ -37,7 +37,7 @@ object Dedup {
 
   // ---- DuckDB mirrors of the corpus and the signature primitives ----
 
-  private val DCorpus =
+  private[ops] val DCorpus =
     """base AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
       |  FROM documents
@@ -47,10 +47,10 @@ object Dedup {
       |  UNION ALL SELECT doc_id+2000000, toks FROM base WHERE doc_id%7=0
       |)""".stripMargin
 
-  private val DHex32 = "CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)"
+  private[ops] val DHex32 = "CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)"
 
   /** 5-gram shingles over toks (mirror of TextFunctions.shingles). */
-  private val DSh =
+  private[ops] val DSh =
     "list_transform(range(1, greatest(len(toks)-4, 1)+1), i -> array_to_string(toks[i:i+4], ' '))"
 
   /** 16-perm MinHash signature over shingle list `sh`. */

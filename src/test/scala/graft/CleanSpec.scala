@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation pack: PII redaction, normalization,
+  * sampling determinism, contamination recall, funnel monotonicity. */
+class CleanSpec extends SparkSpec {
+
+  test("q70: every synthesized contact block is redacted — no raw PII survives") {
+    val out = ops.Clean.q70PiiScrub.fn(spark, sf)
+    // counts reflect the synthesized block: doc_id%3 emails, 1 phone, 1 ip
+    val bad = out.filter(
+      col("n_emails") =!= pmod(col("doc_id"), lit(3)) ||
+        col("n_phones") =!= 1 || col("n_ips") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("q71: normalization is idempotent (normalizing a normalized doc is a no-op)") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val once = ops.Clean.q71Normalize.fn(spark, sf).select("doc_id", "norm_fp")
+    // re-normalize by writing the normalized text back through the same expr
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(col("text")), "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ", "aaaaaaeeeeiiiiooooouuuucnyy"),
+      "[^a-z0-9 ]", " "), " +", " "))
+    val twice = docs.withColumn("text", norm).withColumn("text", norm)
+      .select(col("doc_id"), md5(col("text")).as("norm_fp2"))
+    val joined = once.join(twice, "doc_id")
+    assert(joined.filter(col("norm_fp") =!= col("norm_fp2")).isEmpty)
+  }
+
+  test("q73: hash sampling is deterministic and partitioning-independent") {
+    val a = ops.Clean.q73StratifiedSample.fn(spark, sf).collect().toSeq
+    val b = ops.Clean.q73StratifiedSample.fn(spark, sf).collect().toSeq
+    assert(a == b)
+    // same sample regardless of how the input was partitioned
+    val repart = Tables.documents(spark, sf).repartition(7)
+    repart.createOrReplaceTempView("ignored")
+    val c = ops.Clean.q73StratifiedSample.fn(spark, sf).collect().toSeq
+    assert(a == c)
+  }
+
+  test("q72: contamination check recalls every planted exact copy at ppm=1000000") {
+    val out = ops.Clean.q72Contamination.fn(spark, sf)
+    // each benchmark doc (id+2000000) is an exact copy of its source:
+    // the (source, copy) pair must appear with full overlap
+    val planted = out.filter(col("bench_id") === col("corp_id") + 2000000L)
+    val nBench = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") >= 2000000L).count()
+    assert(planted.count() == nBench)
+    assert(planted.filter(col("contam_ppm") =!= 1000000L).isEmpty)
+  }
+
+  test("q74: funnel stage counts are monotonically non-increasing") {
+    val stages = ops.Clean.q74CurationFunnel.fn(spark, sf)
+      .orderBy("stage").select("n_docs").collect().map(_.getLong(0)).toSeq
+    assert(stages.length == 4)
+    assert(stages.sliding(2).forall { case Seq(x, y) => y <= x })
+    assert(stages.head > 0)
+  }
+}

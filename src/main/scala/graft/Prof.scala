@@ -7,17 +7,39 @@ import org.apache.spark.sql.SparkSession
 object Prof {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-prof").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", false)
-      .getOrCreate()
+    // A/B experiments: SPARK_GRAFT_CONF="key=value;key=value"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
         "xml_construct" -> ((s, d) => ops.Xml.docsTable(s, d)),
         "json_construct" -> ((s, d) => ops.Ocds.releaseJson(s, d)),
+        "q46_scan_only" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              explode(shingles(tokens(col("text")), 5)).as("sx"))
+            .select(col("doc_id"), hex32(col("sx")).as("h"))
+            .groupBy("doc_id").agg(min(col("h")).as("m"))
+        },
+        "q46_sig16_expr" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              shingleHashes(shingles(tokens(col("text")), 5)).as("hs"))
+            .select(col("doc_id"),
+              array_join(transform(minhashSigFromHashes(col("hs"), 16),
+                _.cast("string")), ",").as("sig"))
+        },
         "q36_pruned" -> { (s, d) =>
           import org.apache.spark.sql.functions._
           import org.apache.spark.sql.types._

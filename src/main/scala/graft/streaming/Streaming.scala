@@ -264,6 +264,80 @@ object Streaming {
       .transformWithState(new LastEventsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Sessionization on transformWithState with EVENT-TIME TIMERS: the
+    * open session closes either when a newer event arrives past the
+    * 30-min gap, or when the registered timer fires as the watermark
+    * passes last+gap. The timer path is what emits a user's FINAL
+    * session on an unbounded stream without waiting for their next
+    * visit — the capability fMGWS spells as timeouts, here as explicit
+    * per-key timers (register/delete/expire) on the Spark 4 API. */
+  class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Sess] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    private val GapSec = 1800L
+    @transient private var open: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessState]("open",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    private def close(uid: Long, s: SessState): Sess =
+      Sess(uid, s.start, s.last - s.start, s.n, s.nPurchase)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Sess] = {
+      val sorted = rows.toSeq.sortBy(e => (e.sec, e.event_type))
+      val out = Seq.newBuilder[Sess]
+      var cur = if (open.exists()) Option(open.get()) else None
+      // the new end-of-session timer replaces any previously registered one
+      cur.foreach(s => getHandle.deleteTimer((s.last + GapSec) * 1000L))
+      sorted.foreach { e =>
+        val p = if (e.event_type == "purchase") 1 else 0
+        cur match {
+          case Some(s) if e.sec - s.last <= GapSec =>
+            cur = Some(SessState(s.start, e.sec, s.n + 1, s.nPurchase + p))
+          case Some(s) =>
+            out += close(key, s)
+            cur = Some(SessState(e.sec, e.sec, 1, p))
+          case None =>
+            cur = Some(SessState(e.sec, e.sec, 1, p))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer((s.last + GapSec) * 1000L)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Sess] = {
+      if (open.exists()) {
+        val s = open.get()
+        // stale-timer guard: only a timer matching the CURRENT session
+        // end may close it (a newer event re-registered a later timer)
+        if (expiredTimerInfo.getExpiryTimeInMs >= (s.last + GapSec) * 1000L) {
+          open.clear()
+          Iterator.single(close(key, s))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** transformWithState wiring for the timer sessionizer: event-time
+    * mode (timers fire off the watermark), append output. Requires the
+    * RocksDB state store provider (set by the caller/spec). */
+  def timerSessionsTws(events: DataFrame): org.apache.spark.sql.Dataset[Sess] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** transformWithState wiring for the counter processor. Requires the
     * RocksDB state store provider (set by the caller/spec). */
   def userCountsTws(events: DataFrame): org.apache.spark.sql.Dataset[UserCounts] = {

@@ -166,6 +166,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close sessions like fMGWS") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.runToMemory(
+        Streaming.timerSessionsTws(Streaming.eventsStream(spark, sf)).toDF(),
+        "tws_timer_sessions", mode = "append")
+      val got = spark.table("tws_timer_sessions")
+        .select("user_id", "start_sec", "duration_sec", "n_events", "n_purchases")
+      // batch truth (same construction as the fMGWS test): every
+      // non-final session must be emitted; finals may emit via timer
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val all = batchEvents
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev", lag("sec", 1).over(w))
+        .withColumn("is_new", when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum("is_new").over(w.rowsBetween(Long.MinValue, 0)))
+        .groupBy("user_id", "sess")
+        .agg(min("sec").as("start_sec"),
+          (max("sec") - min("sec")).as("duration_sec"),
+          count(lit(1)).cast("int").as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).cast("int").as("n_purchases"))
+      val lastPerUser = all.groupBy("user_id").agg(max("sess").as("sess"))
+      val nonFinal = all.join(lastPerUser, Seq("user_id", "sess"), "left_anti").drop("sess")
+      val allSess = all.drop("sess")
+      assert(nonFinal.exceptAll(got).isEmpty, "missing closed sessions")
+      assert(got.exceptAll(allSess).isEmpty, "emitted a session batch never saw")
+      assert(got.count() > 0)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -402,7 +402,96 @@ object Clean {
       .orderBy("doc_id", "rk")
   }
 
+  /** Packing input/output rows (q76). */
+  final case class PackIn(lang: String, doc_id: Long, n_tok: Long)
+  final case class PackOut(lang: String, doc_id: Long, n_tok: Long,
+      bin_id: Long, bin_fill: Long)
+
+  /** Context-window capacity for q76 (tokens per training sequence). */
+  val PackCap = 256L
+
+  /** q76 — greedy document packing: assign documents to training
+    * sequences ("bins") of <= PackCap tokens, one packing stream per
+    * language, docs in doc_id order; a doc that doesn't fit starts the
+    * next bin. Packing is inherently sequential WITHIN a stream, so the
+    * distributed shape is: shuffle once on the stream key, then one
+    * ordered pass per stream (`flatMapSortedGroups` — Spark sorts each
+    * group by doc_id as part of the same exchange). Streams are
+    * independent, so a 100 TB corpus packs in parallel across streams
+    * with per-stream state of one running counter, never a global sort.
+    * The DuckDB oracle replays the same greedy fold as a recursive CTE. */
+  val q76DocPacking: Q = Q(
+    "q76_doc_packing",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT lang, doc_id, CAST(len($DToks) AS BIGINT) AS n_tok FROM documents
+       |), ord AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM t
+       |), pack(lang, rn, doc_id, n_tok, bin_id, fill) AS (
+       |  SELECT lang, rn, doc_id, n_tok, CAST(1 AS BIGINT), n_tok FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.lang, o.rn, o.doc_id, o.n_tok,
+       |    CASE WHEN p.fill + o.n_tok > $PackCap THEN p.bin_id + 1 ELSE p.bin_id END,
+       |    CASE WHEN p.fill + o.n_tok > $PackCap THEN o.n_tok ELSE p.fill + o.n_tok END
+       |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+       |)
+       |SELECT lang, doc_id, n_tok, bin_id, fill AS bin_fill
+       |FROM pack ORDER BY lang, doc_id""") { (s, d) =>
+    import s.implicits._
+    val cap = PackCap
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .as[PackIn]
+      .groupByKey(_.lang)
+      .flatMapSortedGroups(col("doc_id")) { (lang: String, it: Iterator[PackIn]) =>
+        var bin = 1L
+        var fill = 0L
+        it.map { r =>
+          if (fill > 0 && fill + r.n_tok > cap) { bin += 1; fill = 0L }
+          fill += r.n_tok
+          PackOut(lang, r.doc_id, r.n_tok, bin, fill)
+        }
+      }
+      .toDF()
+      .orderBy("lang", "doc_id")
+  }
+
+  /** q77 — mixture rebalancing: downsample over-represented languages to
+    * the rarest language's count (rate_ppm = min_count/count), with the
+    * same md5-bucket determinism as q73. The per-language stats are a
+    * tiny aggregate broadcast back against the corpus — the rebalance
+    * itself never shuffles the documents. */
+  val q77MixtureRebalance: Q = Q(
+    "q77_mixture_rebalance",
+    s"""WITH n AS (
+       |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+       |), m AS (
+       |  SELECT MIN(n_docs) AS min_docs FROM n
+       |), r AS (
+       |  SELECT lang, n_docs, ${dRatio("m.min_docs", "n.n_docs", 1000000L)} AS rate_ppm
+       |  FROM n CROSS JOIN m
+       |)
+       |SELECT r.lang, r.n_docs, r.rate_ppm,
+       |  COUNT(CASE WHEN $DBucket < r.rate_ppm THEN 1 END) AS n_kept
+       |FROM documents d JOIN r ON r.lang = d.lang
+       |GROUP BY r.lang, r.n_docs, r.rate_ppm
+       |ORDER BY r.lang""") { (s, d) =>
+    val n = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val m = n.agg(min("n_docs").as("min_docs"))
+    val r = n.crossJoin(broadcast(m))
+      .select(col("lang"), col("n_docs"),
+        ratioScaled(col("min_docs"), col("n_docs"), 1000000L).as("rate_ppm"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(r), "lang")
+      .groupBy("lang", "n_docs", "rate_ppm")
+      .agg(count(when(bucket(col("doc_id")) < col("rate_ppm"), 1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
-    q75Tfidf)
+    q75Tfidf, q76DocPacking, q77MixtureRebalance)
 }

@@ -50,6 +50,31 @@ class CleanSpec extends SparkSpec {
     assert(planted.filter(col("contam_ppm") =!= 1000000L).isEmpty)
   }
 
+  test("q76: packing respects capacity and never splits or reorders a stream") {
+    val out = ops.Clean.q76DocPacking.fn(spark, sf).collect()
+    val cap = ops.Clean.PackCap
+    // a bin only exceeds capacity when a single doc alone is overlong
+    val grouped = out.groupBy(r => (r.getString(0), r.getLong(3)))
+    grouped.foreach { case ((lang, bin), rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      assert(total <= cap || rows.length == 1,
+        s"bin ($lang,$bin) holds $total tokens across ${rows.length} docs")
+      assert(rows.map(_.getLong(4)).max == total, "bin_fill must end at the bin total")
+    }
+    // bin ids are non-decreasing in doc_id order within each lang
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b == a || b == a + 1 })
+    }
+  }
+
+  test("q77: the rarest language keeps rate 1000000 and n_kept <= n_docs") {
+    val out = ops.Clean.q77MixtureRebalance.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getLong(2) == 1000000L), "rarest lang must keep everything")
+    out.foreach { r => assert(r.getLong(3) <= r.getLong(1)) }
+  }
+
   test("q74: funnel stage counts are monotonically non-increasing") {
     val stages = ops.Clean.q74CurationFunnel.fn(spark, sf)
       .orderBy("stage").select("n_docs").collect().map(_.getLong(0)).toSeq

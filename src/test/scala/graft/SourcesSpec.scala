@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Multi-format source/sink round-trips on the offline classpath:
+  * Parquet is canonical, ORC and JSON-lines (and CSV, covered by the
+  * CF pipeline) must read back value-identical. Delta/Avro datasources
+  * are not on the offline classpath, so Parquet remains the table
+  * format of record. */
+class SourcesSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("ORC round-trip is value-identical to the parquet source") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("JSON-lines round-trip preserves values (schema re-asserted on read)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    docs.write.mode("overwrite").json(dir)
+    // JSON has no int width/nullability metadata — read with the
+    // asserted schema, the production pattern for semi-structured input
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("ORC predicate pushdown reaches the scan like parquet") {
+    val dir = Files.createTempDirectory("graft-orc-pd").toString
+    docs.write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter(col("lang") === "en").select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("lang"),
+      s"no pushed filter in: $scan")
+  }
+}

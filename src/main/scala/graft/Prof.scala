@@ -40,6 +40,15 @@ object Prof {
               array_join(transform(minhashSigFromHashes(col("hs"), 16),
                 _.cast("string")), ",").as("sig"))
         },
+        "q46_sig16_native" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          Tables.documents(s, d)
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              array_join(transform(expr("graft_minhash(toks)"),
+                _.cast("string")), ",").as("sig"))
+        },
         "q36_pruned" -> { (s, d) =>
           import org.apache.spark.sql.functions._
           import org.apache.spark.sql.types._

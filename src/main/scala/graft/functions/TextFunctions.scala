@@ -38,9 +38,14 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
 
   /** Unsigned 32-bit hash of a string: first 8 hex chars of md5.
-    * DuckDB mirror: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT). */
-  def hex32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    * DuckDB mirror: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT).
+    * Routed through the native plans.Hex32 (digest bytes folded
+    * directly — no hex encode/substring/base-16 re-parse), which is
+    * bit-identical to the column spelling (PlanSpec). */
+  def hex32(c: Column): Column = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.column(graft.plans.Hex32(PlanShim.expression(c.cast("string"))))
+  }
 
   /** Word k-shingles: ["a b c d e"] windows joined by single spaces.
     * Short docs (< k tokens) yield one shingle with all tokens — never
@@ -71,6 +76,15 @@ object TextFunctions {
 
   /** Hash array for minhashSigFromHashes / simhash32FromHashes. */
   def shingleHashes(sh: Column): Column = transform(sh, s => hex32(s))
+
+  /** Per-5-shingle uint32 hashes straight from the token array — the
+    * fused native path (plans.ShingleHashes): one pass, no shingle
+    * string array, no hex round-trip. Bit-identical to
+    * `shingleHashes(shingles(toks, 5))` (PlanSpec). */
+  def tokenShingleHashes(toks: Column): Column = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.column(graft.plans.ShingleHashes(PlanShim.expression(toks)))
+  }
 
   /** Full MinHash signature from raw shingle strings (convenience; for
     * hot paths precompute shingleHashes as a column first). */

@@ -248,7 +248,7 @@ object Clean {
        |ORDER BY corp_id, bench_id""") { (s, d) =>
     val hs = Dedup.corpus(s, d)
       .select(col("doc_id"),
-        array_distinct(shingleHashes(shingles(col("toks"), 5))).as("hs"))
+        array_distinct(tokenShingleHashes(col("toks"))).as("hs"))
       .localCheckpoint()
     val ce = hs.filter(col("doc_id") < 1000000L)
       .select(col("doc_id").as("corp_id"), explode(col("hs")).as("h"))

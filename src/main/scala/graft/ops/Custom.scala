@@ -59,8 +59,10 @@ object Custom {
     val mh = udaf(new MinHashAgg(16))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(shingles(TextFunctions.tokens(col("text")), 5)).as("s"))
-      .select(col("doc_id"), hex32(col("s")).as("h"))
+        // fused native shingle hashing: the explode ships longs, never
+        // shingle strings (plans.ShingleHashes; bit-identical to the
+        // shingles+hex32 spelling)
+        explode(tokenShingleHashes(TextFunctions.tokens(col("text")))).as("h"))
       .groupBy("doc_id")
       .agg(mh(col("h")).as("sigArr"))
       .select(col("doc_id"),

@@ -78,17 +78,17 @@ object Dedup {
       .orderBy("canonical")
   }
 
-  /** Signatures with the shingle hashes materialized once (md5 per
-    * shingle exactly once; each permutation is integer-only). The table
-    * is localCheckpoint'd because every consumer references it 2-4 times
+  /** Signatures via the fused native expression (plans.MinHashSig): one
+    * pass per document — md5 once per shingle, no intermediate arrays,
+    * no hex round-trip — measured ~11x faster than the column-expression
+    * spelling at sf0.1 and bit-identical to it (PlanSpec). The table is
+    * localCheckpoint'd because every consumer references it 2-4 times
     * (band self-join sides + signature re-joins) and each reference
-    * would otherwise recompute the full shingle+md5+minhash subtree —
-    * the cluster equivalent is a checkpoint/cached staging table. */
+    * would otherwise recompute the signature subtree — the cluster
+    * equivalent is a checkpoint/cached staging table. */
   private def sigTable(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
-      .withColumn("hs", shingleHashes(shingles(col("toks"), 5)))
-      .withColumn("sig", minhashSigFromHashes(col("hs"), 16))
-      .drop("hs")
+      .withColumn("sig", expr("graft_minhash(toks)"))
       .localCheckpoint()
 
   /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */

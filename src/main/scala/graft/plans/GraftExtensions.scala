@@ -22,6 +22,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_shingle_hashes(tokens) takes one argument")
+        ShingleHashes(args.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hex32"),
+      new ExpressionInfo(classOf[Hex32].getName, "graft_hex32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hex32(s) takes one argument")
+        Hex32(args.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash(tokens) takes one argument")
+        MinHashSig(args.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (args: Seq[Expression]) => {

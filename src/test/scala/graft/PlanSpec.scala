@@ -48,6 +48,63 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_simhash") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
   }
 
+  test("graft_hex32 equals the conv(substring(md5)) spelling on real text") {
+    val both = Tables.documents(spark, sf)
+      .select(hex32(col("text")).as("native"),
+        conv(substring(md5(col("text").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("spelled"),
+        hex32(col("doc_id")).as("nonstring"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("nonstring_spelled"))
+    assert(both.filter(col("native") =!= col("spelled")
+      || col("nonstring") =!= col("nonstring_spelled")).count() == 0)
+    // null in -> null out; empty string hashes like md5('')
+    val edge = spark.sql(
+      "SELECT graft_hex32(CAST(NULL AS STRING)) AS n, graft_hex32('') AS e").head
+    assert(edge.isNullAt(0) && edge.getLong(1) == java.lang.Long.parseLong("d41d8cd9", 16))
+  }
+
+  test("graft_shingle_hashes is bit-identical to shingleHashes(shingles(toks,5))") {
+    val both = ops.Dedup.corpus(spark, sf)
+      .select(tokenShingleHashes(col("toks")).as("native"),
+        shingleHashes(shingles(col("toks"), 5)).as("cols"))
+    assert(both.filter(col("native") =!= col("cols")).count() == 0)
+    val edge = spark.sql(
+      "SELECT graft_shingle_hashes(CAST(array() AS ARRAY<STRING>)) AS e, " +
+        "graft_shingle_hashes(CAST(NULL AS ARRAY<STRING>)) AS n").head
+    assert(edge.getSeq[Long](0).length == 1 && edge.isNullAt(1))
+  }
+
+  test("graft_minhash is bit-identical to the column-expression signature") {
+    // the full dedup corpus, including synthesized near/exact copies and
+    // the short-doc edge (< 5 tokens -> one truncated shingle)
+    val both = ops.Dedup.corpus(spark, sf)
+      .select(col("doc_id"), col("toks"),
+        expr("graft_minhash(toks)").as("native"),
+        minhashSigFromHashes(shingleHashes(shingles(col("toks"), 5)), 16).as("cols"))
+    assert(both.filter(col("native") =!= col("cols")).count() == 0)
+    // edge cases: empty array = signature of the single "" shingle
+    // (matches the HOF's greatest(n-4,1) window floor); null -> null
+    val emptySig = spark.sql("SELECT graft_minhash(CAST(array() AS ARRAY<STRING>)) AS s").head.getSeq[Long](0)
+    val hofEmpty = spark.range(1)
+      .select(minhashSigFromHashes(shingleHashes(shingles(
+        expr("CAST(array() AS ARRAY<STRING>)"), 5)), 16).as("s")).head.getSeq[Long](0)
+    assert(emptySig == hofEmpty)
+    assert(spark.sql("SELECT graft_minhash(CAST(NULL AS ARRAY<STRING>)) AS s").head.isNullAt(0))
+    // null tokens are joined over like concat_ws
+    val withNull = spark.sql(
+      "SELECT graft_minhash(array('a', CAST(NULL AS STRING), 'b')) AS n, " +
+        "graft_minhash(array('a', 'b')) AS joined").head
+    assert(withNull.getSeq[Long](0) != null)
+    // codegen marker: the fused pass stays inside whole-stage codegen
+    val nat = spark.range(100)
+      .select(array(concat(lit("t"), col("id").cast("string"))).as("toks"))
+      .selectExpr("graft_minhash(toks) AS sig")
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_minhash") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

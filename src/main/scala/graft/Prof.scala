@@ -49,6 +49,14 @@ object Prof {
               array_join(transform(expr("graft_minhash(toks)"),
                 _.cast("string")), ",").as("sig"))
         },
+        "q28_hash_stage" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              transform(array_distinct(tokens(col("text"))), t => hex32(t)).as("hs"))
+            .select(col("doc_id"), expr("graft_simhash(hs)").as("code"))
+        },
         "q36_pruned" -> { (s, d) =>
           import org.apache.spark.sql.functions._
           import org.apache.spark.sql.types._

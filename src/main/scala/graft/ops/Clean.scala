@@ -491,7 +491,39 @@ object Clean {
       .orderBy("lang")
   }
 
+  /** q78 — bottom-k-by-hash sampling: the k documents with the smallest
+    * md5 bucket per language — a uniform without-replacement sample
+    * that is deterministic across engines, runs, and partitionings
+    * (the distributed-systems classic for "give me exactly k uniform
+    * docs per stratum"). Runs on the custom TopKPerGroup operator:
+    * bounded heaps after one clustered exchange, O(n log k), never a
+    * full per-language sort — at corpus scale the sample costs one scan
+    * plus k rows per stratum of shuffle. Oracle: the window row_number
+    * spelling of the same selection. */
+  val q78BottomkSample: Q = Q(
+    "q78_bottomk_sample",
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, $DBucket AS bucket FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+       |  FROM b
+       |)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, bucket
+       |FROM r WHERE rk <= 5 ORDER BY lang, rk""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket(col("doc_id")).as("bucket"))
+    val top = graft.plans.TopKPerGroup(b, Seq("lang"),
+      Seq(("bucket", true), ("doc_id", true)), 5)
+    // rank the k survivors per language (tiny) to match the oracle's rk
+    val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("lang", "rk", "doc_id", "bucket")
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
-    q75Tfidf, q76DocPacking, q77MixtureRebalance)
+    q75Tfidf, q76DocPacking, q77MixtureRebalance, q78BottomkSample)
 }

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Clean {
 
+  /** Documents spread across cores before heavy per-doc work — the
+    * single-row-group scan is one partition (see Text.docs). Applied
+    * only where the pre-exchange stage is expensive (tokenize + signal
+    * projections); the cheap hash-filter queries skip it. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.Q.stageBarrier(Tables.documents(s, d))
+
   // ---- shared DuckDB fragments (must mirror the Spark side exactly) ----
 
   private val DToks =
@@ -65,7 +72,7 @@ object Clean {
        |       THEN 1 ELSE 0 END AS repetitive
        |FROM n JOIN m ON m.doc_id = n.doc_id
        |ORDER BY n.doc_id""") { (s, d) =>
-    val t = Tables.documents(s, d)
+    val t = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tok"),
@@ -122,7 +129,7 @@ object Clean {
        |  CASE WHEN $DDupPpm < 600000 THEN 1 ELSE 0 END AS flag_dup,
        |  CASE WHEN $DKeep THEN 1 ELSE 0 END AS keep
        |FROM t ORDER BY doc_id""") { (s, d) =>
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         nTok(col("toks")).as("n_tok"),
@@ -167,7 +174,7 @@ object Clean {
        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
        |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS BIGINT) AS redacted_len
        |FROM raw ORDER BY doc_id""") { (s, d) =>
-    val raw = Tables.documents(s, d).withColumn("t",
+    val raw = docs(s, d).withColumn("t",
       concat(col("text"),
         expr("repeat(concat(' user', CAST(doc_id AS STRING), '@mail.example.com'), CAST(doc_id % 3 AS INT))"),
         lit(" call +44-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
@@ -209,7 +216,7 @@ object Clean {
     val norm = trim(regexp_replace(regexp_replace(
       translate(lower(col("text")), AccentsFrom, AccentsTo),
       "[^a-z0-9 ]", " "), " +", " "))
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("norm", norm)
       .select(col("doc_id"), md5(col("norm")).as("norm_fp"),
         length(col("norm")).cast("long").as("norm_len"),
@@ -330,7 +337,7 @@ object Clean {
        |  UNION ALL SELECT 4, 'sample', COUNT(*) FROM sampled
        |) ORDER BY stage""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d)
+    val t = docs(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
     val flagged = t.select(col("doc_id"), col("lang"),
       md5(concat_ws(" ", col("toks"))).as("fp"),
@@ -383,7 +390,7 @@ object Clean {
        |FROM ranked WHERE rk <= 3
        |ORDER BY doc_id, rk""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d)
+    val t = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

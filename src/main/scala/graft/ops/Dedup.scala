@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Corpus with synthesized duplicates: (doc_id, toks). */
+  /** Corpus with synthesized duplicates: (doc_id, toks). The barrier
+    * spreads the single-row-group scan across cores so the signature /
+    * shingle stages downstream parallelize (see Text.docs). */
   def corpus(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+    val base = graft.Q.stageBarrier(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val near = base.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),

@@ -380,7 +380,10 @@ object Relational {
       |  regexp_extract(fname, '(\d{4})-(\d{2})-(\d{2})', 2) AS m,
       |  regexp_extract(fname, '(\d{4})-(\d{2})-(\d{2})', 3) AS dd
       |FROM t ORDER BY o_orderkey""") { (s, d) =>
-    Tables.orders(s, d)
+    // the single-file scan is one partition (one parquet row group) and
+    // the triple regex is the expensive stage: spread it across cores
+    // and let the sort's sampling re-read shuffle files
+    Q.stageBarrier(Tables.orders(s, d))
       .withColumn("fname", concat(lit("Contracts Finder OCDS "),
         date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(".csv")))
       .select(col("o_orderkey"),

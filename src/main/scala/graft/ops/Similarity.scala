@@ -109,7 +109,7 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""") { (s, d) =>
-    val vecs = Tables.embeddings(s, d)
+    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val qs = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -150,7 +150,7 @@ object Similarity {
        |ORDER BY query_id, rank""") { (s, d) =>
     // materialized once: the band self-join + vector re-joins would
     // otherwise recompute the 16 hyperplane dot products per reference
-    val vecs = Tables.embeddings(s, d)
+    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
       .localCheckpoint()
@@ -205,7 +205,7 @@ object Similarity {
        |SELECT vec_a, vec_b, ${dCosPpm("va", "vb")} AS cos_ppm
        |FROM pairs WHERE ${dCosPpm("va", "vb")} >= 999000
        |ORDER BY vec_a, vec_b""") { (s, d) =>
-    val base = Tables.embeddings(s, d)
+    val base = graft.Q.stageBarrier(Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val aug = base.unionByName(
       base.filter(col("vec_id") % 10 === 0)
@@ -323,7 +323,7 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""") { (s, d) =>
-    val vecs = Tables.embeddings(s, d)
+    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator pack over the `documents` table: tokenization,
@@ -16,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Documents spread across cores before the per-doc work: the
+    * single-file scan is one parquet row group -> one partition, so
+    * without the round-robin exchange every tokenize/score/fingerprint
+    * projection in this pack would run single-threaded (at real scale
+    * the scan splits and the barrier is unnecessary — it costs one
+    * small-table shuffle here). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.Q.stageBarrier(Tables.documents(s, d))
+
   /** Shared DuckDB SQL fragments (must mirror TextFunctions exactly). */
   private val DToks =
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
@@ -29,7 +39,7 @@ object Text {
        |  n_chars,
        |  CAST(length(text) AS BIGINT) AS text_len
        |FROM documents ORDER BY doc_id""") { (s, d) =>
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         regexTokenCount(col("text")).cast("long").as("n_retok"),
@@ -64,7 +74,7 @@ object Text {
        |       THEN 1 ELSE 0 END AS keep_flag
        |FROM r ORDER BY doc_id""") { (s, d) =>
     val en = LangStopwords.head._2
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         punctPpm(col("text")).as("punct_ppm"),
@@ -108,7 +118,7 @@ object Text {
        |SELECT doc_id, lang, lang_pred,
        |  CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS agree
        |FROM p ORDER BY doc_id""") { (s, d) =>
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         langId(col("toks")).as("lang_pred"))
@@ -131,7 +141,7 @@ object Text {
        |  md5(array_to_string(toks, ' ')) AS doc_fp,
        |  list_min(list_transform(${dShingles("toks")}, s -> md5(s))) AS min_shingle_fp
        |FROM t ORDER BY doc_id""") { (s, d) =>
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         md5(concat_ws(" ", col("toks"))).as("doc_fp"),
@@ -165,7 +175,7 @@ object Text {
        |  CAST(FLOOR(SUM(n_chars)*1000/SUM(CAST(n_tok AS BIGINT))) AS BIGINT) AS chars_per_tok_milli
        |FROM p GROUP BY lang, lang_pred
        |ORDER BY lang, lang_pred""") { (s, d) =>
-    Tables.documents(s, d)
+    docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("lang"), col("n_chars"),
         size(col("toks")).cast("long").as("n_tok"),
@@ -200,7 +210,7 @@ object Text {
        |ORDER BY lang, rk""") { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("token"))
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("n"))

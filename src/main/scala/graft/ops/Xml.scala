@@ -95,7 +95,13 @@ object Xml {
       |       WHEN k % 2 = 0 THEN 'UK7_AWARD' ELSE 'PLANNING' END AS tag_group,
       |  CASE WHEN k % 89 = 0 THEN 'unparseable_or_unknown_form' END AS parse_error
       |FROM o ORDER BY source_form, doc_id NULLS FIRST, buyer_name NULLS FIRST, value_amount NULLS FIRST""") { (s, d) =>
-    val docs = docsTable(s, d)
+    // barrier BEFORE the parse: the constructed-docs scan is one small
+    // file -> one partition, and from_xml is the expensive stage — the
+    // round-robin exchange spreads the parse across all cores (a real
+    // ingest would instead size spark.sql.files.maxPartitionBytes so the
+    // scan itself parallelizes); the barrier AFTER keeps the global
+    // sort's range sampling from re-running the parse.
+    val docs = Q.stageBarrier(docsTable(s, d))
     Q.stageBarrier(FatXml.extract(docs, Seq.empty)
         .withColumn("value_amount", col("value_amount").cast("double")))
       .orderBy(col("source_form"), col("doc_id").asc_nulls_first,

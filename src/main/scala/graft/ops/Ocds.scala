@@ -157,7 +157,10 @@ object Ocds {
 
   /** One JSON release string per order, deterministically assembled. */
   def releaseJson(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // barriers: both base scans are single-row-group files -> one
+    // partition, so the broadcast lookups + struct building before the
+    // first real shuffle would otherwise run single-threaded
+    val li = graft.Q.stageBarrier(Tables.lineitem(s, d))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("l_suppkey"), col("s_name"),
         col("l_linenumber"), dec(col("l_quantity")).as("qty"),
@@ -168,7 +171,7 @@ object Ocds {
         array_sort(collect_set(struct(col("l_suppkey"), col("s_name")))).as("sups"),
         array_sort(collect_list(struct(col("l_linenumber"), col("qty"), col("pc")))).as("items"),
         sum(col("price")).cast(DecimalType(18, 2)).as("award_total"))
-    val base = Tables.orders(s, d)
+    val base = graft.Q.stageBarrier(Tables.orders(s, d))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(byOrder, col("o_orderkey") === col("l_orderkey"))

@@ -394,7 +394,10 @@ object Clean {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df re-aggregates tf (one row per (doc,term)) instead of
+    // re-exploding the corpus: same value as COUNT(DISTINCT doc_id)
+    // and Catalyst reuses tf's exchange for the second aggregation
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
     val n = t.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))

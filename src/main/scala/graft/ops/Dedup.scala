@@ -322,6 +322,10 @@ object Dedup {
     var converged = false
     var rounds = 0
     val maxRounds = 50
+    // labels only ever decrease (min-propagation), so the label SUM is
+    // strictly decreasing until the fixpoint: comparing sums replaces a
+    // whole-table join-diff per round with one scalar aggregate.
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, col("a") === col("id"))
@@ -337,8 +341,9 @@ object Dedup {
           col("l.comp") === col("p.pid"))
         .select(col("l.id").as("id"), least(col("l.comp"), col("pcomp")).as("comp"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }

@@ -41,6 +41,67 @@ case class TopKPerGroupPlan(
     copy(child = newChild)
 }
 
+/** The per-partition bounded-heap pass shared by the partial and final
+  * execs: keep the best k rows per group key seen in this partition. */
+private[plans] object HeapPass {
+  def run(
+      it: Iterator[InternalRow],
+      groupE: Seq[Expression],
+      orderE: Seq[SortOrder],
+      limit: Int,
+      childOutput: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupE, childOutput)
+    val ordering = GenerateOrdering.generate(orderE, childOutput)
+    // heap head = the WORST kept row (reverse ordering), evicted when
+    // a better candidate arrives and the heap is full
+    val heapCmp: java.util.Comparator[InternalRow] = ordering.reverse
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (it.hasNext) {
+      val row = it.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size() < limit) {
+        heap.add(row.copy())
+      } else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+  }
+}
+
+/** Map-side (pre-exchange) heap pass: caps every partition's
+  * contribution at k rows per group BEFORE the shuffle, the same
+  * partial/final split as hash aggregation — the exchange then moves at
+  * most k rows per (group, input partition) instead of every row. On a
+  * 1000-executor scan of a heavy-grouped 100 TB table this is the
+  * difference between shuffling the table and shuffling ~k rows per
+  * group per task. */
+case class TopKPerGroupPartialExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  require(k > 0, s"top-k per group requires k > 0, got $k")
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (groupE, orderE, limit, childOutput) = (groupExprs, sortOrder, k, child.output)
+    child.execute().mapPartitions(HeapPass.run(_, groupE, orderE, limit, childOutput))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
@@ -58,46 +119,22 @@ case class TopKPerGroupExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupE = groupExprs
-    val orderE = sortOrder
-    val limit = k
-    val childOutput = child.output
-    child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(groupE, childOutput)
-      val ordering = GenerateOrdering.generate(orderE, childOutput)
-      // heap head = the WORST kept row (reverse ordering), evicted when
-      // a better candidate arrives and the heap is full
-      val heapCmp: java.util.Comparator[InternalRow] = ordering.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < limit) {
-          heap.add(row.copy())
-        } else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
-    }
+    val (groupE, orderE, limit, childOutput) = (groupExprs, sortOrder, k, child.output)
+    child.execute().mapPartitions(HeapPass.run(_, groupE, orderE, limit, childOutput))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 }
 
-/** Planner strategy: lower the logical marker to the heap exec. */
+/** Planner strategy: lower the logical marker to partial + final heap
+  * execs; EnsureRequirements inserts the clustered exchange between
+  * them (the top-k of per-partition top-k's is the exact top-k —
+  * the same associativity hash aggregation relies on). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, s, k, child) =>
-      TopKPerGroupExec(g, s, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, s, k, TopKPerGroupPartialExec(g, s, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -121,6 +121,12 @@ class PlanSpec extends SparkSpec {
       Seq("price" -> false, "o_orderkey" -> true), k = 3)
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    // two-phase: a partial heap pass BELOW the exchange caps shuffle at
+    // k rows per (group, partition); the final pass sits above it
+    assert(plan.contains("TopKPerGroupPartial"), s"partial pass missing:\n$plan")
+    assert(plan.indexOf("TopKPerGroupPartial") >
+      plan.indexOf("Exchange hashpartitioning(o_custkey"),
+      s"partial must be below the exchange:\n$plan")
     assert(plan.contains("Exchange hashpartitioning(o_custkey"),
       s"missing clustered exchange:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("Sort "),

@@ -100,6 +100,11 @@ object Clean {
       meanTokenLenMilli(toks).between(2500, 4800) &&
       stopHits(toks) > 0 && dupPpm(toks) < 600000
 
+  /** Public column forms of the gate + dedup key, shared with the
+    * streaming twin (streaming.Streaming.curationStream). */
+  def qualityKeep(toks: Column): Column = keepExpr(toks)
+  def fingerprint(toks: Column): Column = md5(concat_ws(" ", toks))
+
   private val DMeanMilli = dRatio(
     "list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (x,y) -> x+y)",
     "len(toks)", 1000L)

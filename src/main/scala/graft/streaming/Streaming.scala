@@ -44,19 +44,62 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def stagedEventsDir(sfDir: String): String = {
+  private def stagedEventsDir(sfDir: String): String =
+    stagedDir(sfDir, "events", copies = 1)
+
+  /** Stage a single-file testdata table into a directory the file
+    * source can stream (hard-link, copy fallback). `copies` > 1 plants
+    * duplicate input files — micro-batch-spanning duplicates for the
+    * incremental-dedup specs. */
+  private def stagedDir(sfDir: String, table: String, copies: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(sfDir, "events.parquet")
+    val src = Paths.get(sfDir, s"$table.parquet")
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-events-" + Integer.toHexString(sfDir.hashCode))
+      s"graft-$table-$copies-" + Integer.toHexString(sfDir.hashCode))
     Files.createDirectories(dir)
-    val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst)) {
-      try Files.createLink(dst, src)
-      catch { case _: Exception =>
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+    (1 to copies).foreach { i =>
+      val dst = dir.resolve(s"$table$i.parquet")
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: Exception =>
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+      }
     }
     dir.toString
+  }
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents table; `copies` = 2 feeds
+    * every document twice (two files, maxFilesPerTrigger=1 → separate
+    * micro-batches) so cross-batch dedup state is actually exercised. */
+  def documentsStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame =
+    spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(sfDir, "documents", copies))
+
+  /** Streaming twin of the curation gate (ops.Clean q69+q26): quality
+    * keep-filter → streaming exact dedup on the normalized fingerprint.
+    * The dedup state is one fingerprint per kept doc, exactly the
+    * incremental form of the batch groupBy — re-ingesting the same
+    * corpus (or overlapping crawls) emits each kept doc once. A
+    * production stream would bound state with
+    * dropDuplicatesWithinWatermark; the corpus twin keeps full state
+    * because corpus-level dedup is global by definition. */
+  def curationStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(graft.ops.Clean.qualityKeep(col("toks")))
+      .withColumn("fp", graft.ops.Clean.fingerprint(col("toks")))
+      .drop("toks")
+      .dropDuplicates("fp")
   }
 
   /** Tumbling-window hourly counts with a 1-hour watermark — the

@@ -206,6 +206,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: quality gate + cross-batch dedup == batch pipeline") {
+    // every document arrives TWICE in separate micro-batches; the
+    // streaming dedup state must collapse the second arrival
+    val q = Streaming.runToMemory(
+      Streaming.curationStream(Streaming.documentsStream(spark, sf, copies = 2)),
+      "curated_docs", mode = "append")
+    val got = spark.table("curated_docs")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    // localCheckpoint: ExceptAll's sum-tag rewrite mis-binds through a
+    // Deduplicate child (Spark optimizer edge case) — materialize first
+    val want = Tables.documents(spark, sf)
+      .withColumn("toks", toks)
+      .filter(ops.Clean.qualityKeep(col("toks")))
+      .withColumn("fp", ops.Clean.fingerprint(col("toks")))
+      .drop("toks")
+      .dropDuplicates("fp")
+      .localCheckpoint()
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(want.select("doc_id", "lang", "fp").exceptAll(
+      got.select("doc_id", "lang", "fp")).isEmpty)
+    q.stop()
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

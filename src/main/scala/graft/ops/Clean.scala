@@ -538,7 +538,45 @@ object Clean {
       .orderBy("lang", "rk")
   }
 
+  /** q79 — per-domain cap: extract the host from each document's URL
+    * and keep at most 3 docs per host in doc_id order — the crawl-
+    * curation rule that stops any one domain from dominating the
+    * corpus. (URLs are synthesized from source+doc_id — the documents
+    * table has none — so the operator under test is host extraction +
+    * the capped rank, one regex projection and one shuffle keyed by
+    * host.) */
+  val q79DomainCap: Q = Q(
+    "q79_domain_cap",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' || source || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u
+       |), r AS (
+       |  SELECT doc_id, host,
+       |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+       |  FROM h
+       |)
+       |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk,
+       |  CASE WHEN rk <= 3 THEN 1 ELSE 0 END AS kept
+       |FROM r ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("host"), col("rk"),
+        when(col("rk") <= 3, 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
-    q75Tfidf, q76DocPacking, q77MixtureRebalance, q78BottomkSample)
+    q75Tfidf, q76DocPacking, q77MixtureRebalance, q78BottomkSample,
+    q79DomainCap)
 }

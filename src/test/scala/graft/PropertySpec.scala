@@ -40,6 +40,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native hash expressions equal their column spellings on arbitrary unicode input") {
+    // unicode-heavy strings plus nulls/empties — the adversarial cases
+    // for the fused md5 paths (multi-byte UTF-8, empty shingles)
+    val uniToken: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("é", "ß", "中文", "🙂", "a b", ""),
+      Gen.const(null: String))
+    val arrays = samples(Gen.listOf(uniToken).map(_.take(12)), 60)
+    val df = arrays.toDF("toks").select(
+      tokenShingleHashes(col("toks")).as("sh_native"),
+      shingleHashes(shingles(col("toks"), 5)).as("sh_cols"),
+      org.apache.spark.sql.graft.PlanShim.column(
+        graft.plans.MinHashSig(
+          org.apache.spark.sql.graft.PlanShim.expression(col("toks")))).as("mh_native"),
+      minhashSigFromHashes(shingleHashes(shingles(col("toks"), 5)), 16).as("mh_cols"),
+      transform(col("toks"), t => hex32(t)).as("hx_native"),
+      transform(col("toks"), t =>
+        conv(substring(md5(t.cast("string")), 1, 8), 16, 10).cast("long")).as("hx_spelled"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingle hashes diverge: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"minhash diverges: $r")
+      assert(r.getSeq[Any](4) == r.getSeq[Any](5), s"hex32 diverges: $r")
+    }
+  }
+
   test("jaccardPpm is symmetric and within [0, 1e6]") {
     val words = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.take(12))
     val pairs = samples(Gen.zip(words, words), 50)

@@ -49,19 +49,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graft_hex32 equals the conv(substring(md5)) spelling on real text") {
+    // the spelled side stays STRING-typed so Hex32Rewrite (which only
+    // matches the long-cast form) can't rewrite the reference column
+    // out from under the comparison
     val both = Tables.documents(spark, sf)
-      .select(hex32(col("text")).as("native"),
-        conv(substring(md5(col("text").cast("string")), 1, 8), 16, 10)
-          .cast("long").as("spelled"),
-        hex32(col("doc_id")).as("nonstring"),
+      .select(hex32(col("text")).cast("string").as("native"),
+        conv(substring(md5(col("text").cast("string")), 1, 8), 16, 10).as("spelled"),
+        hex32(col("doc_id")).cast("string").as("nonstring"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").as("nonstring_spelled"))
+          .as("nonstring_spelled"))
     assert(both.filter(col("native") =!= col("spelled")
       || col("nonstring") =!= col("nonstring_spelled")).count() == 0)
     // null in -> null out; empty string hashes like md5('')
     val edge = spark.sql(
       "SELECT graft_hex32(CAST(NULL AS STRING)) AS n, graft_hex32('') AS e").head
     assert(edge.isNullAt(0) && edge.getLong(1) == java.lang.Long.parseLong("d41d8cd9", 16))
+  }
+
+  test("Hex32Rewrite rule: the portable long-cast spelling optimizes to graft_hex32") {
+    val df = spark.sql(
+      "SELECT CAST(conv(substring(md5(CAST(id AS STRING)),1,8),16,10) AS BIGINT) AS h FROM range(10)")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_hex32"), s"rule did not fire:\n$optimized")
+    // and the rewritten plan still computes the md5 fold
+    assert(df.collect().map(_.getLong(0)).min >= 0)
   }
 
   test("graft_shingle_hashes is bit-identical to shingleHashes(shingles(toks,5))") {

@@ -55,9 +55,11 @@ class PropertySpec extends SparkSpec {
         graft.plans.MinHashSig(
           org.apache.spark.sql.graft.PlanShim.expression(col("toks")))).as("mh_native"),
       minhashSigFromHashes(shingleHashes(shingles(col("toks"), 5)), 16).as("mh_cols"),
-      transform(col("toks"), t => hex32(t)).as("hx_native"),
+      // string-typed spelled side: Hex32Rewrite only matches the
+      // long-cast form, so the reference column stays un-rewritten
+      transform(col("toks"), t => hex32(t).cast("string")).as("hx_native"),
       transform(col("toks"), t =>
-        conv(substring(md5(t.cast("string")), 1, 8), 16, 10).cast("long")).as("hx_spelled"))
+        conv(substring(md5(t.cast("string")), 1, 8), 16, 10)).as("hx_spelled"))
     df.collect().foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingle hashes diverge: $r")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"minhash diverges: $r")

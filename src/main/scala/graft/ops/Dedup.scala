@@ -316,15 +316,29 @@ object Dedup {
     val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
-    var labels = corpus(s, d)
-      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
-      .localCheckpoint()
+    val nodes = corpus(s, d).select(col("doc_id").as("id"))
+    connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        when(col("comp") === col("id"), 1).otherwise(0).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components by min-label propagation WITH
+    * pointer jumping: each round takes the min over neighbors' labels,
+    * then shortcuts comp := label(comp), so rounds grow as
+    * O(log diameter) — a million-node chain converges in ~20 rounds
+    * where plain propagation needs a million. `edges` must be
+    * SYMMETRIC (both directions present); labels are node ids and the
+    * component label is the component's minimum id. Convergence is
+    * detected by the label sum (labels only decrease, so an unchanged
+    * sum IS the fixpoint — one scalar aggregate per round instead of a
+    * join-diff); hitting the round cap without converging throws
+    * rather than silently emitting wrong labels. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var rounds = 0
-    val maxRounds = 50
-    // labels only ever decrease (min-propagation), so the label SUM is
-    // strictly decreasing until the fixpoint: comparing sums replaces a
-    // whole-table join-diff per round with one scalar aggregate.
     var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
@@ -332,10 +346,9 @@ object Dedup {
         .groupBy(col("b")).agg(min(col("comp")).as("nmin"))
       val propagated = labels.join(neighborMin, col("id") === col("b"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jumping: comp := label(comp). Every comp value is itself a
-      // node id (min over ids seen), so the self-join shortcuts each label
-      // to its label's label, halving the remaining hop distance to the
-      // component minimum — O(log diameter) rounds instead of O(diameter).
+      // pointer jumping: every comp value is itself a node id (min over
+      // ids seen), so the self-join shortcuts each label to its label's
+      // label, halving the remaining hop distance to the component min
       val next = propagated.as("l")
         .join(propagated.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
           col("l.comp") === col("p.pid"))
@@ -347,14 +360,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    // With pointer jumping 50 rounds covers diameters up to ~2^50; if we
-    // still haven't converged something is wrong — fail loudly rather than
-    // silently emitting unconverged component labels.
     if (!converged) throw new IllegalStateException(
       s"connected-components did not converge after $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("comp").as("component"),
-      when(col("comp") === col("id"), 1).otherwise(0).as("is_canonical"))
-      .orderBy("doc_id")
+    labels
   }
 
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the distributed connected-components resolver — in
+  * particular the pointer-jumping behavior the oracle data (small
+  * near-dup clusters) can't exercise: a long-chain graph whose diameter
+  * far exceeds what plain min-propagation could close within the round
+  * cap. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents closes a 300-node chain (pointer jumping, O(log d) rounds)") {
+    // chain 0-1-2-...-299: diameter 299 >> 50 rounds of plain
+    // propagation; pointer jumping must converge well inside the cap
+    val n = 300
+    val nodes = (0L until n.toLong).toDF("id")
+    val oneWay = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val edges = oneWay.unionByName(oneWay.select(col("b").as("a"), col("a").as("b")))
+    val labels = ops.Dedup.connectedComponents(nodes, edges).collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getLong(1) == 0L), "every chain node must label to min id 0")
+  }
+
+  test("connectedComponents separates components and keeps singletons") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val edges = oneWay.unionByName(oneWay.select(col("b").as("a"), col("a").as("b")))
+    val got = ops.Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+}

@@ -29,6 +29,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("compaction collapses a fragmented table without changing its rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    docs.repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected a fragmented table, got $before files")
+    val after = sources.Maintenance.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(after < before / 4, s"compaction left $after of $before files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

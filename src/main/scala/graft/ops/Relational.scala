@@ -393,6 +393,28 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** The SQL text surface: the same engine capabilities driven through
+    * `spark.sql` over registered temp views — a monthly revenue report
+    * joining orders to lineitem. Catalyst plans SQL text and DataFrame
+    * code identically, so everything proven elsewhere (pushdown,
+    * partial aggregation, the DOUBLE output boundary) holds here. */
+  val q80SqlSurface: Q = Q(
+    "q80_sql_surface",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,
+             COUNT(DISTINCT o_orderkey) AS n_orders,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""")
+  }
+
   /** F10 — ordinal formatting over a generated integer range (reproduces the
     * reference's 10..20 → "th" quirk). */
   val q17Ordinal: Q = Q(
@@ -470,5 +492,5 @@ object Relational {
     q05DedupAudit, q06UnionLineage, q07TopkPerGroup, q08StringFuncs,
     q09NoticeTypeMap, q10CtypeMap, q11ArrayHof, q12MonthSeq, q13Rollup,
     q14HourlyEvents, q15JsonExtract, q16RegexpDate, q17Ordinal,
-    q18SetOps, q19SemiAnti, q20HavingAgg)
+    q18SetOps, q19SemiAnti, q20HavingAgg, q80SqlSurface)
 }

@@ -102,7 +102,8 @@ object Dedup {
 
   private val DBands =
     s"""sigs AS (
-       |  SELECT doc_id, sh, $DSig AS sig FROM (SELECT doc_id, $DSh AS sh FROM corpus)
+       |  SELECT doc_id, sh, list_distinct(list_transform(sh, s -> $DHex32)) AS hs, $DSig AS sig
+       |  FROM (SELECT doc_id, $DSh AS sh FROM corpus)
        |), bands AS (
        |  SELECT doc_id, md5(concat_ws('_', b, sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])) AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0,4)) AS b)
@@ -192,11 +193,11 @@ object Dedup {
     "q29_jaccard_verify",
     s"""WITH $DCorpus, $DBands
        |SELECT doc_a, doc_b,
-       |  CASE WHEN len(list_distinct(sx.sh || sy.sh)) = 0 THEN 0
-       |       ELSE CAST(FLOOR(CAST(len(list_intersect(sx.sh, sy.sh)) AS BIGINT)*1000000
-       |                 / len(list_distinct(sx.sh || sy.sh))) AS BIGINT) END AS jac_ppm,
-       |  CASE WHEN len(list_distinct(sx.sh || sy.sh)) > 0
-       |        AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |  CASE WHEN len(list_distinct(sx.hs || sy.hs)) = 0 THEN 0
+       |       ELSE CAST(FLOOR(CAST(len(list_intersect(sx.hs, sy.hs)) AS BIGINT)*1000000
+       |                 / len(list_distinct(sx.hs || sy.hs))) AS BIGINT) END AS jac_ppm,
+       |  CASE WHEN len(list_distinct(sx.hs || sy.hs)) > 0
+       |        AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
        |       THEN 1 ELSE 0 END AS is_dup
        |FROM cand
        |JOIN sigs sx ON sx.doc_id = doc_a
@@ -207,8 +208,11 @@ object Dedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // distinct 5-shingle HASH sets (fused native path): the verify
+    // joins ship long arrays instead of shingle strings, and intersect
+    // compares 8-byte values — same counts, both engines hash identically
     val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
       .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
@@ -231,8 +235,8 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM cand
        |  JOIN sigs sx ON sx.doc_id = doc_a
        |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.sh || sy.sh)) > 0
-       |    AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
        |)
        |SELECT c.doc_id,
        |  least(c.doc_id, COALESCE(MIN(v.doc_a), c.doc_id)) AS canonical,
@@ -245,8 +249,11 @@ object Dedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // distinct 5-shingle HASH sets (fused native path): the verify
+    // joins ship long arrays instead of shingle strings, and intersect
+    // compares 8-byte values — same counts, both engines hash identically
     val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
       .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
@@ -284,8 +291,8 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM cand
        |  JOIN sigs sx ON sx.doc_id = doc_a
        |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.sh || sy.sh)) > 0
-       |    AND len(list_intersect(sx.sh, sy.sh))*1000000 >= 700000*len(list_distinct(sx.sh || sy.sh))
+       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
        |), edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  UNION ALL SELECT doc_b, doc_a FROM verified
@@ -303,8 +310,11 @@ object Dedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // distinct 5-shingle HASH sets (fused native path): the verify
+    // joins ship long arrays instead of shingle strings, and intersect
+    // compares 8-byte values — same counts, both engines hash identically
     val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("toks"), 5).as("sh"))
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
       .localCheckpoint()
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")

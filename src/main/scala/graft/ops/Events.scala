@@ -218,6 +218,42 @@ object Events {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** q81 — the SAME as-of semantics as q40, on the custom AsofJoinExec
+    * (plans.AsofJoin): both sides co-partitioned on user and sorted by
+    * (user, time), then ONE forward merge pass per partition carrying a
+    * single last-match row. The q40 window spelling shuffles purchases
+    * AND views into one combined sort; this shuffles each side once on
+    * its own (smaller) table, never re-sorts the union, and the sorts
+    * come free from a bucketed+sorted layout at scale. DuckDB verifies
+    * with its native ASOF JOIN — same oracle as q40. */
+  val q81AsofOperator: Q = Q(
+    "q81_asof_operator",
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  p.us//1000000 AS purchase_sec,
+      |  v.us//1000000 AS last_view_sec,
+      |  (p.us - v.us)//1000000 AS gap_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+      |ORDER BY p.event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    graft.plans.AsofJoin(p, v, "user_id", "v_user", "us", "v_us")
+      .select(col("event_id"), col("user_id"),
+        floor(col("us") / 1000000L).as("purchase_sec"),
+        floor(col("v_us") / 1000000L).as("last_view_sec"),
+        floor((col("us") - col("v_us")) / 1000000L).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
-    q41SessionWindow)
+    q41SessionWindow, q81AsofOperator)
 }

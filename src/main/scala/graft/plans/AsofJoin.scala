@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator extension: AS-OF LEFT JOIN — for every left row,
+  * attach the single right row with the greatest right-time at or
+  * before the left row's time, within the same key. Spark has no
+  * native as-of join; the relational spellings are either an
+  * inequality join (O(pairs) blowup) or a union + carry-forward window
+  * (one shuffle of BOTH tables into one sort — the q40 spelling).
+  *
+  * This operator instead asks EnsureRequirements for the two sides
+  * co-partitioned on their keys and sorted by (key, time) — the
+  * sort-merge-join layout — then streams BOTH sorted sides once per
+  * partition with a single carried "last match" row: O(|L|+|R|) per
+  * partition, no pair expansion, no combined re-sort of the union, and
+  * each side's sort can be satisfied for free by an already-bucketed /
+  * sorted table. Time columns must be LongType (the engine's integer
+  * micros convention, which is also what keeps the oracle bit-exact).
+  *
+  * Null semantics: a null left time matches nothing; null right times
+  * never match. Unmatched left rows join a null right side (LEFT join).
+  */
+case class AsofJoinPlan(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of join requires LongType time columns (integer micros)")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Both sides clustered on their keys (co-partitioned by
+    * EnsureRequirements, like a sort-merge join)... */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** ...and sorted by (key, time) so one forward pass suffices. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      // ordering over the PROJECTED key rows (same schema both sides)
+      val keyOrdering = GenerateOrdering.generate(
+        lKeys.zipWithIndex.map { case (k, i) =>
+          SortOrder(BoundReference(i, k.dataType, k.nullable), Ascending)
+        })
+      val lTimeBound = BindReferences.bindReference(lTime, lOut)
+      val rTimeBound = BindReferences.bindReference(rTime, rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // last right row whose (key, time) qualified, and the key it
+      // belongs to — both copied (iterator rows are reused buffers)
+      var lastMatch: InternalRow = null
+      var lastMatchKey: UnsafeRow = null
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lt = lTimeBound.eval(lRow)
+        if (lt != null) {
+          val ltv = lt.asInstanceOf[Long]
+          // consume right rows that can never match a LATER left row:
+          // smaller keys, or same key with time at-or-before ltv
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrdering.compare(rKey, lKey)
+            if (c < 0) {
+              rBuf.next()
+              // a right row for an earlier key invalidates nothing of
+              // ours but its own stale match is dropped below via key check
+            } else if (c == 0) {
+              val rt = rTimeBound.eval(rBuf.head)
+              if (rt != null && rt.asInstanceOf[Long] <= ltv) {
+                lastMatch = rBuf.next().copy()
+                lastMatchKey = lKey.copy()
+              } else if (rt == null) {
+                rBuf.next() // null right time never matches anything
+              } else {
+                advancing = false
+              }
+            } else {
+              advancing = false
+            }
+          }
+        }
+        val matched = lastMatch != null && lastMatchKey != null &&
+          keyOrdering.compare(lastMatchKey, lKey) == 0 && lt != null
+        joined(lRow, if (matched) lastMatch else nullRight)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: lower the logical as-of join to the merge exec. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(lk, rk, lt, rt, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Name-based public API: as-of LEFT join `left` to `right` on
+  * `left.leftKey == right.rightKey` and the greatest
+  * `right.rightTime <= left.leftTime`. Column names of the two sides
+  * must not collide (alias the right side first). */
+object AsofJoin {
+  import org.apache.spark.sql.DataFrame
+
+  def apply(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graft.PlanShim.ofRows(left.sparkSession,
+      AsofJoinPlan(Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime), lPlan, rPlan))
+  }
+}

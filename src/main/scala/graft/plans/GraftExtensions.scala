@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HammingDistance(args.head, args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => Hex32Rewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),

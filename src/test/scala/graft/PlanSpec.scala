@@ -116,6 +116,24 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_minhash") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
   }
 
+  test("AsofJoin plans as the merge exec over two sorted exchanges and equals the window spelling") {
+    val q81 = ops.Events.q81AsofOperator.fn(spark, sf)
+    val plan = q81.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(user_id") &&
+      plan.contains("Exchange hashpartitioning(v_user"),
+      s"both sides must cluster on their key:\n$plan")
+    // exact same rows as the union+window spelling (q40)
+    val q40 = ops.Events.q40AsofJoin.fn(spark, sf)
+    assert(q40.exceptAll(q81).isEmpty && q81.exceptAll(q40).isEmpty)
+    // unmatched left rows survive with null right side (LEFT semantics):
+    // every purchase appears exactly once
+    import org.apache.spark.sql.functions.col
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(q81.count() == nPurchases)
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -198,6 +198,52 @@ object Analytics {
       .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
   }
 
+  /** q82 — KMV (k-minimum-values) distinct-count sketch via the typed
+    * bounded-state Aggregator (functions.KmvAgg): per language, the 64
+    * smallest distinct token hashes; estimate (k-1)*2^32/v_k, exact
+    * when fewer than k distinct values exist. Unlike q50's HLL
+    * (rows-only by design), KMV is deterministic given the hash, so
+    * the SKETCH STATE ITSELF hash-matches the DuckDB oracle — an
+    * auditable sketch. Map-side partials ship at most 64 longs per
+    * (lang, partition); the exact countDistinct rides the same shuffle
+    * for the error report. */
+  val q82KmvSketch: Q = Q(
+    "q82_kmv_sketch",
+    """WITH tok AS (
+      |  SELECT DISTINCT lang, CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) AS h
+      |  FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |        FROM documents)
+      |), r AS (
+      |  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_distinct
+      |  FROM tok
+      |), kmv AS (
+      |  SELECT lang, MAX(h) AS vk, COUNT(*) AS k, MAX(n_distinct) AS n_distinct
+      |  FROM r WHERE rk <= 64 GROUP BY lang
+      |)
+      |SELECT lang, CAST(k AS BIGINT) AS k, vk, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CASE WHEN k < 64 THEN CAST(n_distinct AS BIGINT)
+      |       WHEN vk = 0 THEN 0
+      |       ELSE CAST(FLOOR((k-1)*4294967296/vk) AS BIGINT) END AS est_distinct
+      |FROM kmv ORDER BY lang""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val kmv = udaf(new graft.functions.KmvAgg(64))
+    graft.Q.stageBarrier(Tables.documents(s, d))
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .select(col("lang"), hex32(col("t")).as("h"))
+      .groupBy("lang")
+      .agg(kmv(col("h")).as("mins"), countDistinct(col("h")).as("n_distinct"))
+      .select(col("lang"),
+        size(col("mins")).cast("long").as("k"),
+        element_at(col("mins"), size(col("mins"))).as("vk"),
+        col("n_distinct"),
+        when(size(col("mins")) < 64, col("n_distinct"))
+          .when(element_at(col("mins"), size(col("mins"))) === 0, 0L)
+          .otherwise(floor((size(col("mins")).cast("long") - 1) * 4294967296L
+            / element_at(col("mins"), size(col("mins"))))).as("est_distinct"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
-    q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator)
+    q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch)
 }

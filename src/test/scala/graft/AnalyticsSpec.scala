@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
   * configured 2% target rsd. */
 class AnalyticsSpec extends SparkSpec {
 
+  test("KMV sketch: estimate within 30% of exact, state independent of partitioning") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q82KmvSketch.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_distinct").toDouble
+      val est = r.getAs[Long]("est_distinct").toDouble
+      // k=64 -> rsd ~ 1/sqrt(62) ~ 13%; 30% is a safe determinism-free bound
+      assert(math.abs(est - exact) / exact <= 0.30,
+        s"lang=${r.getString(0)} exact=$exact est=$est")
+    }
+    // partial merges commute: any partitioning yields the same k minima
+    val kmv = udaf(new functions.KmvAgg(8))
+    val hs = (1L to 500L).map(i => (i % 3, i * 2654435761L % 4294967296L))
+    import spark.implicits._
+    val base = hs.toDF("g", "h")
+    val a = base.repartition(1).groupBy("g").agg(kmv(col("h")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = base.repartition(17).groupBy("g").agg(kmv(col("h")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    a.values.foreach(m => assert(m.length == 8 && m == m.sorted && m.distinct == m))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val rows = ops.Analytics.q50Sketch.fn(spark, sf).collect()
     assert(rows.nonEmpty)

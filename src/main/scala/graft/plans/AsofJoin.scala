@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.LongType
   * micros convention, which is also what keeps the oracle bit-exact).
   *
   * Null semantics: a null left time matches nothing; null right times
-  * never match. Unmatched left rows join a null right side (LEFT join).
+  * never match; a null in either side's join key never matches (SQL
+  * join semantics — unlike a raw ordering compare, where null == null).
+  * Unmatched left rows join a null right side (LEFT join).
   */
 case class AsofJoinPlan(
     leftKeys: Seq[Expression],
@@ -76,6 +78,7 @@ case class AsofJoinExec(
     val rTime = rightTime
     val lOut = left.output
     val rOut = right.output
+    val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -88,6 +91,13 @@ case class AsofJoinExec(
       val rTimeBound = BindReferences.bindReference(rTime, rOut)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // execute() must emit UnsafeRow (getByteArrayRdd / sorters cast):
+      // project the JoinedRow through a result projection like Spark's
+      // own join execs do. Bound against `output` (right side nullable —
+      // unmatched rows carry the all-null GenericInternalRow). The
+      // projection reuses one buffer per call — the standard contract;
+      // buffering consumers copy().
+      val resultProj = UnsafeProjection.create(out, out)
       val rBuf = rIter.buffered
       // last right row whose (key, time) qualified, and the key it
       // belongs to — both copied (iterator rows are reused buffers)
@@ -95,8 +105,9 @@ case class AsofJoinExec(
       var lastMatchKey: UnsafeRow = null
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
+        val lKeyHasNull = lKey.anyNull
         val lt = lTimeBound.eval(lRow)
-        if (lt != null) {
+        if (lt != null && !lKeyHasNull) {
           val ltv = lt.asInstanceOf[Long]
           // consume right rows that can never match a LATER left row:
           // smaller keys, or same key with time at-or-before ltv
@@ -110,7 +121,10 @@ case class AsofJoinExec(
               // ours but its own stale match is dropped below via key check
             } else if (c == 0) {
               val rt = rTimeBound.eval(rBuf.head)
-              if (rt != null && rt.asInstanceOf[Long] <= ltv) {
+              if (rKey.anyNull) {
+                // null keys sort together but never join-match (SQL)
+                rBuf.next()
+              } else if (rt != null && rt.asInstanceOf[Long] <= ltv) {
                 lastMatch = rBuf.next().copy()
                 lastMatchKey = lKey.copy()
               } else if (rt == null) {
@@ -124,8 +138,9 @@ case class AsofJoinExec(
           }
         }
         val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrdering.compare(lastMatchKey, lKey) == 0 && lt != null
-        joined(lRow, if (matched) lastMatch else nullRight)
+          lt != null && !lKeyHasNull &&
+          keyOrdering.compare(lastMatchKey, lKey) == 0
+        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
   }

@@ -123,10 +123,11 @@ object ContractsFinder {
     withPkg.select(
       col("uri"), col("csv_file"), col("row_index"), col("file_date"),
       // the reference's identification uri: `top_uri or uri` (2a:501) —
-      // Python-falsy, so an EMPTY package uri also falls back to the
-      // fetched uri (coalesce would keep the ""); null trim-length is
-      // null → otherwise branch, covering the missing-field case too
-      when(length(trim(pkg.getField("uri"))) > 0, pkg.getField("uri"))
+      // Python-falsy, so only an EMPTY ("") or missing package uri falls
+      // back to the fetched uri (coalesce would keep the ""). No trim:
+      // Python treats a whitespace-only string as truthy and keeps it.
+      // Null length is null → otherwise branch covers the missing field.
+      when(length(pkg.getField("uri")) > 0, pkg.getField("uri"))
         .otherwise(col("uri")).as("package_uri"),
       when(col("status") === "ok" && !parsed, "fetch_failed_or_invalid_json")
         .otherwise(col("status")).as("status"),

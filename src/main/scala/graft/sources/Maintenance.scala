@@ -3,48 +3,117 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Table maintenance for the parquet-canonical layout: small-files
   * compaction. Incremental ingest (per-batch dynamic-partition writes,
   * streaming micro-batches) accretes many small files; scans then pay
   * per-file open cost and lose row-group-sized reads. `compact`
-  * rewrites a directory into ~`targetBytes`-sized files: read, round-
-  * robin repartition to ceil(inputBytes / targetBytes) partitions,
-  * write to a staging directory, atomically swap. On a cluster the
-  * swap is a filesystem rename against the table root (or a metastore
-  * location flip); the read-repartition-write core is identical.
+  * rewrites a directory into ~`targetBytes`-sized files. Hive-style
+  * partition directories (`col=value`) are detected and carried
+  * through the rewrite (`partitionBy` on the same columns), so the
+  * on-disk layout — and partition pruning — is preserved.
+  *
+  * Crash-recovery contract: the swap is two renames
+  * (`dir` → `dir_precompact`, then `dir_compacting` → `dir`), so a
+  * crash between them leaves no `dir` — but the data is intact in
+  * `dir_precompact`, and the next `compact` (or an explicit
+  * [[recover]]) restores it before doing anything else. The
+  * `_precompact` backup is deleted only AFTER the new directory is
+  * validated (non-empty parquet listing); any failure before that
+  * point leaves a recoverable state. On a cluster the same protocol
+  * runs against the table root via filesystem rename (or a metastore
+  * location flip, which is truly atomic).
   */
 object Maintenance {
 
   /** Returns the number of output files written. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    recover(dir) // restore a prior crashed swap before touching anything
     val root = Paths.get(dir)
     val inputBytes = listFiles(root).map(Files.size(_)).sum
     val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val partCols = partitionColumns(root)
     val staging = Paths.get(dir + "_compacting")
     deleteRecursively(staging)
-    spark.read.parquet(dir)
-      .repartition(nParts)
-      .write.parquet(staging.toString)
+    val df = spark.read.parquet(dir)
+    // partitioned table: cluster by the partition columns so each
+    // output task writes whole partition dirs (≈1 file per value);
+    // unpartitioned: plain round-robin into size-targeted files
+    val repartitioned =
+      if (partCols.nonEmpty) df.repartition(nParts, partCols.map(col): _*)
+      else df.repartition(nParts)
+    val writer = repartitioned.write
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(staging.toString)
+    require(countParquet(staging) > 0, s"compaction wrote no files to $staging")
     val old = Paths.get(dir + "_precompact")
     deleteRecursively(old)
     Files.move(root, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
+    // validate the new root before dropping the backup
+    val n = countParquet(root)
+    require(n > 0, s"compacted table $dir lists no parquet files; " +
+      s"backup retained at $old")
     deleteRecursively(old)
-    listFiles(root).count(_.toString.endsWith(".parquet"))
+    n
+  }
+
+  /** Restore `dir` from `dir_precompact` after a crash between the two
+    * swap renames. Returns true if a restore happened. No-op when `dir`
+    * exists (a surviving `_precompact` is then just a stale backup from
+    * a run that crashed after the second rename — left for the next
+    * compact to clear). */
+  def recover(dir: String): Boolean = {
+    val root = Paths.get(dir)
+    val backup = Paths.get(dir + "_precompact")
+    if (!Files.exists(root) && Files.exists(backup)) {
+      Files.move(backup, root, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } else false
+  }
+
+  /** Hive-style partition columns, outermost first, read off the
+    * directory structure (`a=1/b=2/part-...parquet` → Seq(a, b)). */
+  private def partitionColumns(root: Path): Seq[String] = {
+    @annotation.tailrec
+    def loop(p: Path, acc: Vector[String]): Vector[String] = {
+      val sub = listDir(p).filter(d =>
+        Files.isDirectory(d) && d.getFileName.toString.contains("="))
+      sub.headOption match {
+        case Some(d) => loop(d, acc :+ d.getFileName.toString.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    if (Files.exists(root)) loop(root, Vector.empty) else Seq.empty
+  }
+
+  private def countParquet(p: Path): Int =
+    listFiles(p).count(_.toString.endsWith(".parquet"))
+
+  private def listDir(p: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   private def listFiles(p: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(p)) Seq.empty
-    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally s.close()
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.delete)
     }
   }
 }

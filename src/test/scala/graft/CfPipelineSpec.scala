@@ -85,4 +85,21 @@ class CfPipelineSpec extends SparkSpec {
     assert(csvBack.count() == 7)
     assert(csvBack.columns.contains("ocid"))
   }
+
+  test("package uri fallback is Python-falsy: whitespace-only is truthy and kept") {
+    import spark.implicits._
+    val enriched = Seq(
+      ("http://x/ws", "f.csv", 0, "2024-03-01", "ok",
+        """{"uri":"  ","releases":[{"ocid":"w"}]}"""),
+      ("http://x/empty", "f.csv", 1, "2024-03-01", "ok",
+        """{"uri":"","releases":[{"ocid":"e"}]}"""),
+      ("http://x/missing", "f.csv", 2, "2024-03-01", "ok",
+        """{"releases":[{"ocid":"m"}]}"""))
+      .toDF("uri", "csv_file", "row_index", "file_date", "status", "body")
+    val m = ContractsFinder.flatten(enriched).collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[String]("package_uri")).toMap
+    assert(m("http://x/ws") == "  ") // `"  " or uri` keeps the whitespace
+    assert(m("http://x/empty") == "http://x/empty") // `"" or uri` falls back
+    assert(m("http://x/missing") == "http://x/missing") // missing key → None → uri
+  }
 }

@@ -134,6 +134,25 @@ class PlanSpec extends SparkSpec {
     assert(q81.count() == nPurchases)
   }
 
+  test("AsofJoin emits UnsafeRows (bare collect + sort above) and null keys never match") {
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1), ("a", 20L, 2), ("b", 5L, 3), (null: String, 10L, 4))
+      .toDF("k", "t", "lid")
+    val r = Seq(("a", 5L, 100), ("a", 15L, 200), ("c", 1L, 300), (null: String, 1L, 400))
+      .toDF("rk", "rt", "rid")
+    val j = graft.plans.AsofJoin(l, r, "k", "rk", "t", "rt")
+    // bare collect: no ProjectExec above the exec → getByteArrayRdd
+    // consumes the operator's own output rows (must be UnsafeRow)
+    val byId = j.collect().map(x =>
+      x.getAs[Int]("lid") -> Option(x.getAs[Any]("rid"))).toMap
+    assert(byId == Map(1 -> Some(100), 2 -> Some(200), 3 -> None,
+      4 -> None)) // lid 4: null key must NOT match the null-key right row
+    // a global sort directly above (UnsafeExternalRowSorter casts to
+    // UnsafeRow and BUFFERS rows — catches both convention violations)
+    val sorted = j.orderBy(desc("t"), asc("lid")).collect()
+    assert(sorted.map(_.getAs[Int]("lid")).toSeq == Seq(2, 1, 4, 3))
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -41,6 +41,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("compaction carries hive partition layout through and recovers a crashed swap") {
+    val dir = Files.createTempDirectory("graft-compact-p").toString + "/t"
+    docs.repartition(16).write.partitionBy("lang").parquet(dir)
+    // materialize pre-compaction rows: the swap deletes the files the
+    // lazy plan's snapshot points at
+    val before = spark.read.parquet(dir).localCheckpoint()
+    val beforeRows = before.count()
+    sources.Maintenance.compact(spark, dir, targetBytes = 512L * 1024)
+    // partition dirs survive the rewrite (pruning layout preserved)
+    val top = new java.io.File(dir).listFiles
+    assert(top.exists(f => f.isDirectory && f.getName.startsWith("lang=")),
+      s"partition dirs lost: ${top.map(_.getName).mkString(",")}")
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.toSeq == before.columns.sorted.toSeq)
+    assert(back.exceptAll(before).isEmpty && before.exceptAll(back).isEmpty)
+
+    // simulated crash between the two swap renames: table dir gone,
+    // data only in _precompact → recover restores it
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + "_precompact"))
+    assert(sources.Maintenance.recover(dir))
+    assert(spark.read.parquet(dir).count() == beforeRows)
+    assert(!sources.Maintenance.recover(dir)) // idempotent: no-op when dir exists
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

@@ -277,6 +277,51 @@ object Clean {
       .orderBy("corp_id", "bench_id")
   }
 
+  /** q83 — bloom-prefiltered decontamination: which corpus documents
+    * share ANY distinct 5-gram shingle hash with the benchmark set, and
+    * how many. Same contamination semantics family as q72, but the
+    * scale mechanism differs: instead of broadcasting the benchmark
+    * (doc, hash) pairs, the benchmark's distinct hashes are folded into
+    * a driver-built bloom filter (`df.stat.bloomFilter` — a treeAggregate
+    * of OR-able bitsets, so the result is partition-order independent).
+    * The corpus side then runs a NARROW mightContain prefilter — no
+    * shuffle, no broadcast hash relation, just a few-MB bitset per
+    * executor even when the benchmark has 1e9 n-grams — and only the
+    * tiny surviving fraction (true hits + ~fpp of the rest) pays the
+    * exact semi-join that removes false positives. The final answer is
+    * therefore EXACT (bloom only prunes), which is what keeps a
+    * probabilistic structure oracle-checkable. */
+  val q83BloomDecontam: Q = Q(
+    "q83_bloom_decontam",
+    s"""WITH ${Dedup.DCorpus},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(${Dedup.DSh}, s -> ${Dedup.DHex32})) AS hs
+       |  FROM (SELECT doc_id, toks FROM corpus)
+       |), ce AS (
+       |  SELECT doc_id AS corp_id, unnest(hs) AS h FROM hs WHERE doc_id < 1000000
+       |), bh AS (
+       |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id >= 2000000
+       |)
+       |SELECT corp_id, COUNT(*) AS n_hits
+       |FROM ce JOIN bh USING (h)
+       |GROUP BY corp_id
+       |ORDER BY corp_id""") { (s, d) =>
+    val hs = Dedup.corpus(s, d)
+      .select(col("doc_id"),
+        array_distinct(tokenShingleHashes(col("toks"))).as("hs"))
+      .localCheckpoint()
+    val ce = hs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("corp_id"), explode(col("hs")).as("h"))
+    val bh = hs.filter(col("doc_id") >= 2000000L)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), 0.01)
+    val mightContain = udf((h: Long) => bloom.mightContain(h))
+    ce.filter(mightContain(col("h")))          // narrow prefilter, no shuffle
+      .join(broadcast(bh), Seq("h"), "left_semi") // exact: kills bloom FPs
+      .groupBy("corp_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("corp_id")
+  }
+
   // ---- q73 / q74 shared sampling expressions ----
 
   /** Per-language keep rates, ppm of the md5 bucket space. */
@@ -578,5 +623,5 @@ object Clean {
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q78BottomkSample,
-    q79DomainCap)
+    q79DomainCap, q83BloomDecontam)
 }

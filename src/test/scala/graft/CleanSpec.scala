@@ -75,6 +75,33 @@ class CleanSpec extends SparkSpec {
     out.foreach { r => assert(r.getLong(3) <= r.getLong(1)) }
   }
 
+  test("q83: bloom prefilter is exact (equals the no-bloom spelling) and finds every leaked copy") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val out = ops.Clean.q83BloomDecontam.fn(spark, sf)
+    // exact spelling without the bloom: plain semi-join + count
+    val hs = ops.Dedup.corpus(spark, sf)
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("hs"))
+      .localCheckpoint()
+    val ce = hs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("corp_id"), explode(col("hs")).as("h"))
+    val bh = hs.filter(col("doc_id") >= 2000000L)
+      .select(explode(col("hs")).as("h")).distinct()
+    val exact = ce.join(bh, Seq("h"), "left_semi")
+      .groupBy("corp_id").agg(count(lit(1)).as("n_hits"))
+    assert(out.exceptAll(exact).isEmpty && exact.exceptAll(out).isEmpty)
+    // every doc with a synthesized benchmark copy (doc_id%7=0) must be
+    // flagged, and with ALL of its shingles shared
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaked = hs.filter(col("doc_id") < 1000000L && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(leaked.nonEmpty)
+    leaked.foreach { case (id, n) =>
+      assert(flagged.getOrElse(id, 0L) == n, s"doc $id: expected all $n shingles shared")
+    }
+  }
+
   test("q74: funnel stage counts are monotonically non-increasing") {
     val stages = ops.Clean.q74CurationFunnel.fn(spark, sf)
       .orderBy("stage").select("n_docs").collect().map(_.getLong(0)).toSeq

@@ -66,6 +66,26 @@ class SourcesSpec extends SparkSpec {
     assert(!sources.Maintenance.recover(dir)) // idempotent: no-op when dir exists
   }
 
+  test("bucketed tables sort-merge join with no exchange on either side") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    sources.Bucketing.writeBucketed(o, "orders_bkt", Seq("o_orderkey"), 8)
+    sources.Bucketing.writeBucketed(l, "lineitem_bkt", Seq("l_orderkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and the result is the same as the shuffled spelling
+      assert(j.count() == o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Table maintenance for the parquet-canonical layout: small-files
@@ -58,6 +58,68 @@ object Maintenance {
       s"backup retained at $old")
     deleteRecursively(old)
     n
+  }
+
+  /** MERGE-style upsert on a plain parquet table (the Delta-less
+    * spelling of `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    * INSERT`): rows of `updates` replace target rows with the same
+    * key, other target rows survive, new keys append. The rewrite is
+    * `updates ∪ (target ⟕anti updates)` — one shuffle keyed on the
+    * upsert key (and the anti-join broadcasts when `updates` is small,
+    * the common incremental-batch case) — then the same validated
+    * crash-recoverable swap as [[compact]]. Rewriting the full table
+    * is the honest cost of keyed mutation on immutable files; at scale
+    * you bound it by partitioning the table so only touched partitions
+    * rewrite. Returns the new row count. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    recover(dir)
+    val target = spark.read.parquet(dir)
+    require(keys.forall(target.columns.contains),
+      s"key columns $keys must exist in the target table")
+    val merged = updates.unionByName(
+      target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+    swapIn(spark, dir, merged)
+    spark.read.parquet(dir).count()
+  }
+
+  /** Range-cluster a table on `cols` so parquet row-group min/max
+    * statistics become selective: a repartitionByRange + in-partition
+    * sort gives each output file a disjoint value range, and scans
+    * with a predicate on the clustering columns skip whole row groups
+    * (the single-dimension core of what Delta/Iceberg call Z-ordering
+    * — for one clustering key, range-clustering IS the optimal
+    * layout). Same validated crash-recoverable swap as [[compact]]. */
+  def cluster(spark: SparkSession, dir: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(cols.nonEmpty, "clustering needs at least one column")
+    recover(dir)
+    val root = Paths.get(dir)
+    val inputBytes = listFiles(root).map(Files.size(_)).sum
+    val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val clustered = spark.read.parquet(dir)
+      .repartitionByRange(nParts, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    swapIn(spark, dir, clustered)
+    countParquet(root)
+  }
+
+  /** Write `df` to `dir_compacting`, validate, then swap it in as
+    * `dir` with the [[recover]]-able two-rename protocol. */
+  private def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val root = Paths.get(dir)
+    val staging = Paths.get(dir + "_compacting")
+    deleteRecursively(staging)
+    df.write.parquet(staging.toString)
+    require(countParquet(staging) > 0, s"rewrite wrote no files to $staging")
+    val old = Paths.get(dir + "_precompact")
+    deleteRecursively(old)
+    Files.move(root, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
+    require(countParquet(root) > 0,
+      s"swapped table $dir lists no parquet files; backup retained at $old")
+    deleteRecursively(old)
   }
 
   /** Restore `dir` from `dir_precompact` after a crash between the two

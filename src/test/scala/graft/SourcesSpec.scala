@@ -86,6 +86,55 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("upsert replaces matched keys, keeps the rest, appends new keys") {
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    docs.write.parquet(dir)
+    val total = docs.count()
+    // update 2 existing docs (new lang), insert 1 brand-new doc
+    val someIds = docs.orderBy("doc_id").limit(2)
+      .select("doc_id").collect().map(_.getLong(0))
+    val updates = docs.filter(col("doc_id").isin(someIds: _*))
+      .withColumn("lang", lit("xx"))
+      .unionByName(docs.limit(1).select(
+        (docs.columns.map {
+          case "doc_id" => (lit(999999999L)).as("doc_id")
+          case "lang" => lit("yy").as("lang")
+          case c => col(c)
+        }).toSeq: _*))
+    val n = sources.Maintenance.upsert(spark, dir, updates, Seq("doc_id"))
+    assert(n == total + 1)
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("doc_id").isin(someIds: _*) && col("lang") === "xx")
+      .count() == 2, "matched keys must take the update row")
+    assert(back.filter(col("doc_id") === 999999999L).count() == 1)
+    assert(back.filter(col("lang") === "xx" || col("doc_id") === 999999999L)
+      .count() == 3, "no other row may change")
+    assert(back.select("doc_id").distinct().count() == n)
+  }
+
+  test("range clustering makes row-group stats selective (scan skips most rows)") {
+    val dir = Files.createTempDirectory("graft-cluster").toString + "/t"
+    // shuffled layout first: every file spans the whole doc_id range
+    docs.repartition(8).write.parquet(dir)
+    val total = docs.count()
+    val lo = docs.agg(min("doc_id")).head.getLong(0)
+    def scannedRows(): Long = {
+      val q = spark.read.parquet(dir).filter(col("doc_id") <= lo + total / 20)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val before = scannedRows()
+    sources.Maintenance.cluster(spark, dir, Seq("doc_id"), targetBytes = 64L * 1024)
+    val after = scannedRows()
+    assert(before >= total,
+      s"pre-clustering the scan should read everything, read $before of $total")
+    assert(after <= total / 2,
+      s"post-clustering the scan must skip row groups: read $after of $total")
+    // rewrite is value-preserving
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

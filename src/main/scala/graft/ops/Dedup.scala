@@ -375,6 +375,51 @@ object Dedup {
     labels
   }
 
+  /** q84 — duplicated-span extraction (exact-substring dedup at span
+    * granularity): cut every document into fixed 16-token windows,
+    * fingerprint each window, and surface the spans that recur across
+    * DOCUMENTS — the boilerplate/licence-header/quoted-passage signal
+    * that document-level dedup (q26) cannot see, and the span-removal
+    * primitive of suffix-array substring dedup re-expressed as a
+    * shuffle-on-fingerprint aggregation. Exact copies (%7) duplicate
+    * every span; near copies (%5, first token dropped) shift the
+    * window alignment and mostly escape — the documented alignment
+    * sensitivity that motivates shingling (q27/q29) for NEAR-dup while
+    * spans stay the EXACT-passage tool. Narrow explode → one shuffle
+    * keyed by span fingerprint; output is only the recurring tail. */
+  val q84SpanDedup: Q = Q(
+    "q84_span_dedup",
+    s"""WITH $DCorpus,
+       |sp AS (
+       |  SELECT doc_id, $DHex32 AS span_fp FROM (
+       |    SELECT doc_id, array_to_string(toks[i*16+1 : i*16+16], ' ') AS s
+       |    FROM (
+       |      SELECT doc_id, toks,
+       |        unnest(range(0, CAST(floor((len(toks)+15)/16) AS BIGINT))) AS i
+       |      FROM corpus WHERE len(toks) > 0
+       |    )
+       |  )
+       |)
+       |SELECT span_fp, COUNT(*) AS n_occ,
+       |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical
+       |FROM sp GROUP BY span_fp
+       |HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY span_fp""") { (s, d) =>
+    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
+    corpus(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
+      .select(col("doc_id"), hex32(col("span")).as("span_fp"))
+      .groupBy("span_fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical"))
+      .filter(col("n_docs") > 1)
+      .orderBy("span_fp")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
-    q29JaccardVerify, q30DedupResolve, q61ConnectedComponents)
+    q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup)
 }

@@ -22,6 +22,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) == 0L), "every chain node must label to min id 0")
   }
 
+  test("q84: every span of an exactly-copied doc is flagged as duplicated") {
+    import graft.functions.TextFunctions._
+    val out = ops.Dedup.q84SpanDedup.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // counts are internally consistent: occurrences >= distinct docs >= 2
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 2,
+        s"inconsistent counts in $r")
+    }
+    val dupFps = out.map(_.getLong(0)).toSet
+    // a doc with a planted exact copy (%7): all its span fingerprints recur
+    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
+    val fps = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L && size(col("toks")) > 0)
+      .limit(3)
+      .select(explode(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
+      .select(hex32(col("span"))).collect().map(_.getLong(0))
+    assert(fps.nonEmpty)
+    fps.foreach(fp => assert(dupFps.contains(fp), s"span $fp of a copied doc not flagged"))
+  }
+
   test("connectedComponents separates components and keeps singletons") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -1,0 +1,47 @@
+package graft
+
+/** Fleet-wide plan audit: every registered query's physical plan is
+  * screened for the operators that do not survive a 100× scale-up.
+  * Individual suites pin positive plan shapes (broadcasts, pushdowns,
+  * two-phase top-k); this suite pins the NEGATIVE space for all of
+  * them at once, so a refactor that silently degrades some query into
+  * a cartesian product or an O(n·m) nested loop fails CI rather than
+  * the 100 TB run. */
+class PlanAuditSpec extends SparkSpec {
+
+  // queries whose semantics genuinely need a non-equi pairing, with the
+  // reason they are still scale-safe: every entry broadcasts a side that
+  // is small BY CONSTRUCTION (not by luck of the data)
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q31_knn_brute" -> "brute-force KNN baseline: the k query vectors broadcast; corpus streams once (q32/q54 are the sublinear paths)",
+    "q52_gap_fill" -> "calendar-spine cross: the generated month sequence broadcasts against the key set",
+    "q75_tfidf" -> "corpus-scalar join: the 1-row total-doc-count broadcasts into the per-term idf",
+    "q77_mixture_rebalance" -> "corpus-scalar join: the 1-row rarest-language count broadcasts into per-language rates")
+
+  test("no query plans a cartesian product or an unbounded nested-loop join") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan =
+        try q.fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !nestedLoopAllowed.contains(q.name)
+      if (cartesian || nlj)
+        Some(s"${q.name}: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no query falls back to a non-codegen RDD scan of collected rows") {
+    // LocalTableScan of more than a few rows in a query plan means a
+    // driver-side collect crept into the dataflow (literals/lookup
+    // arrays are fine — they stay tiny and broadcast)
+    SparkEntry.registry.foreach { q =>
+      val df = q.fn(spark, sf)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ExternalRDD"),
+        s"${q.name}: dataflow routes through a driver-collected RDD")
+    }
+  }
+}

@@ -551,6 +551,51 @@ object Clean {
       .orderBy("lang")
   }
 
+  /** q86 — temperature mixture sampling: the multilingual-pretraining
+    * rebalance where language l is sampled with probability ∝ n_l^α
+    * (α=0.5 here), boosting low-resource languages without flattening
+    * to uniform (q77 is the α=0 extreme, proportional is α=1). Keep
+    * rate per language is n^(α-1) = 1/√n normalized so the smallest
+    * language keeps everything. Determinism: √n is computed as INTEGER
+    * isqrt (floor of a correctly-rounded IEEE sqrt on an exact-integer
+    * operand — bit-stable in both engines), then one integer floor
+    * ratio; doc selection is the md5-bucket filter, so the sample is
+    * reproducible across engines, runs, and partitionings. Scale: the
+    * per-language table is tiny → broadcast; the corpus-side pass is
+    * one narrow filter + one lang-keyed aggregation. */
+  val q86TemperatureSample: Q = Q(
+    "q86_temperature_sample",
+    s"""WITH n AS (
+       |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+       |), i AS (
+       |  SELECT lang, n_docs,
+       |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq
+       |  FROM n
+       |), m AS (
+       |  SELECT MIN(isq) AS min_isq FROM i
+       |), r AS (
+       |  SELECT lang, n_docs, ${dRatio("m.min_isq", "i.isq", 1000000L)} AS rate_ppm
+       |  FROM i CROSS JOIN m
+       |)
+       |SELECT r.lang, r.n_docs, r.rate_ppm,
+       |  COUNT(CASE WHEN $DBucket < r.rate_ppm THEN 1 END) AS n_kept
+       |FROM documents d JOIN r ON r.lang = d.lang
+       |GROUP BY r.lang, r.n_docs, r.rate_ppm
+       |ORDER BY r.lang""") { (s, d) =>
+    val n = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val m = n.agg(min("isq").as("min_isq"))
+    val r = n.crossJoin(broadcast(m))
+      .select(col("lang"), col("n_docs"),
+        ratioScaled(col("min_isq"), col("isq"), 1000000L).as("rate_ppm"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(r), "lang")
+      .groupBy("lang", "n_docs", "rate_ppm")
+      .agg(count(when(bucket(col("doc_id")) < col("rate_ppm"), 1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** q78 — bottom-k-by-hash sampling: the k documents with the smallest
     * md5 bucket per language — a uniform without-replacement sample
     * that is deterministic across engines, runs, and partitionings
@@ -622,6 +667,6 @@ object Clean {
 
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
-    q75Tfidf, q76DocPacking, q77MixtureRebalance, q78BottomkSample,
-    q79DomainCap, q83BloomDecontam)
+    q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
+    q78BottomkSample, q79DomainCap, q83BloomDecontam)
 }

@@ -420,6 +420,69 @@ object Dedup {
       .orderBy("span_fp")
   }
 
+  /** q85 — duplicated-span document gate (the RefinedWeb/Gopher-style
+    * "mostly boilerplate?" removal decision built on q84's spans): for
+    * every document, the fraction of its 16-token spans whose
+    * fingerprint recurs in ANOTHER document, and the keep/drop verdict
+    * at a 50% threshold. This is the consumer of span-level dedup — a
+    * span that repeats across documents marks licence headers / quoted
+    * passages, and a document that is MOSTLY such spans is a duplicate
+    * shell even when no single whole-document hash matches (exact %7
+    * copies gate out at 100%, alignment-shifted %5 near copies mostly
+    * survive — same sensitivity q84 documents).
+    *
+    * Scale shape: spans shuffle once keyed by fingerprint for the
+    * cross-document count; the per-fingerprint result joins back to the
+    * span stream on the SAME key (co-partitioned, no third shuffle
+    * layout), then one doc_id-keyed aggregation folds the verdict. No
+    * collected dup-set on the driver — the recurring-span table can be
+    * arbitrarily large at corpus scale and stays distributed. */
+  val q85SpanDupGate: Q = Q(
+    "q85_span_dup_gate",
+    s"""WITH $DCorpus,
+       |sp AS (
+       |  SELECT doc_id, $DHex32 AS span_fp FROM (
+       |    SELECT doc_id, array_to_string(toks[i*16+1 : i*16+16], ' ') AS s
+       |    FROM (
+       |      SELECT doc_id, toks,
+       |        unnest(range(0, CAST(floor((len(toks)+15)/16) AS BIGINT))) AS i
+       |      FROM corpus WHERE len(toks) > 0
+       |    )
+       |  )
+       |), fp AS (
+       |  SELECT span_fp, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM sp GROUP BY span_fp
+       |)
+       |SELECT sp.doc_id,
+       |  COUNT(*) AS n_spans,
+       |  COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END) AS n_dup_spans,
+       |  ${dRatioQ("COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END)", "COUNT(*)", 1000000L)} AS dup_ppm,
+       |  CASE WHEN COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END)*2 < COUNT(*) THEN 1 ELSE 0 END AS keep
+       |FROM sp JOIN fp ON fp.span_fp = sp.span_fp
+       |GROUP BY sp.doc_id ORDER BY sp.doc_id""") { (s, d) =>
+    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
+    val spans = corpus(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
+      .select(col("doc_id"), hex32(col("span")).as("span_fp"))
+    val fpDocs = spans.groupBy("span_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    spans.join(fpDocs, "span_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") > 1, 1)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        ratioScaled(col("n_dup_spans"), col("n_spans"), 1000000L).as("dup_ppm"),
+        when(col("n_dup_spans") * 2 < col("n_spans"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def dRatioQ(a: String, b: String, scale: Long): String =
+    s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*$scale/($b)) AS BIGINT) END"
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
-    q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup)
+    q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
+    q85SpanDupGate)
 }

@@ -94,5 +94,39 @@ object Scale {
       .orderBy("w_id")
   }
 
-  val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin)
+  /** q87 — deterministic corpus sharding: every document is assigned a
+    * shard by md5 hash of its id (shard = hex32('shard_'||doc_id) % 64),
+    * and the query audits the layout — per-shard document count, byte
+    * volume, and id range. This is the write-side primitive of a 100 TB
+    * corpus: `df.repartition(col("shard")).write.partitionBy("shard")`
+    * gives N stable, reproducible output shards whose membership does
+    * not depend on input order, partitioning, or cluster size — so a
+    * training job can address shard k across re-runs, and a re-ingest
+    * reshuffles nothing. The audit itself is one narrow projection plus
+    * one 64-key aggregation (map-side partials make the shuffle 64 rows
+    * per task regardless of corpus size); byte volume uses octet_length
+    * (bytes, not code points — grapheme semantics differ per engine). */
+  val q87ShardAssign: Q = Q(
+    "q87_shard_assign",
+    """SELECT CAST(concat('0x', substr(md5('shard_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 64 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents
+      |GROUP BY shard ORDER BY shard""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        pmod(graft.functions.TextFunctions.hex32(
+          concat(lit("shard_"), col("doc_id").cast("string"))), lit(64L)).as("shard"),
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign)
 }

@@ -220,6 +220,42 @@ object Text {
       .orderBy("lang", "rk")
   }
 
+  /** q88 — BPE-style pair-merge statistics: the corpus-wide frequency
+    * of every ADJACENT token pair, with its document spread — the count
+    * a byte-pair-encoding trainer computes each merge round (argmax
+    * pair → merge → recount) and the bigram table of an n-gram LM. One
+    * narrow explode of size-1 windows, one shuffle keyed by pair with
+    * map-side partials, then a global top-50 (count desc, pair asc for
+    * a deterministic tie-break) that Spark executes as
+    * TakeOrderedAndProject — per-partition bounded heaps, no global
+    * sort materialization, so the "one merge round over 100 TB" costs a
+    * scan plus a 64-ish-row-per-task shuffle. */
+  val q88PairMerge: Q = Q(
+    "q88_pair_merge",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), pr AS (
+       |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS pair
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |    FROM t WHERE len(toks) >= 2
+       |  )
+       |)
+       |SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM pr GROUP BY pair
+       |ORDER BY n_occ DESC, pair LIMIT 50""") { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => array_join(slice(col("toks"), i, lit(2)), " "))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
-    q24Fingerprint, q25LangSourceAgg, q63TokenTopk)
+    q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge)
 }

@@ -75,6 +75,24 @@ class CleanSpec extends SparkSpec {
     out.foreach { r => assert(r.getLong(3) <= r.getLong(1)) }
   }
 
+  test("q86: temperature sampling keeps everything for the rarest language and sits between uniform and proportional") {
+    val out = ops.Clean.q86TemperatureSample.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    assert(out.values.map(_._2).max == 1000000L, "rarest lang must keep everything")
+    out.values.foreach { case (nDocs, ratePpm, nKept) =>
+      assert(ratePpm > 0L && ratePpm <= 1000000L)
+      assert(nKept <= nDocs)
+    }
+    // α=0.5 damps less aggressively than α=0 equalization: the most
+    // common language's temperature rate must be at least its q77 rate
+    val q77 = ops.Clean.q77MixtureRebalance.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val biggest = out.maxBy(_._2._1)._1
+    assert(out(biggest)._2 >= q77(biggest),
+      s"temperature rate for $biggest below the equalizing rate")
+  }
+
   test("q83: bloom prefilter is exact (equals the no-bloom spelling) and finds every leaked copy") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._

@@ -44,6 +44,25 @@ class DedupSpec extends SparkSpec {
     fps.foreach(fp => assert(dupFps.contains(fp), s"span $fp of a copied doc not flagged"))
   }
 
+  test("q85: exact-copy docs gate out at 100% span duplication; uncopied docs keep") {
+    val out = ops.Dedup.q85SpanDupGate.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    // planted exact copies (doc_id+2000000) and their originals (%7)
+    // duplicate EVERY span: dup_ppm = 1000000, keep = 0
+    val copies = out.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(out(id) == (1000000L, 0), s"copy $id not fully flagged: ${out(id)}")
+      assert(out(id - 2000000L) == (1000000L, 0), s"original of $id not flagged")
+    }
+    // docs untouched by both syntheses (not %5, not %7, id < 1000000)
+    // share no 16-token span with any other doc in this corpus
+    out.keys.filter(id => id < 1000000L && id % 5 != 0 && id % 7 != 0)
+      .take(5).foreach { id =>
+        assert(out(id)._1 == 0L && out(id)._2 == 1, s"clean doc $id flagged: ${out(id)}")
+      }
+  }
+
   test("connectedComponents separates components and keeps singletons") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
     "q31_knn_brute" -> "brute-force KNN baseline: the k query vectors broadcast; corpus streams once (q32/q54 are the sublinear paths)",
     "q52_gap_fill" -> "calendar-spine cross: the generated month sequence broadcasts against the key set",
     "q75_tfidf" -> "corpus-scalar join: the 1-row total-doc-count broadcasts into the per-term idf",
-    "q77_mixture_rebalance" -> "corpus-scalar join: the 1-row rarest-language count broadcasts into per-language rates")
+    "q77_mixture_rebalance" -> "corpus-scalar join: the 1-row rarest-language count broadcasts into per-language rates",
+    "q86_temperature_sample" -> "corpus-scalar join: the 1-row min-isqrt broadcasts into per-language temperature rates")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -56,6 +56,20 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(want).isEmpty && want.exceptAll(salted).isEmpty)
   }
 
+  test("q87: shard assignment is total, in-range, and partitioning-independent") {
+    val out = ops.Scale.q87ShardAssign.fn(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    val total = out.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sf).count(), "every doc lands in exactly one shard")
+    assert(out.forall(_.getLong(2) > 0), "byte volume accounted per shard")
+    // membership is a pure function of doc_id: a differently-partitioned
+    // input yields the identical shard layout
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = ops.Scale.q87ShardAssign.fn(s2, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("date-partitioned write prunes partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf)

@@ -105,6 +105,64 @@ object Maintenance {
     countParquet(root)
   }
 
+  /** Z-order (bit-interleaved) clustering on 2–4 numeric columns, so
+    * parquet row-group min/max stats are selective on EVERY clustering
+    * dimension at once — the multi-column generalization of [[cluster]]
+    * (which is optimal for one key but leaves the other columns' file
+    * envelopes spanning the full range). Each column is mapped to an
+    * 8-bit bucket id by its quantiles (rank-based, so skewed
+    * distributions still fill all 256 buckets — min/max scaling would
+    * collapse under outliers), the ids' bits are interleaved into one
+    * z-value, and the table is range-repartitioned + sorted on it.
+    * Same validated crash-recoverable swap as [[compact]]. The z-value
+    * is computational scaffolding and is dropped before the write.
+    *
+    * At 100 TB the quantile pass is one aggregation (approxQuantile's
+    * single-pass GK sketch), the rewrite one range shuffle — and every
+    * later scan filtering on any clustered dimension skips most
+    * row groups, which is where the cost pays back. */
+  def zorder(spark: SparkSession, dir: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(cols.size >= 2 && cols.size <= 4,
+      "z-order needs 2-4 columns (one column: use cluster())")
+    recover(dir)
+    val root = Paths.get(dir)
+    val inputBytes = listFiles(root).map(Files.size(_)).sum
+    val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric (got $dt)")
+    }
+    import org.apache.spark.sql.functions.{array, coalesce, filter, lit, size, when}
+    // 255 interior quantile boundaries -> 256 rank buckets per column
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    val bucketed = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val bounds = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+      val boundsArr = array(bounds.map(lit): _*)
+      // bucket id = #boundaries <= v (null -> bucket 0, sorts first)
+      acc.withColumn(s"__zb$i",
+        coalesce(size(filter(boundsArr, b => b <= col(c).cast("double"))), lit(0))
+          .cast("long"))
+    }
+    // interleave bit j of column i into z-bit j*k+i (column-major round
+    // robin): equal prefix bits = same z-neighborhood in all dims
+    val k = cols.size
+    val zExpr = (0 until 8).flatMap { j =>
+      cols.indices.map { i =>
+        when(col(s"__zb$i").bitwiseAND(1L << j) =!= 0L, 1L << (j * k + i)).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    val zed = bucketed
+      .withColumn("__z", zExpr)
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop((cols.indices.map(i => s"__zb$i") :+ "__z"): _*)
+    swapIn(spark, dir, zed)
+    countParquet(root)
+  }
+
   /** Write `df` to `dir_compacting`, validate, then swap it in as
     * `dir` with the [[recover]]-able two-rename protocol. */
   private def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {

@@ -124,6 +124,23 @@ object Streaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("n_purchases"))
 
+  /** Stream-static broadcast enrich: attach customer dimension columns
+    * to the event stream. The static side is marked `broadcast`, so
+    * every micro-batch plans a stateless BroadcastHashJoin — no state
+    * store, no watermark, no shuffle of the stream — which is THE way
+    * to dimension-join a firehose against a slowly-changing table at
+    * cluster scale (the dim re-resolves per micro-batch, so a refreshed
+    * dim table is picked up without restarting the query). Works
+    * unchanged in batch. */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("c_name").as("user_name"),
+        col("c_mktsegment").as("segment"))
+
   /** Streaming exact-dedup on event_id with bounded state (watermark
     * ages out old keys) — the incremental twin of q26's hash dedup. */
   def dedupStream(events: DataFrame): DataFrame =

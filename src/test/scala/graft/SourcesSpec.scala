@@ -135,6 +135,38 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == total)
   }
 
+  test("z-order clustering makes file envelopes selective on BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    orders.repartition(8).write.parquet(dir)
+    val total = orders.count()
+
+    val nFiles = sources.Maintenance.zorder(
+      spark, dir, Seq("o_custkey", "o_totalprice"), targetBytes = 1536L)
+    assert(nFiles >= 12, s"want many output files, got $nFiles")
+    // rewrite is value-preserving
+    val after = spark.read.parquet(dir)
+    assert(after.count() == total)
+    assert(after.exceptAll(orders).isEmpty && orders.exceptAll(after).isEmpty)
+
+    // row-group skipping on BOTH dimensions: a narrow predicate on
+    // either clustered column must scan well under half the table
+    // (range-clustering on one column passes only for that column)
+    def scanned(pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(dir).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val custScan = scanned(col("o_custkey") <= 15)
+    val priceScan = scanned(col("o_totalprice") <= 50000.0)
+    assert(custScan <= total / 2,
+      s"custkey predicate must skip row groups: read $custScan of $total")
+    assert(priceScan <= total / 2,
+      s"price predicate must skip row groups: read $priceScan of $total")
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

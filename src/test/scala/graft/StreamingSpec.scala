@@ -83,6 +83,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static broadcast enrich == batch join, stateless and broadcast in-plan") {
+    val dim = Tables.customer(spark, sf)
+    val q = Streaming.runToMemory(
+      Streaming.enrichStream(Streaming.eventsStream(spark, sf), dim), "enrich",
+      mode = "append")
+    val got = spark.table("enrich")
+    val want = Streaming.enrichStream(batchEvents, dim)
+    assert(got.count() == batchEvents.count(), "left enrich preserves every event")
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+    // no state store was created: a stateless enrich reports zero
+    // state operators in the final progress
+    assert(q.lastProgress.stateOperators.isEmpty, "enrich must be stateless")
+    q.stop()
+    // and the same code in batch plans a broadcast hash join
+    val batchPlan = want.queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$batchPlan")
+  }
+
   test("transformWithState running counters == batch counts (RocksDB store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -163,6 +163,76 @@ object Maintenance {
     countParquet(root)
   }
 
+  /** Per-column statistics of [[analyze]]: `min`/`max`/`ndvEst` are
+    * None for complex-typed columns (arrays/structs/maps). `ndvEst` is
+    * a KMV estimate (k=256, 32-bit hash space) — exact below 256
+    * distinct values, ~±6% above, with the usual 32-bit-collision
+    * underestimate only past ~10^8 distincts. */
+  final case class ColumnStats(nonNull: Long, nulls: Long,
+      min: Option[String], max: Option[String], ndvEst: Option[Long])
+
+  /** ANALYZE TABLE for the parquet-canonical layout: ONE pass over the
+    * table computes, for every column, non-null/null counts and (for
+    * atomic types) min, max, and a KMV distinct-count estimate — the
+    * inputs a planner needs for broadcast decisions, join ordering, and
+    * skew detection. All columns aggregate in a single scan (each KMV
+    * buffer is 256 longs of bounded, mergeable state riding the same
+    * map-side partial aggregation), so the cost at 100 TB is one read —
+    * never a pass per column. Results return as a map and persist to
+    * `_stats.json` inside the table directory (underscore-prefixed, so
+    * scans ignore it like _SUCCESS). */
+  def analyze(spark: SparkSession, dir: String): Map[String, ColumnStats] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max, min, udaf, when, col => c}
+    val df = spark.read.parquet(dir)
+    val atomic = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      df.schema.fields.filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }).map(_.name).toSet
+    }
+    val kmv = udaf(new graft.functions.KmvAgg(256))
+    val aggs = df.columns.flatMap { name =>
+      val base = Seq(
+        count(c(name)).as(s"${name}__n"),
+        count(when(c(name).isNull, 1)).as(s"${name}__nulls"))
+      if (!atomic(name)) base
+      else base ++ Seq(
+        min(c(name)).cast("string").as(s"${name}__min"),
+        max(c(name)).cast("string").as(s"${name}__max"),
+        // nulls hash to a -1 sentinel (below the uint32 range) so the
+        // primitive-Long aggregator never sees a null; stripped below
+        kmv(coalesce(graft.functions.TextFunctions.hex32(c(name).cast("string")),
+          lit(-1L))).as(s"${name}__kmv"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = df.columns.map { name =>
+      def g[T](suffix: String): T = row.getAs[T](s"${name}__$suffix")
+      val (mn, mx, ndv) =
+        if (!atomic(name)) (None, None, None)
+        else {
+          val raw = g[scala.collection.Seq[Long]]("kmv")
+          val mins = raw.filter(_ >= 0) // drop the null sentinel
+          val est =
+            if (mins.isEmpty) 0L
+            else if (raw.length < 256) mins.length.toLong // sketch not full: exact
+            else if (mins.last == 0) 0L
+            else (mins.length - 1).toLong * 4294967296L / mins.last
+          (Option(g[String]("min")), Option(g[String]("max")), Some(est))
+        }
+      name -> ColumnStats(g[Long]("n"), g[Long]("nulls"), mn, mx, ndv)
+    }.toMap
+    val json = df.columns.map { name =>
+      val s = stats(name)
+      def js(v: Option[String]) =
+        v.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+      s""""$name": {"nonNull": ${s.nonNull}, "nulls": ${s.nulls}, """ +
+        s""""min": ${js(s.min)}, "max": ${js(s.max)}, "ndvEst": ${s.ndvEst.getOrElse("null")}}"""
+    }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(dir, "_stats.json"), json)
+    stats
+  }
+
   /** Write `df` to `dir_compacting`, validate, then swap it in as
     * `dir` with the [[recover]]-able two-rename protocol. */
   private def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {

@@ -445,6 +445,67 @@ object Streaming {
     q
   }
 
+  /** Incremental MinHash-LSH near-dedup ingest: admit each micro-batch
+    * of documents against a PERSISTENT band-fingerprint store — the
+    * streaming form of the q27/q30 batch near-dedup, and the shape a
+    * continuous crawl runs at scale: the corpus-so-far is represented
+    * only by its LSH band keys (16-perm signature, 4 bands × 4 rows —
+    * same parameters as the batch pack), so admission costs one
+    * semi-join of the batch's band keys against the store, never a scan
+    * of the corpus itself.
+    *
+    * Per batch: (1) signature + band keys for the new docs (the native
+    * `graft_minhash` expression); (2) docs colliding with the store are
+    * dropped (near-dup of something already admitted); (3) in-batch
+    * collisions resolve greedy first-wins by doc_id (a doc matching a
+    * lower-id batchmate drops, matching the batch resolver's
+    * min-id-canonical rule); (4) survivors append to `outDir`, their
+    * band keys append to `stateDir`. Both sinks are plain parquet —
+    * `Maintenance.compact` bounds the store's file count as it grows,
+    * and the append-only protocol keeps each batch idempotent under
+    * foreachBatch's at-least-once replay (a replayed batch re-drops
+    * against the keys it already published).
+    *
+    * State is O(4 keys × admitted docs) — independent of raw stream
+    * volume, the property that makes continuous dedup viable at 100 TB
+    * ingest rates. */
+  def lshDedupIngest(docs: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    import graft.functions.TextFunctions.{bandKey, tokens}
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val sig = batch
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("sig", expr("graft_minhash(toks)"))
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
+          .localCheckpoint() // referenced 3x below; cut the recompute
+        val store = try s.read.parquet(stateDir).select("bkey")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.emptyDataFrame.select(lit("").as("bkey")).limit(0) }
+        // near-dup of an already-admitted doc (any shared band key)
+        val dupVsStore = bands.join(store, Seq("bkey"), "left_semi")
+          .select("doc_id").distinct()
+        // greedy in-batch resolution: drop any doc sharing a band with a
+        // lower-id batchmate (min-id canonical, like the batch resolver)
+        val dupInBatch = bands.as("x").join(bands.as("y"),
+            col("x.bkey") === col("y.bkey") && col("y.doc_id") < col("x.doc_id"))
+          .select(col("x.doc_id").as("doc_id")).distinct()
+        val dropped = dupVsStore.union(dupInBatch).distinct()
+        val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+        kept.write.mode("append").parquet(outDir)
+        bands.join(dropped, Seq("doc_id"), "left_anti")
+          .select("bkey", "doc_id")
+          .write.mode("append").parquet(stateDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Incremental ingest sink: append the stream to date-partitioned
     * parquet via foreachBatch with dynamic partition overwrite — each
     * re-delivered date partition replaces its previous version

@@ -167,6 +167,32 @@ class SourcesSpec extends SparkSpec {
       s"price predicate must skip row groups: read $priceScan of $total")
   }
 
+  test("analyze computes one-pass column stats: exact ndv below k, bounded error above, complex guarded") {
+    val dir = Files.createTempDirectory("graft-analyze").toString + "/t"
+    docs.write.parquet(dir)
+    val stats = sources.Maintenance.analyze(spark, dir)
+    val n = docs.count()
+    // lang: few distinct values -> sketch not full -> EXACT ndv
+    val lang = stats("lang")
+    assert(lang.nonNull == n && lang.nulls == 0)
+    assert(lang.ndvEst.contains(docs.select("lang").distinct().count()))
+    assert(lang.min.isDefined && lang.max.isDefined)
+    // doc_id: all-distinct, far above k -> estimate within 15%
+    val ndv = stats("doc_id").ndvEst.get.toDouble
+    assert(math.abs(ndv - n) / n < 0.15, s"doc_id ndv $ndv vs exact $n")
+    assert(stats("doc_id").min.contains(
+      docs.agg(min("doc_id")).head.getLong(0).toString))
+    // sidecar written, and the table still scans (underscore files hidden)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_stats.json")))
+    assert(spark.read.parquet(dir).count() == n)
+    // complex column: counts only, no min/max/ndv
+    val edir = Files.createTempDirectory("graft-analyze-e").toString + "/t"
+    spark.read.parquet(sf + "/embeddings.parquet").write.parquet(edir)
+    val estats = sources.Maintenance.analyze(spark, edir)
+    val emb = estats("embedding")
+    assert(emb.nonNull > 0 && emb.min.isEmpty && emb.max.isEmpty && emb.ndvEst.isEmpty)
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

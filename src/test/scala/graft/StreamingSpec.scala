@@ -247,6 +247,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("incremental LSH near-dedup: store rejects re-ingest, restart keeps state, greedy == batch") {
+    val state = Files.createTempDirectory("graft-lsh").toString + "/state"
+    val out = Files.createTempDirectory("graft-lsh").toString + "/out"
+    // copies=2 → two identical files, maxFilesPerTrigger=1 → the whole
+    // corpus arrives twice in separate micro-batches
+    Streaming.lshDedupIngest(
+      Streaming.documentsStream(spark, sf, copies = 2), state, out,
+      Files.createTempDirectory("graft-lsh-cp").toString)
+    val admitted = spark.read.parquet(out)
+    val n = admitted.count()
+    assert(n > 0)
+    // batch 2 is an exact replay: every doc collides with batch 1's
+    // stored band keys, so no id is admitted twice
+    assert(admitted.select("doc_id").distinct().count() == n,
+      "replayed corpus must not re-admit")
+    // stream admission == the same greedy rule run as one batch
+    import graft.functions.TextFunctions.{bandKey, tokens}
+    val bands = Tables.documents(spark, sf)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sig", expr("graft_minhash(toks)"))
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
+    val losers = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val wantIds = Tables.documents(spark, sf).select("doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+    assert(admitted.select("doc_id").exceptAll(wantIds).isEmpty &&
+      wantIds.exceptAll(admitted.select("doc_id")).isEmpty)
+    // a restarted query (fresh checkpoint) against the same store
+    // re-reads the persisted band keys and admits nothing new
+    Streaming.lshDedupIngest(
+      Streaming.documentsStream(spark, sf, copies = 1), state, out,
+      Files.createTempDirectory("graft-lsh-cp2").toString)
+    assert(spark.read.parquet(out).count() == n, "restart must honor the persistent store")
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -431,12 +431,14 @@ object Dedup {
     * copies gate out at 100%, alignment-shifted %5 near copies mostly
     * survive — same sensitivity q84 documents).
     *
-    * Scale shape: spans shuffle once keyed by fingerprint for the
-    * cross-document count; the per-fingerprint result joins back to the
-    * span stream on the SAME key (co-partitioned, no third shuffle
-    * layout), then one doc_id-keyed aggregation folds the verdict. No
-    * collected dup-set on the driver — the recurring-span table can be
-    * arbitrarily large at corpus scale and stays distributed. */
+    * Scale shape: the span stream is scanned ONCE (tokenize + explode +
+    * fingerprint is the heavy narrow stage at corpus scale — a
+    * join-back spelling would compute it twice, once per side), reduced
+    * to distinct (fingerprint, doc) pairs with per-pair occurrence
+    * counts, cross-doc recurrence read off a count() window over the
+    * fingerprint partition, then one doc_id-keyed aggregation folds the
+    * verdict. Three modest exchanges of the pair table, no join, no
+    * driver-side dup-set — the recurring-span table stays distributed. */
   val q85SpanDupGate: Q = Q(
     "q85_span_dup_gate",
     s"""WITH $DCorpus,
@@ -467,12 +469,15 @@ object Dedup {
         explode(transform(sequence(lit(0), nSpans - 1),
           i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
       .select(col("doc_id"), hex32(col("span")).as("span_fp"))
-    val fpDocs = spans.groupBy("span_fp")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    spans.join(fpDocs, "span_fp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        count(when(col("n_docs") > 1, 1)).as("n_dup_spans"))
+    // (fp, doc) pairs with per-pair occurrence counts; the count()
+    // window over fp IS the distinct-doc count (rows are distinct pairs)
+    val pairs = spans.groupBy("span_fp", "doc_id")
+      .agg(count(lit(1)).as("n_occ_doc"))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("span_fp")))
+    pairs.groupBy("doc_id")
+      .agg(sum(col("n_occ_doc")).as("n_spans"),
+        sum(when(col("n_docs") > 1, col("n_occ_doc")).otherwise(0L)).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         ratioScaled(col("n_dup_spans"), col("n_spans"), 1000000L).as("dup_ppm"),
         when(col("n_dup_spans") * 2 < col("n_spans"), 1).otherwise(0).as("keep"))

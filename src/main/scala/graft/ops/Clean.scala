@@ -37,7 +37,10 @@ object Clean {
   private val DSh2 =
     "list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(toks[i:i+1], ' '))"
 
-  private def dRatio(a: String, b: String, scale: Long): String =
+  /** DuckDB mirror of TextFunctions.ratioScaled — the ONE floor-ratio
+    * spelling both engines agree on (shared across packs; keep any
+    * change in sync with the Spark side). */
+  private[ops] def dRatio(a: String, b: String, scale: Long): String =
     s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*$scale/($b)) AS BIGINT) END"
 
   /** All 32 stopwords across the four language sets, as a SQL IN list. */

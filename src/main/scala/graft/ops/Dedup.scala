@@ -375,6 +375,33 @@ object Dedup {
     labels
   }
 
+  /** 16-token span fingerprints of the corpus: (doc_id, span_fp), one
+    * row per window occurrence. Shared by q84/q85 so the window size /
+    * alignment (the documented tuning knob) lives in ONE place — its
+    * DuckDB mirror is [[DSpans]]; change both together. */
+  private def spanFps(s: SparkSession, d: String): DataFrame = {
+    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
+    corpus(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
+      .select(col("doc_id"), hex32(col("span")).as("span_fp"))
+  }
+
+  /** DuckDB `sp` CTE mirroring [[spanFps]] (assumes `corpus` in scope). */
+  private val DSpans =
+    s"""sp AS (
+       |  SELECT doc_id, $DHex32 AS span_fp FROM (
+       |    SELECT doc_id, array_to_string(toks[i*16+1 : i*16+16], ' ') AS s
+       |    FROM (
+       |      SELECT doc_id, toks,
+       |        unnest(range(0, CAST(floor((len(toks)+15)/16) AS BIGINT))) AS i
+       |      FROM corpus WHERE len(toks) > 0
+       |    )
+       |  )
+       |)""".stripMargin
+
   /** q84 — duplicated-span extraction (exact-substring dedup at span
     * granularity): cut every document into fixed 16-token windows,
     * fingerprint each window, and surface the spans that recur across
@@ -390,28 +417,13 @@ object Dedup {
   val q84SpanDedup: Q = Q(
     "q84_span_dedup",
     s"""WITH $DCorpus,
-       |sp AS (
-       |  SELECT doc_id, $DHex32 AS span_fp FROM (
-       |    SELECT doc_id, array_to_string(toks[i*16+1 : i*16+16], ' ') AS s
-       |    FROM (
-       |      SELECT doc_id, toks,
-       |        unnest(range(0, CAST(floor((len(toks)+15)/16) AS BIGINT))) AS i
-       |      FROM corpus WHERE len(toks) > 0
-       |    )
-       |  )
-       |)
+       |$DSpans
        |SELECT span_fp, COUNT(*) AS n_occ,
        |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical
        |FROM sp GROUP BY span_fp
        |HAVING COUNT(DISTINCT doc_id) > 1
        |ORDER BY span_fp""") { (s, d) =>
-    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
-    corpus(s, d)
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nSpans - 1),
-          i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
-      .select(col("doc_id"), hex32(col("span")).as("span_fp"))
+    spanFps(s, d)
       .groupBy("span_fp")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -442,36 +454,21 @@ object Dedup {
   val q85SpanDupGate: Q = Q(
     "q85_span_dup_gate",
     s"""WITH $DCorpus,
-       |sp AS (
-       |  SELECT doc_id, $DHex32 AS span_fp FROM (
-       |    SELECT doc_id, array_to_string(toks[i*16+1 : i*16+16], ' ') AS s
-       |    FROM (
-       |      SELECT doc_id, toks,
-       |        unnest(range(0, CAST(floor((len(toks)+15)/16) AS BIGINT))) AS i
-       |      FROM corpus WHERE len(toks) > 0
-       |    )
-       |  )
-       |), fp AS (
+       |$DSpans,
+       |fp AS (
        |  SELECT span_fp, COUNT(DISTINCT doc_id) AS n_docs
        |  FROM sp GROUP BY span_fp
        |)
        |SELECT sp.doc_id,
        |  COUNT(*) AS n_spans,
        |  COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END) AS n_dup_spans,
-       |  ${dRatioQ("COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END)", "COUNT(*)", 1000000L)} AS dup_ppm,
+       |  ${Clean.dRatio("COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END)", "COUNT(*)", 1000000L)} AS dup_ppm,
        |  CASE WHEN COUNT(CASE WHEN fp.n_docs > 1 THEN 1 END)*2 < COUNT(*) THEN 1 ELSE 0 END AS keep
        |FROM sp JOIN fp ON fp.span_fp = sp.span_fp
        |GROUP BY sp.doc_id ORDER BY sp.doc_id""") { (s, d) =>
-    val nSpans = floor((size(col("toks")) + 15) / 16).cast("int")
-    val spans = corpus(s, d)
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nSpans - 1),
-          i => array_join(slice(col("toks"), i * 16 + 1, lit(16)), " "))).as("span"))
-      .select(col("doc_id"), hex32(col("span")).as("span_fp"))
     // (fp, doc) pairs with per-pair occurrence counts; the count()
     // window over fp IS the distinct-doc count (rows are distinct pairs)
-    val pairs = spans.groupBy("span_fp", "doc_id")
+    val pairs = spanFps(s, d).groupBy("span_fp", "doc_id")
       .agg(count(lit(1)).as("n_occ_doc"))
       .withColumn("n_docs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("span_fp")))
@@ -483,9 +480,6 @@ object Dedup {
         when(col("n_dup_spans") * 2 < col("n_spans"), 1).otherwise(0).as("keep"))
       .orderBy("doc_id")
   }
-
-  private def dRatioQ(a: String, b: String, scale: Long): String =
-    s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*$scale/($b)) AS BIGINT) END"
 
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,

@@ -38,12 +38,20 @@ object Maintenance {
     val staging = Paths.get(dir + "_compacting")
     deleteRecursively(staging)
     val df = spark.read.parquet(dir)
-    // partitioned table: cluster by the partition columns so each
-    // output task writes whole partition dirs (≈1 file per value);
-    // unpartitioned: plain round-robin into size-targeted files
+    // partitioned table: cluster by the partition columns PLUS a row
+    // salt so a skewed partition value still splits into
+    // ~targetBytes-sized files (partition columns alone would funnel a
+    // 10 GB value into one task and one file); unpartitioned: plain
+    // round-robin into size-targeted files
     val repartitioned =
-      if (partCols.nonEmpty) df.repartition(nParts, partCols.map(col): _*)
-      else df.repartition(nParts)
+      if (partCols.nonEmpty) {
+        val nLeaf = math.max(1, leafPartitionDirs(root))
+        val salts = math.max(1, math.ceil(nParts.toDouble / nLeaf).toInt)
+        val salt = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(col).toSeq: _*), org.apache.spark.sql.functions.lit(salts))
+        df.repartition(nParts, (partCols.map(col) :+ salt): _*)
+      } else df.repartition(nParts)
     val writer = repartitioned.write
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(staging.toString)
@@ -80,7 +88,9 @@ object Maintenance {
       s"key columns $keys must exist in the target table")
     val merged = updates.unionByName(
       target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
-    swapIn(spark, dir, merged)
+    // carry a hive partition layout through the rewrite (else pruning
+    // on the partition columns is silently lost)
+    swapIn(spark, dir, merged, partitionColumns(Paths.get(dir)))
     spark.read.parquet(dir).count()
   }
 
@@ -96,6 +106,9 @@ object Maintenance {
     require(cols.nonEmpty, "clustering needs at least one column")
     recover(dir)
     val root = Paths.get(dir)
+    require(partitionColumns(root).isEmpty,
+      "cluster() does not support hive-partitioned tables (the rewrite " +
+        "would flatten the partition layout); compact() preserves it")
     val inputBytes = listFiles(root).map(Files.size(_)).sum
     val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     val clustered = spark.read.parquet(dir)
@@ -127,6 +140,9 @@ object Maintenance {
       "z-order needs 2-4 columns (one column: use cluster())")
     recover(dir)
     val root = Paths.get(dir)
+    require(partitionColumns(root).isEmpty,
+      "zorder() does not support hive-partitioned tables (the rewrite " +
+        "would flatten the partition layout); compact() preserves it")
     val inputBytes = listFiles(root).map(Files.size(_)).sum
     val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
@@ -136,11 +152,13 @@ object Maintenance {
         s"z-order column $c must be numeric (got $dt)")
     }
     import org.apache.spark.sql.functions.{array, coalesce, filter, lit, size, when}
-    // 255 interior quantile boundaries -> 256 rank buckets per column
+    // 255 interior quantile boundaries -> 256 rank buckets per column;
+    // ONE multi-column approxQuantile call = one GK-sketch scan for all
+    // dimensions (per-column calls would re-read the table k times)
     val probes = (1 until 256).map(_ / 256.0).toArray
+    val allBounds = df.stat.approxQuantile(cols.toArray, probes, 0.001)
     val bucketed = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val bounds = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
-      val boundsArr = array(bounds.map(lit): _*)
+      val boundsArr = array(allBounds(i).distinct.sorted.map(lit).toSeq: _*)
       // bucket id = #boundaries <= v (null -> bucket 0, sorts first)
       acc.withColumn(s"__zb$i",
         coalesce(size(filter(boundsArr, b => b <= col(c).cast("double"))), lit(0))
@@ -205,7 +223,7 @@ object Maintenance {
         kmv(coalesce(graft.functions.TextFunctions.hex32(c(name).cast("string")),
           lit(-1L))).as(s"${name}__kmv"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
     val stats = df.columns.map { name =>
       def g[T](suffix: String): T = row.getAs[T](s"${name}__$suffix")
       val (mn, mx, ndv) =
@@ -224,8 +242,19 @@ object Maintenance {
     }.toMap
     val json = df.columns.map { name =>
       val s = stats(name)
-      def js(v: Option[String]) =
-        v.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+      // full RFC 8259 string escaping — min/max of a text column can
+      // contain newlines/tabs/controls (multi-line document text)
+      def js(v: Option[String]) = v.map { x =>
+        "\"" + x.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+          case ch => ch.toString
+        } + "\""
+      }.getOrElse("null")
       s""""$name": {"nonNull": ${s.nonNull}, "nulls": ${s.nulls}, """ +
         s""""min": ${js(s.min)}, "max": ${js(s.max)}, "ndvEst": ${s.ndvEst.getOrElse("null")}}"""
     }.mkString("{", ", ", "}")
@@ -235,11 +264,14 @@ object Maintenance {
 
   /** Write `df` to `dir_compacting`, validate, then swap it in as
     * `dir` with the [[recover]]-able two-rename protocol. */
-  private def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+  private def swapIn(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     val root = Paths.get(dir)
     val staging = Paths.get(dir + "_compacting")
     deleteRecursively(staging)
-    df.write.parquet(staging.toString)
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     require(countParquet(staging) > 0, s"rewrite wrote no files to $staging")
     val old = Paths.get(dir + "_precompact")
     deleteRecursively(old)
@@ -278,6 +310,12 @@ object Maintenance {
     }
     if (Files.exists(root)) loop(root, Vector.empty) else Seq.empty
   }
+
+  /** Number of leaf directories holding parquet data — the per-value
+    * count a partitioned compact salts against. */
+  private def leafPartitionDirs(root: Path): Int =
+    listFiles(root).filter(_.toString.endsWith(".parquet"))
+      .map(_.getParent).distinct.size
 
   private def countParquet(p: Path): Int =
     listFiles(p).count(_.toString.endsWith(".parquet"))

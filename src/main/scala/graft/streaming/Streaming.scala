@@ -456,25 +456,40 @@ object Streaming {
     *
     * Per batch: (1) signature + band keys for the new docs (the native
     * `graft_minhash` expression); (2) docs colliding with the store are
-    * dropped (near-dup of something already admitted); (3) in-batch
+    * dropped (near-dup of something already seen); (3) in-batch
     * collisions resolve greedy first-wins by doc_id (a doc matching a
     * lower-id batchmate drops, matching the batch resolver's
-    * min-id-canonical rule); (4) survivors append to `outDir`, their
-    * band keys append to `stateDir`. Both sinks are plain parquet —
-    * `Maintenance.compact` bounds the store's file count as it grows,
-    * and the append-only protocol keeps each batch idempotent under
-    * foreachBatch's at-least-once replay (a replayed batch re-drops
-    * against the keys it already published).
+    * min-id-canonical rule); (4) survivors write to
+    * `outDir/ingest_batch=<id>`, and the band keys of EVERY seen doc —
+    * admitted or dropped — that are new to the store write to
+    * `stateDir/ingest_batch=<id>`. Storing dropped docs' keys too makes
+    * admission independent of micro-batch boundaries: a doc that
+    * near-dups a previously-DROPPED doc is itself dropped, exactly as
+    * the single-batch greedy rule would chain (store only admitted keys
+    * and the chain breaks when the middle doc falls in an earlier
+    * batch). Both sinks are parquet partitioned by a run-scoped batch
+    * id with dynamic partition overwrite, so a foreachBatch
+    * at-least-once replay REWRITES its own partition instead of
+    * appending duplicates — the same idempotency protocol as
+    * [[ingestToParquet]].
+    * `Maintenance.compact` bounds the store's file count as it grows.
     *
-    * State is O(4 keys × admitted docs) — independent of raw stream
-    * volume, the property that makes continuous dedup viable at 100 TB
-    * ingest rates. */
+    * State is O(4 keys × distinct docs seen) — independent of raw
+    * re-delivery volume (replayed keys are anti-joined away), the
+    * property that makes continuous dedup viable at 100 TB ingest
+    * rates. */
   def lshDedupIngest(docs: DataFrame, stateDir: String, outDir: String,
       checkpoint: String): StreamingQuery = {
     import graft.functions.TextFunctions.{bandKey, tokens}
+    // partition tag unique per query run: within a run, a replayed batch
+    // overwrites its own partition (idempotent); across runs (e.g. a
+    // fresh checkpoint against the same store) batch ids restart at 0,
+    // and the tag keeps them from clobbering an earlier run's output
+    val runTag = java.util.UUID.randomUUID.toString.take(8)
     val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val sig = batch
           .withColumn("toks", tokens(col("text")))
           .withColumn("sig", expr("graft_minhash(toks)"))
@@ -484,7 +499,7 @@ object Streaming {
         val store = try s.read.parquet(stateDir).select("bkey")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             s.emptyDataFrame.select(lit("").as("bkey")).limit(0) }
-        // near-dup of an already-admitted doc (any shared band key)
+        // near-dup of anything already seen (any shared band key)
         val dupVsStore = bands.join(store, Seq("bkey"), "left_semi")
           .select("doc_id").distinct()
         // greedy in-batch resolution: drop any doc sharing a band with a
@@ -494,10 +509,14 @@ object Streaming {
           .select(col("x.doc_id").as("doc_id")).distinct()
         val dropped = dupVsStore.union(dupInBatch).distinct()
         val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
-        kept.write.mode("append").parquet(outDir)
-        bands.join(dropped, Seq("doc_id"), "left_anti")
-          .select("bkey", "doc_id")
-          .write.mode("append").parquet(stateDir)
+        kept.withColumn("ingest_batch", lit(s"$runTag-$batchId"))
+          .write.mode("overwrite").partitionBy("ingest_batch").parquet(outDir)
+        // band keys new to the store, from ALL seen docs (provenance =
+        // the smallest contributing doc id, a deterministic pick)
+        bands.join(store, Seq("bkey"), "left_anti")
+          .groupBy("bkey").agg(min(col("doc_id")).as("doc_id"))
+          .withColumn("ingest_batch", lit(s"$runTag-$batchId"))
+          .write.mode("overwrite").partitionBy("ingest_batch").parquet(stateDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

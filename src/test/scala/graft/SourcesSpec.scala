@@ -112,6 +112,41 @@ class SourcesSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() == n)
   }
 
+  test("upsert carries a hive partition layout through the rewrite") {
+    val dir = Files.createTempDirectory("graft-upsert-p").toString + "/t"
+    docs.write.partitionBy("lang").parquet(dir)
+    val total = docs.count()
+    val updates = docs.orderBy("doc_id").limit(1).withColumn("source", lit("edited"))
+    val n = sources.Maintenance.upsert(spark, dir, updates, Seq("doc_id"))
+    assert(n == total)
+    // partition dirs survive → pruning on lang still works
+    val langDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    var found = false
+    while (langDirs.hasNext) {
+      if (langDirs.next().getFileName.toString.startsWith("lang=")) found = true
+    }
+    assert(found, "lang= partition directories must survive the upsert")
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(q.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("partitioned compact splits a skewed partition value across files") {
+    val dir = Files.createTempDirectory("graft-compact-skew").toString + "/t"
+    // skew: one lang dominates; many small input files
+    docs.repartition(8).write.partitionBy("lang").parquet(dir)
+    val total = docs.count()
+    sources.Maintenance.compact(spark, dir, targetBytes = 8L * 1024)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == total)
+    // the dominant partition value must not collapse into one file
+    val enFiles = after.filter(col("lang") === "en")
+      .select(input_file_name()).distinct().count()
+    assert(enFiles >= 2,
+      s"skewed partition value compacted into $enFiles file(s); salt must split it")
+  }
+
   test("range clustering makes row-group stats selective (scan skips most rows)") {
     val dir = Files.createTempDirectory("graft-cluster").toString + "/t"
     // shuffled layout first: every file spans the whole doc_id range

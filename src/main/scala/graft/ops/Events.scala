@@ -254,6 +254,44 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q89 — tolerance-bounded as-of join on the custom operator: each
+    * purchase matched to the user's most recent view ONLY if it is at
+    * most 30 minutes old (the feature-store freshness window / pandas
+    * merge_asof `tolerance`). Since the as-of match is already the most
+    * recent admissible right row, a staler match has no fallback — the
+    * operator nulls the side at emit time with zero extra passes, and
+    * the oracle spells the same thing as plain ASOF + an age CASE. */
+  val q89AsofTolerance: Q = Q(
+    "q89_asof_tolerance",
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |), j AS (
+      |  SELECT p.event_id, p.user_id, p.us, v.us AS vus
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+      |)
+      |SELECT event_id, user_id,
+      |  us//1000000 AS purchase_sec,
+      |  CASE WHEN us - vus <= 1800000000 THEN vus//1000000 END AS fresh_view_sec,
+      |  CASE WHEN us - vus <= 1800000000 THEN (us - vus)//1000000 END AS gap_sec
+      |FROM j ORDER BY event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    graft.plans.AsofJoin(p, v, "user_id", "v_user", "us", "v_us",
+        toleranceUs = Some(30L * 60 * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        floor(col("us") / 1000000L).as("purchase_sec"),
+        floor(col("v_us") / 1000000L).as("fresh_view_sec"),
+        floor((col("us") - col("v_us")) / 1000000L).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
-    q41SessionWindow, q81AsofOperator)
+    q41SessionWindow, q81AsofOperator, q89AsofTolerance)
 }

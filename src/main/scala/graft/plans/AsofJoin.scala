@@ -35,6 +35,7 @@ case class AsofJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -49,10 +50,12 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of join requires LongType time columns (integer micros)")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -79,6 +82,10 @@ case class AsofJoinExec(
     val lOut = left.output
     val rOut = right.output
     val out = output
+    // tolerance filters at EMIT time: the carried match is the most
+    // recent right row at-or-before the left time, so a carried match
+    // older than the bound has no admissible replacement — null side
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -99,10 +106,11 @@ case class AsofJoinExec(
       // buffering consumers copy().
       val resultProj = UnsafeProjection.create(out, out)
       val rBuf = rIter.buffered
-      // last right row whose (key, time) qualified, and the key it
-      // belongs to — both copied (iterator rows are reused buffers)
+      // last right row whose (key, time) qualified, the key it belongs
+      // to — both copied (iterator rows are reused buffers) — and its time
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
+      var lastMatchTime: Long = 0L
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lKeyHasNull = lKey.anyNull
@@ -127,6 +135,7 @@ case class AsofJoinExec(
               } else if (rt != null && rt.asInstanceOf[Long] <= ltv) {
                 lastMatch = rBuf.next().copy()
                 lastMatchKey = lKey.copy()
+                lastMatchTime = rt.asInstanceOf[Long]
               } else if (rt == null) {
                 rBuf.next() // null right time never matches anything
               } else {
@@ -139,7 +148,8 @@ case class AsofJoinExec(
         }
         val matched = lastMatch != null && lastMatchKey != null &&
           lt != null && !lKeyHasNull &&
-          keyOrdering.compare(lastMatchKey, lKey) == 0
+          keyOrdering.compare(lastMatchKey, lKey) == 0 &&
+          lt.asInstanceOf[Long] - lastMatchTime <= tol
         resultProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
@@ -153,22 +163,26 @@ case class AsofJoinExec(
 /** Planner strategy: lower the logical as-of join to the merge exec. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(lk, rk, lt, rt, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(lk, rk, lt, rt, tol, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Name-based public API: as-of LEFT join `left` to `right` on
   * `left.leftKey == right.rightKey` and the greatest
-  * `right.rightTime <= left.leftTime`. Column names of the two sides
-  * must not collide (alias the right side first). */
+  * `right.rightTime <= left.leftTime`. An optional `toleranceUs` bounds
+  * the match's age (`leftTime - rightTime <= toleranceUs`, the
+  * feature-store freshness window; pandas merge_asof's `tolerance`) —
+  * a staler best match joins the null side instead. Column names of
+  * the two sides must not collide (alias the right side first). */
 object AsofJoin {
   import org.apache.spark.sql.DataFrame
 
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -176,6 +190,6 @@ object AsofJoin {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     org.apache.spark.sql.graft.PlanShim.ofRows(left.sparkSession,
       AsofJoinPlan(Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime), lPlan, rPlan))
+        attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, lPlan, rPlan))
   }
 }

@@ -153,6 +153,19 @@ class PlanSpec extends SparkSpec {
     assert(sorted.map(_.getAs[Int]("lid")).toSeq == Seq(2, 1, 4, 3))
   }
 
+  test("AsofJoin tolerance nulls a stale best match but keeps fresh ones") {
+    import spark.implicits._
+    val l = Seq(("a", 100L, 1), ("a", 200L, 2), ("b", 100L, 3)).toDF("k", "t", "lid")
+    val r = Seq(("a", 95L, 100), ("a", 120L, 200), ("b", 10L, 300)).toDF("rk", "rt", "rid")
+    val j = graft.plans.AsofJoin(l, r, "k", "rk", "t", "rt", toleranceUs = Some(50L))
+    val byId = j.collect().map(x =>
+      x.getAs[Int]("lid") -> Option(x.getAs[Any]("rid"))).toMap
+    assert(byId == Map(
+      1 -> Some(100), // best match rt=95, age 5 <= 50: fresh
+      2 -> None,      // best match rt=120, age 80 > 50: stale, no fallback
+      3 -> None))     // best match rt=10, age 90 > 50: stale -> null side
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -228,6 +228,27 @@ class SourcesSpec extends SparkSpec {
     assert(emb.nonNull > 0 && emb.min.isEmpty && emb.max.isEmpty && emb.ndvEst.isEmpty)
   }
 
+  test("schema evolution: widened batches merge, old rows null-fill, pruning still works") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // generation 1: three columns
+    docs.select("doc_id", "text", "lang").write.parquet(dir)
+    // generation 2: a later ingest adds a quality score
+    docs.limit(100).select(col("doc_id") + 1000000L as "doc_id", col("text"),
+        col("lang"), lit(42L).as("quality"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "quality"))
+    val n1 = docs.count()
+    assert(merged.count() == n1 + 100)
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("doc_id") < 1000000L && col("quality").isNull).count() == n1)
+    assert(merged.filter(col("quality") === 42L).count() == 100)
+    // column pruning on the merged schema still reaches the scan
+    val q = merged.select("doc_id", "quality")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("text"), s"pruned column still read:\n$scan")
+  }
+
   test("ORC predicate pushdown reaches the scan like parquet") {
     val dir = Files.createTempDirectory("graft-orc-pd").toString
     docs.write.mode("overwrite").orc(dir)

@@ -244,6 +244,64 @@ object Analytics {
       .orderBy("lang")
   }
 
+  /** q90 — count-min sketch: approximate token frequencies from a
+    * 4-row × 256-cell counter grid (same affine hash family as the
+    * MinHash permutations), completing the auditable-sketch family —
+    * q50 HLL (distinct, rows-only), q82 KMV (distinct, exact-state
+    * oracle), q90 CMS (FREQUENCY, exact-state oracle). The sketch is
+    * plain relational: cell counts are one groupBy of (row, cell) —
+    * 1024 output rows REGARDLESS of corpus size, the whole point at
+    * 100 TB (map-side partials mean the shuffle carries ≤1024 rows per
+    * task; the merged grid then BROADCASTS to estimate any key without
+    * touching the corpus again). Output: the 10 exact-top tokens with
+    * exact and CMS-estimated counts; CMS guarantees est >= exact, with
+    * overestimates from cell collisions. Deterministic given the hash,
+    * so DuckDB reproduces the estimates bit-for-bit. */
+  val q90CmsSketch: Q = Q(
+    "q90_cms_sketch",
+    """WITH tok AS (
+      |  SELECT CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) AS h, t
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |        FROM documents)
+      |), rr AS (SELECT unnest(range(0,4)) AS r),
+      |cc AS (
+      |  SELECT r, (h*(2*r+1) + r*r+7) % 2038074743 % 256 AS cell, COUNT(*) AS n
+      |  FROM tok CROSS JOIN rr GROUP BY 1, 2
+      |), top AS (
+      |  SELECT t, h, COUNT(*) AS n_exact FROM tok GROUP BY 1, 2
+      |  ORDER BY n_exact DESC, t LIMIT 10
+      |)
+      |SELECT top.t AS token, top.n_exact, MIN(cc.n) AS n_est
+      |FROM top CROSS JOIN rr
+      |JOIN cc ON cc.r = rr.r
+      |  AND cc.cell = (top.h*(2*rr.r+1) + rr.r*rr.r+7) % 2038074743 % 256
+      |GROUP BY 1, 2
+      |ORDER BY n_exact DESC, token""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    def cell(h: org.apache.spark.sql.Column, r: Int) =
+      (h * (2 * r + 1) + lit(r * r + 7)) % 2038074743L % 256
+    val tok = graft.Q.stageBarrier(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("t"))
+      .select(col("t"), hex32(col("t")).as("h"))
+    val cellCounts = tok
+      .select(explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"), cell(col("h"), r).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val top = tok.groupBy("t", "h").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(10)
+    top
+      .select(col("t"), col("h"), col("n_exact"),
+        explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"), cell(col("h"), r).as("cell"))): _*)).as("rc"))
+      .join(broadcast(cellCounts),
+        col("rc.r") === cellCounts("r") && col("rc.cell") === cellCounts("cell"))
+      .groupBy(col("t").as("token"), col("n_exact"))
+      .agg(min(col("n")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
-    q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch)
+    q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
+    q90CmsSketch)
 }

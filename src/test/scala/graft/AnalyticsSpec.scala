@@ -31,6 +31,15 @@ class AnalyticsSpec extends SparkSpec {
     a.values.foreach(m => assert(m.length == 8 && m == m.sorted && m.distinct == m))
   }
 
+  test("CMS sketch: every estimate dominates its exact count (one-sided error)") {
+    val out = ops.Analytics.q90CmsSketch.fn(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"token=${r.getString(0)} est=$est < exact=$exact")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val rows = ops.Analytics.q50Sketch.fn(spark, sf).collect()
     assert(rows.nonEmpty)

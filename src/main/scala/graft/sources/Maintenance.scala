@@ -47,9 +47,20 @@ object Maintenance {
       if (partCols.nonEmpty) {
         val nLeaf = math.max(1, leafPartitionDirs(root))
         val salts = math.max(1, math.ceil(nParts.toDouble / nLeaf).toInt)
+        // xxhash64 rejects map-typed columns — salt over the hashable rest
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType => true
+          case a: ArrayType => hasMap(a.elementType)
+          case st: StructType => st.fields.exists(f => hasMap(f.dataType))
+          case _ => false
+        }
+        val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+          .map(f => col(f.name)).toSeq
         val salt = org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.xxhash64(
-            df.columns.map(col).toSeq: _*), org.apache.spark.sql.functions.lit(salts))
+          if (hashable.isEmpty) org.apache.spark.sql.functions.lit(0L)
+          else org.apache.spark.sql.functions.xxhash64(hashable: _*),
+          org.apache.spark.sql.functions.lit(salts))
         df.repartition(nParts, (partCols.map(col) :+ salt): _*)
       } else df.repartition(nParts)
     val writer = repartitioned.write
@@ -158,11 +169,16 @@ object Maintenance {
     val probes = (1 until 256).map(_ / 256.0).toArray
     val allBounds = df.stat.approxQuantile(cols.toArray, probes, 0.001)
     val bucketed = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val boundsArr = array(allBounds(i).distinct.sorted.map(lit).toSeq: _*)
-      // bucket id = #boundaries <= v (null -> bucket 0, sorts first)
-      acc.withColumn(s"__zb$i",
-        coalesce(size(filter(boundsArr, b => b <= col(c).cast("double"))), lit(0))
-          .cast("long"))
+      val bounds = allBounds(i).distinct.sorted
+      // an all-null column yields no quantiles: constant bucket 0
+      if (bounds.isEmpty) acc.withColumn(s"__zb$i", lit(0L))
+      else {
+        val boundsArr = array(bounds.map(lit).toSeq: _*)
+        // bucket id = #boundaries <= v (null -> bucket 0, sorts first)
+        acc.withColumn(s"__zb$i",
+          coalesce(size(filter(boundsArr, b => b <= col(c).cast("double"))), lit(0))
+            .cast("long"))
+      }
     }
     // interleave bit j of column i into z-bit j*k+i (column-major round
     // robin): equal prefix bits = same z-neighborhood in all dims

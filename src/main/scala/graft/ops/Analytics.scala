@@ -279,7 +279,7 @@ object Analytics {
       |ORDER BY n_exact DESC, token""") { (s, d) =>
     import graft.functions.TextFunctions._
     def cell(h: org.apache.spark.sql.Column, r: Int) =
-      (h * (2 * r + 1) + lit(r * r + 7)) % 2038074743L % 256
+      (h * (2 * r + 1) + lit(r * r + 7)) % MinhashPrime % 256
     val tok = graft.Q.stageBarrier(Tables.documents(s, d))
       .select(explode(tokens(col("text"))).as("t"))
       .select(col("t"), hex32(col("t")).as("h"))

@@ -146,10 +146,14 @@ case class AsofJoinExec(
             }
           }
         }
+        // age >= 0 guards Long overflow: the match invariant gives
+        // rt <= lt, so a negative difference means the true age
+        // exceeded Long range — necessarily staler than any tolerance
+        val age = if (lt == null) 0L else lt.asInstanceOf[Long] - lastMatchTime
         val matched = lastMatch != null && lastMatchKey != null &&
           lt != null && !lKeyHasNull &&
           keyOrdering.compare(lastMatchKey, lKey) == 0 &&
-          lt.asInstanceOf[Long] - lastMatchTime <= tol
+          age >= 0 && age <= tol
         resultProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }

@@ -85,12 +85,31 @@ object Prof {
       println(both.queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    // shuffle-volume listener: measured evidence for the per-operator
+    // scale claims ("one 64-row shuffle", "ids only, never arrays") —
+    // bytes written to / read from shuffle per profiled run
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      })
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {
+      shufWrite.set(0); shufRead.set(0)
       val t0 = System.nanoTime()
       byName(name)(spark, sf).write.format("noop").mode("overwrite").save()
-      println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // let the async listener bus drain stage events
+      println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB")
     }
     spark.stop()
   }

@@ -56,6 +56,41 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(want).isEmpty && want.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // tiny thresholds so the harness-sized fixture counts as skewed
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // coalescing merges the tiny fixture partitions before the skew
+    // check can see them — disabled so the skew path is what's tested
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 80% of the fact lands on one key — the shape that makes one
+    // reducer the straggler without intervention. The repartition
+    // matters beyond spreading load: AQE splits a skewed reduce
+    // partition by MAPPER ranges, so a single-row-group scan (one map
+    // task, this harness's file shape) is unsplittable — at production
+    // scale many input splits make every skewed partition divisible.
+    val fact = Tables.orders(s, sf).repartition(8).select(
+      when(col("o_orderkey") % 10 < 8, 0L).otherwise(col("o_custkey") % 100).as("k"),
+      col("o_totalprice").as("price"))
+    val dim = s.range(100).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val joined = fact.join(dim, "k")
+    // run THIS dataframe's execution: AQE finalizes the plan (and the
+    // skew split) only on the executed instance
+    val n = joined.collect().length
+    assert(n == Tables.orders(s, sf).count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+      s"AQE did not mark the skewed join:\n$plan")
+  }
+
   test("q87: shard assignment is total, in-range, and partitioning-independent") {
     val out = ops.Scale.q87ShardAssign.fn(spark, sf).collect()
     assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))

@@ -27,10 +27,15 @@ object Bench {
     def run(q: Q, dir: String): Unit =
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // One warmup pass on the smallest SF to exclude JVM/codegen warmup from
-    // the per-query numbers (the driver measures steady-state throughput).
-    SparkEntry.registry.foreach { q =>
-      try run(q, "/root/testdata/sf0.001")
+    // Two warmup passes to exclude JVM/codegen warmup from the per-query
+    // numbers (the driver measures steady-state throughput): sf0.001
+    // compiles every codegen class cheaply; sf0.01 then drives enough
+    // row-loop invocations (~60k) to get the giant generated classes
+    // (q35/q36/q42 JSON+XML round-trips) through C2 JIT — one sf0.001
+    // pass alone leaves them interpreted (~10x) for their first timed run.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         q <- SparkEntry.registry) {
+      try run(q, dir)
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
     }
 
@@ -38,7 +43,9 @@ object Bench {
       val t0 = System.nanoTime()
       try run(q, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench-sample] ${q.name} $sec%.2f")
+      sec
     }
     // Best-of-N for the heavy queries: the host shows transient CPU
     // contention (identical queries swing 3x run-to-run), so a single

@@ -90,6 +90,9 @@ object Prof {
     // bytes written to / read from shuffle per profiled run
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
+    // per-stage parallelism evidence: (numTasks, executor cpu-seconds);
+    // distinguishes "the host was busy" from "AQE serialized the stage"
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -98,18 +101,24 @@ object Prof {
           if (m != null) {
             shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            stages.add((sc.stageInfo.stageId, sc.stageInfo.numTasks,
+              m.executorRunTime / 1e3))
           }
         }
       })
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {
-      shufWrite.set(0); shufRead.set(0)
+      shufWrite.set(0); shufRead.set(0); stages.clear()
       val t0 = System.nanoTime()
       byName(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150) // let the async listener bus drain stage events
       println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB")
+      import scala.jdk.CollectionConverters._
+      val heavy = stages.asScala.toSeq.sortBy(-_._3).take(6)
+        .map { case (id, n, s) => f"s$id:$n%dt/$s%.1fs" }.mkString(" ")
+      println(s"[prof-stages] $name $heavy")
     }
     spark.stop()
   }

@@ -668,8 +668,120 @@ object Clean {
       .orderBy("doc_id")
   }
 
+  /** q91 — hashed linear quality classifier: the fastText-style filter
+    * (CCNet / FineWeb-edu shape) that scores each document with a
+    * linear model over hashed bag-of-words features and gates on the
+    * mean token score. The model here is deterministic — bucket =
+    * hex32(token) % 64, weight(bucket) = bucket % 13 - 6 — so both
+    * engines compute the identical integer score; swapping in trained
+    * weights is a broadcast lookup with the same plan. Narrow
+    * projection, no shuffle: at 100 TB this is a single scan. */
+  val q91QualityClassifier: Q = Q(
+    "q91_quality_classifier",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(list_reduce(list_prepend(0, list_transform(toks,
+       |      t -> (CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) % 64) % 13 - 6)),
+       |      (x,y) -> x+y) AS BIGINT) AS score
+       |  FROM t
+       |), ml AS (
+       |  SELECT doc_id, n_tok, score,
+       |    CASE WHEN n_tok = 0 THEN 0
+       |         ELSE CAST(FLOOR(score*1000/n_tok) AS BIGINT) END AS score_milli
+       |  FROM sc
+       |)
+       |SELECT doc_id, n_tok, score, score_milli,
+       |  CASE WHEN n_tok >= 5 AND score_milli >= 0 THEN 1 ELSE 0 END AS keep_flag
+       |FROM ml ORDER BY doc_id""") { (s, d) =>
+    docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + (pmod(hex32(t), lit(64)) % 13 - 6)).as("score"))
+      .withColumn("score_milli",
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(floor(col("score") * 1000 / col("n_tok"))))
+      .select(col("doc_id"), col("n_tok"), col("score"), col("score_milli"),
+        when(col("n_tok") >= 5 && col("score_milli") >= 0, 1)
+          .otherwise(0).as("keep_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** q92 — URL canonicalization + dedup: lowercase scheme/host, strip
+    * default ports and `www.`, drop fragments, filter tracking params
+    * (`utm_*` / `fbclid`), trim trailing slashes — then collapse to one
+    * row per canonical URL. The crawl-frontier dedup that runs before
+    * any content fetch. (Messy URLs are synthesized from source+doc_id
+    * — the documents table has none — so the operator under test is the
+    * canonicalization expression chain + one count-by-canonical
+    * shuffle, O(distinct urls), ids only.) */
+  val q92UrlCanon: Q = Q(
+    "q92_url_canon",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END
+       |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+       |    || source || '.Example.COM'
+       |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       |    || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+       |    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+       |    || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+       |    || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+       |  FROM documents
+       |), parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+       |      ':(443|80)$$', ''), '^www\\.', '') AS host,
+       |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$$', '') AS path,
+       |    array_to_string(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> NOT regexp_matches(p, '^(utm_|fbclid)')), '&') AS query
+       |  FROM u
+       |), canon AS (
+       |  SELECT doc_id, scheme || '://' || host || path
+       |    || CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canonical_url
+       |  FROM parts
+       |)
+       |SELECT canonical_url,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       |  MIN(doc_id) AS first_doc
+       |FROM canon GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val url = concat(
+      when(col("doc_id") % 3 === 0, "HTTP://").otherwise("https://"),
+      when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      lit("/p/"), pmod(col("doc_id"), lit(10)).cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("&utm_campaign=x"),
+      lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":(443|80)$", ""), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val query = concat_ws("&",
+      filter(split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+        p => !p.rlike("^(utm_|fbclid)")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        concat(scheme, lit("://"), host, path,
+          when(query =!= "", concat(lit("?"), query)).otherwise("")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
-    q78BottomkSample, q79DomainCap, q83BloomDecontam)
+    q78BottomkSample, q79DomainCap, q83BloomDecontam,
+    q91QualityClassifier, q92UrlCanon)
 }

@@ -526,7 +526,17 @@ object Ocds {
       |JOIN itm ON itm.ok = o_orderkey
       |JOIN tot ON tot.ok = o_orderkey
       |ORDER BY ocid""") { (s, d) =>
-    val parsed = releaseJson(s, d)
+    // Sort the NARROW (key, json) rows first, then flatten: the global
+    // sort's range exchange moves ~150 MB of JSON instead of ~2x that in
+    // 124 wide columns (barrier pass + range pass), and the parse+flatten
+    // projection runs once, after the exchange, on the 32 range
+    // partitions — order is preserved because the projection is narrow.
+    // The sort key is the same string the oracle orders by
+    // (ocid = 'ocds-' || orderkey, unique), computed from the pre-parse
+    // key column. Measured at sf0.1: shuffle w 360->208 MB, r 514->268 MB.
+    val sorted = graft.Q.stageBarrier(releaseJson(s, d))
+      .orderBy(concat(lit("ocds-"), col("o_orderkey").cast("string")))
+    val parsed = sorted
       .select(from_json(col("release_json"), packageSchema).as("p"))
       .select(col("p"), firstOrNull(col("p").getField("releases")).as("r"))
     val p = col("p")
@@ -721,8 +731,6 @@ object Ocds {
       awardDoc.getField("datePublished").as("award_notice_published"),
       awardDoc.getField("format").as("award_notice_format"),
       awardDoc.getField("language").as("award_notice_language"))
-      .transform(Q.stageBarrier)
-      .orderBy("ocid")
   }
 
   /** q36 — X5 error capture: ~1/97 of releases are corrupted before the

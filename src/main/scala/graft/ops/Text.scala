@@ -256,6 +256,40 @@ object Text {
       .limit(50)
   }
 
+  /** q93 — context-window chunking: split each document's token stream
+    * into fixed-size chunks (32 tokens, stride 24 → 8-token overlap) and
+    * emit one row per chunk — the sequence-packing precursor that turns
+    * a document corpus into training windows. One narrow explode, no
+    * shuffle until the final order: at 100 TB this is a scan whose
+    * output is ~n_tokens/stride rows, each carrying its chunk text. */
+  val q93TokenChunks: Q = Q(
+    "q93_token_chunks",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), st AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks)+1, 24)) AS start
+       |  FROM t WHERE len(toks) > 0
+       |)
+       |SELECT doc_id,
+       |  CAST((start-1)//24 AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tok,
+       |  array_to_string(toks[start:start+31], ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+      .select(col("doc_id"),
+        expr("CAST((start - 1) div 24 AS BIGINT)").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("toks"), col("start"), lit(32))).cast("long").as("n_chunk_tok"),
+        array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
-    q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge)
+    q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
+    q93TokenChunks)
 }

@@ -212,4 +212,20 @@ class PlanSpec extends SparkSpec {
       .groupBy("doc_id").agg(mh(col("h")).as("sig"))
     assert(exprSide.exceptAll(aggSide).isEmpty && aggSide.exceptAll(exprSide).isEmpty)
   }
+
+  test("q35 sorts the narrow json rows below the wide flatten projection") {
+    // The global sort must range-exchange only (o_orderkey, release_json):
+    // if the 124-column flatten ever slips below the Sort again, the range
+    // pass shuffles the whole wide output twice (the r03 regression).
+    val df = ops.Ocds.q35OcdsFlatten.fn(spark, sf)
+    assert(df.schema.length > 100, "flatten width lost")
+    // check the optimized LOGICAL plan: the physical one hides inside
+    // AdaptiveSparkPlanExec (no children for collect) until execution
+    val plan = df.queryExecution.optimizedPlan
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
+    assert(sorts.nonEmpty, s"no Sort in plan:\n$plan")
+    assert(sorts.forall(_.child.output.length <= 2),
+      s"sort carries wide rows: ${sorts.map(_.child.output.map(_.name))}")
+  }
 }

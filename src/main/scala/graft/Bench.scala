@@ -27,6 +27,13 @@ object Bench {
     def run(q: Q, dir: String): Unit =
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q35_ocds_flatten,q36_... restricts the run — a
+    // local iteration tool; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+
     // Two warmup passes to exclude JVM/codegen warmup from the per-query
     // numbers (the driver measures steady-state throughput): sf0.001
     // compiles every codegen class cheaply; sf0.01 then drives enough
@@ -34,7 +41,7 @@ object Bench {
     // (q35/q36/q42 JSON+XML round-trips) through C2 JIT — one sf0.001
     // pass alone leaves them interpreted (~10x) for their first timed run.
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
-         q <- SparkEntry.registry) {
+         q <- selected) {
       try run(q, dir)
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
     }
@@ -54,7 +61,7 @@ object Bench {
     // min still exceeds 8s (sustained contention windows outlast one
     // retry); report the min — steady-state throughput, the quantity
     // being measured.
-    val results = SparkEntry.registry.map { q =>
+    val results = selected.map { q =>
       val first = timed(q)
       val best =
         if (first <= 3.0) first

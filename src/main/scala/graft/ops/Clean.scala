@@ -779,9 +779,66 @@ object Clean {
       .orderBy("canonical_url")
   }
 
+  /** q95 — token-budget greedy selection: rank documents by a quality
+    * score (lexical diversity: distinct-token ppm, tie-break doc_id) and
+    * keep the prefix whose cumulative token count fits a fixed training
+    * budget — the "take the best B tokens" cut every scaling-law data
+    * build runs.
+    *
+    * The naive spelling is a GLOBAL running sum (one window over the
+    * full order = a single-partition sort — dead at 100 TB). This is
+    * the distributed two-level spelling: (1) per-score token totals
+    * (a tiny partial-aggregated groupBy — O(|distinct scores|) rows),
+    * (2) a cumulative sum over that small score histogram (window over
+    * thousands of rows, not billions), broadcast back, (3) a per-score
+    * running sum windowed WITHIN each score group (parallel across
+    * scores). cum(before score) + cum(within score) is exactly the
+    * global running sum, with no global sort of the corpus. */
+  val q95TokenBudget: Q = Q(
+    "q95_token_budget",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), scored AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |      CAST(len(list_distinct(toks)) AS BIGINT)*1000000/len(toks)) AS BIGINT) END AS score
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, score, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+       |  FROM scored
+       |)
+       |SELECT doc_id, score, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+       |FROM c WHERE cum_tok <= 15000
+       |ORDER BY score DESC, doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val scored = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      when(size(col("toks")) === 0, 0L)
+        .otherwise(floor(size(array_distinct(col("toks"))).cast("long") * 1000000L
+          / size(col("toks"))))
+        .cast("long").as("score"))
+    // level 1+2: cumulative tokens BEFORE each score value (small frame)
+    val wScore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scoreCum = scored.groupBy("score")
+      .agg(sum("n_tok").as("score_tok"))
+      .withColumn("cum_before", coalesce(sum("score_tok").over(wScore), lit(0L)))
+      .select("score", "cum_before")
+    // level 3: running sum inside each score group, parallel by score
+    val wIn = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(scoreCum), "score")
+      .withColumn("cum_tok", col("cum_before") + sum("n_tok").over(wIn))
+      .filter(col("cum_tok") <= 15000L)
+      .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
-    q91QualityClassifier, q92UrlCanon)
+    q91QualityClassifier, q92UrlCanon, q95TokenBudget)
 }

@@ -481,7 +481,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q97 — best-representative selection: q30's near-dup clusters keep
+    * the HIGHEST-QUALITY member (most tokens, tie-break min doc_id)
+    * instead of the min-id one — what a production dedup actually ships
+    * (the near-copy that lost tokens should lose to its fuller source,
+    * whatever their id order). Same verified-edge pipeline as q30, then
+    * one window per cluster: rank members by (n_tok desc, doc_id) and
+    * keep rank 1. The window partitions by cluster id, so the selection
+    * parallelizes across clusters; only multi-member clusters are
+    * emitted (the audit surface a dedup report wants). */
+  val q97BestRep: Q = Q(
+    "q97_best_rep",
+    s"""WITH $DCorpus, $DBands, verified AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
+       |), resolved AS (
+       |  SELECT c.doc_id, len(c.toks) AS n_tok,
+       |    least(c.doc_id, COALESCE(MIN(v.doc_a), c.doc_id)) AS cluster
+       |  FROM corpus c LEFT JOIN verified v ON v.doc_b = c.doc_id
+       |  GROUP BY c.doc_id, len(c.toks)
+       |), ranked AS (
+       |  SELECT cluster, doc_id, n_tok,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_tok DESC, doc_id) AS rn
+       |  FROM resolved
+       |)
+       |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS rep_doc, CAST(n_tok AS BIGINT) AS rep_n_tok
+       |FROM ranked WHERE rn = 1 AND n_members > 1
+       |ORDER BY cluster""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpus(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+      .localCheckpoint()
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select("doc_a", "doc_b")
+    val resolved = sh.select(col("doc_id"), col("n_tok")).as("c")
+      .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
+      .groupBy(col("c.doc_id").as("doc_id"), col("n_tok"))
+      .agg(least(col("doc_id"), coalesce(min(col("v.doc_a")), col("doc_id"))).as("cluster"))
+    val wc = Window.partitionBy("cluster")
+    val wr = Window.partitionBy("cluster").orderBy(col("n_tok").desc, col("doc_id"))
+    resolved
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("cluster"), col("n_members").cast("long").as("n_members"),
+        col("doc_id").as("rep_doc"), col("n_tok").as("rep_n_tok"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
-    q85SpanDupGate)
+    q85SpanDupGate, q97BestRep)
 }

@@ -128,5 +128,41 @@ object Scale {
       .orderBy("shard")
   }
 
-  val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign)
+  /** q96 — epoch shuffle manifest: the deterministic global permutation
+    * a training loop reads each epoch, spelled the way it scales. Every
+    * doc gets a pseudo-random sort key from md5 of (epoch, doc_id); the
+    * key's low bits pick one of 8 shards and each shard orders its docs
+    * by the key independently — a window PARTITIONED by shard, so the
+    * "global shuffle" is N parallel in-shard sorts, never one global
+    * sort. Readers consume shards round-robin, which is exactly how a
+    * data loader wants its input: stable across re-runs (hash of ids,
+    * no RNG state), re-shardable without moving other epochs, and with
+    * a different-but-deterministic order per epoch (the key includes
+    * the epoch number). */
+  val q96EpochShuffle: Q = Q(
+    "q96_epoch_shuffle",
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5('ep1_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS ord
+      |  FROM documents
+      |)
+      |SELECT doc_id, ord % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) AS BIGINT) AS pos
+      |FROM keyed
+      |ORDER BY shard, pos""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hex32(
+          concat(lit("ep1_"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(8L)))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    keyed
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
+    q96EpochShuffle)
 }

@@ -414,6 +414,157 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Deterministic per-cluster centroid of (cluster, vec_id, v) rows:
+    * members fold in explicit vec_id order (the repo's double-precision
+    * determinism rule — a shuffle-order SUM would drift between
+    * engines). The collect_list bounds at |cluster| vectors; at 100 TB
+    * with huge clusters the production variant switches to fixed-point
+    * integer partial sums (order-independent), trading the oracle's
+    * bit-exactness for distribution — same plan shape otherwise. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+          _.getField("v")).as("vs"))
+      .select(col("cluster"), col("n"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+
+  /** Argmax-cosine assignment of every vector to a broadcast centroid
+    * table (tie-break min cluster id) — one map-side pass, no shuffle
+    * of the corpus. */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cluster"))
+    vecs.crossJoin(broadcast(cents.select(col("cluster"), col("c"))))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        cosPpm(col("v"), col("c")).as("s"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  /** q98 — k-means (Lloyd) refinement, two unrolled iterations: init
+    * centroids from the per-label means (q34), then twice
+    * assign-to-nearest + recompute — the iterative-ML loop a Spark
+    * engine runs as: broadcast the k centroids, one narrow corpus pass
+    * per iteration for assignment, one k-key aggregation for the
+    * update. Per iteration the corpus is SCANNED once and never
+    * shuffled (the only exchange carries k partial centroid states), so
+    * 100 TB x N iterations = N linear passes. The DuckDB oracle unrolls
+    * the same two iterations as CTE stages. */
+  val q98KmeansLloyd: Q = Q(
+    "q98_kmeans_lloyd",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), cents0 AS (
+       |  SELECT label AS cluster, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |      vs), (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (SELECT label, list($DVec ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM embeddings GROUP BY label)
+       |), a1 AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT vec_id, v, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dCosPpm("v", "c")} DESC, cluster) AS rn
+       |    FROM vecs CROSS JOIN cents0) WHERE rn = 1
+       |), c1 AS (
+       |  SELECT cluster, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |      vs), (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (SELECT cluster, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM a1 GROUP BY cluster)
+       |), a2 AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT vec_id, v, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dCosPpm("v", "c")} DESC, cluster) AS rn
+       |    FROM vecs CROSS JOIN c1) WHERE rn = 1
+       |), c2 AS (
+       |  SELECT cluster, n, list_transform(sv, x -> x / n) AS c FROM (
+       |    SELECT cluster, COUNT(*) AS n,
+       |      list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |        list(v ORDER BY vec_id)),
+       |        (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])) AS sv
+       |    FROM a2 GROUP BY cluster)
+       |)
+       |SELECT cluster, CAST(n AS BIGINT) AS n,
+       |  CAST(FLOOR(sqrt(${dDot("c", "c")}) * 1000000) AS BIGINT) AS centroid_norm_ppm
+       |FROM c2 ORDER BY cluster""") { (s, d) =>
+    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint() // read once per iteration, not re-scanned per reference
+    val cents0 = Tables.embeddings(s, d)
+      .select(col("label").as("cluster"), col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .transform(centroidsOf)
+    val c1 = centroidsOf(assignTo(vecs, cents0))
+    val c2 = centroidsOf(assignTo(vecs, c1))
+    c2.select(col("cluster"), col("n").cast("long").as("n"),
+        floor(sqrt(dot(col("c"), col("c"))) * 1000000L).cast("long")
+          .as("centroid_norm_ppm"))
+      .orderBy("cluster")
+  }
+
+  /** q99 — hard-negative mining for contrastive training: for each
+    * anchor (vec_id < 5), the most similar SAME-label vector is the
+    * positive and the most similar DIFFERENT-label vector the hard
+    * negative; margin = pos - neg in ppm. One broadcast of the tiny
+    * anchor side, one scored corpus pass (materialized once, consumed
+    * by both windows), two per-anchor top-1 windows — the corpus never
+    * shuffles, the windows see ~|corpus|/|anchors| rows each. */
+  val q99HardNegatives: Q = Q(
+    "q99_hard_negatives",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, $DVec AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM vecs WHERE vec_id < 5
+       |), scored AS (
+       |  SELECT query_id, qlabel, vec_id, label, ${dCosPpm("qv", "v")} AS cos_ppm
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), pos AS (
+       |  SELECT query_id, vec_id AS pos_id, cos_ppm AS pos_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_ppm DESC, vec_id) AS rn
+       |    FROM scored WHERE label = qlabel) WHERE rn = 1
+       |), neg AS (
+       |  SELECT query_id, vec_id AS neg_id, cos_ppm AS neg_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_ppm DESC, vec_id) AS rn
+       |    FROM scored WHERE label <> qlabel) WHERE rn = 1
+       |)
+       |SELECT pos.query_id AS query_id, pos_id, pos_cos, neg_id, neg_cos,
+       |  pos_cos - neg_cos AS margin
+       |FROM pos JOIN neg ON pos.query_id = neg.query_id
+       |ORDER BY pos.query_id""") { (s, d) =>
+    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val qs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .localCheckpoint() // consumed by both the pos and neg windows
+    val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"), col("cos_ppm").as("pos_cos"))
+    val neg = scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("neg_id"), col("cos_ppm").as("neg_cos"))
+    pos.join(neg, "query_id")
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
-    q54AnnIvf, q62Quantize)
+    q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives)
 }

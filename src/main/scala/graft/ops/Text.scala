@@ -289,7 +289,49 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q94 — tokenizer vocab coverage / OOV rate: build the corpus top-K
+    * vocabulary (count desc, token asc — a deterministic total order),
+    * then score every document's out-of-vocabulary token rate against
+    * it. The pipeline shape a tokenizer-training loop runs after each
+    * candidate vocab: vocab build is one partial-aggregated groupBy of
+    * O(|vocab|) keys; the per-doc scoring CROSS-joins the single-row
+    * vocab array (broadcast — the corpus side never shuffles), so at
+    * 100 TB this is one narrow scan plus one tiny aggregation. K=16 of
+    * the corpus's 31 distinct tokens keeps both sides of the rate
+    * populated. */
+  val q94VocabOov: Q = Q(
+    "q94_vocab_oov",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), vocab AS (
+       |  SELECT list(tok) AS vl FROM (
+       |    SELECT tok FROM (
+       |      SELECT unnest(toks) AS tok FROM t)
+       |    GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16)
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CAST(len(list_filter(toks, x -> NOT list_contains(vl, x))) AS BIGINT) AS n_oov,
+       |  CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |    CAST(len(list_filter(toks, x -> NOT list_contains(vl, x))) AS BIGINT)*1000000/len(toks)) AS BIGINT) END AS oov_ppm
+       |FROM t CROSS JOIN vocab ORDER BY doc_id""") { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val vocab = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(16)
+      .agg(collect_list(col("tok")).as("vl"))
+    val nOov = size(filter(col("toks"), x => !array_contains(col("vl"), x)))
+    t.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        nOov.cast("long").as("n_oov"),
+        when(size(col("toks")) === 0, 0L)
+          .otherwise(floor(nOov.cast("long") * 1000000L / size(col("toks"))))
+          .cast("long").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
-    q93TokenChunks)
+    q93TokenChunks, q94VocabOov)
 }

@@ -51,6 +51,13 @@ object ZipXml {
       .toDF("source_zip", "source_xml_file", "xml")
   }
 
+  /** The same rows through the DataSource V2 connector ([[ZipXmlDataSource]]):
+    * the scan plans one InputPartition per ZIP, streams entries (never a
+    * whole archive as one row value), and prunes entry inflation when
+    * `xml` isn't selected — the production path at scale. */
+  def zipEntriesV2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-zip").load(dir)
+
   /** Full FaT extract stage: ZIP scan → unzip → dispatch/parse/flatten
     * with lineage (the Spark rendering of reference stage 2b). */
   def extractDir(spark: SparkSession, dir: String): DataFrame =

@@ -120,6 +120,29 @@ class CleanSpec extends SparkSpec {
     }
   }
 
+  test("q95: the two-level distributed running sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = ops.Clean.q95TokenBudget.fn(spark, sf)
+    // naive spelling: one global running-sum window (the single-partition
+    // sort q95 avoids) — the technique must be semantically invisible
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        when(size(toks) === 0, 0L)
+          .otherwise(floor(size(array_distinct(toks)).cast("long") * 1000000L / size(toks)))
+          .cast("long").as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored.withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= 15000L)
+      .select("doc_id", "score", "n_tok", "cum_tok")
+    assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty)
+    // boundary: the next doc in order would have blown the budget
+    val total = out.agg(sum("n_tok")).head().getLong(0)
+    assert(total <= 15000L)
+  }
+
   test("q74: funnel stage counts are monotonically non-increasing") {
     val stages = ops.Clean.q74CurationFunnel.fn(spark, sf)
       .orderBy("stage").select("n_docs").collect().map(_.getLong(0)).toSeq

@@ -105,6 +105,24 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q96: the epoch manifest is a permutation and partitioning-independent") {
+    val out = ops.Scale.q96EpochShuffle.fn(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs, "every doc appears exactly once")
+    assert(out.map(_.getLong(0)).distinct.length == nDocs)
+    // positions are dense 1..n within each shard (a reader can address
+    // shard[k][pos] without gaps)
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the permutation is a pure function of doc_id — not of the input
+    // partitioning (no RNG, no zipWithIndex order dependence)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = ops.Scale.q96EpochShuffle.fn(s2, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("date-partitioned write prunes partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,7 +62,7 @@ class ZipXmlTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-zip:$path"
   override def schema(): StructType = ZipXmlTable.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipXmlScanBuilder(path)
 }
@@ -98,6 +99,64 @@ class ZipXmlScan(path: String, required: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZipXmlReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ZipXmlMicroBatchStream(path, required)
+}
+
+/** Streaming offset: the set of ZIP paths already emitted, as a JSON
+  * array. Each micro-batch plans (listing − seen) — one InputPartition
+  * per NEW archive, so `readStream.format("graft-zip")` ingests a
+  * landing directory incrementally with exactly-once file semantics
+  * (the engine checkpoints the offset; a restart replans only unseen
+  * files). A production deployment would compact this into a log the
+  * way Spark's own FileStreamSource does once the listing outgrows one
+  * offset value; the protocol is the same. */
+case class ZipFilesOffset(files: Set[String]) extends Offset {
+  override def json(): String =
+    files.toSeq.sorted
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ZipFilesOffset {
+  def fromJson(s: String): ZipFilesOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    ZipFilesOffset(org.json4s.jackson.JsonMethods.parse(s)
+      .extract[List[String]].toSet)
+  }
+}
+
+class ZipXmlMicroBatchStream(path: String, required: StructType)
+    extends MicroBatchStream {
+
+  private def listZips(): Set[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val stats =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.listStatus(p)
+      else fs.globStatus(p)
+    Option(stats).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".zip"))
+      .map(_.getPath.toString).toSet
+  }
+
+  override def initialOffset(): Offset = ZipFilesOffset(Set.empty)
+  override def latestOffset(): Offset = ZipFilesOffset(listZips())
+  override def deserializeOffset(json: String): Offset =
+    ZipFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ZipFilesOffset].files
+    val now = end.asInstanceOf[ZipFilesOffset].files
+    (now -- seen).toArray.sorted.map(f => ZipFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipXmlReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ZipFilePartition(zipPath: String) extends InputPartition

@@ -296,4 +296,44 @@ class StreamingSpec extends SparkSpec {
     Streaming.ingestToParquet(Streaming.eventsStream(spark, sf), out, cp2)
     assert(spark.read.parquet(out).count() == batchEvents.count())
   }
+
+  test("graft-zip micro-batch stream ingests a landing dir incrementally, exactly once") {
+    import java.io.FileOutputStream
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def makeZip(path: String, entries: (String, String)*): Unit = {
+      val o = new ZipOutputStream(new FileOutputStream(path))
+      entries.foreach { case (n, c) =>
+        o.putNextEntry(new ZipEntry(n)); o.write(c.getBytes("UTF-8")); o.closeEntry()
+      }
+      o.close()
+    }
+    val land = Files.createTempDirectory("graft-zland").toString
+    val out = Files.createTempDirectory("graft-zout").toString
+    val cp = Files.createTempDirectory("graft-zcp").toString
+    makeZip(s"$land/day1.zip", "a.xml" -> "<X>1</X>", "b.xml" -> "<X>2</X>")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-zip").load(land)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // a new archive lands: the SAME checkpoint replans only the new file
+    makeZip(s"$land/day2.zip", "c.xml" -> "<X>3</X>")
+    runOnce()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "incremental batch must add only day2 entries")
+    // and a re-run with nothing new is a no-op (exactly-once per file)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    assert(rows.select("source_xml_file").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a.xml", "b.xml", "c.xml"))
+  }
 }

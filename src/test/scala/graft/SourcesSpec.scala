@@ -257,4 +257,37 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("lang"),
       s"no pushed filter in: $scan")
   }
+
+  test("versioned table: atomic commits, time travel, and reference-aware vacuum") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-versioned").toString
+    val a = docs.filter(col("doc_id") < 20)
+    val b = docs.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+    val c = docs.filter(col("doc_id") >= 30 && col("doc_id") < 35)
+    val (na, nb, nc) = (a.count(), b.count(), c.count())
+
+    assert(Versioned.commitAppend(spark, dir, a) == 1)
+    assert(Versioned.commitAppend(spark, dir, b) == 2)   // v2 = a ∪ b
+    assert(Versioned.commitOverwrite(spark, dir, c) == 3) // v3 = c only
+    assert(Versioned.versions(dir) == Seq(1, 2, 3))
+
+    // latest is the overwrite; history stays readable (time travel)
+    assert(Versioned.read(spark, dir).count() == nc)
+    assert(Versioned.read(spark, dir, Some(2)).count() == na + nb)
+    assert(Versioned.read(spark, dir, Some(1)).count() == na)
+    val v1Ids = Versioned.read(spark, dir, Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v1Ids == (0L until 20L).toSet)
+
+    // vacuum keeps files any retained manifest references: dropping v1
+    // deletes nothing (v2 still references v1's files)
+    assert(Versioned.vacuum(dir, keepLast = 2) == 0)
+    assert(Versioned.read(spark, dir, Some(2)).count() == na + nb)
+    // keeping only v3 deletes the a/b files; the latest still reads
+    assert(Versioned.vacuum(dir, keepLast = 1) > 0)
+    assert(Versioned.read(spark, dir).count() == nc)
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(2))
+    }
+  }
 }

@@ -565,6 +565,88 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q100 — product quantization: the 64-dim space splits into 8
+    * 8-dim subspaces; each subspace gets a 10-entry codebook (the
+    * per-label sub-centroids — deterministic, like q98's init) and
+    * every vector is encoded as 8 small code ids by nearest sub-centroid
+    * (min squared-L2, tie-break min code). The 64-float vector becomes
+    * 8 bytes — the memory layout an ANN index holds at 100 TB — and the
+    * query reports the code plus the reconstruction error the
+    * compression costs. Plan shape: codebook = one k×8-key aggregation;
+    * encoding = one narrow corpus pass against the BROADCAST codebook
+    * (the corpus never shuffles); the histogram is an 80-key agg.
+    * Sub-distances are explicit left-to-right folds (determinism rule).
+    * Completes the quantization family: q62 scalar int8, q100 PQ. */
+  val q100ProductQuant: Q = Q(
+    "q100_product_quant",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, s, list_transform(range(1, 9), i -> v[s*8 + i]) AS sv
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0, 8)) AS s)
+       |), cb AS (
+       |  SELECT s, label AS code, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,8), x -> CAST(0 AS DOUBLE)), vs),
+       |      (acc, e) -> list_transform(range(1,9), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (
+       |    SELECT s, label, list(sv ORDER BY vec_id) AS vs, COUNT(*) AS n FROM (
+       |      SELECT e.vec_id, e.label, t.s,
+       |        list_transform(range(1, 9), i -> ${DVec.replace("embedding", "e.embedding")}[t.s*8 + i]) AS sv
+       |      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) t)
+       |    GROUP BY s, label)
+       |), scored AS (
+       |  SELECT sub.vec_id, sub.s, cb.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 9), i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+       |      (a, e) -> a + e) AS d2
+       |  FROM sub JOIN cb ON sub.s = cb.s
+       |), coded AS (
+       |  SELECT vec_id, s, code, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |    FROM scored) WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), '|') AS pq_code,
+       |  CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY s)),
+       |    (a, e) -> a + e) * 1000000) AS BIGINT) AS recon_err_ppm
+       |FROM coded GROUP BY vec_id ORDER BY vec_id""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // (vec_id, [label], s, 8-dim subvector) rows: one narrow explode
+    def subRows(df: DataFrame, extra: Column*): DataFrame = df
+      .withColumn("s", explode(array((0 until 8).map(i => lit(i.toLong)): _*)))
+      .select((extra :+ col("vec_id") :+ col("s") :+
+        slice(asDouble(col("embedding")), (col("s") * 8 + 1).cast("int"), lit(8))
+          .as("sv")): _*)
+    val zero8 = array_repeat(lit(0.0), 8)
+    val cb = subRows(emb, col("label")).groupBy("s", "label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("sv")))),
+          _.getField("sv")).as("vs"))
+      .select(col("s"), col("label").as("code"),
+        transform(
+          aggregate(col("vs"), zero8, (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, e) => a + e)
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    graft.Q.stageBarrier(subRows(emb))
+      .join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("s"), col("code")))),
+          e => e.getField("code").cast("string")), "|").as("pq_code"),
+        floor(aggregate(
+          transform(sort_array(collect_list(struct(col("s"), col("d2")))),
+            _.getField("d2")),
+          lit(0.0), (a, e) => a + e) * 1000000L).cast("long").as("recon_err_ppm"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
-    q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives)
+    q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant)
 }

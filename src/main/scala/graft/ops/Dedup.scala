@@ -545,7 +545,65 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** q102 — paragraph-level dedup with document reassembly (the
+    * RefinedWeb/C4 paragraph pass): documents split into 32-token
+    * chunks, each chunk kept only at its FIRST corpus occurrence
+    * (min (doc_id, idx) per fingerprint), and every document is
+    * rebuilt from its surviving chunks — exact copies collapse to
+    * nothing, partial overlaps lose only the shared paragraphs.
+    *
+    * Scale design: chunk TEXT never shuffles. The dedup decision
+    * travels as (fingerprint, doc_id, idx) tuples — one window over
+    * fingerprint groups, one ids-only re-aggregation per doc — and the
+    * reassembly filters the chunk array IN the original document row
+    * (a narrow projection). At 100 TB the shuffled bytes are O(chunks)
+    * x ~40 bytes, not the corpus itself. */
+  val q102ParagraphDedup: Q = Q(
+    "q102_paragraph_dedup",
+    s"""WITH $DCorpus, ch AS (
+       |  SELECT doc_id, CAST((start-1)//32 AS BIGINT) AS idx,
+       |    array_to_string(toks[start:start+31], ' ') AS txt
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 32)) AS start
+       |        FROM corpus WHERE len(toks) > 0)
+       |), k AS (
+       |  SELECT doc_id, idx, txt,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(txt) ORDER BY doc_id, idx) = 1 AS kept
+       |  FROM ch
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(array_to_string(list(txt ORDER BY idx) FILTER (WHERE kept), ' '), '')) AS clean_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = corpus(s, d).filter(size(col("toks")) > 0)
+      .withColumn("chunks", transform(
+        sequence(lit(1), size(col("toks")), lit(32)),
+        st => struct(
+          ((st - 1) / 32).cast("long").as("idx"),
+          array_join(slice(col("toks"), st, lit(32)), " ").as("txt"))))
+      .select(col("doc_id"), col("chunks"))
+      .localCheckpoint() // chunking runs once for the id pass and the rebuild
+    val flat = t.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c").getField("idx").as("idx"),
+        md5(col("c").getField("txt")).as("fp"))
+    val w = Window.partitionBy("fp").orderBy("doc_id", "idx")
+    val keptIdx = flat.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id").agg(collect_list(col("idx")).as("kept"))
+    val kept = coalesce(col("kept"), array().cast("array<bigint>"))
+    t.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(array_intersect(transform(col("chunks"), _.getField("idx")), kept))
+          .cast("long").as("n_kept"),
+        md5(array_join(
+          transform(
+            filter(col("chunks"), c => array_contains(kept, c.getField("idx"))),
+            _.getField("txt")), " ")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
-    q85SpanDupGate, q97BestRep)
+    q85SpanDupGate, q97BestRep, q102ParagraphDedup)
 }

@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("q102: exact copies reassemble to nothing; a doc's kept text is a subsequence rebuild") {
+    val out = ops.Dedup.q102ParagraphDedup.fn(spark, sf)
+    // every synthesized exact copy (doc_id >= 2000000) loses ALL chunks
+    val copies = out.filter(col("doc_id") >= 2000000L)
+    assert(copies.count() > 0)
+    assert(copies.filter(col("n_kept") =!= 0L).isEmpty,
+      "an exact copy kept a chunk its base already owns")
+    // and its clean_fp is md5 of the empty rebuild
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(copies.filter(col("clean_fp") =!= emptyFp).isEmpty)
+    // a fully-kept doc's clean_fp equals the md5 of its full chunk join
+    val full = out.filter(col("doc_id") < 1000000L && col("n_kept") === col("n_chunks"))
+    assert(full.count() > 0)
+    val sample = full.select("doc_id", "clean_fp").limit(5).collect()
+    val expected = ops.Dedup.corpus(spark, sf)
+      .withColumn("full_fp", md5(concat_ws(" ", col("toks"))))
+      .select("doc_id", "full_fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sample.foreach { r =>
+      assert(r.getString(1) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: rebuild differs from original text")
+    }
+  }
+
   test("connectedComponents separates components and keeps singletons") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

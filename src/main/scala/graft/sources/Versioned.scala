@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Snapshot-versioned parquet tables: manifest-based commits giving
   * plain parquet the three table-format properties the engine's sinks
@@ -40,6 +41,34 @@ object Versioned {
     * remains time-travel readable); returns the new version number. */
   def commitOverwrite(spark: SparkSession, dir: String, df: DataFrame): Int =
     commit(spark, dir, df, keepExisting = false)
+
+  /** The production ingest step: append `batch` as a new version,
+    * keeping only rows whose `fpCol` fingerprint is new — not already
+    * present in the latest snapshot, and first (by `tieBreak`) within
+    * the batch itself. Re-ingesting the same batch is a no-op (returns
+    * the current version, commits nothing), which makes at-least-once
+    * upstream delivery safe. The existing-fingerprint side is read
+    * from the snapshot's parquet and used as a join side — at corpus
+    * scale this is the fingerprint column only (pruned scan), shuffled
+    * against the (much smaller) batch, or broadcast when the batch is
+    * tiny. Returns (version, rowsAppended). */
+  def commitDedupAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      fpCol: String, tieBreak: String): (Int, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(fpCol).orderBy(tieBreak)
+    val inBatch = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = latestVersion(dir) match {
+      case None => inBatch
+      case Some(v) =>
+        inBatch.join(read(spark, dir, Some(v)).select(col(fpCol)),
+          Seq(fpCol), "left_anti")
+    }
+    val n = fresh.count()
+    if (n == 0) (latestVersion(dir).getOrElse(0), 0L)
+    else (commit(spark, dir, fresh, keepExisting = true), n)
+  }
 
   /** Read the latest version, or an explicit one (time travel). */
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {

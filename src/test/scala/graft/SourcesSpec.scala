@@ -290,4 +290,26 @@ class SourcesSpec extends SparkSpec {
       Versioned.read(spark, dir, Some(2))
     }
   }
+
+  test("incremental dedup ingest: new fingerprints append, replays are no-ops") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-dedup-ingest").toString
+    val fp = md5(col("text"))
+    val base = docs.filter(col("doc_id") < 20).withColumn("fp", fp)
+    assert(Versioned.commitDedupAppend(spark, dir, base, "fp", "doc_id") == ((1, 20L)))
+
+    // overlapping batch: 10 already-ingested docs + 10 new + an internal dup
+    val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+      .unionByName(docs.filter(col("doc_id") === 25)) // same text twice in-batch
+      .withColumn("fp", fp)
+    val (v2, added) = Versioned.commitDedupAppend(spark, dir, batch, "fp", "doc_id")
+    assert(v2 == 2 && added == 10L, s"got v$v2 +$added")
+    assert(Versioned.read(spark, dir).count() == 30)
+    assert(Versioned.read(spark, dir).select("doc_id").distinct().count() == 30)
+
+    // at-least-once upstream: a full replay commits nothing
+    val (v3, replayed) = Versioned.commitDedupAppend(spark, dir, batch, "fp", "doc_id")
+    assert(v3 == 2 && replayed == 0L)
+    assert(Versioned.versions(dir) == Seq(1, 2))
+  }
 }

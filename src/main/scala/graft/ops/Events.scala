@@ -292,6 +292,56 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q103 — weekly cohort retention: users are cohorted by their
+    * first-activity week and each cohort's later-week activity is
+    * reported as a retention matrix (cohort, offset, active, size,
+    * ppm). Weeks are INTEGER epoch-week numbers (`us div day div 7`) —
+    * calendar-free arithmetic that is bit-identical across engines,
+    * per the repo's integer-micros rule.
+    *
+    * Scale shape: ONE shuffle on user_id produces each user's (cohort,
+    * active-week set); the matrix then comes from a narrow explode and
+    * a ~|cohorts|×|offsets|-key aggregation, and cohort sizes ride the
+    * same user-level table (localCheckpoint'd, one scan). No distinct
+    * over the raw event stream, no second pass over events. */
+  val q103CohortRetention: Q = Q(
+    "q103_cohort_retention",
+    """WITH ev AS (
+      |  SELECT user_id, (epoch_us(ts)//86400000000)//7 AS week FROM events
+      |), u AS (
+      |  SELECT user_id, MIN(week) AS cw, list_distinct(list(week)) AS ws
+      |  FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cw, COUNT(*) AS cohort_size FROM u GROUP BY cw
+      |), x AS (
+      |  SELECT cw, unnest(ws) - cw AS woff FROM u
+      |), c AS (
+      |  SELECT cw, woff, COUNT(*) AS n_active FROM x GROUP BY cw, woff
+      |)
+      |SELECT c.cw AS cohort_week, c.woff AS week_offset,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(FLOOR(CAST(n_active AS BIGINT)*1000000/cohort_size) AS BIGINT) AS retention_ppm
+      |FROM c JOIN sizes USING (cw)
+      |ORDER BY cohort_week, week_offset""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .groupBy("user_id")
+      .agg(min(col("week")).as("cw"), collect_set(col("week")).as("ws"))
+      .localCheckpoint() // one user-level pass feeds both the matrix and sizes
+    val sizes = u.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    u.select(col("cw"), explode(col("ws")).as("week"))
+      .select(col("cw"), (col("week") - col("cw")).as("offset"))
+      .groupBy("cw", "offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("offset").as("week_offset"),
+        col("n_active"), col("cohort_size"),
+        floor(col("n_active") * 1000000L / col("cohort_size")).cast("long")
+          .as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
-    q41SessionWindow, q81AsofOperator, q89AsofTolerance)
+    q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,10 +64,11 @@ class ZipXmlTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZipXmlScanBuilder(path)
+    new ZipXmlScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-class ZipXmlScanBuilder(path: String)
+class ZipXmlScanBuilder(path: String, maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ZipXmlTable.fullSchema
 
@@ -76,10 +77,11 @@ class ZipXmlScanBuilder(path: String)
     required = StructType(
       ZipXmlTable.fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new ZipXmlScan(path, required)
+  override def build(): Scan = new ZipXmlScan(path, required, maxFilesPerTrigger)
 }
 
-class ZipXmlScan(path: String, required: StructType) extends Scan with Batch {
+class ZipXmlScan(path: String, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-zip $path, ReadSchema: ${required.simpleString}"
@@ -101,7 +103,7 @@ class ZipXmlScan(path: String, required: StructType) extends Scan with Batch {
     new ZipXmlReaderFactory(required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ZipXmlMicroBatchStream(path, required)
+    new ZipXmlMicroBatchStream(path, required, maxFilesPerTrigger)
 }
 
 /** Streaming offset: the set of ZIP paths already emitted, as a JSON
@@ -127,8 +129,15 @@ object ZipFilesOffset {
   }
 }
 
-class ZipXmlMicroBatchStream(path: String, required: StructType)
-    extends MicroBatchStream {
+class ZipXmlMicroBatchStream(path: String, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow pins the file universe at query start, so the
+  // run drains exactly what existed then and stops (files landing
+  // mid-run wait for the next start)
+  private var pinned: Option[Set[String]] = None
 
   private def listZips(): Set[String] = {
     val p = new Path(path)
@@ -141,8 +150,37 @@ class ZipXmlMicroBatchStream(path: String, required: StructType)
       .map(_.getPath.toString).toSet
   }
 
+  private def available(): Set[String] = pinned.getOrElse(listZips())
+
   override def initialOffset(): Offset = ZipFilesOffset(Set.empty)
-  override def latestOffset(): Offset = ZipFilesOffset(listZips())
+
+  // with SupportsAdmissionControl the engine drives the two-arg variant
+  override def latestOffset(): Offset =
+    throw new IllegalStateException("latestOffset(Offset, ReadLimit) should be called")
+
+  /** Admission control: cap each micro-batch at N new archives
+    * (`maxFilesPerTrigger` read option, or the trigger's own limit) —
+    * bounded batches instead of one giant catch-up batch after a
+    * backlog builds up. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[ZipFilesOffset].files
+    val fresh = (available() -- seen).toSeq.sorted
+    val capped = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => maxFilesPerTrigger.map(fresh.take).getOrElse(fresh)
+    }
+    ZipFilesOffset(seen ++ capped)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = ZipFilesOffset(available())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    pinned = Some(listZips())
+  }
+
   override def deserializeOffset(json: String): Offset =
     ZipFilesOffset.fromJson(json)
 

@@ -335,5 +335,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
     assert(rows.select("source_xml_file").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("a.xml", "b.xml", "c.xml"))
+
+    // admission control: maxFilesPerTrigger=1 drains a 3-zip backlog in
+    // 3 bounded one-archive batches rather than one catch-up batch
+    val out2 = Files.createTempDirectory("graft-zout2").toString
+    val cp2 = Files.createTempDirectory("graft-zcp2").toString
+    makeZip(s"$land/day3.zip", "e.xml" -> "<X>4</X>")
+    val q2 = spark.readStream.format("graft-zip")
+      .option("maxFilesPerTrigger", "1").load(land)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() == 4, "all three archives drained")
+    val batches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3, s"expected 3 bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2),
+      "a batch exceeded one archive's rows")
   }
 }

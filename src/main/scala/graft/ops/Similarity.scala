@@ -40,9 +40,15 @@ object Similarity {
   private def planeLit(p: Int): Column =
     array((0 until Dim).map(i => lit(planeSign(p, i))): _*)
 
-  /** Left-fold dot product of two array<double> columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-fold dot product of two array<double> columns, via the native
+    * codegen'd plans.DotProduct — bit-identical to the HOF spelling
+    * `aggregate(zip_with(a,b,*), 0d, +)` (PlanSpec pins parity) without
+    * the intermediate product array per evaluated pair. */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.column(graft.plans.DotProduct(
+      PlanShim.expression(a), PlanShim.expression(b)))
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

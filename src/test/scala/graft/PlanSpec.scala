@@ -213,6 +213,28 @@ class PlanSpec extends SparkSpec {
     assert(exprSide.exceptAll(aggSide).isEmpty && aggSide.exceptAll(exprSide).isEmpty)
   }
 
+  test("graft_dot is bit-identical to the HOF fold and stays in codegen") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    val hof = aggregate(zip_with(col("x"), col("y"), (p, q) => p * q),
+      lit(0.0), (acc, e) => acc + e)
+    val both = paired.select(
+      expr("graft_dot(x, y)").as("native"), hof.as("portable"))
+    // exact equality: same left-to-right addition order, same doubles
+    assert(both.filter(col("native") =!= col("portable")).isEmpty)
+    assert(both.count() > 0)
+    // null safety
+    val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
+    assert(n.head().isNullAt(0))
+    // the expression compiles into a whole-stage codegen span
+    val plan = vecs.select(expr("graft_dot(v, v)")).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_dot") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
+  }
+
   test("q35 sorts the narrow json rows below the wide flatten projection") {
     // The global sort must range-exchange only (o_orderkey, release_json):
     // if the 124-column flatten ever slips below the Sort again, the range

@@ -653,6 +653,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q104 — ANN recall evaluation: score the two approximate indexes
+    * (hyperplane-LSH q32, IVF q54) against the brute-force ground
+    * truth (q31) as recall-of-true-top-10 per query — the evaluation
+    * harness every ANN deployment runs before trading exactness for
+    * speed. Composes the three pipelines verbatim (Spark side reuses
+    * the Q functions; the oracle nests the three oracle SQLs as
+    * subqueries), so the metric can never drift from the systems it
+    * measures. The scoring itself is a tiny id-only join — the cost is
+    * the underlying pipelines. */
+  val q104AnnRecall: Q = Q(
+    "q104_ann_recall",
+    s"""WITH truth AS (
+       |  SELECT query_id, vec_id FROM (${q31KnnBrute.oracle.get})
+       |), lsh AS (
+       |  SELECT query_id, vec_id FROM (${q32AnnLsh.oracle.get})
+       |), ivf AS (
+       |  SELECT query_id, vec_id FROM (${q54AnnIvf.oracle.get})
+       |), qs AS (SELECT DISTINCT query_id FROM truth),
+       |hits AS (
+       |  SELECT 'lsh' AS method, t.query_id, COUNT(l.vec_id) AS n_hit
+       |  FROM truth t LEFT JOIN lsh l USING (query_id, vec_id) GROUP BY t.query_id
+       |  UNION ALL
+       |  SELECT 'ivf', t.query_id, COUNT(i.vec_id)
+       |  FROM truth t LEFT JOIN ivf i USING (query_id, vec_id) GROUP BY t.query_id
+       |)
+       |SELECT method, query_id, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(FLOOR(CAST(n_hit AS BIGINT)*1000000/10) AS BIGINT) AS recall_ppm
+       |FROM hits ORDER BY method, query_id""") { (s, d) =>
+    val truth = q31KnnBrute.fn(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint() // scored against both methods
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      truth.as("t")
+        .join(approx.select(col("query_id"), col("vec_id")).as("a"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(truth.select("query_id").distinct(), Seq("query_id"), "right")
+        .select(lit(name).as("method"), col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    recallOf("lsh", q32AnnLsh.fn(s, d))
+      .unionByName(recallOf("ivf", q54AnnIvf.fn(s, d)))
+      .select(col("method"), col("query_id"), col("n_hit"),
+        floor(col("n_hit") * 1000000L / 10L).cast("long").as("recall_ppm"))
+      .orderBy("method", "query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
-    q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant)
+    q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
+    q104AnnRecall)
 }

@@ -67,6 +67,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_dot equals the HOF fold on arbitrary doubles (NaN/Inf/extremes included)") {
+    val d: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1e3, 1e3),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1e300, -1e300,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+    val pairs = samples(for {
+      n <- Gen.choose(0, 16)
+      a <- Gen.listOfN(n, d)
+      b <- Gen.listOfN(n, d)
+    } yield (a, b), 80)
+    val df = pairs.toDF("a", "b").select(
+      expr("graft_dot(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, e) => acc + e).as("portable"))
+    df.collect().foreach { r =>
+      val (n, p) = (r.getDouble(0), r.getDouble(1))
+      // compare bit patterns so NaN == NaN and -0.0 != 0.0 are exact
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(p) ||
+        (n.isNaN && p.isNaN), s"dot diverges: $n vs $p")
+    }
+  }
+
   test("jaccardPpm is symmetric and within [0, 1e6]") {
     val words = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.take(12))
     val pairs = samples(Gen.zip(words, words), 50)

@@ -349,7 +349,7 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var rounds = 0
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, col("a") === col("id"))
@@ -364,7 +364,7 @@ object Dedup {
           col("l.comp") === col("p.pid"))
         .select(col("l.id").as("id"), least(col("l.comp"), col("pcomp")).as("comp"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
+      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

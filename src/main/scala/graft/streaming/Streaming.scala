@@ -375,7 +375,7 @@ object Streaming {
         val s = open.get()
         // stale-timer guard: only a timer matching the CURRENT session
         // end may close it (a newer event re-registered a later timer)
-        if (expiredTimerInfo.getExpiryTimeInMs >= (s.last + GapSec) * 1000L) {
+        if (expiredTimerInfo.getExpiryTimeInMs() >= (s.last + GapSec) * 1000L) {
           open.clear()
           Iterator.single(close(key, s))
         } else Iterator.empty

@@ -836,9 +836,74 @@ object Clean {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q105 — BM25 passage retrieval for a fixed 3-term query: the
+    * classic IR ranking (Okapi BM25, k1=1.2, b=0.75, log-free rational
+    * idf (N-df+0.5)/(df+0.5) so no engine's `ln` rounding enters) over
+    * the same tf/df/dl tables as q75. Every arithmetic step is the
+    * identical IEEE expression on both engines and the per-doc term
+    * sum folds in term order (a bare SUM(double) would be shuffle-
+    * order-dependent), so scores are bit-stable. Plan: tf/df from one
+    * (doc,term) aggregation, df + corpus stats broadcast, one per-doc
+    * window-free top-20 via global sort of ~|matched docs| rows. */
+  val q105Bm25: Q = Q(
+    "q105_bm25",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM t
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, len(toks) AS n_tok FROM t
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM t
+       |), s AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |    ((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * n_tok / avgdl))) AS sc
+       |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       |  WHERE term IN ('spark', 'join', 'window')
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
+       |      (a, e) -> a + e) AS score
+       |  FROM s GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(FLOOR(score * 1000) AS BIGINT) AS score_milli
+       |FROM agg ORDER BY score_milli DESC, doc_id LIMIT 20""") { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("double")./(count(lit(1))).as("avgdl"))
+    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfc = (col("tf").cast("double") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tok") / col("avgdl")))
+    tf.filter(col("term").isin("spark", "join", "window"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), (idf * tfc).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(transform(sort_array(collect_list(struct(col("term"), col("sc")))),
+          _.getField("sc")), lit(0.0), (a, e) => a + e).as("score"))
+      .select(col("doc_id"), col("n_terms"),
+        floor(col("score") * 1000).cast("long").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
-    q91QualityClassifier, q92UrlCanon, q95TokenBudget)
+    q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25)
 }

@@ -342,6 +342,57 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q106 — per-user hourly anomaly flags: each user's active-hour
+    * event counts are z-scored against that user's own mean/std and
+    * hours above mean + 2σ are flagged — the burst-detection audit of
+    * an event pipeline. The moments come from EXACT integer sums
+    * (n, Σc, Σc²) — order-independent, so the distributed aggregation
+    * needs no ordered fold — and only the final mean/std/threshold
+    * arithmetic is floating point, spelled identically on both engines
+    * (a sub-ulp-negative variance sqrt's to NaN and flags nothing, the
+    * same way on both). Two shuffles total: (user, hour) counts, then
+    * per-user moments; the hour table re-joins the tiny broadcast
+    * moments side. */
+  val q106HourlyAnomaly: Q = Q(
+    "q106_hourly_anomaly",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts)//3600000000 AS hr FROM events
+      |), hc AS (
+      |  SELECT user_id, hr, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+      |), st AS (
+      |  SELECT user_id, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt*cnt) AS ss
+      |  FROM hc GROUP BY 1
+      |), m AS (
+      |  SELECT user_id, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS std
+      |  FROM st
+      |)
+      |SELECT h.user_id AS user_id, hr, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(FLOOR(mean * 1000) AS BIGINT) AS mean_milli,
+      |  CAST(FLOOR(std * 1000) AS BIGINT) AS std_milli
+      |FROM hc h JOIN m USING (user_id)
+      |WHERE cnt > mean + 2 * std
+      |ORDER BY user_id, hr""") { (s, d) =>
+    val hc = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the moments AND the flag join
+    val m = hc.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("user_id"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+          / col("n")).as("std"))
+    hc.join(broadcast(m), "user_id")
+      .filter(col("cnt") > col("mean") + lit(2) * col("std"))
+      .select(col("user_id"), col("hr"), col("cnt"),
+        floor(col("mean") * 1000).cast("long").as("mean_milli"),
+        floor(col("std") * 1000).cast("long").as("std_milli"))
+      .orderBy("user_id", "hr")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
-    q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention)
+    q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention,
+    q106HourlyAnomaly)
 }

@@ -548,4 +548,29 @@ object Streaming {
     q.awaitTermination()
     q
   }
+
+  /** Streaming curation sink: every micro-batch lands in the
+    * snapshot-versioned table via the replay-safe dedup-append commit
+    * ([[graft.sources.Versioned.commitDedupAppend]]) — new fingerprints
+    * append as a new atomic version, duplicates (within the batch,
+    * across batches, and on at-least-once redelivery) are dropped, and
+    * concurrent readers keep seeing the previous snapshot until the
+    * manifest rename lands. The streaming twin of the batch ingest: at
+    * 100 TB each micro-batch's anti-join reads only the snapshot's
+    * fingerprint column. */
+  def ingestToVersioned(docs: DataFrame, tableDir: String, checkpoint: String,
+      fpCol: String, tieBreak: String): StreamingQuery = {
+    val q = docs
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.commitDedupAppend(
+          batch.sparkSession, tableDir, batch, fpCol, tieBreak)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -284,6 +284,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n, "restart must honor the persistent store")
   }
 
+  test("streaming ingest into a versioned table dedups across batches and replays") {
+    import graft.sources.Versioned
+    val table = Files.createTempDirectory("graft-vstream").toString
+    val cp = Files.createTempDirectory("graft-vstream-cp").toString
+    // copies=2 plants the same documents file twice; maxFilesPerTrigger=1
+    // makes the second file its own micro-batch — a full cross-batch dup
+    val stream = Streaming.documentsStream(spark, sf, copies = 2)
+      .withColumn("fp", md5(col("text")))
+    Streaming.ingestToVersioned(stream, table, cp, "fp", "doc_id")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(Versioned.read(spark, table).count() == nDocs,
+      "cross-batch duplicates must be dropped by the dedup commit")
+    // every batch that appended is its own atomic version; replaying the
+    // whole stream with a fresh checkpoint adds nothing
+    val vs = Versioned.versions(table)
+    assert(vs.nonEmpty)
+    val cp2 = Files.createTempDirectory("graft-vstream-cp2").toString
+    Streaming.ingestToVersioned(
+      Streaming.documentsStream(spark, sf, copies = 2).withColumn("fp", md5(col("text"))),
+      table, cp2, "fp", "doc_id")
+    assert(Versioned.read(spark, table).count() == nDocs)
+    assert(Versioned.versions(table) == vs, "replay must not create new versions")
+  }
+
   test("AvailableNow ingest writes date-partitioned parquet idempotently") {
     val out = Files.createTempDirectory("graft-ingest").toString
     val cp = Files.createTempDirectory("graft-cp").toString

@@ -60,6 +60,21 @@ object Similarity {
       .otherwise(floor(dot(a, b) / (na * nb) * 1000000L))
   }
 
+  /** cosPpm with PRE-COMPUTED norms: per-pair work drops from three dot
+    * products to one (norms are a per-ROW projection computed once
+    * before the pair join — for a brute scan of q queries x n vectors
+    * that is q+n norm evaluations instead of 2qn). `sqrt(dot(v,v))` on
+    * the same array yields the same double wherever it's evaluated, so
+    * this is plan algebra, not a semantics change — the oracle SQL
+    * keeps the inline spelling. */
+  private def cosPpmPre(dotAb: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0L)
+      .otherwise(floor(dotAb / (na * nb) * 1000000L))
+
+  /** Attach the per-row norm column `<v>_nrm` for [[cosPpmPre]]. */
+  private def withNorm(df: DataFrame, v: String): DataFrame =
+    df.withColumn(s"${v}_nrm", sqrt(dot(col(v), col(v))))
+
   /** 16-bit hyperplane signature bucket of an array<double> column. */
   private def lshBucket(v: Column): Column =
     (0 until Planes).map { p =>
@@ -115,14 +130,16 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""") { (s, d) =>
-    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
     val qs = vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
     vecs.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .select(col("query_id"), col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "vec_id", "cos_ppm")
@@ -156,8 +173,8 @@ object Similarity {
        |ORDER BY query_id, rank""") { (s, d) =>
     // materialized once: the band self-join + vector re-joins would
     // otherwise recompute the 16 hyperplane dot products per reference
-    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
       .withColumn("bucket", lshBucket(col("v")))
       .localCheckpoint()
     val vbands = vecs.select(col("vec_id"), col("v"),
@@ -175,12 +192,14 @@ object Similarity {
       .select(col("q.query_id"), col("c.vec_id"))
       .distinct()
     val qvecs = vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
     cand
       .join(broadcast(qvecs), "query_id")
-      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
-      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .join(vecs.select(col("vec_id"), col("v"), col("v_nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "vec_id", "cos_ppm")
@@ -329,8 +348,8 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_ppm
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""") { (s, d) =>
-    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
     val cents = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
       .groupBy("label")
@@ -344,9 +363,9 @@ object Similarity {
           x => x / col("n")).as("c"))
     // assign + probes both read the scored table; materialize the
     // centroid scoring once instead of running the crossJoin twice
-    val scored = vecs.crossJoin(broadcast(cents))
+    val scored = vecs.crossJoin(broadcast(withNorm(cents, "c")))
       .select(col("vec_id"), col("v"), col("label"),
-        cosPpm(col("v"), col("c")).as("s"))
+        cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("s"))
       .localCheckpoint()
     val wAssign = Window.partitionBy("vec_id").orderBy(col("s").desc, col("label"))
     val assign = scored
@@ -359,14 +378,16 @@ object Similarity {
     // as in q32: dedup on ids only, then re-attach vectors (queries are
     // broadcast; corpus vectors join back on vec_id after the distinct).
     val qvecs = vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"))
     broadcast(probes.select(col("query_id"), col("cell"))).as("p").join(assign.as("a"),
         col("p.cell") === col("a.cell") && col("a.vec_id") =!= col("p.query_id"))
       .select(col("p.query_id"), col("a.vec_id"))
       .distinct()
       .join(broadcast(qvecs), "query_id")
-      .join(vecs.select(col("vec_id"), col("v")), "vec_id")
-      .select(col("query_id"), col("vec_id"), cosPpm(col("qv"), col("v")).as("cos_ppm"))
+      .join(vecs.select(col("vec_id"), col("v"), col("v_nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "vec_id", "cos_ppm")
@@ -443,9 +464,10 @@ object Similarity {
     * of the corpus. */
   private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cluster"))
-    vecs.crossJoin(broadcast(cents.select(col("cluster"), col("c"))))
+    withNorm(vecs, "v")
+      .crossJoin(broadcast(withNorm(cents.select(col("cluster"), col("c")), "c")))
       .select(col("vec_id"), col("v"), col("cluster"),
-        cosPpm(col("v"), col("c")).as("s"))
+        cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("s"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
   }
@@ -547,15 +569,15 @@ object Similarity {
        |  pos_cos - neg_cos AS margin
        |FROM pos JOIN neg ON pos.query_id = neg.query_id
        |ORDER BY pos.query_id""") { (s, d) =>
-    val vecs = graft.Q.stageBarrier(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")), "v")
     val qs = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("v_nrm").as("qv_nrm"))
     val scored = vecs.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
-        cosPpm(col("qv"), col("v")).as("cos_ppm"))
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
       .localCheckpoint() // consumed by both the pos and neg windows
     val w = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
     val pos = scored.filter(col("label") === col("qlabel"))

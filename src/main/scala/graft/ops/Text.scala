@@ -383,7 +383,52 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q107 — language-ID confusion matrix: q23's stopword classifier
+    * evaluated against the labeled `lang` column as the full
+    * (true, predicted) count matrix with per-true-language share —
+    * the evaluation artifact a classifier gate is tuned from (which
+    * languages leak into `und`, which pairs confuse). Two tiny
+    * aggregations after a narrow scan; the matrix is at most
+    * |langs|² rows regardless of corpus size. */
+  val q107LangConfusion: Q = Q(
+    "q107_lang_confusion",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM v
+       |), m AS (
+       |  SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |), rt AS (
+       |  SELECT lang, SUM(n) AS row_total FROM m GROUP BY 1
+       |)
+       |SELECT m.lang AS lang, lang_pred, CAST(n AS BIGINT) AS n,
+       |  CAST(row_total AS BIGINT) AS row_total,
+       |  CAST(FLOOR(CAST(n AS BIGINT)*1000000/row_total) AS BIGINT) AS share_ppm
+       |FROM m JOIN rt USING (lang)
+       |ORDER BY lang, lang_pred""") { (s, d) =>
+    val m = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), langId(col("toks")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // row totals re-aggregate the matrix, not the corpus
+    val rt = m.groupBy("lang").agg(sum(col("n")).as("row_total"))
+    m.join(broadcast(rt), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"), col("row_total"),
+        floor(col("n") * 1000000L / col("row_total")).cast("long").as("share_ppm"))
+      .orderBy("lang", "lang_pred")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
-    q93TokenChunks, q94VocabOov, q101BigramLm)
+    q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion)
 }

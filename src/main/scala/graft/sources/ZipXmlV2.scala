@@ -65,10 +65,12 @@ class ZipXmlTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipXmlScanBuilder(path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      options.getBoolean("ignoreCorruptFiles", false))
 }
 
-class ZipXmlScanBuilder(path: String, maxFilesPerTrigger: Option[Int])
+class ZipXmlScanBuilder(path: String, maxFilesPerTrigger: Option[Int],
+    ignoreCorrupt: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ZipXmlTable.fullSchema
 
@@ -77,11 +79,13 @@ class ZipXmlScanBuilder(path: String, maxFilesPerTrigger: Option[Int])
     required = StructType(
       ZipXmlTable.fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new ZipXmlScan(path, required, maxFilesPerTrigger)
+  override def build(): Scan =
+    new ZipXmlScan(path, required, maxFilesPerTrigger, ignoreCorrupt)
 }
 
 class ZipXmlScan(path: String, required: StructType,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreCorrupt: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-zip $path, ReadSchema: ${required.simpleString}"
@@ -100,10 +104,10 @@ class ZipXmlScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipXmlReaderFactory(required.fieldNames)
+    new ZipXmlReaderFactory(required.fieldNames, ignoreCorrupt)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ZipXmlMicroBatchStream(path, required, maxFilesPerTrigger)
+    new ZipXmlMicroBatchStream(path, required, maxFilesPerTrigger, ignoreCorrupt)
 }
 
 /** Streaming offset: the set of ZIP paths already emitted, as a JSON
@@ -130,7 +134,8 @@ object ZipFilesOffset {
 }
 
 class ZipXmlMicroBatchStream(path: String, required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreCorrupt: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -191,7 +196,7 @@ class ZipXmlMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipXmlReaderFactory(required.fieldNames)
+    new ZipXmlReaderFactory(required.fieldNames, ignoreCorrupt)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -199,16 +204,22 @@ class ZipXmlMicroBatchStream(path: String, required: StructType,
 
 case class ZipFilePartition(zipPath: String) extends InputPartition
 
-class ZipXmlReaderFactory(fields: Array[String])
+class ZipXmlReaderFactory(fields: Array[String], ignoreCorrupt: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZipXmlPartitionReader(
-      partition.asInstanceOf[ZipFilePartition].zipPath, fields)
+      partition.asInstanceOf[ZipFilePartition].zipPath, fields, ignoreCorrupt)
 }
 
 /** Streams one ZIP: one row per `*.xml` entry. Entry bytes are only
-  * inflated when the pruned schema includes `xml`. */
-class ZipXmlPartitionReader(zipPath: String, fields: Array[String])
+  * inflated when the pruned schema includes `xml`. With
+  * `ignoreCorruptFiles`, a malformed archive yields the entries read
+  * so far and is then skipped (mirroring Spark's own
+  * `spark.sql.files.ignoreCorruptFiles` contract) instead of failing
+  * the task — a crawler's landing dir at scale always contains a few
+  * truncated uploads. */
+class ZipXmlPartitionReader(zipPath: String, fields: Array[String],
+    ignoreCorrupt: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val needXml = fields.contains("xml")
   private val p = new Path(zipPath)
@@ -217,20 +228,28 @@ class ZipXmlPartitionReader(zipPath: String, fields: Array[String])
   private var entryName: String = _
   private var entryXml: String = _
 
-  override def next(): Boolean = {
-    var e = zis.getNextEntry
-    while (e != null &&
-        (e.isDirectory || !e.getName.toLowerCase.endsWith(".xml"))) {
-      e = zis.getNextEntry
+  override def next(): Boolean =
+    try {
+      var e = zis.getNextEntry
+      while (e != null &&
+          (e.isDirectory || !e.getName.toLowerCase.endsWith(".xml"))) {
+        e = zis.getNextEntry
+      }
+      if (e == null) false
+      else {
+        entryName = e.getName
+        // pruned scans skip inflation: closeEntry discards the payload
+        entryXml = if (needXml) ZipXml.decodeUtf8Latin1(zis.readAllBytes()) else null
+        true
+      }
+    } catch {
+      case ex @ (_: java.util.zip.ZipException | _: java.io.EOFException) =>
+        if (ignoreCorrupt) {
+          System.err.println(s"[graft-zip] skipping corrupt archive $zipPath: $ex")
+          false
+        } else throw new java.io.IOException(
+          s"corrupt ZIP archive $zipPath (set ignoreCorruptFiles=true to skip)", ex)
     }
-    if (e == null) false
-    else {
-      entryName = e.getName
-      // pruned scans skip inflation: closeEntry discards the payload
-      entryXml = if (needXml) ZipXml.decodeUtf8Latin1(zis.readAllBytes()) else null
-      true
-    }
-  }
 
   override def get(): InternalRow = {
     val values = fields.map {

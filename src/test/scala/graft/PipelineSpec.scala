@@ -104,4 +104,31 @@ class PipelineSpec extends SparkSpec {
     val ext = sources.FatXml.extract(v2, Seq("source_zip", "source_xml_file"))
     assert(ext.count() == 3)
   }
+
+  test("graft-zip tolerates a truncated archive only when ignoreCorruptFiles is set") {
+    val raw = Files.createTempDirectory("graft-rawcorrupt").toString
+    makeZip(s"$raw/good.zip", "a.xml" -> tedXml.getBytes("UTF-8"))
+    // a zip truncated INSIDE its entry payload: incompressible content
+    // (random alphanumerics) so 200 bytes cannot hold the whole entry
+    val big = ("<X>" + new scala.util.Random(42).alphanumeric.take(20000).mkString
+      + "</X>").getBytes("UTF-8")
+    makeZip(s"$raw/whole.zip", "z.xml" -> big)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$raw/whole.zip"))
+    Files.write(java.nio.file.Paths.get(s"$raw/trunc.zip"), bytes.take(200))
+    Files.delete(java.nio.file.Paths.get(s"$raw/whole.zip"))
+
+    // count() prunes the payload column (no inflation — corruption
+    // invisible); reading xml forces the inflate and must fail strictly
+    val strict = ZipXml.zipEntriesV2(spark, raw)
+    intercept[org.apache.spark.SparkException] {
+      strict.select("xml").collect()
+    }
+    // (a names-only scan of the corrupt archive succeeds either way —
+    // pruning never inflates the broken payload; read xml to hit it)
+    val tolerant = spark.read.format("graft-zip")
+      .option("ignoreCorruptFiles", "true").load(raw)
+      .select("source_xml_file", "xml")
+    assert(tolerant.collect().map(_.getString(0)).toSeq
+      == Seq("a.xml"), "good archive read, corrupt one skipped")
+  }
 }

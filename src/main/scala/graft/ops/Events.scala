@@ -348,9 +348,12 @@ object Events {
     * an event pipeline. The moments come from EXACT integer sums
     * (n, Σc, Σc²) — order-independent, so the distributed aggregation
     * needs no ordered fold — and only the final mean/std/threshold
-    * arithmetic is floating point, spelled identically on both engines
-    * (a sub-ulp-negative variance sqrt's to NaN and flags nothing, the
-    * same way on both). Two shuffles total: (user, hour) counts, then
+    * arithmetic is floating point, spelled identically on both engines.
+    * The variance clamps at 0 before the sqrt: a rounding-induced
+    * sub-ulp-negative variance would be NaN on Spark but an ERROR in
+    * DuckDB (its sqrt rejects negatives), so the clamp is what keeps
+    * the two engines aligned at any count magnitude.
+    * Two shuffles total: (user, hour) counts, then
     * per-user moments; the hour table re-joins the tiny broadcast
     * moments side. */
   val q106HourlyAnomaly: Q = Q(
@@ -364,7 +367,7 @@ object Events {
       |  FROM hc GROUP BY 1
       |), m AS (
       |  SELECT user_id, CAST(s AS DOUBLE) / n AS mean,
-      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS std
+      |    sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 0)) AS std
       |  FROM st
       |)
       |SELECT h.user_id AS user_id, hr, CAST(cnt AS BIGINT) AS cnt,
@@ -382,8 +385,9 @@ object Events {
         sum(col("cnt") * col("cnt")).as("ss"))
       .select(col("user_id"),
         (col("s").cast("double") / col("n")).as("mean"),
-        sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
-          / col("n")).as("std"))
+        sqrt(greatest(
+          (col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+            / col("n"), lit(0.0))).as("std"))
     hc.join(broadcast(m), "user_id")
       .filter(col("cnt") > col("mean") + lit(2) * col("std"))
       .select(col("user_id"), col("hr"), col("cnt"),

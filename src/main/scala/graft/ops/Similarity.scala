@@ -361,17 +361,18 @@ object Similarity {
           aggregate(col("vs"), array_repeat(lit(0.0), Dim),
             (acc, e) => zip_with(acc, e, (x, y) => x + y)),
           x => x / col("n")).as("c"))
-    // assign + probes both read the scored table; materialize the
-    // centroid scoring once instead of running the crossJoin twice
-    val scored = vecs.crossJoin(broadcast(withNorm(cents, "c")))
+    // corpus-wide cell assignment via the broadcast-codebook argmax
+    // (assignTo): one narrow pass, no k×|corpus| expansion, no shuffle.
+    // The probe side (5 query vectors × k cells, top-2) is tiny, so the
+    // windowed spelling is fine THERE.
+    val centsCk = cents.localCheckpoint() // consumed by codebook + probe scoring
+    val assign = assignTo(vecs, centsCk.select(col("label").as("cluster"), col("c")))
+      .select(col("vec_id"), col("v"), col("cluster").as("cell"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("s").desc, col("label"))
+    val probes = vecs.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(withNorm(centsCk, "c")))
       .select(col("vec_id"), col("v"), col("label"),
         cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("s"))
-      .localCheckpoint()
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("s").desc, col("label"))
-    val assign = scored
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cell"))
-    val probes = scored.filter(col("vec_id") < 5)
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("cell"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
@@ -460,16 +461,32 @@ object Similarity {
           x => x / col("n")).as("c"))
 
   /** Argmax-cosine assignment of every vector to a broadcast centroid
-    * table (tie-break min cluster id) — one map-side pass, no shuffle
-    * of the corpus. */
+    * codebook (tie-break min cluster id) — genuinely one map-side
+    * pass: the k centroids collapse into a single broadcast row (an
+    * array of (cluster, c, c_nrm) structs) and the argmax runs INSIDE
+    * each corpus row with array expressions. No k×|corpus| expansion,
+    * no per-vector window, no shuffle of the corpus at all — the plan
+    * shape the 100 TB claim requires (the earlier row_number spelling
+    * hash-exchanged every scored pair, vectors included).
+    *
+    * Tie-break: array_max over struct(s, -cluster) picks max score
+    * then max(-cluster) = MIN cluster — the oracle's
+    * `ORDER BY s DESC, cluster` rn=1 exactly. */
   private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cluster"))
+    val codebook = withNorm(cents.select(col("cluster"), col("c")), "c")
+      .agg(collect_list(struct(col("cluster"), col("c"), col("c_nrm"))).as("cb"))
+    // the struct carries the original cluster value (and type) along;
+    // comparison never reaches it — (s, negc) already totally orders
+    val scored = transform(col("cb"), ct =>
+      struct(
+        cosPpmPre(dot(col("v"), ct.getField("c")),
+          col("v_nrm"), ct.getField("c_nrm")).as("s"),
+        (-ct.getField("cluster").cast("long")).as("negc"),
+        ct.getField("cluster").as("cluster")))
     withNorm(vecs, "v")
-      .crossJoin(broadcast(withNorm(cents.select(col("cluster"), col("c")), "c")))
-      .select(col("vec_id"), col("v"), col("cluster"),
-        cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("s"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("v"),
+        array_max(scored).getField("cluster").as("cluster"))
   }
 
   /** q98 — k-means (Lloyd) refinement, two unrolled iterations: init

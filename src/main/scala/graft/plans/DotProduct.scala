@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * per candidate PAIR (brute KNN: |queries|x|corpus|), so it is the
   * single hottest scalar in the embedding path at 100 TB.
   *
-  * Nulls: null if either array is null (standard binary null-safety);
-  * elements are read as primitive doubles (embedding vectors are
-  * non-null by construction; a null element reads as 0.0 the same way
-  * `zip_with`'s double lambda would after the cast).
+  * Nulls: null if either array is null (standard binary null-safety),
+  * and null for MISMATCHED lengths — exactly what the HOF spelling
+  * returns there (zip_with pads the short side with nulls, the
+  * product goes null, the fold returns null). Elements are read as
+  * primitive doubles (embedding vectors are non-null by construction).
   *
   * Registered as SQL function `graft_dot` via GraftExtensions.
   */
@@ -44,15 +45,20 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -60,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions.col
   *
   * Protocol: a commit writes its data files into `data/` under a fresh
   * unique prefix (never touching existing files), then publishes
-  * `v<N>.json` via write-temp + atomic rename. Readers list manifests,
-  * pick the highest N (or an explicit version), and read exactly the
-  * files it names: a reader never observes a half-written commit, and
-  * a crash before the rename leaves only unreferenced data files (cost:
-  * storage until vacuum — never wrong results). This is the Iceberg/
-  * Delta commit protocol reduced to one manifest level; on an object
-  * store the same rename-once contract holds per manifest object.
+  * `v<N>.json` via write-temp + atomic hard-link — createLink FAILS if
+  * the target exists, so concurrent committers race safely: the loser
+  * rebases on the winner's manifest and retries as v<N+1> (a plain
+  * rename would silently replace the winner and lose its commit).
+  * Readers list manifests, pick the highest N (or an explicit
+  * version), and read exactly the files it names: a reader never
+  * observes a half-written commit, and a crash before the link leaves
+  * only unreferenced data files (cost: storage until vacuum — never
+  * wrong results). This is the Iceberg/Delta commit protocol reduced
+  * to one manifest level; on an object store the link becomes a
+  * putIfAbsent / conditional-write of the manifest object.
   *
   * At 100 TB: the manifest holds file NAMES only, so commit cost is
   * O(files touched), reads plan from one small JSON object, and old
@@ -59,12 +63,12 @@ object Versioned {
     val w = Window.partitionBy(fpCol).orderBy(tieBreak)
     val inBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fresh = latestVersion(dir) match {
+    val fresh = (latestVersion(dir) match {
       case None => inBatch
       case Some(v) =>
         inBatch.join(read(spark, dir, Some(v)).select(col(fpCol)),
           Seq(fpCol), "left_anti")
-    }
+    }).localCheckpoint() // window + anti-join run ONCE for count and write
     val n = fresh.count()
     if (n == 0) (latestVersion(dir).getOrElse(0), 0L)
     else (commit(spark, dir, fresh, keepExisting = true), n)
@@ -125,17 +129,31 @@ object Versioned {
         name
       }.sorted
     deleteRecursively(staging)
-    val prev = if (keepExisting) latestVersion(dir).map(manifestFiles(dir, _))
-      .getOrElse(Seq.empty) else Seq.empty
-    val v = latestVersion(dir).getOrElse(0) + 1
-    val manifest = (prev ++ newFiles)
-      .map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    // publish: temp write + atomic rename IS the commit point
-    val tmp = Paths.get(dir, "_manifests", s".v$v.json.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, Paths.get(dir, "_manifests", s"v$v.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    v
+    // publish with a compare-and-swap: createLink is atomic and FAILS
+    // if v<N>.json already exists (rename would silently replace it —
+    // a concurrent committer's manifest would be lost). On collision,
+    // re-read the latest version and retry against the new base.
+    var attempt = 0
+    while (true) {
+      val prev = if (keepExisting) latestVersion(dir).map(manifestFiles(dir, _))
+        .getOrElse(Seq.empty) else Seq.empty
+      val v = latestVersion(dir).getOrElse(0) + 1
+      val manifest = (prev ++ newFiles)
+        .map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val tmp = Paths.get(dir, "_manifests", s".v$v-$commitId.json.tmp")
+      Files.writeString(tmp, manifest)
+      try {
+        Files.createLink(Paths.get(dir, "_manifests", s"v$v.json"), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race: rebase on the winner and retry
+          attempt += 1
+          require(attempt < 100, s"commit contention on $dir did not resolve")
+      }
+    }
+    -1 // unreachable
   }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] = {

@@ -30,8 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    driver-sized row value first; at 100 TB that row IS the task's
   *    memory budget, where this reader streams entry-by-entry).
   *  - Column pruning (SupportsPushDownRequiredColumns): a query that
-  *    reads only entry NAMES (a manifest/audit scan) never inflates
-  *    entry bytes — ZipInputStream skips compressed payloads whole.
+  *    reads only entry NAMES (a manifest/audit scan) skips the
+  *    charset decode and row materialization of every payload (the
+  *    compressed bytes still stream through the inflater —
+  *    ZipInputStream has no way to seek past a deflated entry).
   *  - The decode work happens inside the reader, codegen consumes
   *    UTF8String directly; no intermediate Dataset[(String, ...)]
   *    encoder hop.
@@ -92,13 +94,16 @@ class ZipXmlScan(path: String, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side listing only — no data bytes move at planning time
+    // driver-side listing only — no data bytes move at planning time.
+    // exists() guard first: a glob path (/dir/*.zip) is not a real file,
+    // so getFileStatus on it would throw before globStatus ran
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.listStatus(p)
       else fs.globStatus(p)
-    stats.filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".zip"))
+    Option(stats).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".zip"))
       .sortBy(_.getPath.toString)
       .map(s => ZipFilePartition(s.getPath.toString): InputPartition)
   }
@@ -212,7 +217,7 @@ class ZipXmlReaderFactory(fields: Array[String], ignoreCorrupt: Boolean = false)
 }
 
 /** Streams one ZIP: one row per `*.xml` entry. Entry bytes are only
-  * inflated when the pruned schema includes `xml`. With
+  * decoded/materialized when the pruned schema includes `xml`. With
   * `ignoreCorruptFiles`, a malformed archive yields the entries read
   * so far and is then skipped (mirroring Spark's own
   * `spark.sql.files.ignoreCorruptFiles` contract) instead of failing
@@ -238,7 +243,8 @@ class ZipXmlPartitionReader(zipPath: String, fields: Array[String],
       if (e == null) false
       else {
         entryName = e.getName
-        // pruned scans skip inflation: closeEntry discards the payload
+        // pruned scans skip the decode + string materialization (the
+        // inflater still consumes the payload when advancing entries)
         entryXml = if (needXml) ZipXml.decodeUtf8Latin1(zis.readAllBytes()) else null
         true
       }

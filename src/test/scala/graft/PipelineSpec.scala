@@ -2,25 +2,13 @@ package graft
 
 import graft.sources.ZipXml
 import org.apache.spark.sql.functions._
-import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.nio.file.Files
-import java.util.zip.{ZipEntry, ZipOutputStream}
 
 /** End-to-end pipeline test (SURVEY §7 minimum slice): fixture ZIPs of
   * XMLs → unzip/dispatch/parse/flatten → date-partitioned parquet →
   * unionByName merge with lineage — scan, flatMap, from_xml, error
   * capture, union, agg, sink in one pass. */
 class PipelineSpec extends SparkSpec {
-
-  private def makeZip(path: String, entries: (String, Array[Byte])*): Unit = {
-    val out = new ZipOutputStream(new FileOutputStream(path))
-    entries.foreach { case (name, bytes) =>
-      out.putNextEntry(new ZipEntry(name))
-      out.write(bytes)
-      out.closeEntry()
-    }
-    out.close()
-  }
 
   private val tedXml =
     """<TED_EXPORT><TD_DOCUMENT_TYPE CODE="7"/><NOTICE_DATA><NO_DOC_OJS>S-1</NO_DOC_OJS></NOTICE_DATA>
@@ -123,8 +111,9 @@ class PipelineSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       strict.select("xml").collect()
     }
-    // (a names-only scan of the corrupt archive succeeds either way —
-    // pruning never inflates the broken payload; read xml to hit it)
+    // read xml in tolerant mode so the broken payload is actually
+    // consumed on the emitting path (a pruned scan defers the failure
+    // to the entry-advance, which the tolerant reader also skips)
     val tolerant = spark.read.format("graft-zip")
       .option("ignoreCorruptFiles", "true").load(raw)
       .select("source_xml_file", "xml")

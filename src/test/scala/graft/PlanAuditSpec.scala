@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "q94_vocab_oov" -> "corpus-scalar join: the 1-row top-K vocab array broadcasts into the per-doc membership scan",
     "q98_kmeans_lloyd" -> "Lloyd assignment: the k-row centroid table broadcasts; the corpus streams once per iteration",
     "q101_bigram_lm" -> "corpus-scalar join: the 1-row bigram-count map (≤|V|² entries) broadcasts into the per-doc scoring scan",
-    "q105_bm25" -> "corpus-scalar join: the 1-row (n_docs, avgdl) stats broadcast into the per-term BM25 scoring")
+    "q105_bm25" -> "corpus-scalar join: the 1-row (n_docs, avgdl) stats broadcast into the per-term BM25 scoring",
+    "q54_ann_ivf" -> "corpus-scalar join: the 1-row centroid codebook broadcasts into the per-vector argmax assignment",
+    "q104_ann_recall" -> "composes q31/q32/q54 verbatim — inherits their allowlisted broadcast scalar joins")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -74,19 +74,24 @@ class PropertySpec extends SparkSpec {
         Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
     val pairs = samples(for {
       n <- Gen.choose(0, 16)
+      m <- Gen.oneOf(Gen.const(n), Gen.choose(0, 16)) // sometimes ragged
       a <- Gen.listOfN(n, d)
-      b <- Gen.listOfN(n, d)
-    } yield (a, b), 80)
+      b <- Gen.listOfN(m, d)
+    } yield (a, b), 100)
     val df = pairs.toDF("a", "b").select(
       expr("graft_dot(a, b)").as("native"),
       aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
         lit(0.0), (acc, e) => acc + e).as("portable"))
     df.collect().foreach { r =>
-      val (n, p) = (r.getDouble(0), r.getDouble(1))
-      // compare bit patterns so NaN == NaN and -0.0 != 0.0 are exact
-      assert(java.lang.Double.doubleToRawLongBits(n) ==
-        java.lang.Double.doubleToRawLongBits(p) ||
-        (n.isNaN && p.isNaN), s"dot diverges: $n vs $p")
+      // ragged pairs: both spellings must agree on NULL
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null-ness diverges: $r")
+      if (!r.isNullAt(0)) {
+        val (n, p) = (r.getDouble(0), r.getDouble(1))
+        // compare bit patterns so NaN == NaN and -0.0 != 0.0 are exact
+        assert(java.lang.Double.doubleToRawLongBits(n) ==
+          java.lang.Double.doubleToRawLongBits(p) ||
+          (n.isNaN && p.isNaN), s"dot diverges: $n vs $p")
+      }
     }
   }
 

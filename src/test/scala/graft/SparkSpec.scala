@@ -8,6 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Shared ZIP fixture builder (PipelineSpec + StreamingSpec). */
+  def makeZip(path: String, entries: (String, Array[Byte])*): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    entries.foreach { case (name, bytes) =>
+      out.putNextEntry(new ZipEntry(name))
+      out.write(bytes)
+      out.closeEntry()
+    }
+    out.close()
+  }
 }
 
 object SparkSpec {

@@ -322,19 +322,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("graft-zip micro-batch stream ingests a landing dir incrementally, exactly once") {
-    import java.io.FileOutputStream
-    import java.util.zip.{ZipEntry, ZipOutputStream}
-    def makeZip(path: String, entries: (String, String)*): Unit = {
-      val o = new ZipOutputStream(new FileOutputStream(path))
-      entries.foreach { case (n, c) =>
-        o.putNextEntry(new ZipEntry(n)); o.write(c.getBytes("UTF-8")); o.closeEntry()
-      }
-      o.close()
-    }
+    def zip(path: String, entries: (String, String)*): Unit =
+      makeZip(path, entries.map { case (n, c) => n -> c.getBytes("UTF-8") }: _*)
     val land = Files.createTempDirectory("graft-zland").toString
     val out = Files.createTempDirectory("graft-zout").toString
     val cp = Files.createTempDirectory("graft-zcp").toString
-    makeZip(s"$land/day1.zip", "a.xml" -> "<X>1</X>", "b.xml" -> "<X>2</X>")
+    zip(s"$land/day1.zip", "a.xml" -> "<X>1</X>", "b.xml" -> "<X>2</X>")
 
     def runOnce(): Unit = {
       val q = spark.readStream.format("graft-zip").load(land)
@@ -350,7 +343,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
 
     // a new archive lands: the SAME checkpoint replans only the new file
-    makeZip(s"$land/day2.zip", "c.xml" -> "<X>3</X>")
+    zip(s"$land/day2.zip", "c.xml" -> "<X>3</X>")
     runOnce()
     val rows = spark.read.parquet(out)
     assert(rows.count() == 3, "incremental batch must add only day2 entries")
@@ -364,7 +357,7 @@ class StreamingSpec extends SparkSpec {
     // 3 bounded one-archive batches rather than one catch-up batch
     val out2 = Files.createTempDirectory("graft-zout2").toString
     val cp2 = Files.createTempDirectory("graft-zcp2").toString
-    makeZip(s"$land/day3.zip", "e.xml" -> "<X>4</X>")
+    zip(s"$land/day3.zip", "e.xml" -> "<X>4</X>")
     val q2 = spark.readStream.format("graft-zip")
       .option("maxFilesPerTrigger", "1").load(land)
       .writeStream.format("parquet")

@@ -603,7 +603,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q108 — LSH banding quality report: the evaluation q104 gives ANN,
+    * for near-dup detection. One summary row: how many candidate pairs
+    * the 4×4 banding produced, how many verify at J≥0.7 (precision of
+    * the candidate stage), and — against the corpus's PLANTED truth
+    * (the synthesized near/exact copy of every doc_id%5 / %7 doc, whose
+    * pair identity is known by construction) — how many planted pairs
+    * banding recovered (recall). Ground truth by construction instead
+    * of an all-pairs Jaccard scan: recall over O(n²) exact similarity
+    * is the one thing you never compute at 100 TB; planted/labeled
+    * subsets are how production dedup is actually scored. */
+  val q108LshQuality: Q = Q(
+    "q108_lsh_quality",
+    s"""WITH $DCorpus, $DBands, verified AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
+       |), planted AS (
+       |  SELECT doc_id AS doc_a, doc_id+1000000 AS doc_b FROM base WHERE doc_id%5=0
+       |  UNION ALL SELECT doc_id, doc_id+2000000 FROM base WHERE doc_id%7=0
+       |), found AS (
+       |  SELECT p.doc_a FROM planted p JOIN cand c
+       |    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+       |)
+       |SELECT
+       |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |  (SELECT COUNT(*) FROM verified) AS n_verified,
+       |  CAST(FLOOR((SELECT COUNT(*) FROM verified)*1000000.0
+       |    / greatest((SELECT COUNT(*) FROM cand), 1)) AS BIGINT) AS precision_ppm,
+       |  (SELECT COUNT(*) FROM planted) AS n_planted,
+       |  (SELECT COUNT(*) FROM found) AS n_planted_found,
+       |  CAST(FLOOR((SELECT COUNT(*) FROM found)*1000000.0
+       |    / greatest((SELECT COUNT(*) FROM planted), 1)) AS BIGINT) AS recall_ppm""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint() // counted, verified against, and recall-joined
+    val sh = corpus(s, d)
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+      .localCheckpoint()
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+    val baseIds = graft.Q.stageBarrier(Tables.documents(s, d)).select(col("doc_id"))
+    val planted = baseIds.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+      .unionByName(baseIds.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b")))
+    val found = planted.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    // four scalar counts -> one summary row (the bloom-build pattern of
+    // q83: tiny driver-side scalars are fine; the heavy work is above)
+    val (nc, nv, np, nf) = (cand.count(), verified.count(), planted.count(), found.count())
+    import s.implicits._
+    Seq((nc, nv, math.floorDiv(nv * 1000000L, math.max(nc, 1L)),
+        np, nf, math.floorDiv(nf * 1000000L, math.max(np, 1L))))
+      .toDF("n_candidates", "n_verified", "precision_ppm",
+        "n_planted", "n_planted_found", "recall_ppm")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
-    q85SpanDupGate, q97BestRep, q102ParagraphDedup)
+    q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality)
 }

@@ -737,7 +737,78 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  /** q109 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): planted
+    * near-copies (every 10th vector, first coord ×1.001 — the q33
+    * augmentation) are caught by clustering the space and comparing
+    * pairs ONLY within a cluster. Cluster = argmax-cosine against the
+    * broadcast per-label centroid codebook (q98's init), so assignment
+    * is one map-side corpus pass; the pairwise stage then shuffles on
+    * the cluster id and compares Σ n_c² pairs instead of n² — the
+    * reduction that makes semantic dedup feasible at 100 TB, where k
+    * grows with the corpus to keep each n_c bounded. A vector is
+    * dropped when some LOWER-id vector in its cluster has cosine ≥
+    * 0.999 (greedy keep-first, the q30 resolution rule); the report
+    * lists each dropped vector with its duplicate count and closest
+    * lower-id neighbor similarity. Norms are precomputed per row, so
+    * each candidate pair costs one dot product. */
+  val q109SemDedup: Q = Q(
+    "q109_semdedup",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), aug AS (
+       |  SELECT vec_id, v FROM vecs
+       |  UNION ALL
+       |  SELECT vec_id+1000000, list_transform(range(1,${Dim + 1}), i -> CASE WHEN i = 1 THEN v[i]*1.001 ELSE v[i] END)
+       |  FROM vecs WHERE vec_id % 10 = 0
+       |), cents0 AS (
+       |  SELECT label AS cluster, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |      vs), (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (SELECT label, list($DVec ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM embeddings GROUP BY label)
+       |), assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT vec_id, v, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dCosPpm("v", "c")} DESC, cluster) AS rn
+       |    FROM aug CROSS JOIN cents0) WHERE rn = 1
+       |), dup AS (
+       |  SELECT y.vec_id AS vec_id, y.cluster AS cluster,
+       |    ${dCosPpm("x.v", "y.v")} AS cos_ppm
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${dCosPpm("x.v", "y.v")} >= 999000
+       |)
+       |SELECT vec_id, cluster, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       |  MAX(cos_ppm) AS max_cos_ppm
+       |FROM dup GROUP BY vec_id, cluster
+       |ORDER BY vec_id""") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val aug = vecs.unionByName(
+      vecs.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x * 1.001).otherwise(x)).as("v")))
+    val cents0 = Tables.embeddings(s, d)
+      .select(col("label").as("cluster"), col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .transform(centroidsOf)
+    // assignTo: broadcast codebook, map-side argmax — corpus unshuffled
+    val assigned = withNorm(assignTo(aug, cents0), "v")
+      .localCheckpoint() // both sides of the pair join read it
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("y.cluster").as("cluster"),
+        cosPpmPre(dot(col("x.v"), col("y.v")),
+          col("x.v_nrm"), col("y.v_nrm")).as("cos_ppm"))
+      .filter(col("cos_ppm") >= 999000L)
+    pairs.groupBy("vec_id", "cluster")
+      .agg(count(lit(1)).as("n_dups"), max(col("cos_ppm")).as("max_cos_ppm"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
-    q104AnnRecall)
+    q104AnnRecall, q109SemDedup)
 }

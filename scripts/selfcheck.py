@@ -13,7 +13,9 @@ values are numerically identical. This gate therefore:
   * treats any column TYPE difference between the Spark parquet and the
     oracle result as a FAILURE, not a warning.
 
-Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [q1,q2,...]
+(the optional third arg restricts the check to those query names — pair it
+with SPARK_GRAFT_ONLY on the Verify side)
 """
 import json
 import math
@@ -53,11 +55,14 @@ def vals_equal(a, b):
     return a == b and type(a) is type(b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # comma-separated query names: check just those
+        names = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -103,4 +108,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

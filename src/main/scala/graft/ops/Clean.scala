@@ -901,9 +901,79 @@ object Clean {
       .limit(20)
   }
 
+  /** q110 — DSIR-style importance resampling (Xie et al. 2023 shape):
+    * rank raw documents by how much they look like a TARGET domain
+    * (here lang='en') under hashed-unigram bucket models. Token →
+    * md5 bucket (64 buckets); add-1-smoothed bucket counts give the
+    * target and raw unigram models; a document's score is the sum of
+    * its tokens' importance ratios tc·R/(rc·T) in floor-ppm, averaged
+    * per token; the top 50 by mean ratio are selected.
+    *
+    * Integer-exactness: the per-BUCKET weight is the one floor-ratio
+    * both engines share (64 rows — numerators stay < 2^53 at gate
+    * scale), and per-doc scores are exact BIGINT sums of those
+    * weights. Scale shape: the models are 64-row aggregates of the
+    * exploded (doc, bucket) int stream (text never shuffles — buckets
+    * do), the weight table is BROADCAST back onto the same stream, and
+    * the per-doc re-aggregation partial-aggregates map-side, so the
+    * only O(corpus) shuffle carries one row per (doc, partition). */
+  val q110Dsir: Q = Q(
+    "q110_dsir",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), ex AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substr(md5(tok),1,8)) AS BIGINT) % 64 AS b
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+       |), tot AS (
+       |  SELECT COUNT(*) AS rtot,
+       |         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ttot FROM ex
+       |), tc AS (
+       |  SELECT b, COUNT(*) AS tcnt FROM ex WHERE lang = 'en' GROUP BY b
+       |), rc AS (
+       |  SELECT b, COUNT(*) AS rcnt FROM ex GROUP BY b
+       |), w AS (
+       |  SELECT sp.b AS b,
+       |    ${dRatio("(COALESCE(tcnt,0)+1)*(rtot+64)", "(COALESCE(rcnt,0)+1)*(ttot+64)", 1000000L)} AS w_ppm
+       |  FROM (SELECT unnest(range(0,64)) AS b) sp
+       |  LEFT JOIN tc ON sp.b = tc.b LEFT JOIN rc ON sp.b = rc.b
+       |  CROSS JOIN tot
+       |), score AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok, SUM(w_ppm) AS sw
+       |  FROM ex JOIN w USING (b) GROUP BY doc_id
+       |)
+       |SELECT t.doc_id AS doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+       |  ${dRatio("COALESCE(sw, 0)", "len(toks)", 1L)} AS avg_w_ppm
+       |FROM t LEFT JOIN score ON t.doc_id = score.doc_id
+       |ORDER BY avg_w_ppm DESC, doc_id LIMIT 50""") { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val ex = t.select(col("doc_id"), col("lang"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"), pmod(hex32(col("tok")), lit(64L)).as("b"))
+      .localCheckpoint() // feeds both models and the scoring join
+    val tot = ex.agg(count(lit(1)).as("rtot"),
+      count(when(col("lang") === "en", 1)).as("ttot"))
+    val spine = ex.sparkSession.range(0, 64).select(col("id").as("b"))
+    val tc = ex.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val rc = ex.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val w = spine
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"), ratioScaled(
+        (coalesce(col("tcnt"), lit(0L)) + 1L) * (col("rtot") + 64L),
+        (coalesce(col("rcnt"), lit(0L)) + 1L) * (col("ttot") + 64L),
+        1000000L).as("w_ppm"))
+    val score = ex.join(broadcast(w), "b")
+      .groupBy("doc_id").agg(sum(col("w_ppm")).as("sw"))
+    t.join(score, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tok"),
+        ratioScaled(coalesce(col("sw"), lit(0L)), size(col("toks")), 1L).as("avg_w_ppm"))
+      .orderBy(col("avg_w_ppm").desc, col("doc_id")).limit(50)
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
-    q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25)
+    q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir)
 }

@@ -396,7 +396,54 @@ object Events {
       .orderBy("user_id", "hr")
   }
 
+  /** q111 — trailing time-RANGE window features (the feature-store /
+    * fraud-scoring shape q39's ROWS frames can't express): at every
+    * event, the user's activity count and spend over the trailing 1
+    * hour and 24 hours by EVENT TIME — `RANGE BETWEEN <interval>
+    * PRECEDING` over integer micros, where the frame is defined by
+    * timestamp distance, not row position — plus the gap since the
+    * previous event. Spend sums are DECIMAL(18,2) inside the frame
+    * (exact, order-independent) and cast to DOUBLE only at output.
+    * One shuffle on user_id serves all four windows; at scale the
+    * range-frame scan is a per-user two-pointer pass, state bounded by
+    * the 24 h span, never O(pairs). */
+  val q111RangeFeatures: Q = Q(
+    "q111_range_features",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, us,
+      |  CAST(COUNT(*) OVER h1 AS BIGINT) AS cnt_1h,
+      |  CAST(COUNT(*) OVER d1 AS BIGINT) AS cnt_24h,
+      |  CAST(SUM(v) OVER h1 AS DOUBLE) AS spend_1h,
+      |  CAST(SUM(v) OVER d1 AS DOUBLE) AS spend_24h,
+      |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      |FROM ev
+      |WINDOW h1 AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+      |  d1 AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""") { (s, d) =>
+    val h1 = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val d1 = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, Window.currentRow)
+    val seq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), dec(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(h1).cast("long").as("cnt_1h"),
+        count(lit(1)).over(d1).cast("long").as("cnt_24h"),
+        sum(col("v")).over(h1).cast("double").as("spend_1h"),
+        sum(col("v")).over(d1).cast("double").as("spend_24h"),
+        (col("us") - lag(col("us"), 1).over(seq)).as("gap_us"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention,
-    q106HourlyAnomaly)
+    q106HourlyAnomaly, q111RangeFeatures)
 }

@@ -301,7 +301,76 @@ object Analytics {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** q112 — per-group Pearson correlation matrix from EXACT integer
+    * moments, in ONE scan: quantity/price/discount are cents-lifted to
+    * integers, and each group aggregates n plus the 9 sums
+    * (Σx, Σy, Σz, Σx², Σy², Σz², Σxy, Σxz, Σyz) as wide decimals —
+    * order-independent, partial-aggregated map-side, so the pass is a
+    * 3-key aggregation of a 600 k-row (at sf0.1) scan regardless of
+    * cluster layout. Only the final corr arithmetic is floating point,
+    * spelled identically on both engines (q106's policy), with the
+    * variance clamp at 0 and a zero-denominator guard. The built-in
+    * `corr()` is one call — but its streaming-mean accumulation is
+    * shuffle-order-dependent; the moments spelling is what a
+    * deterministic engine has to run. */
+  val q112CorrMatrix: Q = Q(
+    "q112_corr_matrix",
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(z) AS DOUBLE) AS sz,
+      |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(z*z) AS DOUBLE) AS szz,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*z) AS DOUBLE) AS sxz,
+      |    CAST(SUM(y*z) AS DOUBLE) AS syz
+      |  FROM t GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(FLOOR(CASE WHEN greatest(n*sxx - sx*sx, 0) = 0 OR greatest(n*syy - sy*sy, 0) = 0 THEN 0
+      |    ELSE (n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0)) * sqrt(greatest(n*syy - sy*sy, 0))) END * 1000000) AS BIGINT) AS corr_qty_price_ppm,
+      |  CAST(FLOOR(CASE WHEN greatest(n*sxx - sx*sx, 0) = 0 OR greatest(n*szz - sz*sz, 0) = 0 THEN 0
+      |    ELSE (n*sxz - sx*sz) / (sqrt(greatest(n*sxx - sx*sx, 0)) * sqrt(greatest(n*szz - sz*sz, 0))) END * 1000000) AS BIGINT) AS corr_qty_disc_ppm,
+      |  CAST(FLOOR(CASE WHEN greatest(n*syy - sy*sy, 0) = 0 OR greatest(n*szz - sz*sz, 0) = 0 THEN 0
+      |    ELSE (n*syz - sy*sz) / (sqrt(greatest(n*syy - sy*sy, 0)) * sqrt(greatest(n*szz - sz*sz, 0))) END * 1000000) AS BIGINT) AS corr_price_disc_ppm
+      |FROM m ORDER BY l_returnflag""") { (s, d) =>
+    // cents as DECIMAL(18,0): products reach ~1e14 and their sf0.1 sums
+    // ~6e19 — past int64, inside DECIMAL(38,0) (DuckDB sums into HUGEINT)
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100).cast("long").cast(DecimalType(18, 0))
+    val t = Tables.lineitem(s, d).select(col("l_returnflag"),
+      cents(col("l_quantity")).as("x"),
+      cents(col("l_extendedprice")).as("y"),
+      cents(col("l_discount")).as("z"))
+    def sd(c: org.apache.spark.sql.Column, n: String) =
+      sum(c).cast("double").as(n)
+    val m = t.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sd(col("x"), "sx"), sd(col("y"), "sy"), sd(col("z"), "sz"),
+      sd(col("x") * col("x"), "sxx"), sd(col("y") * col("y"), "syy"),
+      sd(col("z") * col("z"), "szz"),
+      sd(col("x") * col("y"), "sxy"), sd(col("x") * col("z"), "sxz"),
+      sd(col("y") * col("z"), "syz"))
+    def corrPpm(sa: String, sb: String, saa: String, sbb: String, sab: String) = {
+      val va = greatest(col("n") * col(saa) - col(sa) * col(sa), lit(0.0))
+      val vb = greatest(col("n") * col(sbb) - col(sb) * col(sb), lit(0.0))
+      floor(when(va === 0.0 || vb === 0.0, 0.0)
+        .otherwise((col("n") * col(sab) - col(sa) * col(sb))
+          / (sqrt(va) * sqrt(vb))) * 1000000).cast("long")
+    }
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        corrPpm("sx", "sy", "sxx", "syy", "sxy").as("corr_qty_price_ppm"),
+        corrPpm("sx", "sz", "sxx", "szz", "sxz").as("corr_qty_disc_ppm"),
+        corrPpm("sy", "sz", "syy", "szz", "syz").as("corr_price_disc_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
-    q90CmsSketch)
+    q90CmsSketch, q112CorrMatrix)
 }

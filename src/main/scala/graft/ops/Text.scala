@@ -428,7 +428,92 @@ object Text {
       .orderBy("lang", "lang_pred")
   }
 
+  /** q113 — BPE tokenizer training, two unrolled merge ROUNDS (q88 is
+    * the count of one round; this runs the actual loop): count adjacent
+    * pairs → argmax (count desc, pair asc) → greedy left-to-right
+    * non-overlapping merge of the winner everywhere → recount on the
+    * merged corpus → next winner. The merge is `replace()` over a
+    * control-char-delimited token string (each token wrapped in \\u0001,
+    * pairs matched as whole-token units so "xa|b" never matches "a|b"),
+    * which is exactly BPE's greedy scan: "x x x" merges once. Per round
+    * the corpus is ONE narrow pass (pair explode partial-aggregates to
+    * a pair-keyed shuffle; the 1-row winner broadcasts back), so N
+    * merges over 100 TB cost N linear scans — the shape of every
+    * distributed BPE trainer. Reports each round's winning pair, its
+    * pre-merge count, and the corpus token count after the merge. */
+  val q113BpeRounds: Q = Q(
+    "q113_bpe_rounds",
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), p1 AS (
+       |  SELECT toks[i] AS a, toks[i+1] AS b, COUNT(*) AS c
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM t0 WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2 ORDER BY c DESC, (a || ' ' || b) LIMIT 1
+       |), s1 AS (
+       |  SELECT doc_id, string_split(trim(replace(
+       |      chr(1) || array_to_string(toks, chr(1)||chr(1)) || chr(1),
+       |      chr(1) || a || chr(1)||chr(1) || b || chr(1),
+       |      chr(1) || a || ' ' || b || chr(1)), chr(1)), chr(1)||chr(1)) AS toks
+       |  FROM t0 CROSS JOIN p1 WHERE len(toks) > 0
+       |), p2 AS (
+       |  SELECT toks[i] AS a, toks[i+1] AS b, COUNT(*) AS c
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM s1 WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2 ORDER BY c DESC, (a || ' ' || b) LIMIT 1
+       |), s2 AS (
+       |  SELECT doc_id, string_split(trim(replace(
+       |      chr(1) || array_to_string(toks, chr(1)||chr(1)) || chr(1),
+       |      chr(1) || a || chr(1)||chr(1) || b || chr(1),
+       |      chr(1) || a || ' ' || b || chr(1)), chr(1)), chr(1)||chr(1)) AS toks
+       |  FROM s1 CROSS JOIN p2
+       |)
+       |SELECT CAST(1 AS BIGINT) AS round, a || ' ' || b AS pair,
+       |  CAST(c AS BIGINT) AS n_occ,
+       |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM s1) AS n_tokens_after
+       |FROM p1
+       |UNION ALL
+       |SELECT 2, a || ' ' || b, CAST(c AS BIGINT),
+       |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM s2)
+       |FROM p2
+       |ORDER BY round""") { (s, d) =>
+    val sep = "\u0001"
+    val sep2 = sep + sep
+    def topPair(t: DataFrame): DataFrame = t
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, concat(col("a"), lit(" "), col("b")))
+      .limit(1)
+    def mergeRound(t: DataFrame, top: DataFrame): DataFrame = t
+      .filter(size(col("toks")) > 0)
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        concat(lit(sep), array_join(col("toks"), sep2), lit(sep)).as("str"),
+        concat(lit(sep), col("a"), lit(sep2), col("b"), lit(sep)).as("pat"),
+        concat(lit(sep), col("a"), lit(" "), col("b"), lit(sep)).as("rep"))
+      .select(col("doc_id"),
+        split(trim(expr("replace(str, pat, rep)"), sep), sep2).as("toks"))
+    def stats(round: Int, top: DataFrame, merged: DataFrame): DataFrame = top
+      .crossJoin(merged.agg(sum(size(col("toks"))).as("n_tokens_after")))
+      .select(lit(round.toLong).as("round"),
+        concat(col("a"), lit(" "), col("b")).as("pair"),
+        col("c").as("n_occ"), col("n_tokens_after"))
+    val t0 = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // scanned by round-1 count AND round-1 merge
+    val p1 = topPair(t0).localCheckpoint()  // broadcast into the merge
+    val s1 = mergeRound(t0, p1).localCheckpoint() // round-2 count + merge
+    val p2 = topPair(s1).localCheckpoint()
+    val s2 = mergeRound(s1, p2)
+    stats(1, p1, s1).unionByName(stats(2, p2, s2)).orderBy("round")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
-    q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion)
+    q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
+    q113BpeRounds)
 }

@@ -971,9 +971,81 @@ object Clean {
       .orderBy(col("avg_w_ppm").desc, col("doc_id")).limit(50)
   }
 
+  /** q114 — UniMax-style budget allocation (epoch-capped water-filling):
+    * split a total token budget (60% of the corpus) across languages so
+    * no language exceeds 2 epochs of its own data and the remainder
+    * spreads evenly — the greedy pass of the UniMax sampler: visit
+    * languages by ascending capacity; each takes
+    * `min(capacity, remaining // languages_left)`. The loop is
+    * SEQUENTIAL by construction (each step's floor depends on what
+    * smaller languages consumed), so it runs as an ordered fold over
+    * the per-language stats — k rows, folded in one expression after a
+    * k-key aggregation of the corpus; the corpus itself contributes one
+    * token-count scan. All arithmetic is integer (exact floors); the
+    * oracle unrolls the same fold as a recursive CTE. */
+  val q114Unimax: Q = Q(
+    "q114_unimax",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT lang, $DToks AS toks FROM documents
+       |), ls AS (
+       |  SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM t GROUP BY lang
+       |), ord AS (
+       |  SELECT lang, n_tok, n_tok*2 AS cap,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_tok*2, lang) AS BIGINT) AS i,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS k
+       |  FROM ls
+       |), tot AS (
+       |  SELECT CAST((SUM(n_tok)*6)//10 AS BIGINT) AS b FROM ls
+       |), alloc AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, b AS remaining,
+       |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_tok,
+       |    CAST(NULL AS BIGINT) AS cap, CAST(NULL AS BIGINT) AS a
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT o.i, r.remaining - least(o.cap, r.remaining // (o.k - o.i + 1)),
+       |    o.lang, o.n_tok, o.cap,
+       |    least(o.cap, r.remaining // (o.k - o.i + 1))
+       |  FROM alloc r JOIN ord o ON o.i = r.i + 1
+       |)
+       |SELECT lang, n_tok, cap, a AS alloc,
+       |  ${dRatio("a", "n_tok", 1000L)} AS epochs_milli
+       |FROM alloc WHERE i > 0 ORDER BY lang""") { (s, d) =>
+    val ls = docs(s, d)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .groupBy("lang").agg(sum(size(col("toks"))).as("n_tok"))
+    val withB = ls.crossJoin(
+      ls.agg(expr("CAST((sum(n_tok)*6) div 10 AS BIGINT)").as("b")))
+    val arr = withB.agg(
+      sort_array(collect_list(struct((col("n_tok") * 2).as("cap"),
+        col("lang"), col("n_tok")))).as("xs"),
+      min(col("b")).as("b"))
+    // ordered fold: state = (remaining, langs left, allocations so far)
+    val empty = array_repeat(struct(lit("").as("lang"), lit(0L).as("n_tok"),
+      lit(0L).as("cap"), lit(0L).as("alloc")), 0)
+    val folded = aggregate(col("xs"),
+      struct(col("b").as("remaining"), size(col("xs")).cast("long").as("left"),
+        empty.as("allocs")),
+      (acc, e) => {
+        val share = floor(acc.getField("remaining") / acc.getField("left")).cast("long")
+        val a = least(e.getField("cap"), share)
+        struct(
+          (acc.getField("remaining") - a).as("remaining"),
+          (acc.getField("left") - 1L).as("left"),
+          concat(acc.getField("allocs"), array(struct(
+            e.getField("lang").as("lang"), e.getField("n_tok").as("n_tok"),
+            e.getField("cap").as("cap"), a.as("alloc")))).as("allocs"))
+      })
+    arr.select(explode(folded.getField("allocs")).as("r"))
+      .select(col("r.lang").as("lang"), col("r.n_tok").as("n_tok"),
+        col("r.cap").as("cap"), col("r.alloc").as("alloc"),
+        ratioScaled(col("r.alloc"), col("r.n_tok"), 1000L).as("epochs_milli"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
-    q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir)
+    q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
+    q114Unimax)
 }

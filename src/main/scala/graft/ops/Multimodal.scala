@@ -129,6 +129,66 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** q115 — perceptual-hash near-dup detection over image payloads:
+    * 32-bit dHash-style codes from the stub decode (planted one-byte
+    * "re-encodes" of every 10th image flip ≤ 2 bits), byte-banded LSH
+    * (q28's candidate shape — a matching 8-bit band is required, so
+    * the pair stage joins on (band, byte) instead of comparing all
+    * pairs), then exact Hamming ≤ 3 verification with the codegen'd
+    * `graft_hamming` expression. The image-dedup twin of the text
+    * SimHash pipeline, running entirely on the media plumbing: typed
+    * stub decode → codes, ints-only from there. */
+  val q115PhashDedup: Q = Q(
+    "q115_phash_dedup",
+    {
+      def eff(j: Int) =
+        if (j == 5) s"CASE WHEN pert = 1 THEN (${dByte(5)} + 1) % 256 ELSE ${dByte(5)} END"
+        else dByte(j)
+      val phBits = (0 until 32).map(j =>
+        s"CASE WHEN (${eff(j)}) > (${eff((j + 1) % 32)}) THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 0
+         |), aug AS (
+         |  SELECT doc_id, hx, 0 AS pert FROM m
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, hx, 1 FROM m WHERE doc_id % 30 = 0
+         |), codes AS (
+         |  SELECT doc_id, CAST($phBits AS BIGINT) AS ph FROM aug
+         |), cbands AS (
+         |  SELECT doc_id, ph, b, (ph >> (8*b)) & 255 AS byte
+         |  FROM codes CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+         |), pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS pa, y.ph AS pb
+         |  FROM cbands x JOIN cbands y
+         |    ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
+         |ORDER BY doc_a, doc_b"""
+    }) { (s, d) =>
+    import s.implicits._
+    val imgs = MM.mediaTable(s, d).filter((f: MM.MediaFile) => f.doc_id % 3 == 0)
+    val orig = imgs.map(f => (f.doc_id, MM.phashStub(f.content)))
+    val pert = imgs.filter((f: MM.MediaFile) => f.doc_id % 30 == 0)
+      .map(f => (f.doc_id + 1000000L, MM.phashStub(MM.perturbStub(f.content))))
+    val codes = orig.union(pert).toDF("doc_id", "ph")
+    val cbands = codes.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        shiftright(col("ph"), 8 * b).bitwiseAND(255).as("byte"))): _*)).as("bb"))
+      .select(col("doc_id"), col("ph"), col("bb.b").as("b"), col("bb.byte").as("byte"))
+    cbands.as("x").join(cbands.as("y"),
+        col("x.b") === col("y.b") && col("x.byte") === col("y.byte")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("pa"), col("y.ph").as("pb"))
+      .distinct()
+      .filter(expr("graft_hamming(pa, pb)") <= 3)
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_hamming(pa, pb)").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
-    q66ImageResize, q67AudioEnergy)
+    q66ImageResize, q67AudioEnergy, q115PhashDedup)
 }

@@ -161,6 +161,25 @@ object TextFunctions {
     ratioScaled(hits, size(toks), 1000000L)
   }
 
+  /** Greedy left-to-right NON-OVERLAPPING merge of every adjacent
+    * occurrence of pair (a, b) in a token array — one BPE merge step.
+    * Tokens are wrapped in \\u0001 delimiters and the pair replaced as a
+    * whole-token unit via `replace()` (itself a greedy left-to-right
+    * scan), so "xa b" never matches pair (a, b) and "x x x" with pair
+    * (x, x) merges exactly once. The merged token is `a ++ " " ++ b`.
+    * Assumes tokens contain no \\u0001 (whitespace-split text). */
+  def bpeMerge(toks: Column, a: Column, b: Column): Column = {
+    val sep = "\u0001"
+    val sep2 = sep + sep
+    val s = concat(lit(sep), array_join(toks, sep2), lit(sep))
+    val pat = concat(lit(sep), a, lit(sep2), b, lit(sep))
+    val rep = concat(lit(sep), a, lit(" "), b, lit(sep))
+    // empty input short-circuits: the wrap/split round-trip would
+    // otherwise read the empty string back as [""]
+    when(size(toks) === 0, toks)
+      .otherwise(split(trim(call_function("replace", s, pat, rep), sep), sep2))
+  }
+
   /** Mean token length in milli-chars (x1000, floor). */
   def meanTokenLenMilli(toks: Column): Column = {
     val total = aggregate(toks, lit(0L), (a, t) => a + length(t))

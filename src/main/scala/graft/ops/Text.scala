@@ -477,8 +477,6 @@ object Text {
        |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM s2)
        |FROM p2
        |ORDER BY round""") { (s, d) =>
-    val sep = "\u0001"
-    val sep2 = sep + sep
     def topPair(t: DataFrame): DataFrame = t
       .filter(size(col("toks")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
@@ -492,11 +490,7 @@ object Text {
       .filter(size(col("toks")) > 0)
       .crossJoin(broadcast(top))
       .select(col("doc_id"),
-        concat(lit(sep), array_join(col("toks"), sep2), lit(sep)).as("str"),
-        concat(lit(sep), col("a"), lit(sep2), col("b"), lit(sep)).as("pat"),
-        concat(lit(sep), col("a"), lit(" "), col("b"), lit(sep)).as("rep"))
-      .select(col("doc_id"),
-        split(trim(expr("replace(str, pat, rep)"), sep), sep2).as("toks"))
+        bpeMerge(col("toks"), col("a"), col("b")).as("toks"))
     def stats(round: Int, top: DataFrame, merged: DataFrame): DataFrame = top
       .crossJoin(merged.agg(sum(size(col("toks"))).as("n_tokens_after")))
       .select(lit(round.toLong).as("round"),

@@ -150,4 +150,25 @@ class CleanSpec extends SparkSpec {
     assert(stages.sliding(2).forall { case Seq(x, y) => y <= x })
     assert(stages.head > 0)
   }
+
+  test("q114: allocations conserve the budget, respect caps, and saturate small languages first") {
+    val out = ops.Clean.q114Unimax.fn(spark, sf).collect()
+    val nTok = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alloc = out.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val cap = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val budget = nTok.values.sum * 6 / 10
+    // caps are 2 epochs; budget is 60% of one epoch of everything, so
+    // total capacity exceeds the budget and the fold must spend exactly it
+    assert(alloc.values.sum == budget,
+      s"allocated ${alloc.values.sum} != budget $budget")
+    assert(out.forall(r => r.getLong(3) <= r.getLong(2)), "alloc over cap")
+    assert(out.forall(r => r.getLong(4) <= 2000L), "over 2 epochs")
+    // water-filling: any language NOT at its cap got at least as much as
+    // every saturated (capped) language's capacity
+    val unsat = out.filter(r => r.getLong(3) < r.getLong(2)).map(_.getLong(3))
+    val satCaps = out.filter(r => r.getLong(3) == r.getLong(2)).map(_.getLong(2))
+    assert(satCaps.forall(c => unsat.forall(_ >= c)),
+      s"saturated caps $satCaps vs unsaturated allocs $unsat")
+    assert(cap.forall { case (l, c) => c == 2 * nTok(l) })
+  }
 }

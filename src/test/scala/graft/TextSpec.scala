@@ -24,4 +24,47 @@ class TextSpec extends SparkSpec {
       .count()
     assert(recount == top.getLong(1), s"pair '${top.getString(0)}' recount mismatch")
   }
+
+  test("bpeMerge: greedy non-overlap ('x x x' merges once) and whole-token matching ('xa b' untouched by pair a,b)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val rows = Seq(
+      Seq("x", "x", "x"),            // greedy: first two merge, third stays
+      Seq("x", "x", "x", "x"),       // two merges
+      Seq("xa", "b", "a", "b"),      // "xa b" is NOT pair (a,b); "a b" is
+      Seq("a"),                      // no pair: unchanged
+      Seq("a", "b", "a", "b", "a")   // two merges, trailing a survives
+    ).map(t => org.apache.spark.sql.Row(t))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val merged = df.select(
+      bpeMerge(col("toks"), lit("x"), lit("x")).as("mx"),
+      bpeMerge(col("toks"), lit("a"), lit("b")).as("mab"))
+      .collect().map(r =>
+        (r.getSeq[String](0).toList, r.getSeq[String](1).toList))
+    assert(merged(0)._1 == List("x x", "x"))
+    assert(merged(1)._1 == List("x x", "x x"))
+    assert(merged(2)._2 == List("xa", "b", "a b"))
+    assert(merged(3)._2 == List("a"))
+    assert(merged(4)._2 == List("a b", "a b", "a"))
+  }
+
+  test("q113: each round's token count drops by an independent greedy recount of the winning pair") {
+    val out = ops.Text.q113BpeRounds.fn(spark, sf).collect()
+    assert(out.length == 2)
+    val before = Tables.documents(spark, sf)
+      .select(sum(size(tokens(col("text"))))).head().getLong(0)
+    // greedy non-overlapping occurrences of pair (a,b) in one doc =
+    // length drop of the merge; recount independently via bpeMerge
+    val r1 = out(0)
+    val Array(a1, b1) = r1.getString(1).split(" ", 2)
+    val afterRecount = Tables.documents(spark, sf)
+      .select(sum(size(bpeMerge(tokens(col("text")), lit(a1), lit(b1)))))
+      .head().getLong(0)
+    assert(r1.getLong(3) == afterRecount,
+      s"round-1 n_tokens_after ${r1.getLong(3)} != independent merge recount $afterRecount")
+    assert(r1.getLong(3) < before && out(1).getLong(3) <= r1.getLong(3))
+  }
 }

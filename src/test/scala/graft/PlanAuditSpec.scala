@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSpec {
     "q101_bigram_lm" -> "corpus-scalar join: the 1-row bigram-count map (≤|V|² entries) broadcasts into the per-doc scoring scan",
     "q105_bm25" -> "corpus-scalar join: the 1-row (n_docs, avgdl) stats broadcast into the per-term BM25 scoring",
     "q54_ann_ivf" -> "corpus-scalar join: the 1-row centroid codebook broadcasts into the per-vector argmax assignment",
-    "q104_ann_recall" -> "composes q31/q32/q54 verbatim — inherits their allowlisted broadcast scalar joins")
+    "q104_ann_recall" -> "composes q31/q32/q54 verbatim — inherits their allowlisted broadcast scalar joins",
+    "q110_dsir" -> "corpus-scalar joins: the 1-row totals and the 64-row bucket-weight table broadcast into the scoring scan",
+    "q113_bpe_rounds" -> "corpus-scalar join: each round's 1-row winning pair broadcasts into the merge scan",
+    "q114_unimax" -> "corpus-scalar join: the 1-row budget broadcasts into the k-row language stats before the fold")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

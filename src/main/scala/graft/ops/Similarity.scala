@@ -808,7 +808,73 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q116 — margin-based bitext mining (the Artetxe-Schwenk shape used
+    * to pair cross-lingual training sentences): for each English anchor
+    * (vec_id < 20), score every non-English document's embedding, and
+    * rate the best match not by raw cosine but by its MARGIN over the
+    * anchor's top-8 neighborhood — margin = cos·k / Σ(top-k cos) — so a
+    * match only counts when it stands out from the anchor's generic
+    * neighborhood (raw cosine over-selects hubs). Integer-exact: pair
+    * scores are floor-ppm, the top-8 denominator is an integer SUM of
+    * those (order-independent), and the margin one floor ratio with a
+    * non-positive-denominator guard. Scale shape: the 20 anchors
+    * broadcast into one scored corpus pass (corpus never shuffles
+    * before the per-anchor top-k), and each anchor keeps 8 rows; at
+    * real scale the scored pass swaps for the ANN index (q32/q54) with
+    * the same margin stage on top. */
+  val q116BitextMine: Q = Q(
+    "q116_bitext_mine",
+    s"""WITH vecs AS (
+       |  SELECT e.vec_id AS vec_id, d.lang AS lang, $DVec AS v
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |), anchors AS (
+       |  SELECT vec_id AS anchor_id, v AS av FROM vecs
+       |  WHERE lang = 'en' AND vec_id < 20
+       |), scored AS (
+       |  SELECT anchor_id, vec_id, lang, ${dCosPpm("av", "v")} AS cos_ppm
+       |  FROM anchors CROSS JOIN vecs WHERE lang <> 'en'
+       |), ranked AS (
+       |  SELECT anchor_id, vec_id, lang, cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos_ppm DESC, vec_id) AS rn
+       |  FROM scored
+       |), denom AS (
+       |  SELECT anchor_id, CAST(SUM(cos_ppm) AS BIGINT) AS top8_sum
+       |  FROM ranked WHERE rn <= 8 GROUP BY anchor_id
+       |)
+       |SELECT r.anchor_id AS anchor_id, r.vec_id AS match_id,
+       |  r.lang AS match_lang, r.cos_ppm AS cos_ppm, top8_sum,
+       |  CASE WHEN top8_sum <= 0 THEN 0
+       |       ELSE CAST(FLOOR(r.cos_ppm * 8 * 1000000 / top8_sum) AS BIGINT)
+       |  END AS margin_ppm
+       |FROM ranked r JOIN denom USING (anchor_id)
+       |WHERE rn = 1 ORDER BY anchor_id""") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), asDouble(col("embedding")).as("v"))
+    val anchors = withNorm(vecs.filter(col("lang") === "en" && col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av")), "av")
+    val scored = withNorm(graft.Q.stageBarrier(vecs.filter(col("lang") =!= "en")), "v")
+      .crossJoin(broadcast(anchors))
+      .select(col("anchor_id"), col("vec_id"), col("lang"),
+        cosPpmPre(dot(col("av"), col("v")), col("av_nrm"), col("v_nrm")).as("cos_ppm"))
+      .localCheckpoint() // feeds the rank AND the top-8 denominator
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val denom = ranked.filter(col("rn") <= 8)
+      .groupBy("anchor_id").agg(sum(col("cos_ppm")).as("top8_sum"))
+    ranked.filter(col("rn") === 1)
+      .join(broadcast(denom), "anchor_id")
+      .select(col("anchor_id"), col("vec_id").as("match_id"),
+        col("lang").as("match_lang"), col("cos_ppm"), col("top8_sum"),
+        when(col("top8_sum") <= 0, 0L)
+          .otherwise(floor(col("cos_ppm") * 8 * 1000000L / col("top8_sum")))
+          .cast("long").as("margin_ppm"))
+      .orderBy("anchor_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
-    q104AnnRecall, q109SemDedup)
+    q104AnnRecall, q109SemDedup, q116BitextMine)
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q104_ann_recall" -> "composes q31/q32/q54 verbatim — inherits their allowlisted broadcast scalar joins",
     "q110_dsir" -> "corpus-scalar joins: the 1-row totals and the 64-row bucket-weight table broadcast into the scoring scan",
     "q113_bpe_rounds" -> "corpus-scalar join: each round's 1-row winning pair broadcasts into the merge scan",
-    "q114_unimax" -> "corpus-scalar join: the 1-row budget broadcasts into the k-row language stats before the fold")
+    "q114_unimax" -> "corpus-scalar join: the 1-row budget broadcasts into the k-row language stats before the fold",
+    "q116_bitext_mine" -> "brute scoring baseline: the 20 anchors broadcast; corpus streams once (the ANN index is the scale path for the scored pass)")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

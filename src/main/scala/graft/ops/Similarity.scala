@@ -874,7 +874,87 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  /** q117 — clustering-quality report (the evaluation pass after q98,
+    * as q104 is for ANN): every vector scores against the BROADCAST
+    * centroid codebook in one narrow pass, keeping its best and
+    * second-best centroid similarities; the per-vector assignment
+    * margin (best − second-best, ppm — the cosine cousin of the
+    * silhouette's a−b, non-negative because assignment IS the argmax)
+    * aggregates per cluster into cohesion (mean own-centroid cosine),
+    * mean and worst margin — low margins mark clusters bleeding into a
+    * neighbor. The corpus never shuffles scored pairs: the k scores
+    * collapse to two inside each row's array expression, and the only
+    * exchange carries k-keyed integer partials. */
+  val q117ClusterQuality: Q = Q(
+    "q117_cluster_quality",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), cents0 AS (
+       |  SELECT label AS cluster, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)),
+       |      vs), (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (SELECT label, list($DVec ORDER BY vec_id) AS vs, COUNT(*) AS n
+       |        FROM embeddings GROUP BY label)
+       |), scored AS (
+       |  SELECT vec_id, cluster, ${dCosPpm("v", "c")} AS s
+       |  FROM vecs CROSS JOIN cents0
+       |), rk AS (
+       |  SELECT vec_id, cluster, s,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster) AS rn
+       |  FROM scored
+       |), pv AS (
+       |  SELECT b.vec_id AS vec_id, b.cluster AS cluster, b.s AS a,
+       |    b.s - s2.s AS margin
+       |  FROM rk b JOIN rk s2 ON b.vec_id = s2.vec_id AND s2.rn = 2
+       |  WHERE b.rn = 1
+       |)
+       |SELECT cluster, COUNT(*) AS n,
+       |  ${dRatioLocal("SUM(a)", "COUNT(*)")} AS mean_cos_ppm,
+       |  ${dRatioLocal("SUM(margin)", "COUNT(*)")} AS mean_margin_ppm,
+       |  CAST(MIN(margin) AS BIGINT) AS min_margin_ppm
+       |FROM pv GROUP BY cluster ORDER BY cluster""") { (s, d) =>
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    val cents0 = Tables.embeddings(s, d)
+      .select(col("label").as("cluster"), col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .transform(centroidsOf)
+    val codebook = withNorm(cents0.select(col("cluster"), col("c")), "c")
+      .agg(collect_list(struct(col("cluster"), col("c"), col("c_nrm"))).as("cb"))
+    // k scores collapse to (best, second) INSIDE each row — the same
+    // broadcast-argmax shape as assignTo, extended to keep the runner-up
+    val scoredArr = transform(col("cb"), ct =>
+      struct(
+        cosPpmPre(dot(col("v"), ct.getField("c")),
+          col("v_nrm"), ct.getField("c_nrm")).as("s"),
+        (-ct.getField("cluster").cast("long")).as("negc"),
+        ct.getField("cluster").as("cluster")))
+    val best = array_max(scoredArr)
+    val second = array_max(filter(scoredArr,
+      x => x.getField("cluster") =!= best.getField("cluster")))
+    val pv = vecs.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        best.getField("cluster").as("cluster"),
+        best.getField("s").as("a"),
+        (best.getField("s") - second.getField("s")).as("margin"))
+    pv.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("margin")).as("sm"), min(col("margin")).as("min_margin_ppm"))
+      .select(col("cluster"), col("n"),
+        graft.functions.TextFunctions.ratioScaled(col("sa"), col("n"), 1L)
+          .as("mean_cos_ppm"),
+        graft.functions.TextFunctions.ratioScaled(col("sm"), col("n"), 1L)
+          .as("mean_margin_ppm"),
+        col("min_margin_ppm"))
+      .orderBy("cluster")
+  }
+
+  /** dRatio with scale 1 for in-pack means (Clean.dRatio lives there). */
+  private def dRatioLocal(a: String, b: String): String =
+    s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*1/($b)) AS BIGINT) END"
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
-    q104AnnRecall, q109SemDedup, q116BitextMine)
+    q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality)
 }

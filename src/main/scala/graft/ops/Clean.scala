@@ -912,11 +912,12 @@ object Clean {
     * Integer-exactness: the per-BUCKET weight is the one floor-ratio
     * both engines share (64 rows — numerators stay < 2^53 at gate
     * scale), and per-doc scores are exact BIGINT sums of those
-    * weights. Scale shape: the models are 64-row aggregates of the
-    * exploded (doc, bucket) int stream (text never shuffles — buckets
-    * do), the weight table is BROADCAST back onto the same stream, and
-    * the per-doc re-aggregation partial-aggregates map-side, so the
-    * only O(corpus) shuffle carries one row per (doc, partition). */
+    * weights. Scale shape: the exploded (doc, bucket) int stream
+    * collapses map-side into per-doc bucket HISTOGRAMS (≤ 64 rows per
+    * doc — that bounded table is what materializes for reuse, never
+    * O(tokens) rows); the models are 64-row aggregates of it, the
+    * weight table is BROADCAST back onto it, and the per-doc score is
+    * Σ cnt·w over histogram rows. Text never shuffles — buckets do. */
   val q110Dsir: Q = Q(
     "q110_dsir",
     s"""WITH t AS (
@@ -948,23 +949,29 @@ object Clean {
        |ORDER BY avg_w_ppm DESC, doc_id LIMIT 50""") { (s, d) =>
     val t = docs(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-    val ex = t.select(col("doc_id"), col("lang"),
+    // per-doc BUCKET HISTOGRAMS, not token rows: the exploded bucket
+    // stream partial-aggregates map-side into <= 64 rows per doc, and
+    // only THAT bounded table materializes for reuse — at corpus scale
+    // the checkpoint holds O(docs x 64) ints, never O(tokens)
+    val hist = t.select(col("doc_id"), col("lang"),
         explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("lang"), pmod(hex32(col("tok")), lit(64L)).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds both models and the scoring join
-    val tot = ex.agg(count(lit(1)).as("rtot"),
-      count(when(col("lang") === "en", 1)).as("ttot"))
-    val spine = ex.sparkSession.range(0, 64).select(col("id").as("b"))
-    val tc = ex.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tcnt"))
-    val rc = ex.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tot = hist.agg(sum(col("cnt")).as("rtot"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ttot"))
+    val spine = hist.sparkSession.range(0, 64).select(col("id").as("b"))
+    val tc = hist.filter(col("lang") === "en")
+      .groupBy("b").agg(sum(col("cnt")).as("tcnt"))
+    val rc = hist.groupBy("b").agg(sum(col("cnt")).as("rcnt"))
     val w = spine
       .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(tot)
       .select(col("b"), ratioScaled(
         (coalesce(col("tcnt"), lit(0L)) + 1L) * (col("rtot") + 64L),
         (coalesce(col("rcnt"), lit(0L)) + 1L) * (col("ttot") + 64L),
         1000000L).as("w_ppm"))
-    val score = ex.join(broadcast(w), "b")
-      .groupBy("doc_id").agg(sum(col("w_ppm")).as("sw"))
+    val score = hist.join(broadcast(w), "b")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w_ppm")).as("sw"))
     t.join(score, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tok"),
         ratioScaled(coalesce(col("sw"), lit(0L)), size(col("toks")), 1L).as("avg_w_ppm"))

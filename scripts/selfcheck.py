@@ -61,7 +61,11 @@ def main(sf_dir, out_dir, only=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # comma-separated query names: check just those
-        names = set(only.split(","))
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - oracles.keys()
+        if unknown:  # a typo'd filter must not read as a green run
+            print(f"ERROR: unknown query name(s) in filter: {sorted(unknown)}")
+            return 1
         oracles = {k: v for k, v in oracles.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):

@@ -1033,7 +1033,13 @@ object Clean {
       struct(col("b").as("remaining"), size(col("xs")).cast("long").as("left"),
         empty.as("allocs")),
       (acc, e) => {
-        val share = floor(acc.getField("remaining") / acc.getField("left")).cast("long")
+        // exact integer floor division (the oracle's `//`): subtracting
+        // the pmod first makes the double division exact for any
+        // realistic token budget (a bare floor(a/b) rounds the
+        // quotient at >= 2^52 and can disagree with `//` by 1)
+        val rem = acc.getField("remaining")
+        val share = ((rem - pmod(rem, acc.getField("left")))
+          / acc.getField("left")).cast("long")
         val a = least(e.getField("cap"), share)
         struct(
           (acc.getField("remaining") - a).as("remaining"),

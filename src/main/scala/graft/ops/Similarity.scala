@@ -472,22 +472,29 @@ object Similarity {
     * Tie-break: array_max over struct(s, -cluster) picks max score
     * then max(-cluster) = MIN cluster — the oracle's
     * `ORDER BY s DESC, cluster` rn=1 exactly. */
-  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val codebook = withNorm(cents.select(col("cluster"), col("c")), "c")
+  /** One-row broadcastable codebook: (cluster, centroid, norm) structs. */
+  private def codebookOf(cents: DataFrame): DataFrame =
+    withNorm(cents.select(col("cluster"), col("c")), "c")
       .agg(collect_list(struct(col("cluster"), col("c"), col("c_nrm"))).as("cb"))
-    // the struct carries the original cluster value (and type) along;
-    // comparison never reaches it — (s, negc) already totally orders
-    val scored = transform(col("cb"), ct =>
-      struct(
-        cosPpmPre(dot(col("v"), ct.getField("c")),
-          col("v_nrm"), ct.getField("c_nrm")).as("s"),
-        (-ct.getField("cluster").cast("long")).as("negc"),
-        ct.getField("cluster").as("cluster")))
+
+  /** Per-centroid score structs of row vector `v` against the broadcast
+    * codebook column: (cosine ppm, -cluster, cluster). array_max over
+    * these = argmax score with MIN-cluster tie-break (max(-cluster)) —
+    * the oracle's `ORDER BY s DESC, cluster` rn=1. The struct carries
+    * the original cluster value (and type) along; comparison never
+    * reaches it — (s, negc) already totally orders. */
+  private def codebookScores(cb: Column): Column = transform(cb, ct =>
+    struct(
+      cosPpmPre(dot(col("v"), ct.getField("c")),
+        col("v_nrm"), ct.getField("c_nrm")).as("s"),
+      (-ct.getField("cluster").cast("long")).as("negc"),
+      ct.getField("cluster").as("cluster")))
+
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame =
     withNorm(vecs, "v")
-      .crossJoin(broadcast(codebook))
+      .crossJoin(broadcast(codebookOf(cents)))
       .select(col("vec_id"), col("v"),
-        array_max(scored).getField("cluster").as("cluster"))
-  }
+        array_max(codebookScores(col("cb"))).getField("cluster").as("cluster"))
 
   /** q98 — k-means (Lloyd) refinement, two unrolled iterations: init
     * centroids from the per-label means (q34), then twice
@@ -910,8 +917,8 @@ object Similarity {
        |  WHERE b.rn = 1
        |)
        |SELECT cluster, COUNT(*) AS n,
-       |  ${dRatioLocal("SUM(a)", "COUNT(*)")} AS mean_cos_ppm,
-       |  ${dRatioLocal("SUM(margin)", "COUNT(*)")} AS mean_margin_ppm,
+       |  ${Clean.dRatio("SUM(a)", "COUNT(*)", 1L)} AS mean_cos_ppm,
+       |  ${Clean.dRatio("SUM(margin)", "COUNT(*)", 1L)} AS mean_margin_ppm,
        |  CAST(MIN(margin) AS BIGINT) AS min_margin_ppm
        |FROM pv GROUP BY cluster ORDER BY cluster""") { (s, d) =>
     val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
@@ -920,24 +927,24 @@ object Similarity {
       .select(col("label").as("cluster"), col("vec_id"),
         asDouble(col("embedding")).as("v"))
       .transform(centroidsOf)
-    val codebook = withNorm(cents0.select(col("cluster"), col("c")), "c")
-      .agg(collect_list(struct(col("cluster"), col("c"), col("c_nrm"))).as("cb"))
-    // k scores collapse to (best, second) INSIDE each row — the same
-    // broadcast-argmax shape as assignTo, extended to keep the runner-up
-    val scoredArr = transform(col("cb"), ct =>
-      struct(
-        cosPpmPre(dot(col("v"), ct.getField("c")),
-          col("v_nrm"), ct.getField("c_nrm")).as("s"),
-        (-ct.getField("cluster").cast("long")).as("negc"),
-        ct.getField("cluster").as("cluster")))
-    val best = array_max(scoredArr)
-    val second = array_max(filter(scoredArr,
-      x => x.getField("cluster") =!= best.getField("cluster")))
-    val pv = vecs.crossJoin(broadcast(codebook))
+    // k scores collapse to (best, runner-up) INSIDE each row — the same
+    // broadcast-argmax shape as assignTo, extended to keep the second
+    // best. The scored array materializes ONCE as its own projection:
+    // best/margin referencing it repeatedly would otherwise re-run the
+    // k dot products per reference (lambda subtrees are excluded from
+    // subexpression elimination — the minhashSigFromHashes trap).
+    val pv = vecs.crossJoin(broadcast(codebookOf(cents0)))
+      .select(col("vec_id"), codebookScores(col("cb")).as("sc"))
+      .select(col("vec_id"), col("sc"), array_max(col("sc")).as("bst"))
       .select(col("vec_id"),
-        best.getField("cluster").as("cluster"),
-        best.getField("s").as("a"),
-        (best.getField("s") - second.getField("s")).as("margin"))
+        col("bst").getField("cluster").as("cluster"),
+        col("bst").getField("s").as("a"),
+        (col("bst").getField("s") - array_max(filter(col("sc"),
+          x => x.getField("cluster") =!= col("bst").getField("cluster")))
+          .getField("s")).as("margin"))
+      // single-cluster codebook: no runner-up exists — drop the row like
+      // the oracle's inner join on rn = 2 (unreachable with >= 2 labels)
+      .filter(col("margin").isNotNull)
     pv.groupBy("cluster")
       .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
         sum(col("margin")).as("sm"), min(col("margin")).as("min_margin_ppm"))
@@ -949,10 +956,6 @@ object Similarity {
         col("min_margin_ppm"))
       .orderBy("cluster")
   }
-
-  /** dRatio with scale 1 for in-pack means (Clean.dRatio lives there). */
-  private def dRatioLocal(a: String, b: String): String =
-    s"CASE WHEN ($b) = 0 THEN 0 ELSE CAST(FLOOR(CAST($a AS BIGINT)*1/($b)) AS BIGINT) END"
 
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,

@@ -103,27 +103,6 @@ object Multimodal {
   }
 
   /** Resized-image metadata rows for the image subset. */
-  /** STUB perceptual hash (dHash shape): 32-bit code, bit j set iff
-    * byte j > byte (j+1) mod 32 — the adjacent-pixel-gradient rule of
-    * a real dHash, on the stub "pixels". Robust to small payload edits
-    * the way dHash is robust to re-encodes: a one-byte change flips at
-    * most two bits. A real implementation would downscale to a 9x8
-    * grayscale grid here and compare row neighbors. */
-  def phashStub(content: Array[Byte]): Long = {
-    val b = content.map(_ & 0xff)
-    (0 until b.length).foldLeft(0L) { (acc, j) =>
-      if (b(j) > b((j + 1) % b.length)) acc | (1L << j) else acc
-    }
-  }
-
-  /** One-byte corruption (byte 5 += 1 mod 256) — the planted near-dup
-    * for the perceptual-hash pipeline (a stand-in for a re-encode). */
-  def perturbStub(content: Array[Byte]): Array[Byte] = {
-    val c = content.clone()
-    c(5) = ((c(5) + 1) & 0xff).toByte
-    c
-  }
-
   def resizeAll(files: Dataset[MediaFile], dstW: Int, dstH: Int): DataFrame = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "image")
@@ -145,5 +124,33 @@ object Multimodal {
     files.filter(_.kind == "audio")
       .flatMap(audioEnergyStub)
       .toDF("doc_id", "win_idx", "energy")
+  }
+
+  /** STUB perceptual hash (dHash shape): 32-bit code, bit j set iff
+    * byte j > byte (j+1) mod 32 — the adjacent-pixel-gradient rule of
+    * a real dHash, on the stub "pixels". Robust to small payload edits
+    * the way dHash is robust to re-encodes: a one-byte change flips at
+    * most two bits. A real implementation would downscale to a 9x8
+    * grayscale grid here and compare row neighbors. Pinned to the
+    * 32-byte mediaTable payload contract — the q115 oracle hardwires
+    * the same 32-bit wrap, so a different payload length must fail
+    * loudly here rather than silently produce differently-wrapped
+    * codes. */
+  def phashStub(content: Array[Byte]): Long = {
+    require(content.length == 32,
+      s"phashStub expects the 32-byte media payload, got ${content.length}")
+    val b = content.map(_ & 0xff)
+    (0 until 32).foldLeft(0L) { (acc, j) =>
+      if (b(j) > b((j + 1) % 32)) acc | (1L << j) else acc
+    }
+  }
+
+  /** One-byte corruption (byte 5 += 1 mod 256) — the planted near-dup
+    * for the perceptual-hash pipeline (a stand-in for a re-encode). */
+  def perturbStub(content: Array[Byte]): Array[Byte] = {
+    require(content.length > 5, s"payload too short: ${content.length}")
+    val c = content.clone()
+    c(5) = ((c(5) + 1) & 0xff).toByte
+    c
   }
 }

@@ -1055,10 +1055,108 @@ object Clean {
       .orderBy("lang")
   }
 
+  /** q118 — best-fit-decreasing bin packing of token chunks into
+    * 100-token context windows: items are q93's 32/24-stride chunks,
+    * sorted longest-first per language, and each goes into the TIGHTEST
+    * already-open bin that fits (min remaining capacity ≥ need; first
+    * such bin on ties), opening a new bin otherwise — the classic BFD
+    * packing a training pipeline runs to cut padding waste vs q76's
+    * sequential first-fit. The fold is inherently ordered, so packing
+    * SHARDS: each (lang, source) stream folds independently after one
+    * clustered aggregation — the folds are embarrassingly parallel and
+    * each is bounded by its shard's size (a single per-language fold
+    * measured O(items x bins) = minutes at sf0.1; sharding is how
+    * distributed packing actually runs, trading a bounded amount of
+    * cross-shard fill for parallelism). The per-language report: bins
+    * used across shards vs the global ceil(total/capacity) lower bound
+    * and fill ratio, all integer. Oracle: the same fold as a
+    * per-stream recursive CTE, aggregated identically. */
+  val q118BestfitPack: Q = Q(
+    "q118_bestfit_pack",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, source, $DToks AS toks FROM documents
+       |), ch AS (
+       |  SELECT lang, source, doc_id, CAST((start-1)//24 AS BIGINT) AS chunk_idx,
+       |    CAST(len(toks[start:start+31]) AS BIGINT) AS need
+       |  FROM (SELECT lang, source, doc_id, toks, unnest(range(1, len(toks)+1, 24)) AS start
+       |        FROM t WHERE len(toks) > 0)
+       |), itm AS (
+       |  SELECT lang, source, need,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY need DESC, doc_id, chunk_idx) AS BIGINT) AS rn
+       |  FROM ch
+       |), scnt AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS s_items
+       |  FROM itm GROUP BY lang, source
+       |), rec AS (
+       |  SELECT lang, source, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins
+       |  FROM scnt
+       |  UNION ALL
+       |  SELECT r.lang, r.source, r.i + 1,
+       |    CASE WHEN list_min(list_filter(r.bins, c -> c >= t.need)) IS NULL
+       |         THEN list_append(r.bins, 100 - t.need)
+       |         ELSE list_transform(range(1, len(r.bins)+1), x ->
+       |           CASE WHEN x = list_position(r.bins,
+       |                  list_min(list_filter(r.bins, c -> c >= t.need)))
+       |                THEN r.bins[x] - t.need ELSE r.bins[x] END)
+       |    END
+       |  FROM rec r JOIN itm t ON t.lang = r.lang AND t.source = r.source
+       |    AND t.rn = r.i + 1
+       |), fin AS (
+       |  SELECT r.lang AS lang, CAST(len(bins) AS BIGINT) AS s_bins
+       |  FROM rec r JOIN scnt USING (lang, source) WHERE r.i = s_items
+       |), tot AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(SUM(need) AS BIGINT) AS total_tok
+       |  FROM itm GROUP BY lang
+       |)
+       |SELECT tot.lang AS lang, n_items, total_tok,
+       |  (SELECT CAST(SUM(s_bins) AS BIGINT) FROM fin WHERE fin.lang = tot.lang) AS n_bins,
+       |  (total_tok + 99) // 100 AS lower_bound,
+       |  ${dRatio("total_tok",
+                   "(SELECT SUM(s_bins) FROM fin WHERE fin.lang = tot.lang) * 100",
+                   1000000L)} AS fill_ppm
+       |FROM tot ORDER BY lang""") { (s, d) =>
+    val ch = docs(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"), col("source"), col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        expr("CAST((start - 1) div 24 AS BIGINT)").as("chunk_idx"),
+        size(slice(col("toks"), col("start"), lit(32))).cast("long").as("need"))
+    // longest-first visit order: sort_array ascending on (-need, doc, idx)
+    val agged = ch.groupBy("lang", "source").agg(
+      count(lit(1)).as("s_items"), sum(col("need")).as("s_tok"),
+      sort_array(collect_list(struct((-col("need")).as("negneed"),
+        col("doc_id"), col("chunk_idx"), col("need")))).as("xs"))
+    val folded = aggregate(col("xs"),
+      array().cast("array<long>"),
+      (bins, e) => {
+        val need = e.getField("need")
+        val fit = array_min(filter(bins, c => c >= need))
+        // first bin holding the tightest fitting capacity (1-based)
+        val pos = array_position(bins, fit)
+        when(fit.isNull, concat(bins, array(lit(100L) - need)))
+          .otherwise(transform(bins,
+            (c, i) => when(i === pos - 1, c - need).otherwise(c)))
+      })
+    agged
+      .select(col("lang"), col("s_items"), col("s_tok"),
+        size(folded).cast("long").as("s_bins"))
+      .groupBy("lang")
+      .agg(sum(col("s_items")).as("n_items"), sum(col("s_tok")).as("total_tok"),
+        sum(col("s_bins")).as("n_bins"))
+      .select(col("lang"), col("n_items"), col("total_tok"), col("n_bins"),
+        expr("CAST((total_tok + 99) div 100 AS BIGINT)").as("lower_bound"),
+        ratioScaled(col("total_tok"), col("n_bins") * 100L, 1000000L).as("fill_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
-    q114Unimax)
+    q114Unimax, q118BestfitPack)
 }

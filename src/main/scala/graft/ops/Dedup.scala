@@ -668,7 +668,71 @@ object Dedup {
         "n_planted", "n_planted_found", "recall_ppm")
   }
 
+  /** q119 — content-defined chunking (CDC, the gear/Rabin family):
+    * chunk boundaries fall where a token's hash satisfies
+    * hex32(tok) % 8 == 0 (mean chunk ≈ 8 tokens), NOT at fixed
+    * offsets — so the planted near-dups (docs shifted by one token)
+    * resynchronize after the first boundary and share every later
+    * chunk, which fixed-stride chunking (q93) structurally cannot.
+    * The report is the cross-doc recurring-chunk table — the unit of
+    * storage/dataset dedup. Plan shape: chunks are built INSIDE each
+    * row by one ordered fold over the token array (state = open chunk
+    * + closed list; no token-level explode, so document text never
+    * shuffles), and only (fingerprint, doc) rows leave the scan for
+    * the two key-shaped aggregations. The oracle spells the same
+    * chunking relationally: a prefix-sum window over boundary flags. */
+  val q119CdcChunks: Q = Q(
+    "q119_cdc_chunks",
+    s"""WITH $DCorpus, tok AS (
+       |  SELECT doc_id, i, toks[i] AS tok,
+       |    CASE WHEN ${DHex32.replace("md5(s)", "md5(toks[i])")} % 8 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
+       |        FROM corpus WHERE len(toks) > 0)
+       |), cid AS (
+       |  SELECT doc_id, i, tok,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM tok
+       |), chunks AS (
+       |  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk_text
+       |  FROM cid GROUP BY 1, 2
+       |)
+       |SELECT md5(chunk_text) AS chunk_fp,
+       |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_len,
+       |  COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM chunks GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY n_occ DESC, chunk_fp LIMIT 50""") { (s, d) =>
+    val boundary = (t: org.apache.spark.sql.Column) => hex32(t) % 8 === 0
+    val emptyChunks = array().cast("array<string>")
+    // ordered fold: (open chunk text, closed chunks); the boundary
+    // token CLOSES its chunk (inclusive), matching the oracle's
+    // exclusive prefix-sum
+    val folded = aggregate(col("toks"),
+      struct(lit("").as("cur"), emptyChunks.as("done")),
+      (acc, t) => {
+        val cur = acc.getField("cur")
+        val joined = when(cur === "", t).otherwise(concat(cur, lit(" "), t))
+        when(boundary(t),
+          struct(lit("").as("cur"),
+            concat(acc.getField("done"), array(joined)).as("done")))
+          .otherwise(struct(joined.as("cur"), acc.getField("done")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    corpus(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(folded).as("chunk_text"))
+      .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"),
+        size(split(col("chunk_text"), " ")).cast("long").as("chunk_len"))
+      .groupBy("chunk_fp", "chunk_len")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("chunk_fp"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
-    q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality)
+    q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
+    q119CdcChunks)
 }

@@ -180,6 +180,31 @@ object TextFunctions {
       .otherwise(split(trim(call_function("replace", s, pat, rep), sep), sep2))
   }
 
+  /** Content-defined chunking (gear/Rabin family): split the token
+    * array into chunks whose boundary falls AFTER any token with
+    * hex32(tok) % mod == 0 (mean chunk ≈ mod tokens), as space-joined
+    * chunk strings. Boundaries depend only on content, so inserting or
+    * deleting a token perturbs chunks only up to the next boundary —
+    * the shift-robustness fixed-stride windows lack (pinned by
+    * TextSpec). One ordered fold per row: state = (open chunk, closed
+    * chunks); no token explode, so callers chunk without shuffling
+    * text. */
+  def cdcChunks(toks: Column, mod: Int = 8): Column = {
+    val folded = aggregate(toks,
+      struct(lit("").as("cur"), array().cast("array<string>").as("done")),
+      (acc, t) => {
+        val cur = acc.getField("cur")
+        val joined = when(cur === "", t).otherwise(concat(cur, lit(" "), t))
+        when(hex32(t) % mod === 0,
+          struct(lit("").as("cur"),
+            concat(acc.getField("done"), array(joined)).as("done")))
+          .otherwise(struct(joined.as("cur"), acc.getField("done")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    folded
+  }
+
   /** Mean token length in milli-chars (x1000, floor). */
   def meanTokenLenMilli(toks: Column): Column = {
     val total = aggregate(toks, lit(0L), (a, t) => a + length(t))

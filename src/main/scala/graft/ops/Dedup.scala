@@ -702,26 +702,12 @@ object Dedup {
        |  COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
        |FROM chunks GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY n_occ DESC, chunk_fp LIMIT 50""") { (s, d) =>
-    val boundary = (t: org.apache.spark.sql.Column) => hex32(t) % 8 === 0
-    val emptyChunks = array().cast("array<string>")
-    // ordered fold: (open chunk text, closed chunks); the boundary
-    // token CLOSES its chunk (inclusive), matching the oracle's
-    // exclusive prefix-sum
-    val folded = aggregate(col("toks"),
-      struct(lit("").as("cur"), emptyChunks.as("done")),
-      (acc, t) => {
-        val cur = acc.getField("cur")
-        val joined = when(cur === "", t).otherwise(concat(cur, lit(" "), t))
-        when(boundary(t),
-          struct(lit("").as("cur"),
-            concat(acc.getField("done"), array(joined)).as("done")))
-          .otherwise(struct(joined.as("cur"), acc.getField("done")))
-      },
-      acc => when(acc.getField("cur") === "", acc.getField("done"))
-        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    // the boundary token CLOSES its chunk (inclusive), matching the
+    // oracle's exclusive prefix-sum; fold shared with TextSpec's
+    // shift-robustness pin
     corpus(s, d)
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(folded).as("chunk_text"))
+      .select(col("doc_id"), explode(cdcChunks(col("toks"), 8)).as("chunk_text"))
       .select(col("doc_id"), md5(col("chunk_text")).as("chunk_fp"),
         size(split(col("chunk_text"), " ")).cast("long").as("chunk_len"))
       .groupBy("chunk_fp", "chunk_len")

@@ -51,6 +51,29 @@ class TextSpec extends SparkSpec {
     assert(merged(4)._2 == List("a b", "a b", "a"))
   }
 
+  test("cdcChunks: content-defined boundaries resynchronize after a one-token deletion") {
+    // for every doc, chunks(toks drop 1) must equal chunks(toks) with
+    // only the FIRST chunk possibly altered/absent — i.e. all chunks
+    // after the shifted doc's first boundary are bit-identical
+    val both = Tables.documents(spark, sf)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 2)
+      .select(cdcChunks(col("toks")).as("base"),
+        cdcChunks(slice(col("toks"), 2, 100000)).as("shifted"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val base = r.getSeq[String](0)
+      val shifted = r.getSeq[String](1)
+      // token joins are content-only, so chunk COUNT can differ by at
+      // most one (the dropped token was alone in its chunk or not)
+      assert(base.length - shifted.length <= 1 && base.length >= shifted.length,
+        s"chunk counts diverged: ${base.length} vs ${shifted.length}")
+      assert(shifted.drop(1) == base.takeRight(math.max(shifted.length - 1, 0)),
+        s"chunks did not resynchronize:\n  base=$base\n  shifted=$shifted")
+    }
+  }
+
   test("q113: each round's token count drops by an independent greedy recount of the winning pair") {
     val out = ops.Text.q113BpeRounds.fn(spark, sf).collect()
     assert(out.length == 2)

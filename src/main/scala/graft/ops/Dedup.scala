@@ -717,8 +717,67 @@ object Dedup {
       .limit(50)
   }
 
+  /** q120 — train/val/test split LEAKAGE audit: assign every corpus doc
+    * a deterministic md5 split (8/1/1 train/val/test), find the
+    * verified near-dup pairs (q27's LSH candidates, q29's exact-Jaccard
+    * ≥ 0.7 verify), and count how many straddle a split boundary — a
+    * near-dup of a training doc sitting in val/test silently inflates
+    * eval, which is why every serious pipeline runs this audit before
+    * freezing a split. Pure composition of the dedup stack plus one
+    * split projection: the only new work after the (already key-shaped)
+    * candidate-verify stages is a 6-key aggregation. */
+  val q120SplitLeakage: Q = Q(
+    "q120_split_leakage",
+    {
+      val dSplit = (id: String) =>
+        s"""CASE WHEN CAST(concat('0x', substr(md5('spl_' || CAST($id AS VARCHAR)),1,8)) AS BIGINT) % 10 < 8 THEN 'train'
+           |       WHEN CAST(concat('0x', substr(md5('spl_' || CAST($id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 8 THEN 'val'
+           |       ELSE 'test' END""".stripMargin
+      s"""WITH $DCorpus, $DBands, dup AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sx ON sx.doc_id = doc_a
+         |  JOIN sigs sy ON sy.doc_id = doc_b
+         |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+         |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
+         |), sp AS (
+         |  SELECT least(${dSplit("doc_a")}, ${dSplit("doc_b")}) AS split_a,
+         |         greatest(${dSplit("doc_a")}, ${dSplit("doc_b")}) AS split_b
+         |  FROM dup
+         |)
+         |SELECT split_a, split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CASE WHEN split_a = split_b THEN 0 ELSE 1 END AS is_leak
+         |FROM sp GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b"""
+    }) { (s, d) =>
+    def split(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val b = pmod(hex32(concat(lit("spl_"), id.cast("string"))), lit(10L))
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    val bands = bandRows(s, d)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpus(s, d)
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+      .localCheckpoint() // both sides of the verify join
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select(least(split(col("doc_a")), split(col("doc_b"))).as("split_a"),
+        greatest(split(col("doc_a")), split(col("doc_b"))).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", when(col("split_a") === col("split_b"), 0).otherwise(1))
+      .orderBy("split_a", "split_b")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
-    q119CdcChunks)
+    q119CdcChunks, q120SplitLeakage)
 }

@@ -113,6 +113,19 @@ object Streaming {
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** SLIDING-window counts (1-hour windows every 15 minutes) with a
+    * watermark — each event lands in up to 4 overlapping windows, the
+    * trailing-window rate a monitoring pipeline emits continuously
+    * (the streaming cousin of q111's RANGE frames; tumbling = q14's
+    * twin above, session = below, completing the window-family
+    * surface). Works unchanged in batch. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
   /** Native session windows (30-min gap) per user — the streaming twin
     * of q37/q41 sessionization. Works unchanged in batch. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -23,6 +23,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sliding windows == batch sliding windows (4 overlapping windows per event)") {
+    val q = Streaming.runToMemory(
+      Streaming.slidingCounts(Streaming.eventsStream(spark, sf)), "sliding")
+    val got = spark.table("sliding")
+      .groupBy("win_start", "event_type").agg(max("n").as("n"))
+    val want = Streaming.slidingCounts(batchEvents)
+    assert(got.count() > 0)
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty)
+    // sliding assigns each event to window_len/slide = 4 windows
+    val totalAssigned = want.agg(sum("n")).head().getLong(0)
+    assert(totalAssigned == 4 * batchEvents.count(),
+      s"expected 4 assignments per event, got $totalAssigned")
+    q.stop()
+  }
+
   test("streaming session windows == batch session windows") {
     val q = Streaming.runToMemory(
       Streaming.sessionCounts(Streaming.eventsStream(spark, sf)), "sessions",

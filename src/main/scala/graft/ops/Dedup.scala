@@ -112,6 +112,51 @@ object Dedup {
        |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
        |)""".stripMargin
 
+  /** LSH candidate pairs: doc_a < doc_b sharing >= 1 of the 4 band keys
+    * (the Spark twin of DBands' `cand`). */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandRows(s, d)
+    bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Distinct 5-shingle HASH sets per doc (fused native path): the
+    * verify joins ship long arrays instead of shingle strings, and
+    * intersect compares 8-byte values — same counts, both engines hash
+    * identically. localCheckpoint'd: both sides of the pair join (and
+    * any resolution pass) read it. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+      .localCheckpoint()
+
+  /** Exact-Jaccard >= 0.7 verified near-dup pairs over `cand` — the ONE
+    * verify rule (q29's), shared by resolution (q30/q61/q97), the
+    * quality report (q108), and the split-leakage audit (q120). `sh`
+    * may carry extra columns (q97's n_tok); only (doc_id, sh) is read.
+    * Mirrors the DVerified SQL fragment — keep the two in sync. */
+  private def verifiedDupPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[verifiedDupPairs]] (requires DCorpus + DBands). */
+  private val DVerified =
+    """verified AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sigs sx ON sx.doc_id = doc_a
+      |  JOIN sigs sy ON sy.doc_id = doc_b
+      |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+      |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
+      |)""".stripMargin
+
   /** q27 — MinHash+LSH candidate pairs with the signature-estimated
     * similarity. Pairs sharing ≥1 of 4 bands; est = matching minhashes/16. */
   val q27MinhashLsh: Q = Q(
@@ -124,11 +169,7 @@ object Dedup {
        |JOIN sigs sx ON sx.doc_id = doc_a
        |JOIN sigs sy ON sy.doc_id = doc_b
        |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatePairs(s, d)
     val sigs = sigTable(s, d).select(col("doc_id"), col("sig"))
     val matches = aggregate(sequence(lit(1), lit(16)), lit(0L),
       (acc, i) => acc + when(element_at(col("sx"), i) === element_at(col("sy"), i), 1L)
@@ -203,17 +244,8 @@ object Dedup {
        |JOIN sigs sx ON sx.doc_id = doc_a
        |JOIN sigs sy ON sy.doc_id = doc_b
        |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // distinct 5-shingle HASH sets (fused native path): the verify
-    // joins ship long arrays instead of shingle strings, and intersect
-    // compares 8-byte values — same counts, both engines hash identically
-    val sh = corpus(s, d)
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
+    val cand = candidatePairs(s, d)
+    val sh = shingleSets(s, d)
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
     cand
@@ -231,37 +263,14 @@ object Dedup {
     * edges always point at the base doc. */
   val q30DedupResolve: Q = Q(
     "q30_dedup_resolve",
-    s"""WITH $DCorpus, $DBands, verified AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  JOIN sigs sx ON sx.doc_id = doc_a
-       |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
-       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
-       |)
+    s"""WITH $DCorpus, $DBands, $DVerified
        |SELECT c.doc_id,
        |  least(c.doc_id, COALESCE(MIN(v.doc_a), c.doc_id)) AS canonical,
        |  CASE WHEN COALESCE(MIN(v.doc_a), c.doc_id) < c.doc_id THEN 1 ELSE 0 END AS is_dup
        |FROM corpus c LEFT JOIN verified v ON v.doc_b = c.doc_id
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""") { (s, d) =>
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // distinct 5-shingle HASH sets (fused native path): the verify
-    // joins ship long arrays instead of shingle strings, and intersect
-    // compares 8-byte values — same counts, both engines hash identically
-    val sh = corpus(s, d)
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
-    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
-    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
-    val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
-      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
-      .select("doc_a", "doc_b")
+    val verified = verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
     corpus(s, d).as("c")
       .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
       .groupBy(col("c.doc_id").as("doc_id"))
@@ -287,13 +296,7 @@ object Dedup {
     * recursive CTE. */
   val q61ConnectedComponents: Q = Q(
     "q61_connected_components",
-    s"""WITH RECURSIVE $DCorpus, $DBands, verified AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  JOIN sigs sx ON sx.doc_id = doc_a
-       |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
-       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
-       |), edges AS (
+    s"""WITH RECURSIVE $DCorpus, $DBands, $DVerified, edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  UNION ALL SELECT doc_b, doc_a FROM verified
        |), reach(src, dst) AS (
@@ -305,24 +308,7 @@ object Dedup {
        |  CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS is_canonical
        |FROM reach GROUP BY src
        |ORDER BY doc_id""") { (s, d) =>
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // distinct 5-shingle HASH sets (fused native path): the verify
-    // joins ship long arrays instead of shingle strings, and intersect
-    // compares 8-byte values — same counts, both engines hash identically
-    val sh = corpus(s, d)
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
-    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
-    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
-    val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
-      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
-      .select("doc_a", "doc_b")
+    val verified = verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
     val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
@@ -492,13 +478,7 @@ object Dedup {
     * emitted (the audit surface a dedup report wants). */
   val q97BestRep: Q = Q(
     "q97_best_rep",
-    s"""WITH $DCorpus, $DBands, verified AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  JOIN sigs sx ON sx.doc_id = doc_a
-       |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
-       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
-       |), resolved AS (
+    s"""WITH $DCorpus, $DBands, $DVerified, resolved AS (
        |  SELECT c.doc_id, len(c.toks) AS n_tok,
        |    least(c.doc_id, COALESCE(MIN(v.doc_a), c.doc_id)) AS cluster
        |  FROM corpus c LEFT JOIN verified v ON v.doc_b = c.doc_id
@@ -514,22 +494,13 @@ object Dedup {
        |FROM ranked WHERE rn = 1 AND n_members > 1
        |ORDER BY cluster""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // sh keeps n_tok for the representative pick; the verify helper
+    // reads only (doc_id, sh)
     val sh = corpus(s, d)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
         array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
       .localCheckpoint()
-    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
-    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
-    val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
-      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
-      .select("doc_a", "doc_b")
+    val verified = verifiedDupPairs(candidatePairs(s, d), sh)
     val resolved = sh.select(col("doc_id"), col("n_tok")).as("c")
       .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
       .groupBy(col("c.doc_id").as("doc_id"), col("n_tok"))
@@ -615,13 +586,7 @@ object Dedup {
     * subsets are how production dedup is actually scored. */
   val q108LshQuality: Q = Q(
     "q108_lsh_quality",
-    s"""WITH $DCorpus, $DBands, verified AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  JOIN sigs sx ON sx.doc_id = doc_a
-       |  JOIN sigs sy ON sy.doc_id = doc_b
-       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
-       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
-       |), planted AS (
+    s"""WITH $DCorpus, $DBands, $DVerified, planted AS (
        |  SELECT doc_id AS doc_a, doc_id+1000000 AS doc_b FROM base WHERE doc_id%5=0
        |  UNION ALL SELECT doc_id, doc_id+2000000 FROM base WHERE doc_id%7=0
        |), found AS (
@@ -637,21 +602,9 @@ object Dedup {
        |  (SELECT COUNT(*) FROM found) AS n_planted_found,
        |  CAST(FLOOR((SELECT COUNT(*) FROM found)*1000000.0
        |    / greatest((SELECT COUNT(*) FROM planted), 1)) AS BIGINT) AS recall_ppm""") { (s, d) =>
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatePairs(s, d)
       .localCheckpoint() // counted, verified against, and recall-joined
-    val sh = corpus(s, d)
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
-    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
-    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
-    val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
-      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+    val verified = verifiedDupPairs(cand, shingleSets(s, d))
     val baseIds = graft.Q.stageBarrier(Tables.documents(s, d)).select(col("doc_id"))
     val planted = baseIds.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
@@ -733,16 +686,10 @@ object Dedup {
         s"""CASE WHEN CAST(concat('0x', substr(md5('spl_' || CAST($id AS VARCHAR)),1,8)) AS BIGINT) % 10 < 8 THEN 'train'
            |       WHEN CAST(concat('0x', substr(md5('spl_' || CAST($id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 8 THEN 'val'
            |       ELSE 'test' END""".stripMargin
-      s"""WITH $DCorpus, $DBands, dup AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sigs sx ON sx.doc_id = doc_a
-         |  JOIN sigs sy ON sy.doc_id = doc_b
-         |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
-         |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))
-         |), sp AS (
+      s"""WITH $DCorpus, $DBands, $DVerified, sp AS (
          |  SELECT least(${dSplit("doc_a")}, ${dSplit("doc_b")}) AS split_a,
          |         greatest(${dSplit("doc_a")}, ${dSplit("doc_b")}) AS split_b
-         |  FROM dup
+         |  FROM verified
          |)
          |SELECT split_a, split_b,
          |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -754,20 +701,7 @@ object Dedup {
       val b = pmod(hex32(concat(lit("spl_"), id.cast("string"))), lit(10L))
       when(b < 8, "train").when(b === 8, "val").otherwise("test")
     }
-    val bands = bandRows(s, d)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sh = corpus(s, d)
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint() // both sides of the verify join
-    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
-    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
-      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+    verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
       .select(least(split(col("doc_a")), split(col("doc_b"))).as("split_a"),
         greatest(split(col("doc_a")), split(col("doc_b"))).as("split_b"))
       .groupBy("split_a", "split_b")

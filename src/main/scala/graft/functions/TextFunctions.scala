@@ -180,29 +180,40 @@ object TextFunctions {
       .otherwise(split(trim(call_function("replace", s, pat, rep), sep), sep2))
   }
 
+  /** Fixed training-context chunking geometry, shared by the chunk
+    * surface (q93) and the packer that consumes its chunks (q118):
+    * 32-token windows every 24 tokens (8-token overlap). */
+  val CtxWindow = 32
+  val CtxStride = 24
+
+  /** 1-based start positions of the fixed-stride context windows. */
+  def ctxChunkStarts(toks: Column): Column =
+    sequence(lit(1), size(toks), lit(CtxStride))
+
   /** Content-defined chunking (gear/Rabin family): split the token
     * array into chunks whose boundary falls AFTER any token with
     * hex32(tok) % mod == 0 (mean chunk ≈ mod tokens), as space-joined
     * chunk strings. Boundaries depend only on content, so inserting or
     * deleting a token perturbs chunks only up to the next boundary —
     * the shift-robustness fixed-stride windows lack (pinned by
-    * TextSpec). One ordered fold per row: state = (open chunk, closed
-    * chunks); no token explode, so callers chunk without shuffling
-    * text. */
+    * TextSpec). Linear per row: boundary positions first (one hash per
+    * token), then one slice+join per chunk — no token explode, so
+    * callers chunk without shuffling text, and no quadratic
+    * accumulator copying (the fold spelling re-copied the open chunk
+    * per token and the closed list per boundary). */
   def cdcChunks(toks: Column, mod: Int = 8): Column = {
-    val folded = aggregate(toks,
-      struct(lit("").as("cur"), array().cast("array<string>").as("done")),
-      (acc, t) => {
-        val cur = acc.getField("cur")
-        val joined = when(cur === "", t).otherwise(concat(cur, lit(" "), t))
-        when(hex32(t) % mod === 0,
-          struct(lit("").as("cur"),
-            concat(acc.getField("done"), array(joined)).as("done")))
-          .otherwise(struct(joined.as("cur"), acc.getField("done")))
-      },
-      acc => when(acc.getField("cur") === "", acc.getField("done"))
-        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
-    folded
+    val n = size(toks)
+    val bpos = filter(sequence(lit(1), n),
+      i => hex32(element_at(toks, i)) % mod === 0)
+    val starts = concat(array(lit(1)), transform(bpos, p => p + 1))
+    val ends = concat(bpos, array(n))
+    // trailing (n+1, n) pair when the last token is a boundary -> null
+    val chunks = filter(
+      zip_with(starts, ends, (st, en) =>
+        when(st <= en, array_join(slice(toks, st, en - st + 1), " "))),
+      c => c.isNotNull)
+    // sequence(1, 0) would DESCEND for an empty array — short-circuit
+    when(n === 0, array().cast("array<string>")).otherwise(chunks)
   }
 
   /** Mean token length in milli-chars (x1000, floor). */

@@ -1121,10 +1121,10 @@ object Clean {
       .select(col("lang"), col("source"), col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("lang"), col("source"), col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+        explode(ctxChunkStarts(col("toks"))).as("start"))
       .select(col("lang"), col("source"), col("doc_id"),
-        expr("CAST((start - 1) div 24 AS BIGINT)").as("chunk_idx"),
-        size(slice(col("toks"), col("start"), lit(32))).cast("long").as("need"))
+        expr(s"CAST((start - 1) div $CtxStride AS BIGINT)").as("chunk_idx"),
+        size(slice(col("toks"), col("start"), lit(CtxWindow))).cast("long").as("need"))
     // longest-first visit order: sort_array ascending on (-need, doc, idx)
     val agged = ch.groupBy("lang", "source").agg(
       count(lit(1)).as("s_items"), sum(col("need")).as("s_tok"),

@@ -280,12 +280,12 @@ object Text {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+        explode(ctxChunkStarts(col("toks"))).as("start"))
       .select(col("doc_id"),
-        expr("CAST((start - 1) div 24 AS BIGINT)").as("chunk_idx"),
+        expr(s"CAST((start - 1) div $CtxStride AS BIGINT)").as("chunk_idx"),
         col("start").cast("long").as("start_tok"),
-        size(slice(col("toks"), col("start"), lit(32))).cast("long").as("n_chunk_tok"),
-        array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"))
+        size(slice(col("toks"), col("start"), lit(CtxWindow))).cast("long").as("n_chunk_tok"),
+        array_join(slice(col("toks"), col("start"), lit(CtxWindow)), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
 

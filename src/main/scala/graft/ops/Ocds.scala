@@ -534,7 +534,7 @@ object Ocds {
     // The sort key is the same string the oracle orders by
     // (ocid = 'ocds-' || orderkey, unique), computed from the pre-parse
     // key column. Measured at sf0.1: shuffle w 360->208 MB, r 514->268 MB.
-    val sorted = graft.Q.stageBarrier(releaseJson(s, d))
+    val sorted = releaseJson(s, d).localCheckpoint()
       .orderBy(concat(lit("ocds-"), col("o_orderkey").cast("string")))
     val parsed = sorted
       .select(from_json(col("release_json"), packageSchema).as("p"))

@@ -99,11 +99,13 @@ object Xml {
     // file -> one partition, and from_xml is the expensive stage — the
     // round-robin exchange spreads the parse across all cores (a real
     // ingest would instead size spark.sql.files.maxPartitionBytes so the
-    // scan itself parallelizes); the barrier AFTER keeps the global
-    // sort's range sampling from re-running the parse.
+    // scan itself parallelizes); the checkpoint AFTER keeps the global
+    // sort's range sampling from re-running the parse without paying a
+    // second exchange of the parsed rows (the q35 pattern).
     val docs = Q.stageBarrier(docsTable(s, d))
-    Q.stageBarrier(FatXml.extract(docs, Seq.empty)
-        .withColumn("value_amount", col("value_amount").cast("double")))
+    FatXml.extract(docs, Seq.empty)
+        .withColumn("value_amount", col("value_amount").cast("double"))
+        .localCheckpoint()
       .orderBy(col("source_form"), col("doc_id").asc_nulls_first,
         col("buyer_name").asc_nulls_first, col("value_amount").asc_nulls_first)
   }

@@ -506,8 +506,51 @@ object Text {
     stats(1, p1, s1).unionByName(stats(2, p2, s2)).orderBy("round")
   }
 
+  /** q121 — CCNet-style perplexity bucketing: per language, rank
+    * documents by the q101 LM score and split into head/middle/tail
+    * terciles (ntile over score desc) — the bucket assignment CCNet
+    * publishes with its corpus and the lever mixture builders pull
+    * ("train on head+middle, drop tail"). Composes q101 verbatim
+    * (q104's pattern — the metric can't drift from the system it
+    * buckets); after the scoring pass the tercile split is one
+    * per-language window and a ≤ 3·|langs|-row report. */
+  val q121CcnetBuckets: Q = Q(
+    "q121_ccnet_buckets",
+    s"""WITH scored AS (
+       |  SELECT doc_id, fluency_ppm FROM (${"\n" + q101BigramLm.oracle.get})
+       |), lb AS (
+       |  SELECT s.doc_id AS doc_id, lang, fluency_ppm,
+       |    ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY fluency_ppm DESC, s.doc_id) AS b
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |)
+       |SELECT lang,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ${Clean.dRatio("SUM(fluency_ppm)", "COUNT(*)", 1L)} AS mean_fluency_ppm,
+       |  CAST(MIN(fluency_ppm) AS BIGINT) AS min_fluency_ppm,
+       |  CAST(MAX(fluency_ppm) AS BIGINT) AS max_fluency_ppm
+       |FROM lb GROUP BY lang, b ORDER BY lang, bucket""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = q101BigramLm.fn(s, d).select("doc_id", "fluency_ppm")
+    val w = Window.partitionBy("lang").orderBy(col("fluency_ppm").desc, col("doc_id"))
+    scored
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket", when(col("b") === 1, "head")
+        .when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("fluency_ppm")).as("sf"),
+        min(col("fluency_ppm")).as("min_fluency_ppm"),
+        max(col("fluency_ppm")).as("max_fluency_ppm"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        ratioScaled(col("sf"), col("n_docs"), 1L).as("mean_fluency_ppm"),
+        col("min_fluency_ppm"), col("max_fluency_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
-    q113BpeRounds)
+    q113BpeRounds, q121CcnetBuckets)
 }

@@ -443,7 +443,50 @@ object Events {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** q122 — half-life-decayed engagement score: each event contributes
+    * a weight that HALVES per day of age relative to the corpus's
+    * latest event — the recency-weighted counter feature stores keep
+    * per (user, event type). Decay stays EXACT integer arithmetic:
+    * weight_ppm = 1e6 >> age_days (a true 1-day half-life, no float
+    * pow), clamped to 0 past 20 days both to match the sub-ppm cutoff
+    * and because >> wraps its shift amount at 64 on both engines. One
+    * scan, one (user, type)-keyed aggregation with map-side partials,
+    * the 1-row reference time broadcast. */
+  val q122DecayScore: Q = Q(
+    "q122_decay_score",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), ref AS (
+      |  SELECT MAX(us) AS tref FROM e
+      |), w AS (
+      |  SELECT user_id, event_type,
+      |    (tref - us) // 86400000000 AS age_days
+      |  FROM e CROSS JOIN ref
+      |)
+      |SELECT user_id, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN age_days >= 20 THEN 0
+      |    ELSE 1000000 >> age_days END) AS BIGINT) AS score_ppm,
+      |  CAST(MIN(age_days) AS BIGINT) AS freshest_age_days
+      |FROM w GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val ref = e.agg(max(col("us")).as("tref"))
+    val age = expr("(tref - us) div 86400000000").as("age_days")
+    e.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("event_type"), age)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("age_days") >= 20, 0L)
+          .otherwise(expr("shiftright(1000000L, cast(age_days AS int))")))
+          .cast("long").as("score_ppm"),
+        min(col("age_days")).cast("long").as("freshest_age_days"))
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention,
-    q106HourlyAnomaly, q111RangeFeatures)
+    q106HourlyAnomaly, q111RangeFeatures, q122DecayScore)
 }

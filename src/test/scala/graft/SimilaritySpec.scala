@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Similarity-pack invariants not already pinned by the DuckDB oracle. */
+class SimilaritySpec extends SparkSpec {
+
+  test("q109: every planted near-copy is dropped, at cosine >= 0.999") {
+    val out = ops.Similarity.q109SemDedup.fn(spark, sf).collect()
+    val dropped = out.map(_.getLong(0)).toSet
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0) + 1000000L).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(dropped),
+      s"planted near-copies not dropped: ${planted -- dropped}")
+    assert(out.forall(_.getLong(3) >= 999000L),
+      "a dropped vector reported max cosine below the threshold")
+  }
+
+  test("q116: a positive-neighborhood best match always has margin >= 1e6") {
+    // cos1 is the max of the top-8, so cos1*8 >= sum(top-8); with exact
+    // integer ppm operands the floored ratio is provably >= 1e6
+    val out = ops.Similarity.q116BitextMine.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getLong(4) > 0).foreach { r =>
+      assert(r.getLong(5) >= 1000000L,
+        s"anchor ${r.getLong(0)}: margin ${r.getLong(5)} < 1e6")
+    }
+  }
+}

@@ -66,7 +66,13 @@ def main(sf_dir, out_dir, only=None):
         if unknown:  # a typo'd filter must not read as a green run
             print(f"ERROR: unknown query name(s) in filter: {sorted(unknown)}")
             return 1
+        total = len(oracles)
         oracles = {k: v for k, v in oracles.items() if k in names}
+        # A filtered run must never read as the full gate (ADVICE r04):
+        # mark it in the summary so saved logs are unambiguous.
+        subset_tag = f"SUBSET ({len(oracles)} of {total} queries) "
+    else:
+        subset_tag = ""
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -107,7 +113,7 @@ def main(sf_dir, out_dir, only=None):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"== {subset_tag}{n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
 

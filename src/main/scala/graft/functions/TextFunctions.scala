@@ -120,10 +120,23 @@ object TextFunctions {
 
   /** Floor-divide two integer columns scaled by `scale` — the one ratio
     * shape both engines agree on bit-for-bit: exact integer operands,
-    * one IEEE double division (numerator < 2^53), floor, long. DuckDB
-    * mirror: CAST(FLOOR(a*scale/b) AS BIGINT). */
-  def ratioScaled(a: Column, b: Column, scale: Long): Column =
-    when(b === 0, 0L).otherwise(floor(a.cast("long") * scale / b))
+    * one IEEE double division (numerator < 2^53 for exactness; both
+    * engines round identically up to 2^63), floor, long. DuckDB
+    * mirror: CAST(FLOOR(a*scale/b) AS BIGINT). The a*scale product is
+    * guarded: non-ANSI long arithmetic wraps silently where DuckDB's
+    * BIGINT multiply errors, so out-of-range inputs fail loudly here
+    * too instead of diverging (q110's weight numerator is within ~6×
+    * of Long.MaxValue at sf0.1 — a bigger corpus WOULD hit this). */
+  def ratioScaled(a: Column, b: Column, scale: Long): Column = {
+    val al = a.cast("long")
+    val lim = java.lang.Long.MAX_VALUE / math.max(scale, 1L)
+    val prod =
+      if (scale <= 1L) al * scale
+      else when(abs(al) > lim,
+        raise_error(concat(lit(s"ratioScaled overflow: |a|*$scale > 2^63 for a="), al)))
+        .otherwise(al * scale)
+    when(b === 0, 0L).otherwise(floor(prod / b))
+  }
 
   /** Exact Jaccard similarity of two token-set columns, in ppm (floor). */
   def jaccardPpm(a: Column, b: Column): Column = {

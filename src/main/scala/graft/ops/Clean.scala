@@ -1062,12 +1062,16 @@ object Clean {
     * such bin on ties), opening a new bin otherwise — the classic BFD
     * packing a training pipeline runs to cut padding waste vs q76's
     * sequential first-fit. The fold is inherently ordered, so packing
-    * SHARDS: each (lang, source) stream folds independently after one
-    * clustered aggregation — the folds are embarrassingly parallel and
-    * each is bounded by its shard's size (a single per-language fold
-    * measured O(items x bins) = minutes at sf0.1; sharding is how
-    * distributed packing actually runs, trading a bounded amount of
-    * cross-shard fill for parallelism). The per-language report: bins
+    * SHARDS: each (lang, source, doc_id%8) stream folds independently
+    * after one clustered aggregation — the folds are embarrassingly
+    * parallel and each is bounded by its shard's size (a single
+    * per-language fold measured O(items x bins) = minutes at sf0.1;
+    * sharding is how distributed packing actually runs, trading a
+    * bounded amount of cross-shard fill for parallelism). The doc_id
+    * sub-shard key (ADVICE r04) bounds the fold even when one
+    * (lang, source) dominates the corpus — no single fold exceeds
+    * ~1/8 of the largest source regardless of skew, and the key is
+    * deterministic so the oracle shards identically. The per-language report: bins
     * used across shards vs the global ceil(total/capacity) lower bound
     * and fill ratio, all integer. Oracle: the same fold as a
     * per-stream recursive CTE, aggregated identically. */
@@ -1076,23 +1080,24 @@ object Clean {
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, lang, source, $DToks AS toks FROM documents
        |), ch AS (
-       |  SELECT lang, source, doc_id, CAST((start-1)//24 AS BIGINT) AS chunk_idx,
+       |  SELECT lang, source, doc_id, doc_id % 8 AS sub,
+       |    CAST((start-1)//24 AS BIGINT) AS chunk_idx,
        |    CAST(len(toks[start:start+31]) AS BIGINT) AS need
        |  FROM (SELECT lang, source, doc_id, toks, unnest(range(1, len(toks)+1, 24)) AS start
        |        FROM t WHERE len(toks) > 0)
        |), itm AS (
-       |  SELECT lang, source, need,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+       |  SELECT lang, source, sub, need,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source, sub
        |      ORDER BY need DESC, doc_id, chunk_idx) AS BIGINT) AS rn
        |  FROM ch
        |), scnt AS (
-       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS s_items
-       |  FROM itm GROUP BY lang, source
+       |  SELECT lang, source, sub, CAST(COUNT(*) AS BIGINT) AS s_items
+       |  FROM itm GROUP BY lang, source, sub
        |), rec AS (
-       |  SELECT lang, source, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins
+       |  SELECT lang, source, sub, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins
        |  FROM scnt
        |  UNION ALL
-       |  SELECT r.lang, r.source, r.i + 1,
+       |  SELECT r.lang, r.source, r.sub, r.i + 1,
        |    CASE WHEN list_min(list_filter(r.bins, c -> c >= t.need)) IS NULL
        |         THEN list_append(r.bins, 100 - t.need)
        |         ELSE list_transform(range(1, len(r.bins)+1), x ->
@@ -1101,10 +1106,10 @@ object Clean {
        |                THEN r.bins[x] - t.need ELSE r.bins[x] END)
        |    END
        |  FROM rec r JOIN itm t ON t.lang = r.lang AND t.source = r.source
-       |    AND t.rn = r.i + 1
+       |    AND t.sub = r.sub AND t.rn = r.i + 1
        |), fin AS (
        |  SELECT r.lang AS lang, CAST(len(bins) AS BIGINT) AS s_bins
-       |  FROM rec r JOIN scnt USING (lang, source) WHERE r.i = s_items
+       |  FROM rec r JOIN scnt USING (lang, source, sub) WHERE r.i = s_items
        |), tot AS (
        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_items,
        |    CAST(SUM(need) AS BIGINT) AS total_tok
@@ -1123,10 +1128,11 @@ object Clean {
       .select(col("lang"), col("source"), col("doc_id"), col("toks"),
         explode(ctxChunkStarts(col("toks"))).as("start"))
       .select(col("lang"), col("source"), col("doc_id"),
+        (col("doc_id") % 8).as("sub"),
         expr(s"CAST((start - 1) div $CtxStride AS BIGINT)").as("chunk_idx"),
         size(slice(col("toks"), col("start"), lit(CtxWindow))).cast("long").as("need"))
     // longest-first visit order: sort_array ascending on (-need, doc, idx)
-    val agged = ch.groupBy("lang", "source").agg(
+    val agged = ch.groupBy("lang", "source", "sub").agg(
       count(lit(1)).as("s_items"), sum(col("need")).as("s_tok"),
       sort_array(collect_list(struct((-col("need")).as("negneed"),
         col("doc_id"), col("chunk_idx"), col("need")))).as("xs"))

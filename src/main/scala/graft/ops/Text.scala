@@ -449,7 +449,7 @@ object Text {
        |  SELECT toks[i] AS a, toks[i+1] AS b, COUNT(*) AS c
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
        |        FROM t0 WHERE len(toks) >= 2)
-       |  GROUP BY 1, 2 ORDER BY c DESC, (a || ' ' || b) LIMIT 1
+       |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1
        |), s1 AS (
        |  SELECT doc_id, string_split(trim(replace(
        |      chr(1) || array_to_string(toks, chr(1)||chr(1)) || chr(1),
@@ -460,7 +460,7 @@ object Text {
        |  SELECT toks[i] AS a, toks[i+1] AS b, COUNT(*) AS c
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
        |        FROM s1 WHERE len(toks) >= 2)
-       |  GROUP BY 1, 2 ORDER BY c DESC, (a || ' ' || b) LIMIT 1
+       |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1
        |), s2 AS (
        |  SELECT doc_id, string_split(trim(replace(
        |      chr(1) || array_to_string(toks, chr(1)||chr(1)) || chr(1),
@@ -484,7 +484,10 @@ object Text {
           element_at(col("toks"), i + 1).as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, concat(col("a"), lit(" "), col("b")))
+      // Tie-break on the components separately: after round 1 merged
+      // tokens contain spaces, so the concatenation a||' '||b is NOT a
+      // unique key (('x','y z') vs ('x y','z')) — (a, b) is.
+      .orderBy(col("c").desc, col("a"), col("b"))
       .limit(1)
     def mergeRound(t: DataFrame, top: DataFrame): DataFrame = t
       .filter(size(col("toks")) > 0)

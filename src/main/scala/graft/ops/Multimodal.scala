@@ -4,53 +4,83 @@ import graft.{Q, Tables}
 import graft.sources.{Multimodal => MM}
 import org.apache.spark.sql.functions._
 
-/** Multimodal metadata queries. The binary payload is md5-derived, so
-  * the DuckDB oracle reconstructs the same bytes as hex strings and
-  * mirrors the stub-decode arithmetic with conv()-style hex slices —
-  * the metadata path is fully hash-checked even though the decode is a
-  * stub (sources.Multimodal). */
+/** Multimodal metadata queries. Image payloads are REAL PNGs whose
+  * content is a deterministic md5-derived fixture (block-constant on a
+  * 9x8 cell grid — sources.Multimodal), so the DuckDB oracle states the
+  * expected pixel truth closed-form while the Spark side must decode
+  * the actual bytes with javax.imageio to reproduce it. Audio/video
+  * payloads remain md5-derived 32-byte stubs mirrored via hex slices. */
 object Multimodal {
 
-  /** Spark-side: byte j (0-based) of the payload as a long, computed on
-    * the hex string so it exactly matches the oracle. */
-  private def hexByte(hex: org.apache.spark.sql.Column, j: Int) =
-    conv(substring(hex, 2 * j + 1, 2), 16, 10).cast("long")
-
   private val DHex = "md5(text) || md5(text || '2')"
+  private val DHex80 =
+    "md5(text) || md5(text || '2') || md5(text || '3') || md5(text || '4') || md5(text || '5')"
   private def dByte(j: Int) =
     s"CAST(concat('0x', substr(hx, ${2 * j + 1}, 2)) AS BIGINT)"
   private val DSumBytes = (0 until 32).map(dByte).mkString(" + ")
 
-  /** q43 — media metadata extraction: kind/format routing + stub-decode
-    * stats, verified byte-for-byte via hex arithmetic. */
+  /** Fixture grid-cell value (cx, cy) as a SQL expression over hx. */
+  private def dCell(cx: Int, cy: Int): String =
+    dByte(MM.CellOff + cy * MM.GridW + cx)
+
+  /** Image dims CTE fragment: w/h are what genPng encoded, which the
+    * real decode must read back from the PNG header. */
+  private val DDims =
+    s"CAST(${dByte(0)} % 48 + 16 AS BIGINT) AS w, CAST(${dByte(1)} % 48 + 16 AS BIGINT) AS h"
+
+  /** 9x8 cell grid with per-cell pixel counts (the floor-boundary box
+    * partition regions genPng painted). */
+  private val DCellGrid =
+    s"""SELECT doc_id, w, h, cx, cy,
+       |    CAST(concat('0x', substr(hx, (${MM.CellOff} + cy*${MM.GridW} + cx)*2 + 1, 2)) AS BIGINT) AS v,
+       |    cx*w//${MM.GridW} AS sx0, (cx+1)*w//${MM.GridW} AS sx1,
+       |    cy*h//${MM.GridH} AS sy0, (cy+1)*h//${MM.GridH} AS sy1
+       |  FROM dims
+       |  CROSS JOIN (SELECT unnest(range(0, ${MM.GridW})) AS cx)
+       |  CROSS JOIN (SELECT unnest(range(0, ${MM.GridH})) AS cy)""".stripMargin
+
+  /** q43 — media metadata extraction: kind/format routing + per-file
+    * stats. Image rows come from the REAL PNG decode (dims from the
+    * decoded header, mean over decoded pixels); the oracle predicts
+    * them from the fixture truth table (block area x cell value).
+    * Audio/video rows keep the stub byte stats. */
   val q43MediaMeta: Q = Q(
     "q43_media_meta",
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'jpg' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
-       |    $DHex AS hx
+       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    $DHex80 AS hx
        |  FROM documents
+       |), dims AS (
+       |  SELECT doc_id, kind, format, hx, $DDims FROM m
+       |), icell AS (
+       |$DCellGrid
+       |  WHERE doc_id % 3 = 0
+       |), istat AS (
+       |  SELECT doc_id, SUM(v * (sx1 - sx0) * (sy1 - sy0)) AS pxsum
+       |  FROM icell GROUP BY doc_id
        |)
-       |SELECT doc_id, kind, format,
-       |  CAST(${dByte(0)} % 48 + 16 AS INT) AS width,
-       |  CAST(${dByte(1)} % 48 + 16 AS INT) AS height,
-       |  32 AS n_bytes,
-       |  CAST(FLOOR(($DSumBytes) * 1000 / 32) AS BIGINT) AS mean_byte_milli
-       |FROM m ORDER BY doc_id""") { (s, d) =>
+       |SELECT d.doc_id AS doc_id, kind, format,
+       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN w * h ELSE 32 END AS BIGINT) AS n_units,
+       |  CASE WHEN d.doc_id % 3 = 0 THEN CAST(FLOOR(i.pxsum * 1000 / (w * h)) AS BIGINT)
+       |       ELSE CAST(FLOOR(($DSumBytes) * 1000 / 32) AS BIGINT) END AS mean_unit_milli
+       |FROM dims d LEFT JOIN istat i ON d.doc_id = i.doc_id
+       |ORDER BY doc_id""") { (s, d) =>
     MM.decodeAll(MM.mediaTable(s, d)).toDF()
-      .withColumn("n_bytes", col("n_bytes"))
       .orderBy("doc_id")
   }
 
   /** q44 — corpus stats per (kind, format): the group-by after decode,
-    * exactly the shape of a real media-pipeline profiling pass. */
+    * exactly the shape of a real media-pipeline profiling pass. Image
+    * dims flow from the real PNG decode on the Spark side. */
   val q44MediaAgg: Q = Q(
     "q44_media_agg",
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'jpg' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
        |    $DHex AS hx
        |  FROM documents
        |), meta AS (
@@ -90,21 +120,41 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** q66 — image resize metadata: source dims from the stub decode,
-    * fixed 16x16 target, scale factors in floor-ppm — the dims-in /
-    * dims+factors-out plumbing of a thumbnail stage, codec stubbed. */
+  /** q66 — REAL image resize: decode the PNG, box-filter the decoded
+    * pixels to 16x16, report source dims (decoded header), floor-ppm
+    * scale factors, and the resized-pixel checksum. The oracle computes
+    * the identical box filter closed-form from the fixture cells (cell
+    * value x overlap area between source-cell and target-cell regions),
+    * so a resample that doesn't faithfully read real pixels fails. */
   val q66ImageResize: Q = Q(
     "q66_image_resize",
     s"""WITH m AS (
-       |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 0
+       |  SELECT doc_id, $DHex80 AS hx FROM documents WHERE doc_id % 3 = 0
+       |), dims AS (
+       |  SELECT doc_id, hx, $DDims FROM m
+       |), src AS (
+       |$DCellGrid
+       |), tgt AS (
+       |  SELECT doc_id, tx, ty,
+       |    SUM(v * GREATEST(0, LEAST(sx1, (tx+1)*w//16) - GREATEST(sx0, tx*w//16))
+       |          * GREATEST(0, LEAST(sy1, (ty+1)*h//16) - GREATEST(sy0, ty*h//16))) AS s,
+       |    MAX((tx+1)*w//16 - tx*w//16) AS cntx,
+       |    MAX((ty+1)*h//16 - ty*h//16) AS cnty
+       |  FROM src
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS tx)
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS ty)
+       |  GROUP BY doc_id, tx, ty
+       |), rs AS (
+       |  SELECT doc_id, CAST(SUM(s // (cntx * cnty)) AS BIGINT) AS resized_sum
+       |  FROM tgt GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |  CAST(${dByte(0)} % 48 + 16 AS INT) AS src_w,
-       |  CAST(${dByte(1)} % 48 + 16 AS INT) AS src_h,
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
        |  16 AS dst_w, 16 AS dst_h,
-       |  16000000 // (${dByte(0)} % 48 + 16) AS scale_w_ppm,
-       |  16000000 // (${dByte(1)} % 48 + 16) AS scale_h_ppm
-       |FROM m ORDER BY doc_id""") { (s, d) =>
+       |  16000000 // w AS scale_w_ppm, 16000000 // h AS scale_h_ppm,
+       |  resized_sum
+       |FROM dims d JOIN rs ON d.doc_id = rs.doc_id
+       |ORDER BY doc_id""") { (s, d) =>
     MM.resizeAll(MM.mediaTable(s, d), dstW = 16, dstH = 16)
       .orderBy("doc_id")
   }
@@ -129,35 +179,40 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
-  /** q115 — perceptual-hash near-dup detection over image payloads:
-    * 32-bit dHash-style codes from the stub decode (planted one-byte
-    * "re-encodes" of every 10th image flip ≤ 2 bits), byte-banded LSH
-    * (q28's candidate shape — a matching 8-bit band is required, so
-    * the pair stage joins on (band, byte) instead of comparing all
-    * pairs), then exact Hamming ≤ 3 verification with the codegen'd
+  /** q115 — perceptual-hash near-dup detection over REAL image
+    * payloads: 64-bit dHash from javax.imageio-decoded pixels (9x8
+    * box-downscale, horizontal neighbor compares), planted near-dups
+    * that are REAL re-encodes (decode -> bump grid cell (3,3) by +1
+    * mod 256 -> fresh PNG; flips <= 2 of 64 bits), byte-banded LSH
+    * (8 bands of 8 bits — a matching band is required, so the pair
+    * stage joins on (band, byte) instead of comparing all pairs), then
+    * exact Hamming <= 3 verification with the codegen'd
     * `graft_hamming` expression. The image-dedup twin of the text
-    * SimHash pipeline, running entirely on the media plumbing: typed
-    * stub decode → codes, ints-only from there. */
+    * SimHash pipeline, with the codec path fully real. */
   val q115PhashDedup: Q = Q(
     "q115_phash_dedup",
     {
-      def eff(j: Int) =
-        if (j == 5) s"CASE WHEN pert = 1 THEN (${dByte(5)} + 1) % 256 ELSE ${dByte(5)} END"
-        else dByte(j)
-      val phBits = (0 until 32).map(j =>
-        s"CASE WHEN (${eff(j)}) > (${eff((j + 1) % 32)}) THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
+      def eff(cx: Int, cy: Int) =
+        if (cx == 3 && cy == 3)
+          s"(CASE WHEN pert = 1 THEN (${dCell(cx, cy)} + 1) % 256 ELSE ${dCell(cx, cy)} END)"
+        else dCell(cx, cy)
+      def bitLit(b: Int) =
+        if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << b} AS BIGINT)"
+      val phBits = (for (cy <- 0 until 8; cx <- 0 until 8) yield
+        s"(CASE WHEN ${eff(cx, cy)} > ${eff(cx + 1, cy)} THEN ${bitLit(cy * 8 + cx)} ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" | ")
       s"""WITH m AS (
-         |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 0
+         |  SELECT doc_id, $DHex80 AS hx FROM documents WHERE doc_id % 3 = 0
          |), aug AS (
          |  SELECT doc_id, hx, 0 AS pert FROM m
          |  UNION ALL
          |  SELECT doc_id + 1000000, hx, 1 FROM m WHERE doc_id % 30 = 0
          |), codes AS (
-         |  SELECT doc_id, CAST($phBits AS BIGINT) AS ph FROM aug
+         |  SELECT doc_id, ($phBits) AS ph FROM aug
          |), cbands AS (
          |  SELECT doc_id, ph, b, (ph >> (8*b)) & 255 AS byte
-         |  FROM codes CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+         |  FROM codes CROSS JOIN (SELECT unnest(range(0,8)) AS b)
          |), pairs AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS pa, y.ph AS pb
          |  FROM cbands x JOIN cbands y
@@ -169,12 +224,13 @@ object Multimodal {
     }) { (s, d) =>
     import s.implicits._
     val imgs = MM.mediaTable(s, d).filter((f: MM.MediaFile) => f.doc_id % 3 == 0)
-    val orig = imgs.map(f => (f.doc_id, MM.phashStub(f.content)))
+    val orig = imgs.map(f => (f.doc_id, MM.dHash64(MM.decodeImage(f.content))))
     val pert = imgs.filter((f: MM.MediaFile) => f.doc_id % 30 == 0)
-      .map(f => (f.doc_id + 1000000L, MM.phashStub(MM.perturbStub(f.content))))
+      .map(f => (f.doc_id + 1000000L,
+        MM.dHash64(MM.decodeImage(MM.reencodePerturbed(f.content)))))
     val codes = orig.union(pert).toDF("doc_id", "ph")
     val cbands = codes.select(col("doc_id"), col("ph"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("b"),
         shiftright(col("ph"), 8 * b).bitwiseAND(255).as("byte"))): _*)).as("bb"))
       .select(col("doc_id"), col("ph"), col("bb.b").as("b"), col("bb.byte").as("byte"))
     cbands.as("x").join(cbands.as("y"),

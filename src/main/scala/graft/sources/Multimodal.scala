@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,18 +13,20 @@ import org.apache.spark.sql.functions._
   * passes — the Spark-side architecture of an image/audio/video
   * pipeline.
   *
-  * The decode itself is a STUB: this container has no image/audio
-  * codecs, so `decodeStub` computes deterministic pseudo-stats from the
-  * bytes (clearly fake, but the plumbing — schema, batching, partition
-  * behavior, typed Dataset API — is real and tested). Swap `decodeStub`
-  * for a real codec (JNI/javacv) without touching anything else: the
-  * per-partition iterator shape is exactly where a real decoder would
-  * amortize its init cost (the JVM analogue of mapInPandas batching).
+  * The IMAGE path runs a REAL codec: payloads are genuine PNG files
+  * (encoded with `javax.imageio`), and every image stat the queries
+  * emit — dimensions, pixel means, dHash, resize output — is computed
+  * from `ImageIO.read` of those bytes, never from the generator's
+  * arithmetic. Oracle checkability comes from the FIXTURES, not the
+  * decode: each test image is block-constant on a 9x8 cell grid whose
+  * cell values derive from md5(text), so DuckDB can state the expected
+  * pixel truth while Spark must round-trip a real encoder+decoder to
+  * reproduce it (PNG is lossless — any decode bug breaks the match).
   *
-  * Media bytes are synthesized from the documents table (32 bytes =
-  * unhex(md5(text) ++ md5(text+"2"))), so both engines can reconstruct
-  * them — the metadata path stays DuckDB-oracle-checkable via hex
-  * arithmetic (ops.Multimodal).
+  * The AUDIO/VIDEO paths remain stubs (no wav/mp4 codec on this
+  * classpath): 32-byte md5-derived payloads with deterministic
+  * pseudo-stats. The per-partition iterator shape is exactly where a
+  * real demuxer would amortize its init cost.
   */
 object Multimodal {
 
@@ -28,47 +34,222 @@ object Multimodal {
   final case class MediaFile(
       doc_id: Long, kind: String, format: String, content: Array[Byte])
 
-  /** Decoded stub-stats for one payload. */
+  /** Decoded per-file stats: pixels for images (n_units = w*h, mean
+    * pixel value in milli), bytes for the audio/video stubs
+    * (n_units = 32, mean byte value in milli). */
   final case class MediaMeta(
       doc_id: Long, kind: String, format: String,
-      width: Int, height: Int, n_bytes: Int, mean_byte_milli: Long)
+      width: Int, height: Int, n_units: Long, mean_unit_milli: Long)
 
-  /** Binary media table derived deterministically from documents. */
+  /** A decoded grayscale image: row-major 0..255 samples. */
+  final case class DecodedImage(width: Int, height: Int, px: Array[Int])
+
+  /** Fixture grid: images are block-constant on GridW x GridH cells;
+    * cell (cx, cy) holds hex byte CellOff + cy*GridW + cx of the
+    * 80-byte md5 stream. 9 wide x 8 tall is the classic dHash layout
+    * (horizontal neighbor compares -> 8x8 = 64 bits). */
+  val GridW = 9
+  val GridH = 8
+  val CellOff = 8
+
+  // In-memory ImageIO (no temp-file stream cache on executors).
+  ImageIO.setUseCache(false)
+
+  private def hexByteAt(hex: String, j: Int): Int =
+    Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16)
+
+  private def hexBytes(hex: String, n: Int): Array[Byte] =
+    Array.tabulate(n)(j => hexByteAt(hex, j).toByte)
+
+  /** Cell index of pixel x for the floor-boundary partition
+    * [c*w/n, (c+1)*w/n): c = (n*(x+1)-1)/w — the exact inverse of the
+    * box-filter regions in `boxDownscale`, so a block-constant fixture
+    * survives encode -> decode -> downscale bit-for-bit. */
+  def cellIndex(x: Int, n: Int, w: Int): Int = (n * (x + 1) - 1) / w
+
+  def cellValue(hex: String, cx: Int, cy: Int): Int =
+    hexByteAt(hex, CellOff + cy * GridW + cx)
+
+  /** Encode the deterministic fixture image for one doc as real PNG
+    * bytes: w = b0%48+16, h = b1%48+16, block-constant grayscale. */
+  def genPng(hex: String): Array[Byte] = {
+    val w = hexByteAt(hex, 0) % 48 + 16
+    val h = hexByteAt(hex, 1) % 48 + 16
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      val cy = cellIndex(y, GridH, h)
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, cellValue(hex, cellIndex(x, GridW, w), cy))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "no PNG writer available")
+    bos.toByteArray
+  }
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Format sniff on the real payload bytes (not the metadata column). */
+  def isPng(content: Array[Byte]): Boolean =
+    content.length > PngMagic.length &&
+      PngMagic.indices.forall(i => content(i) == PngMagic(i))
+
+  /** REAL decode: parse the PNG payload with javax.imageio and pull the
+    * grayscale samples out of the decoded raster. */
+  def decodeImage(content: Array[Byte]): DecodedImage = {
+    require(isPng(content), "decodeImage: payload is not a PNG")
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null, "decodeImage: ImageIO returned null for PNG payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    DecodedImage(w, h, px)
+  }
+
+  /** Exact integer box filter to nw x nh: target cell (tx, ty) is the
+    * floor-mean over source region [tx*w/nw, (tx+1)*w/nw) x [...]. All
+    * arithmetic is integer, so DuckDB can mirror it closed-form. */
+  def boxDownscale(d: DecodedImage, nw: Int, nh: Int): Array[Long] = {
+    val out = new Array[Long](nw * nh)
+    var ty = 0
+    while (ty < nh) {
+      val y0 = ty * d.height / nh; val y1 = (ty + 1) * d.height / nh
+      var tx = 0
+      while (tx < nw) {
+        val x0 = tx * d.width / nw; val x1 = (tx + 1) * d.width / nw
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += d.px(y * d.width + x); x += 1 }
+          y += 1
+        }
+        out(ty * nw + tx) = s / ((x1 - x0).toLong * (y1 - y0))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash from REAL pixels: box-downscale to 9x8, bit
+    * (cy*8 + cx) set iff cell(cx,cy) > cell(cx+1,cy) — the standard
+    * horizontal-gradient perceptual hash. A localized edit perturbs at
+    * most two neighbor comparisons per affected cell. */
+  def dHash64(d: DecodedImage): Long = {
+    val cells = boxDownscale(d, GridW, GridH)
+    var code = 0L
+    var cy = 0
+    while (cy < GridH) {
+      var cx = 0
+      while (cx < GridW - 1) {
+        if (cells(cy * GridW + cx) > cells(cy * GridW + cx + 1))
+          code |= 1L << (cy * (GridW - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    code
+  }
+
+  /** The planted near-dup for the perceptual-hash pipeline: a REAL
+    * re-encode — decode the PNG, bump every pixel of grid cell (3,3)
+    * by +1 mod 256, encode a fresh PNG. Flips at most 2 of the 64
+    * dHash bits (the two comparisons touching that cell). */
+  def reencodePerturbed(content: Array[Byte]): Array[Byte] = {
+    val d = decodeImage(content)
+    val img = new BufferedImage(d.width, d.height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < d.height) {
+      val cy = cellIndex(y, GridH, d.height)
+      var x = 0
+      while (x < d.width) {
+        val v = d.px(y * d.width + x)
+        val cx = cellIndex(x, GridW, d.width)
+        raster.setSample(x, y, 0, if (cx == 3 && cy == 3) (v + 1) % 256 else v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Binary media table derived deterministically from documents:
+    * images are real PNGs, audio/video are 32-byte stub payloads. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        kindCol(col("doc_id")).as("kind"),
-        formatCol(col("doc_id")).as("format"),
-        unhex(concat(md5(col("text")), md5(concat(col("text"), lit("2"))))).as("content"))
-      .as[MediaFile]
+      .select(col("doc_id"), hex80(col("text")).as("hx"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, hx) =>
+          (id % 3).toInt match {
+            case 0 => MediaFile(id, "image", "png", genPng(hx))
+            case 1 => MediaFile(id, "audio", "wav", hexBytes(hx, 32))
+            case _ => MediaFile(id, "video", "mp4", hexBytes(hx, 32))
+          }
+        }
+      }
   }
+
+  /** 80 bytes (160 hex chars) of fixture truth per doc: bytes 0-1 are
+    * the image dims, bytes 8..79 the 72 grid cells. The first 64 hex
+    * chars equal the pre-round-5 payload stream, so the audio/video
+    * oracles are unchanged. */
+  def hex80(text: Column): Column =
+    concat(md5(text), md5(concat(text, lit("2"))), md5(concat(text, lit("3"))),
+      md5(concat(text, lit("4"))), md5(concat(text, lit("5"))))
 
   def kindCol(docId: Column): Column =
     when(docId % 3 === 0, "image").when(docId % 3 === 1, "audio").otherwise("video")
 
   def formatCol(docId: Column): Column =
-    when(docId % 3 === 0, "jpg").when(docId % 3 === 1, "wav").otherwise("mp4")
+    when(docId % 3 === 0, "png").when(docId % 3 === 1, "wav").otherwise("mp4")
 
-  /** STUB decode — deterministic pseudo-stats standing in for a real
-    * codec: "width"/"height" from the first two bytes, mean byte value
-    * in milli-units. A real implementation would decode `content` here. */
+  /** STUB decode for the audio/video payloads — deterministic
+    * pseudo-stats standing in for a real demuxer: "width"/"height"
+    * from the first two bytes, mean byte value in milli-units. */
   def decodeStub(f: MediaFile): MediaMeta = {
     val b = f.content.map(_ & 0xff)
     MediaMeta(f.doc_id, f.kind, f.format,
       width = b(0) % 48 + 16,
       height = b(1) % 48 + 16,
-      n_bytes = b.length,
-      mean_byte_milli = b.map(_.toLong).sum * 1000L / b.length)
+      n_units = b.length.toLong,
+      mean_unit_milli = b.map(_.toLong).sum * 1000L / b.length)
   }
 
-  /** Batched per-partition decode: one pass per partition, codec init
-    * amortized across the partition's files. */
+  /** Batched per-partition decode: one pass per partition (a real
+    * codec's init cost amortizes here). Images go through the REAL
+    * PNG decode; audio/video through the stub. */
   def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
-      // real codecs would initialize once here, per partition
-      it.map(decodeStub)
+      it.map { f =>
+        if (f.kind == "image") {
+          val d = decodeImage(f.content)
+          val n = d.width.toLong * d.height
+          MediaMeta(f.doc_id, f.kind, f.format, d.width, d.height, n,
+            d.px.foldLeft(0L)(_ + _) * 1000L / n)
+        } else decodeStub(f)
+      }
     }
   }
 
@@ -90,24 +271,25 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_hex")
   }
 
-  /** STUB image resize: source dims from the decode stub, fixed target,
-    * scale factors in floor-ppm. A real implementation would decode and
-    * resample pixels here; the metadata plumbing (dims in, dims +
-    * factors out) is the real pipeline shape. */
-  def resizeStub(f: MediaFile, dstW: Int, dstH: Int): (Long, Int, Int, Int, Int, Long, Long) = {
-    val b = f.content.map(_ & 0xff)
-    val srcW = b(0) % 48 + 16
-    val srcH = b(1) % 48 + 16
-    (f.doc_id, srcW, srcH, dstW, dstH,
-      dstW.toLong * 1000000L / srcW, dstH.toLong * 1000000L / srcH)
+  /** REAL image resize: decode the PNG, box-filter the actual pixels
+    * to dstW x dstH, report source dims (from the decoded header),
+    * floor-ppm scale factors, and the resized-pixel checksum that
+    * proves the resample ran over real data. */
+  def resizeImage(f: MediaFile, dstW: Int, dstH: Int): (Long, Int, Int, Int, Int, Long, Long, Long) = {
+    val d = decodeImage(f.content)
+    val resized = boxDownscale(d, dstW, dstH)
+    (f.doc_id, d.width, d.height, dstW, dstH,
+      dstW.toLong * 1000000L / d.width, dstH.toLong * 1000000L / d.height,
+      resized.sum)
   }
 
   /** Resized-image metadata rows for the image subset. */
   def resizeAll(files: Dataset[MediaFile], dstW: Int, dstH: Int): DataFrame = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "image")
-      .mapPartitions(it => it.map(resizeStub(_, dstW, dstH)))
-      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "scale_w_ppm", "scale_h_ppm")
+      .mapPartitions(it => it.map(resizeImage(_, dstW, dstH)))
+      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h",
+        "scale_w_ppm", "scale_h_ppm", "resized_sum")
   }
 
   /** STUB audio feature extraction: the 32-byte payload as 8 four-byte
@@ -124,33 +306,5 @@ object Multimodal {
     files.filter(_.kind == "audio")
       .flatMap(audioEnergyStub)
       .toDF("doc_id", "win_idx", "energy")
-  }
-
-  /** STUB perceptual hash (dHash shape): 32-bit code, bit j set iff
-    * byte j > byte (j+1) mod 32 — the adjacent-pixel-gradient rule of
-    * a real dHash, on the stub "pixels". Robust to small payload edits
-    * the way dHash is robust to re-encodes: a one-byte change flips at
-    * most two bits. A real implementation would downscale to a 9x8
-    * grayscale grid here and compare row neighbors. Pinned to the
-    * 32-byte mediaTable payload contract — the q115 oracle hardwires
-    * the same 32-bit wrap, so a different payload length must fail
-    * loudly here rather than silently produce differently-wrapped
-    * codes. */
-  def phashStub(content: Array[Byte]): Long = {
-    require(content.length == 32,
-      s"phashStub expects the 32-byte media payload, got ${content.length}")
-    val b = content.map(_ & 0xff)
-    (0 until 32).foldLeft(0L) { (acc, j) =>
-      if (b(j) > b((j + 1) % 32)) acc | (1L << j) else acc
-    }
-  }
-
-  /** One-byte corruption (byte 5 += 1 mod 256) — the planted near-dup
-    * for the perceptual-hash pipeline (a stand-in for a re-encode). */
-  def perturbStub(content: Array[Byte]): Array[Byte] = {
-    require(content.length > 5, s"payload too short: ${content.length}")
-    val c = content.clone()
-    c(5) = ((c(5) + 1) & 0xff).toByte
-    c
   }
 }

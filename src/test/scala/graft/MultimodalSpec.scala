@@ -1,27 +1,83 @@
 package graft
 
+import java.awt.image.BufferedImage
+
 import graft.sources.Multimodal
 import graft.sources.Multimodal.MediaFile
 
-/** Multimodal plumbing tests: payload determinism, stub-decode
-  * consistency between the typed mapPartitions path and plain Scala,
-  * frame sampling shape. */
+/** Multimodal plumbing tests: real PNG round-trip through javax.imageio
+  * for the image path, payload determinism, stub-decode consistency for
+  * audio/video, frame sampling shape. */
 class MultimodalSpec extends SparkSpec {
 
-  test("media table: 32-byte payloads, deterministic across reads") {
+  test("media table: real PNG payloads for images, 32-byte stubs otherwise") {
     val a = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     val b = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     assert(a.length == b.length && a.length > 0)
-    assert(a.forall(_.content.length == 32))
+    a.foreach { f =>
+      if (f.kind == "image") assert(Multimodal.isPng(f.content), s"doc ${f.doc_id} not PNG")
+      else assert(f.content.length == 32)
+    }
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
   }
 
-  test("decodeAll (mapPartitions) equals per-row decodeStub") {
+  test("image decode is REAL: a hand-built PNG round-trips pixel-exact") {
+    // Not a fixture: arbitrary pixels through encode -> decode.
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array(Array(0, 127, 255), Array(13, 200, 77))
+    for (y <- 0 until 2; x <- 0 until 3) img.getRaster.setSample(x, y, 0, vals(y)(x))
+    val png = Multimodal.encodePng(img)
+    assert(Multimodal.isPng(png))
+    val d = Multimodal.decodeImage(png)
+    assert(d.width == 3 && d.height == 2)
+    assert(d.px.toSeq == Seq(0, 127, 255, 13, 200, 77))
+    // and a non-PNG payload must fail loudly, not decode garbage
+    intercept[IllegalArgumentException](Multimodal.decodeImage(Array.fill(40)(7.toByte)))
+  }
+
+  test("fixture round-trip: decoded dims + box-downscale recover the cell truth") {
+    val h96 = (0 until 80).map(j => f"${(j * 37 + 11) % 256}%02x").mkString
+    val png = Multimodal.genPng(h96)
+    val d = Multimodal.decodeImage(png)
+    assert(d.width == Integer.parseInt(h96.substring(0, 2), 16) % 48 + 16)
+    assert(d.height == Integer.parseInt(h96.substring(2, 4), 16) % 48 + 16)
+    val cells = Multimodal.boxDownscale(d, Multimodal.GridW, Multimodal.GridH)
+    for (cy <- 0 until Multimodal.GridH; cx <- 0 until Multimodal.GridW)
+      assert(cells(cy * Multimodal.GridW + cx) == Multimodal.cellValue(h96, cx, cy),
+        s"cell ($cx,$cy) lost in PNG round-trip")
+  }
+
+  test("re-encode perturbation flips at most 2 dHash bits") {
+    val h96 = (0 until 80).map(j => f"${(j * 151 + 3) % 256}%02x").mkString
+    val png = Multimodal.genPng(h96)
+    val ph0 = Multimodal.dHash64(Multimodal.decodeImage(png))
+    val ph1 = Multimodal.dHash64(Multimodal.decodeImage(Multimodal.reencodePerturbed(png)))
+    assert(java.lang.Long.bitCount(ph0 ^ ph1) <= 2)
+  }
+
+  test("decodeAll: image stats from decoded pixels, stub stats for audio/video") {
     val files = Multimodal.mediaTable(spark, sf)
-    val viaPartitions = Multimodal.decodeAll(files).collect().sortBy(_.doc_id)
-    val viaRows = files.collect().sortBy(_.doc_id).map(Multimodal.decodeStub)
-    assert(viaPartitions.toSeq == viaRows.toSeq)
-    assert(viaPartitions.forall(m => m.width >= 16 && m.width < 64))
+    val metas = Multimodal.decodeAll(files).collect().sortBy(_.doc_id)
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      if (m.kind == "image") {
+        assert(m.width >= 16 && m.width < 64 && m.height >= 16 && m.height < 64)
+        assert(m.n_units == m.width.toLong * m.height)
+      } else {
+        assert(m.n_units == 32L)
+      }
+      assert(m.mean_unit_milli >= 0L && m.mean_unit_milli <= 255000L)
+    }
+    // mapPartitions path == per-row path
+    val viaRows = files.collect().sortBy(_.doc_id).map { f =>
+      if (f.kind == "image") {
+        val d = Multimodal.decodeImage(f.content)
+        val n = d.width.toLong * d.height
+        Multimodal.MediaMeta(f.doc_id, f.kind, f.format, d.width, d.height, n,
+          d.px.foldLeft(0L)(_ + _) * 1000L / n)
+      } else Multimodal.decodeStub(f)
+    }
+    assert(metas.toSeq == viaRows.toSeq)
   }
 
   test("frame sampling keeps every Nth 4-byte frame of video payloads") {

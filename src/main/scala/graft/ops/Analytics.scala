@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Analytics-layer shapes beyond the reference (SURVEY §2.4's "free via
-  * Catalyst" row): pivot and grouping sets, plus an approx-sketch query
-  * checked rows-only (HLL implementations differ across engines, so the
-  * exact-distinct companion column carries the oracle). */
+  * Catalyst" row): pivot and grouping sets, plus the sketch family —
+  * every sketch query is oracle-checked (q82/q90 by exact state, q50's
+  * engine-specific HLL by its derived error-bound column). */
 object Analytics {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
@@ -56,14 +56,30 @@ object Analytics {
   }
 
   /** q50 — distinct sketches: approx_count_distinct next to the exact
-    * count. No oracle (HLL differs per engine); the driver's rows-only
-    * check applies, and AnalyticsSpec bounds the relative error. */
-  val q50Sketch: Q = Q.noOracle("q50_sketch") { (s, d) =>
+    * count. Spark's HLL++ register values are engine-specific, so the
+    * raw estimate can never hash-match DuckDB; instead the query emits
+    * the oracle-exact columns (exact distinct, row count) plus the
+    * DERIVED deterministic fact the sketch must satisfy — the estimate
+    * lands within 10% of exact (5 sigma at rsd=0.02; the bound
+    * AnalyticsSpec used to assert privately is now a driver-checked
+    * column the oracle pins to 1). A broken or garbage HLL fails the
+    * gate; the estimate's exact value stays engine-internal, which is
+    * the honest contract for a randomized-structure sketch. */
+  val q50Sketch: Q = Q(
+    "q50_sketch",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS approx_within_10pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_nd"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_nd"), col("n"),
+        when(abs(col("approx_nd") - col("exact_nd")) * 10 <= col("exact_nd"), 1L)
+          .otherwise(0L).as("approx_within_10pct"))
       .orderBy("l_returnflag")
   }
 
@@ -202,7 +218,8 @@ object Analytics {
     * bounded-state Aggregator (functions.KmvAgg): per language, the 64
     * smallest distinct token hashes; estimate (k-1)*2^32/v_k, exact
     * when fewer than k distinct values exist. Unlike q50's HLL
-    * (rows-only by design), KMV is deterministic given the hash, so
+    * (bound-checked via a derived column), KMV is deterministic given
+    * the hash, so
     * the SKETCH STATE ITSELF hash-matches the DuckDB oracle — an
     * auditable sketch. Map-side partials ship at most 64 longs per
     * (lang, partition); the exact countDistinct rides the same shuffle
@@ -247,7 +264,7 @@ object Analytics {
   /** q90 — count-min sketch: approximate token frequencies from a
     * 4-row × 256-cell counter grid (same affine hash family as the
     * MinHash permutations), completing the auditable-sketch family —
-    * q50 HLL (distinct, rows-only), q82 KMV (distinct, exact-state
+    * q50 HLL (distinct, oracle-checked error bound), q82 KMV (distinct, exact-state
     * oracle), q90 CMS (FREQUENCY, exact-state oracle). The sketch is
     * plain relational: cell counts are one groupBy of (row, cell) —
     * 1024 output rows REGARDLESS of corpus size, the whole point at

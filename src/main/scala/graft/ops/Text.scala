@@ -428,21 +428,11 @@ object Text {
       .orderBy("lang", "lang_pred")
   }
 
-  /** q113 — BPE tokenizer training, two unrolled merge ROUNDS (q88 is
-    * the count of one round; this runs the actual loop): count adjacent
-    * pairs → argmax (count desc, pair asc) → greedy left-to-right
-    * non-overlapping merge of the winner everywhere → recount on the
-    * merged corpus → next winner. The merge is `replace()` over a
-    * control-char-delimited token string (each token wrapped in \\u0001,
-    * pairs matched as whole-token units so "xa|b" never matches "a|b"),
-    * which is exactly BPE's greedy scan: "x x x" merges once. Per round
-    * the corpus is ONE narrow pass (pair explode partial-aggregates to
-    * a pair-keyed shuffle; the 1-row winner broadcasts back), so N
-    * merges over 100 TB cost N linear scans — the shape of every
-    * distributed BPE trainer. Reports each round's winning pair, its
-    * pre-merge count, and the corpus token count after the merge. */
-  val q113BpeRounds: Q = Q(
-    "q113_bpe_rounds",
+  /** Shared two-round BPE chain: the oracle CTE from raw tokens (t0)
+    * through winner p1, merged corpus s1, winner p2, merged corpus s2.
+    * q113 reports the training stats; q123 reads s2 as the encode pass
+    * — one definition, so train and encode cannot drift. */
+  private val DBpeChain =
     s"""WITH t0 AS (
        |  SELECT doc_id, $DToks AS toks FROM documents
        |), p1 AS (
@@ -467,7 +457,57 @@ object Text {
        |      chr(1) || a || chr(1)||chr(1) || b || chr(1),
        |      chr(1) || a || ' ' || b || chr(1)), chr(1)), chr(1)||chr(1)) AS toks
        |  FROM s1 CROSS JOIN p2
-       |)
+       |)"""
+
+  private def bpeTopPair(t: DataFrame): DataFrame = t
+    .filter(size(col("toks")) >= 2)
+    .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+      i => struct(element_at(col("toks"), i).as("a"),
+        element_at(col("toks"), i + 1).as("b")))).as("p"))
+    .select(col("p.a").as("a"), col("p.b").as("b"))
+    .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    // Tie-break on the components separately: after round 1 merged
+    // tokens themselves contain spaces, so the concatenation a||' '||b
+    // is NOT a unique key (('x','y z') vs ('x y','z')) — (a, b) is.
+    .orderBy(col("c").desc, col("a"), col("b"))
+    .limit(1)
+
+  private def bpeMergeRound(t: DataFrame, top: DataFrame): DataFrame = t
+    .filter(size(col("toks")) > 0)
+    .crossJoin(broadcast(top))
+    .select(col("doc_id"),
+      bpeMerge(col("toks"), col("a"), col("b")).as("toks"))
+
+  /** The staged two-round run; each multiply-scanned stage is
+    * localCheckpoint'd (count pass + merge pass). */
+  private def bpeRun(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val t0 = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // scanned by round-1 count AND round-1 merge
+    val p1 = bpeTopPair(t0).localCheckpoint() // broadcast into the merge
+    val s1 = bpeMergeRound(t0, p1).localCheckpoint() // round-2 count + merge
+    val p2 = bpeTopPair(s1).localCheckpoint()
+    val s2 = bpeMergeRound(s1, p2)
+    (p1, s1, p2, s2)
+  }
+
+  /** q113 — BPE tokenizer training, two unrolled merge ROUNDS (q88 is
+    * the count of one round; this runs the actual loop): count adjacent
+    * pairs → argmax (count desc, then pair components asc) → greedy
+    * left-to-right non-overlapping merge of the winner everywhere →
+    * recount on the merged corpus → next winner. The merge is
+    * `replace()` over a control-char-delimited token string (each token
+    * wrapped in \\u0001, pairs matched as whole-token units so "xa|b"
+    * never matches "a|b"), which is exactly BPE's greedy scan: "x x x"
+    * merges once. Per round the corpus is ONE narrow pass (pair explode
+    * partial-aggregates to a pair-keyed shuffle; the 1-row winner
+    * broadcasts back), so N merges over 100 TB cost N linear scans —
+    * the shape of every distributed BPE trainer. Reports each round's
+    * winning pair, its pre-merge count, and the corpus token count
+    * after the merge. */
+  val q113BpeRounds: Q = Q(
+    "q113_bpe_rounds",
+    s"""$DBpeChain
        |SELECT CAST(1 AS BIGINT) AS round, a || ' ' || b AS pair,
        |  CAST(c AS BIGINT) AS n_occ,
        |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM s1) AS n_tokens_after
@@ -477,36 +517,39 @@ object Text {
        |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM s2)
        |FROM p2
        |ORDER BY round""") { (s, d) =>
-    def topPair(t: DataFrame): DataFrame = t
-      .filter(size(col("toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("a"),
-          element_at(col("toks"), i + 1).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      // Tie-break on the components separately: after round 1 merged
-      // tokens contain spaces, so the concatenation a||' '||b is NOT a
-      // unique key (('x','y z') vs ('x y','z')) — (a, b) is.
-      .orderBy(col("c").desc, col("a"), col("b"))
-      .limit(1)
-    def mergeRound(t: DataFrame, top: DataFrame): DataFrame = t
-      .filter(size(col("toks")) > 0)
-      .crossJoin(broadcast(top))
-      .select(col("doc_id"),
-        bpeMerge(col("toks"), col("a"), col("b")).as("toks"))
+    val (p1, s1, p2, s2) = bpeRun(s, d)
     def stats(round: Int, top: DataFrame, merged: DataFrame): DataFrame = top
       .crossJoin(merged.agg(sum(size(col("toks"))).as("n_tokens_after")))
       .select(lit(round.toLong).as("round"),
         concat(col("a"), lit(" "), col("b")).as("pair"),
         col("c").as("n_occ"), col("n_tokens_after"))
-    val t0 = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .localCheckpoint() // scanned by round-1 count AND round-1 merge
-    val p1 = topPair(t0).localCheckpoint()  // broadcast into the merge
-    val s1 = mergeRound(t0, p1).localCheckpoint() // round-2 count + merge
-    val p2 = topPair(s1).localCheckpoint()
-    val s2 = mergeRound(s1, p2)
     stats(1, p1, s1).unionByName(stats(2, p2, s2)).orderBy("round")
+  }
+
+  /** q123 — BPE ENCODE: apply the q113-trained merge list to the whole
+    * corpus, in training order, with the same greedy left-to-right
+    * non-overlapping semantics the trainer used (the merge stage IS
+    * q113's, shared code). Per document: final token count, how many
+    * tokens are merged units, and the full encoded sequence — so the
+    * oracle hash-checks the actual tokenization, not just counts.
+    * Closes the tokenizer loop: q113 trains, q123 encodes, q94 scores
+    * OOV. Scale shape: the trained merge table broadcasts (it is
+    * vocabulary-sized, never corpus-sized); encoding is a narrow
+    * per-document pass — at 100 TB, one linear scan per merge round. */
+  val q123BpeEncode: Q = Q(
+    "q123_bpe_encode",
+    s"""$DBpeChain
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CAST(len(list_filter(toks, t -> contains(t, ' '))) AS BIGINT) AS n_merged,
+       |  array_to_string(toks, '|') AS encoded
+       |FROM s2 ORDER BY doc_id""") { (s, d) =>
+    val (_, _, _, s2) = bpeRun(s, d)
+    s2.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(filter(col("toks"), t => t.contains(" "))).cast("long").as("n_merged"),
+        array_join(col("toks"), "|").as("encoded"))
+      .orderBy("doc_id")
   }
 
   /** q121 — CCNet-style perplexity bucketing: per language, rank
@@ -555,5 +598,5 @@ object Text {
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
-    q113BpeRounds, q121CcnetBuckets)
+    q113BpeRounds, q121CcnetBuckets, q123BpeEncode)
 }

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "q104_ann_recall" -> "composes q31/q32/q54 verbatim — inherits their allowlisted broadcast scalar joins",
     "q110_dsir" -> "corpus-scalar joins: the 1-row totals and the 64-row bucket-weight table broadcast into the scoring scan",
     "q113_bpe_rounds" -> "corpus-scalar join: each round's 1-row winning pair broadcasts into the merge scan",
+    "q123_bpe_encode" -> "shares q113's merge stages: each trained 1-row merge-pair broadcasts into the encode scan",
     "q114_unimax" -> "corpus-scalar join: the 1-row budget broadcasts into the k-row language stats before the fold",
     "q116_bitext_mine" -> "brute scoring baseline: the 20 anchors broadcast; corpus streams once (the ANN index is the scale path for the scored pass)",
     "q117_cluster_quality" -> "Lloyd-style assignment scoring: the k-row centroid codebook broadcasts; the corpus streams once",

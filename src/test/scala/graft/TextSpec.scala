@@ -90,4 +90,26 @@ class TextSpec extends SparkSpec {
       s"round-1 n_tokens_after ${r1.getLong(3)} != independent merge recount $afterRecount")
     assert(r1.getLong(3) < before && out(1).getLong(3) <= r1.getLong(3))
   }
+
+  test("q123: encode round-trips (splitting merged tokens restores the raw stream) and counts close the loop") {
+    val enc = ops.Text.q123BpeEncode.fn(spark, sf).collect()
+    assert(enc.nonEmpty)
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    var totalAfter = 0L
+    enc.foreach { r =>
+      val toks = r.getString(3).split("\\|", -1).toSeq
+      assert(toks.length == r.getLong(1), s"doc ${r.getLong(0)}: n_tok mismatch")
+      assert(toks.count(_.contains(" ")) == r.getLong(2))
+      // decode = split each merged unit back on spaces: must equal raw
+      assert(toks.flatMap(_.split(" ", -1)) == raw(r.getLong(0)),
+        s"doc ${r.getLong(0)}: encode is not invertible")
+      totalAfter += r.getLong(1)
+    }
+    // total token count after encode == q113 round-2 n_tokens_after
+    val train = ops.Text.q113BpeRounds.fn(spark, sf).collect()
+    assert(totalAfter == train(1).getLong(3),
+      s"encode total $totalAfter != training round-2 count ${train(1).getLong(3)}")
+  }
 }

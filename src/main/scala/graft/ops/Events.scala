@@ -292,6 +292,64 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q124 — as-of join DIRECTIONS: the same purchases→views pairing as
+    * q81, matched both "forward" (the next view at-or-after the
+    * purchase — DuckDB's `ASOF ... ON p.us <= v.us` comparator) and
+    * "nearest" (the closer of backward/forward, ties to backward —
+    * pandas merge_asof's third direction), completing the operator's
+    * direction surface. Both run on the custom AsofJoinExec merge pass:
+    * forward is a peek at the first unconsumed same-key right row (the
+    * sort guarantees it is the smallest time at-or-after), so all three
+    * directions stay O(|L|+|R|) per co-partition with zero extra
+    * passes. The oracle spells forward as a native DuckDB ASOF with the
+    * flipped comparator and nearest as the distance-CASE over the two
+    * ASOF results — the window-free relational definition. */
+  val q124AsofDirections: Q = Q(
+    "q124_asof_directions",
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |), jb AS (
+      |  SELECT p.event_id, p.us, v.us AS bus
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+      |), jf AS (
+      |  SELECT p.event_id, p.user_id, p.us, v.us AS fus
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us <= v.us
+      |)
+      |SELECT jf.event_id AS event_id, jf.user_id AS user_id,
+      |  jf.us//1000000 AS purchase_sec,
+      |  fus//1000000 AS next_view_sec,
+      |  (fus - jf.us)//1000000 AS fwd_gap_sec,
+      |  (CASE WHEN bus IS NULL THEN fus
+      |        WHEN fus IS NULL THEN bus
+      |        WHEN (jf.us - bus) <= (fus - jf.us) THEN bus
+      |        ELSE fus END)//1000000 AS near_view_sec
+      |FROM jf JOIN jb ON jf.event_id = jb.event_id
+      |ORDER BY event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val fwd = graft.plans.AsofJoin(p, v, "user_id", "v_user", "us", "v_us",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("us"), col("v_us").as("f_us"))
+    val near = graft.plans.AsofJoin(
+        p.select(col("event_id").as("n_event_id"), col("user_id").as("n_user"), col("us").as("n_us")),
+        v, "n_user", "v_user", "n_us", "v_us", direction = "nearest")
+      .select(col("n_event_id"), col("v_us").as("near_us"))
+    fwd.join(near, col("event_id") === col("n_event_id"))
+      .select(col("event_id"), col("user_id"),
+        floor(col("us") / 1000000L).as("purchase_sec"),
+        floor(col("f_us") / 1000000L).as("next_view_sec"),
+        floor((col("f_us") - col("us")) / 1000000L).as("fwd_gap_sec"),
+        floor(col("near_us") / 1000000L).as("near_view_sec"))
+      .orderBy("event_id")
+  }
+
   /** q103 — weekly cohort retention: users are cohorted by their
     * first-activity week and each cohort's later-week activity is
     * reported as a retention matrix (cohort, offset, active, size,
@@ -487,6 +545,7 @@ object Events {
   }
 
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
-    q41SessionWindow, q81AsofOperator, q89AsofTolerance, q103CohortRetention,
+    q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
+    q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore)
 }

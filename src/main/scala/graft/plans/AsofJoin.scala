@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.LongType
 
 /** Whole-operator extension: AS-OF LEFT JOIN — for every left row,
   * attach the single right row with the greatest right-time at or
-  * before the left row's time, within the same key. Spark has no
+  * before the left row's time ("backward", the default), the smallest
+  * right-time at or after it ("forward"), or whichever of the two is
+  * closer with ties to backward ("nearest" — pandas merge_asof's
+  * direction set, DuckDB's >= / <= ASOF comparators), within the same
+  * key. Spark has no
   * native as-of join; the relational spellings are either an
   * inequality join (O(pairs) blowup) or a union + carry-forward window
   * (one shuffle of BOTH tables into one sort — the q40 spelling).
@@ -36,6 +40,7 @@ case class AsofJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
+    direction: String,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -51,11 +56,14 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of join requires LongType time columns (integer micros)")
   require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
+  require(Set("backward", "forward", "nearest")(direction),
+    s"unknown as-of direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -146,15 +154,48 @@ case class AsofJoinExec(
             }
           }
         }
-        // age >= 0 guards Long overflow: the match invariant gives
-        // rt <= lt, so a negative difference means the true age
-        // exceeded Long range — necessarily staler than any tolerance
-        val age = if (lt == null) 0L else lt.asInstanceOf[Long] - lastMatchTime
-        val matched = lastMatch != null && lastMatchKey != null &&
+        // diff >= 0 guards Long overflow on both sides: the match
+        // invariants give rt <= lt (backward) / rt >= lt (forward), so
+        // a negative difference means the true distance exceeded Long
+        // range — necessarily farther than any tolerance
+        val ltv = if (lt == null) 0L else lt.asInstanceOf[Long]
+        val sameKeyCarry = lastMatch != null && lastMatchKey != null &&
           lt != null && !lKeyHasNull &&
-          keyOrdering.compare(lastMatchKey, lKey) == 0 &&
-          age >= 0 && age <= tol
-        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+          keyOrdering.compare(lastMatchKey, lKey) == 0
+        val backAge = ltv - lastMatchTime
+        val backOk = sameKeyCarry && backAge >= 0 && backAge <= tol
+        // forward candidate: the carried row at exactly ltv (distance
+        // 0 — consumed by the advance loop), else the next unconsumed
+        // same-key right row, which the sort guarantees is the
+        // smallest right-time > ltv. Peek only: it may still match
+        // later left rows.
+        var fwdRow: InternalRow = null
+        var fwdGap = 0L
+        if (direction != "backward" && lt != null && !lKeyHasNull) {
+          if (sameKeyCarry && lastMatchTime == ltv) {
+            fwdRow = lastMatch
+            fwdGap = 0L
+          } else if (rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            if (!rKey.anyNull && keyOrdering.compare(rKey, lKey) == 0) {
+              val rt = rTimeBound.eval(rBuf.head)
+              if (rt != null) {
+                val gap = rt.asInstanceOf[Long] - ltv
+                if (gap >= 0 && gap <= tol) { fwdRow = rBuf.head; fwdGap = gap }
+              }
+            }
+          }
+        }
+        val chosen: InternalRow = direction match {
+          case "backward" => if (backOk) lastMatch else null
+          case "forward"  => fwdRow
+          case _ => // nearest: closer side wins, ties to backward
+            if (backOk && fwdRow != null) {
+              if (backAge <= fwdGap) lastMatch else fwdRow
+            } else if (backOk) lastMatch
+            else fwdRow
+        }
+        resultProj(joined(lRow, if (chosen != null) chosen else nullRight))
       }
     }
   }
@@ -167,8 +208,8 @@ case class AsofJoinExec(
 /** Planner strategy: lower the logical as-of join to the merge exec. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(lk, rk, lt, rt, tol, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(lk, rk, lt, rt, tol, dir, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -178,7 +219,10 @@ object AsofJoinStrategy extends SparkStrategy {
   * `right.rightTime <= left.leftTime`. An optional `toleranceUs` bounds
   * the match's age (`leftTime - rightTime <= toleranceUs`, the
   * feature-store freshness window; pandas merge_asof's `tolerance`) —
-  * a staler best match joins the null side instead. Column names of
+  * a staler best match joins the null side instead. `direction` picks
+  * the match rule: "backward" (default, greatest rightTime <= leftTime),
+  * "forward" (smallest rightTime >= leftTime), or "nearest" (closer of
+  * the two, ties to backward). Column names of
   * the two sides must not collide (alias the right side first). */
 object AsofJoin {
   import org.apache.spark.sql.DataFrame
@@ -186,7 +230,8 @@ object AsofJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -194,6 +239,7 @@ object AsofJoin {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     org.apache.spark.sql.graft.PlanShim.ofRows(left.sparkSession,
       AsofJoinPlan(Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, lPlan, rPlan))
+        attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, direction,
+        lPlan, rPlan))
   }
 }

@@ -166,6 +166,37 @@ class PlanSpec extends SparkSpec {
       3 -> None))     // best match rt=10, age 90 > 50: stale -> null side
   }
 
+  test("AsofJoin forward direction: smallest right time at-or-after, tolerance bounds the gap") {
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1), ("a", 20L, 2), ("a", 30L, 3), ("b", 5L, 4)).toDF("k", "t", "lid")
+    val r = Seq(("a", 12L, 100), ("a", 20L, 200), ("a", 25L, 300), ("c", 1L, 400)).toDF("rk", "rt", "rid")
+    val byId = graft.plans.AsofJoin(l, r, "k", "rk", "t", "rt", direction = "forward")
+      .collect().map(x => x.getAs[Int]("lid") -> Option(x.getAs[Any]("rid"))).toMap
+    assert(byId == Map(
+      1 -> Some(100), // next at-or-after 10 is 12
+      2 -> Some(200), // exact tie rt == t matches forward too
+      3 -> None,      // nothing at-or-after 30
+      4 -> None))     // no key b on the right
+    val tb = graft.plans.AsofJoin(l, r, "k", "rk", "t", "rt",
+        toleranceUs = Some(1L), direction = "forward")
+      .collect().map(x => x.getAs[Int]("lid") -> Option(x.getAs[Any]("rid"))).toMap
+    assert(tb == Map(1 -> None, 2 -> Some(200), 3 -> None, 4 -> None),
+      "forward gap 2 must exceed tolerance 1; the exact tie stays")
+  }
+
+  test("AsofJoin nearest direction: closer side wins, ties go backward") {
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1), ("a", 14L, 2), ("a", 16L, 3), ("a", 100L, 4)).toDF("k", "t", "lid")
+    val r = Seq(("a", 9L, 100), ("a", 19L, 200)).toDF("rk", "rt", "rid")
+    val byId = graft.plans.AsofJoin(l, r, "k", "rk", "t", "rt", direction = "nearest")
+      .collect().map(x => x.getAs[Int]("lid") -> Option(x.getAs[Any]("rid"))).toMap
+    assert(byId == Map(
+      1 -> Some(100), // back 1 vs fwd 9 -> backward
+      2 -> Some(100), // back 5 == fwd 5 -> tie goes backward
+      3 -> Some(200), // back 7 vs fwd 3 -> forward
+      4 -> Some(200))) // only a backward candidate remains
+  }
+
   test("q60 bucketed range join plans as a hash join, not a nested loop") {
     val plan = ops.Scale.q60RangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -74,7 +74,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line can lose its head to log-tail truncation when the
+    // harness keeps only the last N bytes (the full 124-query map is
+    // ~4 KB) — persist the identical JSON where nothing truncates it.
+    for (path <- Seq("/tmp/bench.json", "BENCH_LOCAL.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write $path: $e") }
+    }
     spark.stop()
   }
 }

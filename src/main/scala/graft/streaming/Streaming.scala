@@ -538,6 +538,41 @@ object Streaming {
     q
   }
 
+  /** Retention hook for the [[lshDedupIngest]] band store. Rows are
+    * already bounded (replayed keys anti-join away — O(4 × distinct
+    * docs seen) forever), but the LAYOUT grows one
+    * `ingest_batch=<run>-<id>` partition directory per micro-batch
+    * without bound, and every batch's admission semi-join re-lists all
+    * of them. This rewrites the store into one compacted generation of
+    * `targetFiles` files (keeping the canonical min-doc_id provenance
+    * per key), then removes the superseded batch partitions — the
+    * snapshot-table vacuum pattern applied to streaming state. Crash
+    * ordering: the compacted generation lands durably BEFORE the old
+    * partitions are dropped, so an interrupted compaction leaves
+    * duplicate keys (harmless to semi-join admission; the next compact
+    * collapses them), never a lost key. Run it between ingest runs,
+    * like vacuum. */
+  def lshStoreCompact(spark: SparkSession, stateDir: String, targetFiles: Int = 4): Unit = {
+    val dir = new java.io.File(stateDir)
+    val oldParts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    if (oldParts.isEmpty) return
+    // materialize the compacted snapshot BEFORE writing into the same
+    // root (the self-read would otherwise race its own output files)
+    val compacted = spark.read.parquet(stateDir)
+      .groupBy("bkey").agg(min(col("doc_id")).as("doc_id"))
+      .repartition(targetFiles)
+      .localCheckpoint()
+    val gen = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+    compacted.withColumn("ingest_batch", lit(gen))
+      .write.mode("append").partitionBy("ingest_batch").parquet(stateDir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    oldParts.foreach(rm)
+  }
+
   /** Incremental ingest sink: append the stream to date-partitioned
     * parquet via foreachBatch with dynamic partition overwrite — each
     * re-delivered date partition replaces its previous version

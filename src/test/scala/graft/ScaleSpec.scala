@@ -123,6 +123,57 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("shuffle-volume ceilings: gauge queries stay O(keys), not O(data)") {
+    // The engine's central scale claim is that these pipelines shuffle
+    // band keys / code ints / partial aggregates — never documents or
+    // vectors. COVERAGE.md records the measured volumes; this guard
+    // makes a plan regression (lost broadcast, re-materialized subtree,
+    // payload leaking into an exchange) fail `sbt test` instead of a
+    // future bench. Ceilings are ~2.5x the volumes measured at sf0.01
+    // (graft.Prof, round 5): q26 233 KiB, q27 268 KiB, q87 6 KiB,
+    // q96 16 KiB, q98 798 KiB, q101 887 KiB, q112 <1 KiB, q115 2 KiB.
+    val gauges: Seq[(String, Long)] = Seq(
+      "q26_exact_dedup" -> 600L,
+      "q27_minhash_lsh" -> 700L,
+      "q87_shard_assign" -> 32L,
+      "q96_epoch_shuffle" -> 64L,
+      "q98_kmeans_lloyd" -> 2048L,
+      "q101_bigram_lm" -> 2048L,
+      "q112_corr_matrix" -> 16L,
+      "q115_phash_dedup" -> 32L)
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val stagesSeen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        stagesSeen.incrementAndGet()
+      }
+    }
+    def drainListenerBus(): Unit = {
+      var prev = -1L; var cur = stagesSeen.get; var spins = 0
+      while (prev != cur && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = stagesSeen.get; spins += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = gauges.flatMap { case (name, ceilKiB) =>
+        drainListenerBus() // don't attribute a previous query's stragglers
+        written.set(0)
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+          .write.format("noop").mode("overwrite").save()
+        drainListenerBus()
+        val kib = written.get / 1024
+        if (kib > ceilKiB) Some(s"$name: shuffled $kib KiB > ceiling $ceilKiB KiB")
+        else None
+      }
+      assert(offenders.isEmpty,
+        s"shuffle regressions (payload leaked into an exchange?):\n${offenders.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("date-partitioned write prunes partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf)

@@ -299,6 +299,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n, "restart must honor the persistent store")
   }
 
+  test("LSH band store stays bounded: replays add no rows, compaction bounds the layout") {
+    val state = Files.createTempDirectory("graft-lshb").toString + "/state"
+    val out = Files.createTempDirectory("graft-lshb").toString + "/out"
+    // one real ingest + three full replays (fresh checkpoints, same store)
+    for (i <- 0 until 4)
+      Streaming.lshDedupIngest(
+        Streaming.documentsStream(spark, sf, copies = 1), state, out,
+        Files.createTempDirectory(s"graft-lshb-cp$i").toString)
+    val store = spark.read.parquet(state)
+    val distinctKeys = store.select("bkey").distinct().count()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(store.count() == distinctKeys, "replays must not re-add stored keys")
+    assert(distinctKeys <= 4 * nDocs, "store must stay O(4 keys x docs seen)")
+    val nAdmitted = spark.read.parquet(out).count()
+    // compact: rows unchanged, layout collapses to one bounded generation
+    Streaming.lshStoreCompact(spark, state, targetFiles = 2)
+    val parts = Option(new java.io.File(state).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    assert(parts.length == 1, s"expected one compacted generation, got ${parts.map(_.getName).toSeq}")
+    val dataFiles = parts.head.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles <= 2, s"compaction must bound data files, got $dataFiles")
+    assert(spark.read.parquet(state).count() == distinctKeys,
+      "compaction must preserve every stored key")
+    // admission against the compacted store: a further replay admits nothing
+    Streaming.lshDedupIngest(
+      Streaming.documentsStream(spark, sf, copies = 1), state, out,
+      Files.createTempDirectory("graft-lshb-cp-post").toString)
+    assert(spark.read.parquet(out).count() == nAdmitted,
+      "compacted store must keep rejecting the replayed corpus")
+  }
+
   test("streaming ingest into a versioned table dedups across batches and replays") {
     import graft.sources.Versioned
     val table = Files.createTempDirectory("graft-vstream").toString

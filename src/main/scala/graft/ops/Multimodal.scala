@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * content is a deterministic md5-derived fixture (block-constant on a
   * 9x8 cell grid — sources.Multimodal), so the DuckDB oracle states the
   * expected pixel truth closed-form while the Spark side must decode
-  * the actual bytes with javax.imageio to reproduce it. Audio/video
-  * payloads remain md5-derived 32-byte stubs mirrored via hex slices. */
+  * the actual bytes with javax.imageio to reproduce it. Audio payloads
+  * are real WAV files whose decoded PCM samples equal the md5 byte
+  * stream (javax.sound.sampled), so the hex-slice oracles hold across
+  * the real codec; video remains an md5-derived 32-byte stub. */
 object Multimodal {
 
   private val DHex = "md5(text) || md5(text || '2')"
@@ -41,9 +43,10 @@ object Multimodal {
 
   /** q43 — media metadata extraction: kind/format routing + per-file
     * stats. Image rows come from the REAL PNG decode (dims from the
-    * decoded header, mean over decoded pixels); the oracle predicts
-    * them from the fixture truth table (block area x cell value).
-    * Audio/video rows keep the stub byte stats. */
+    * decoded header, mean over decoded pixels); audio rows from the
+    * REAL WAV decode (sample-stream stats); the oracle predicts both
+    * from the fixture truth table. Video rows keep the stub byte
+    * stats. */
   val q43MediaMeta: Q = Q(
     "q43_media_meta",
     s"""WITH m AS (
@@ -159,9 +162,12 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** q67 — audio feature extraction: per-window byte-sum "energy" over
-    * the 8 four-byte windows of each audio payload (stands in for RMS
-    * over decoded samples; the flatMap window shape is the real part). */
+  /** q67 — audio feature extraction over REAL decoded PCM: each WAV
+    * payload is parsed with javax.sound.sampled and its 32 samples
+    * reported as 8 four-sample windows with integer "energy" = sample
+    * sum (the RMS stand-in). The fixture samples equal the md5 byte
+    * stream, so the oracle's hex arithmetic states exactly what the
+    * decoder must reproduce. */
   val q67AudioEnergy: Q = Q(
     "q67_audio_energy",
     {

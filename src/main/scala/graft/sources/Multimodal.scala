@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   * pixel truth while Spark must round-trip a real encoder+decoder to
   * reproduce it (PNG is lossless — any decode bug breaks the match).
   *
-  * The AUDIO/VIDEO paths remain stubs (no wav/mp4 codec on this
-  * classpath): 32-byte md5-derived payloads with deterministic
-  * pseudo-stats. The per-partition iterator shape is exactly where a
-  * real demuxer would amortize its init cost.
+  * The AUDIO path is REAL as well: payloads are genuine RIFF/WAV files
+  * (8-bit mono PCM written and parsed with `javax.sound.sampled`), and
+  * audio stats come from the decoded sample stream. The fixture
+  * samples equal the md5 byte stream, so the pre-codec oracles still
+  * state the exact truth the decoder must reproduce.
+  *
+  * The VIDEO path remains a stub (no mp4 demuxer on this classpath):
+  * a 32-byte md5-derived payload with deterministic pseudo-stats. The
+  * per-partition iterator shape is exactly where a real demuxer would
+  * amortize its init cost.
   */
 object Multimodal {
 
@@ -94,6 +100,36 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     require(ImageIO.write(img, "png", bos), "no PNG writer available")
     bos.toByteArray
+  }
+
+  /** Encode 8-bit unsigned mono PCM samples as a real WAV file. */
+  def encodeWav(samples: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Container sniff on the real payload bytes. */
+  def isWav(content: Array[Byte]): Boolean =
+    content.length > 12 &&
+      content.slice(0, 4).sameElements("RIFF".getBytes("US-ASCII")) &&
+      content.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))
+
+  /** REAL decode: parse the WAV container with javax.sound.sampled and
+    * return the unsigned 8-bit sample stream. */
+  def decodeWav(content: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.AudioSystem
+    require(isWav(content), "decodeWav: payload is not a WAV file")
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"decodeWav: expected 8-bit mono PCM, got $fmt")
+    ais.readAllBytes().map(_ & 0xff)
   }
 
   private val PngMagic =
@@ -193,7 +229,8 @@ object Multimodal {
   }
 
   /** Binary media table derived deterministically from documents:
-    * images are real PNGs, audio/video are 32-byte stub payloads. */
+    * images are real PNGs, audio files real WAVs (32 samples of 8-bit
+    * PCM = the md5 byte stream), video a 32-byte stub payload. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -203,7 +240,7 @@ object Multimodal {
         it.map { case (id, hx) =>
           (id % 3).toInt match {
             case 0 => MediaFile(id, "image", "png", genPng(hx))
-            case 1 => MediaFile(id, "audio", "wav", hexBytes(hx, 32))
+            case 1 => MediaFile(id, "audio", "wav", encodeWav(hexBytes(hx, 32)))
             case _ => MediaFile(id, "video", "mp4", hexBytes(hx, 32))
           }
         }
@@ -224,9 +261,9 @@ object Multimodal {
   def formatCol(docId: Column): Column =
     when(docId % 3 === 0, "png").when(docId % 3 === 1, "wav").otherwise("mp4")
 
-  /** STUB decode for the audio/video payloads — deterministic
-    * pseudo-stats standing in for a real demuxer: "width"/"height"
-    * from the first two bytes, mean byte value in milli-units. */
+  /** STUB decode for the video payloads — deterministic pseudo-stats
+    * standing in for a real demuxer: "width"/"height" from the first
+    * two bytes, mean byte value in milli-units. */
   def decodeStub(f: MediaFile): MediaMeta = {
     val b = f.content.map(_ & 0xff)
     MediaMeta(f.doc_id, f.kind, f.format,
@@ -237,8 +274,10 @@ object Multimodal {
   }
 
   /** Batched per-partition decode: one pass per partition (a real
-    * codec's init cost amortizes here). Images go through the REAL
-    * PNG decode; audio/video through the stub. */
+    * codec's init cost amortizes here). Images go through the REAL PNG
+    * decode, audio through the REAL WAV decode (the "dims" stats keep
+    * the sample-stream formulas the oracle states); video through the
+    * stub. */
   def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
@@ -248,6 +287,11 @@ object Multimodal {
           val n = d.width.toLong * d.height
           MediaMeta(f.doc_id, f.kind, f.format, d.width, d.height, n,
             d.px.foldLeft(0L)(_ + _) * 1000L / n)
+        } else if (f.kind == "audio") {
+          val sm = decodeWav(f.content)
+          MediaMeta(f.doc_id, f.kind, f.format,
+            sm(0) % 48 + 16, sm(1) % 48 + 16, sm.length.toLong,
+            sm.map(_.toLong).sum * 1000L / sm.length)
         } else decodeStub(f)
       }
     }
@@ -292,19 +336,20 @@ object Multimodal {
         "scale_w_ppm", "scale_h_ppm", "resized_sum")
   }
 
-  /** STUB audio feature extraction: the 32-byte payload as 8 four-byte
-    * windows, per-window "energy" = byte sum (stands in for RMS over
-    * samples). */
-  def audioEnergyStub(f: MediaFile): Seq[(Long, Int, Long)] =
-    f.content.grouped(4).zipWithIndex
-      .map { case (win, i) => (f.doc_id, i, win.map(b => (b & 0xff).toLong).sum) }
+  /** REAL audio feature extraction: decode the WAV, then report the
+    * sample stream as 8 four-sample windows with per-window "energy" =
+    * sample sum (the integer stand-in for RMS — the window/flatMap
+    * shape of a real feature extractor, now over decoded PCM). */
+  def audioEnergyWindows(f: MediaFile): Seq[(Long, Int, Long)] =
+    decodeWav(f.content).grouped(4).zipWithIndex
+      .map { case (win, i) => (f.doc_id, i, win.map(_.toLong).sum) }
       .toSeq
 
   /** Per-window energy rows for the audio subset. */
   def audioEnergy(files: Dataset[MediaFile]): DataFrame = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "audio")
-      .flatMap(audioEnergyStub)
+      .flatMap(audioEnergyWindows)
       .toDF("doc_id", "win_idx", "energy")
   }
 }

@@ -10,15 +10,26 @@ import graft.sources.Multimodal.MediaFile
   * audio/video, frame sampling shape. */
 class MultimodalSpec extends SparkSpec {
 
-  test("media table: real PNG payloads for images, 32-byte stubs otherwise") {
+  test("media table: real PNG images, real WAV audio, 32-byte video stubs, all deterministic") {
     val a = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     val b = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     assert(a.length == b.length && a.length > 0)
     a.foreach { f =>
-      if (f.kind == "image") assert(Multimodal.isPng(f.content), s"doc ${f.doc_id} not PNG")
-      else assert(f.content.length == 32)
+      f.kind match {
+        case "image" => assert(Multimodal.isPng(f.content), s"doc ${f.doc_id} not PNG")
+        case "audio" => assert(Multimodal.isWav(f.content), s"doc ${f.doc_id} not WAV")
+        case _       => assert(f.content.length == 32)
+      }
     }
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
+  }
+
+  test("audio decode is REAL: arbitrary PCM round-trips through the WAV container") {
+    val samples = Array.tabulate(32)(j => ((j * 83 + 5) % 256).toByte)
+    val wav = Multimodal.encodeWav(samples)
+    assert(Multimodal.isWav(wav) && wav.length > 44) // RIFF header + data
+    assert(Multimodal.decodeWav(wav).toSeq == samples.map(_ & 0xff).toSeq)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(Array.fill(40)(9.toByte)))
   }
 
   test("image decode is REAL: a hand-built PNG round-trips pixel-exact") {
@@ -64,7 +75,7 @@ class MultimodalSpec extends SparkSpec {
         assert(m.width >= 16 && m.width < 64 && m.height >= 16 && m.height < 64)
         assert(m.n_units == m.width.toLong * m.height)
       } else {
-        assert(m.n_units == 32L)
+        assert(m.n_units == 32L) // 32 PCM samples (audio) / 32 stub bytes (video)
       }
       assert(m.mean_unit_milli >= 0L && m.mean_unit_milli <= 255000L)
     }
@@ -75,6 +86,11 @@ class MultimodalSpec extends SparkSpec {
         val n = d.width.toLong * d.height
         Multimodal.MediaMeta(f.doc_id, f.kind, f.format, d.width, d.height, n,
           d.px.foldLeft(0L)(_ + _) * 1000L / n)
+      } else if (f.kind == "audio") {
+        val sm = Multimodal.decodeWav(f.content)
+        Multimodal.MediaMeta(f.doc_id, f.kind, f.format,
+          sm(0) % 48 + 16, sm(1) % 48 + 16, sm.length.toLong,
+          sm.map(_.toLong).sum * 1000L / sm.length)
       } else Multimodal.decodeStub(f)
     }
     assert(metas.toSeq == viaRows.toSeq)

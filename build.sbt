@@ -30,10 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run-to-run swings (q35: 9-20s) on the wide-row construct+parse
   // queries, 24g is stable on the 128 GiB test box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // ~90 registered queries x whole-stage-codegen classes overflow the
+  // ~124 registered queries x whole-stage-codegen classes overflow the
   // default 240m JIT code cache over a full bench run; once it fills,
   // compilation degrades to flushing/interpreted and the wide codegen
   // queries (q35/q36: ~10x interpreted-vs-JIT on their giant generated
-  // classes) swing run to run. Headroom keeps steady-state JIT'd.
-  "-XX:ReservedCodeCacheSize=512m",
+  // classes) swing run to run. 512m showed flushing again at 124
+  // queries (q35 14s in-suite vs 6.9s solo, round 5); keep headroom
+  // ahead of the registry's growth.
+  "-XX:ReservedCodeCacheSize=896m",
 )

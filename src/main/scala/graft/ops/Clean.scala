@@ -965,7 +965,8 @@ object Clean {
       .groupBy("b").agg(sum(col("cnt")).as("tcnt"))
     val rc = hist.groupBy("b").agg(sum(col("cnt")).as("rcnt"))
     val w = spine
-      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(tot)
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .crossJoin(broadcast(tot)) // 1-row corpus totals: explicit, not planner luck
       .select(col("b"), ratioScaled(
         (coalesce(col("tcnt"), lit(0L)) + 1L) * (col("rtot") + 64L),
         (coalesce(col("rcnt"), lit(0L)) + 1L) * (col("ttot") + 64L),
@@ -1020,8 +1021,8 @@ object Clean {
     val ls = docs(s, d)
       .select(col("lang"), tokens(col("text")).as("toks"))
       .groupBy("lang").agg(sum(size(col("toks"))).as("n_tok"))
-    val withB = ls.crossJoin(
-      ls.agg(expr("CAST((sum(n_tok)*6) div 10 AS BIGINT)").as("b")))
+    val withB = ls.crossJoin(broadcast( // 1-row budget scalar
+      ls.agg(expr("CAST((sum(n_tok)*6) div 10 AS BIGINT)").as("b"))))
     val arr = withB.agg(
       sort_array(collect_list(struct((col("n_tok") * 2).as("cap"),
         col("lang"), col("n_tok")))).as("xs"),

@@ -519,7 +519,7 @@ object Text {
        |ORDER BY round""") { (s, d) =>
     val (p1, s1, p2, s2) = bpeRun(s, d)
     def stats(round: Int, top: DataFrame, merged: DataFrame): DataFrame = top
-      .crossJoin(merged.agg(sum(size(col("toks"))).as("n_tokens_after")))
+      .crossJoin(broadcast(merged.agg(sum(size(col("toks"))).as("n_tokens_after"))))
       .select(lit(round.toLong).as("round"),
         concat(col("a"), lit(" "), col("b")).as("pair"),
         col("c").as("n_occ"), col("n_tokens_after"))

@@ -845,9 +845,12 @@ object Clean {
     * order-dependent), so scores are bit-stable. Plan: tf/df from one
     * (doc,term) aggregation, df + corpus stats broadcast, one per-doc
     * window-free top-20 via global sort of ~|matched docs| rows. */
-  val q105Bm25: Q = Q(
-    "q105_bm25",
-    s"""WITH t AS (
+  /** Shared BM25 scoring chain (q105 / q125's text leg): the CTE list
+    * from raw tokens through per-matched-doc `agg(doc_id, n_terms,
+    * score)` for the fixed 3-term query. Compose as
+    * `WITH $DBm25Chain <more CTEs...> SELECT ...`. */
+  private[ops] val DBm25Chain: String =
+    s"""t AS (
        |  SELECT doc_id, $DToks AS toks FROM documents
        |), tok AS (
        |  SELECT doc_id, unnest(toks) AS term FROM t
@@ -872,10 +875,11 @@ object Clean {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
        |      (a, e) -> a + e) AS score
        |  FROM s GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-       |  CAST(FLOOR(score * 1000) AS BIGINT) AS score_milli
-       |FROM agg ORDER BY score_milli DESC, doc_id LIMIT 20""") { (s, d) =>
+       |)"""
+
+  /** Spark side of the chain: per matched doc (doc_id, n_terms, score)
+    * — unranked; q105 tops it, q125's fusion ranks it. */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
     val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -895,6 +899,15 @@ object Clean {
       .agg(count(lit(1)).as("n_terms"),
         aggregate(transform(sort_array(collect_list(struct(col("term"), col("sc")))),
           _.getField("sc")), lit(0.0), (a, e) => a + e).as("score"))
+  }
+
+  val q105Bm25: Q = Q(
+    "q105_bm25",
+    s"""WITH $DBm25Chain
+       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(FLOOR(score * 1000) AS BIGINT) AS score_milli
+       |FROM agg ORDER BY score_milli DESC, doc_id LIMIT 20""") { (s, d) =>
+    bm25Scored(s, d)
       .select(col("doc_id"), col("n_terms"),
         floor(col("score") * 1000).cast("long").as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id"))

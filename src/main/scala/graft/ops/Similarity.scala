@@ -957,7 +957,71 @@ object Similarity {
       .orderBy("cluster")
   }
 
+
+  /** q125 — HYBRID retrieval with reciprocal-rank fusion: the text leg
+    * ranks documents by BM25 for the fixed 3-term query (q105's scoring
+    * chain, shared code), the vector leg ranks the corpus by cosine to
+    * doc 0's embedding (ids are aligned across documents/embeddings),
+    * and the two rank lists fuse as RRF with k=60 —
+    * floor(1e6/(60+r_text)) + floor(1e6/(60+r_vec)), integer-exact on
+    * both engines, absent legs contributing 0. The standard
+    * sparse+dense curation/retrieval combiner (Cormack et al.'s RRF),
+    * built entirely from rank positions so no score normalization
+    * crosses the engines. Scale shape: each leg is its existing
+    * sublinear-or-broadcast plan producing an O(k)+O(matched) id/rank
+    * list; fusion is a full outer join of those lists — never the
+    * corpus. Vector leg cut to top-100 (the classic fused-list bound);
+    * text leg keeps all matched docs. */
+  val q125HybridRrf: Q = Q(
+    "q125_hybrid_rrf",
+    s"""WITH ${graft.ops.Clean.DBm25Chain},
+       |tr AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY CAST(FLOOR(score * 1000) AS BIGINT) DESC, doc_id) AS BIGINT) AS r_text
+       |  FROM agg
+       |), vv AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), qq AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+       |vs AS (
+       |  SELECT vec_id, ${dCosPpm("qv", "v")} AS cos_ppm
+       |  FROM vv CROSS JOIN qq WHERE vec_id <> 0
+       |), vr AS (
+       |  SELECT vec_id AS doc_id, r_vec FROM (
+       |    SELECT vec_id, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY cos_ppm DESC, vec_id) AS BIGINT) AS r_vec
+       |    FROM vs) WHERE r_vec <= 100
+       |), fused AS (
+       |  SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+       |    COALESCE(1000000 // (60 + r_text), 0)
+       |      + COALESCE(1000000 // (60 + r_vec), 0) AS rrf_ppm
+       |  FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+       |)
+       |SELECT doc_id, r_text, r_vec, rrf_ppm
+       |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""") { (s, d) =>
+    val wT = Window.orderBy(floor(col("score") * 1000).cast("long").desc, col("doc_id"))
+    val tr = graft.ops.Clean.bm25Scored(s, d)
+      .select(col("doc_id"), row_number().over(wT).cast("long").as("r_text"))
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    val qq = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val wV = Window.orderBy(col("cos_ppm").desc, col("vec_id"))
+    val vr = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wV).cast("long").as("r_vec"))
+      .filter(col("r_vec") <= 100)
+    tr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        (coalesce(expr("CAST(1000000 div (60 + r_text) AS BIGINT)"), lit(0L))
+          + coalesce(expr("CAST(1000000 div (60 + r_vec) AS BIGINT)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
-    q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality)
+    q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf)
 }

@@ -28,4 +28,21 @@ class SimilaritySpec extends SparkSpec {
         s"anchor ${r.getLong(0)}: margin ${r.getLong(5)} < 1e6")
     }
   }
+
+  test("q125: fused RRF scores recompute exactly from the emitted ranks") {
+    val out = ops.Similarity.q125HybridRrf.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rt = Option(r.getAs[Any]("r_text")).map(_.asInstanceOf[Long])
+      val rv = Option(r.getAs[Any]("r_vec")).map(_.asInstanceOf[Long])
+      assert(rt.nonEmpty || rv.nonEmpty, "a fused row must come from some leg")
+      val want = rt.map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        rv.map(x => 1000000L / (60L + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_ppm") == want,
+        s"doc ${r.getAs[Long]("doc_id")}: rrf ${r.getAs[Long]("rrf_ppm")} != $want")
+    }
+    // the list is sorted by fused score and bounded
+    val scores = out.map(_.getAs[Long]("rrf_ppm")).toSeq
+    assert(scores == scores.sorted.reverse && out.length <= 20)
+  }
 }

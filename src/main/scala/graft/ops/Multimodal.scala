@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * expected pixel truth closed-form while the Spark side must decode
   * the actual bytes with javax.imageio to reproduce it. Audio payloads
   * are real WAV files whose decoded PCM samples equal the md5 byte
-  * stream (javax.sound.sampled), so the hex-slice oracles hold across
-  * the real codec; video remains an md5-derived 32-byte stub. */
+  * stream (javax.sound.sampled), and video payloads real animated GIFs
+  * whose demuxed frame pixels equal the md5 byte stream 4-per-frame
+  * (javax.imageio write-sequence), so the hex-slice oracles hold
+  * across all three real containers. */
 object Multimodal {
 
   private val DHex = "md5(text) || md5(text || '2')"
@@ -44,15 +46,15 @@ object Multimodal {
   /** q43 — media metadata extraction: kind/format routing + per-file
     * stats. Image rows come from the REAL PNG decode (dims from the
     * decoded header, mean over decoded pixels); audio rows from the
-    * REAL WAV decode (sample-stream stats); the oracle predicts both
-    * from the fixture truth table. Video rows keep the stub byte
-    * stats. */
+    * REAL WAV decode (sample-stream stats); video rows from the REAL
+    * GIF demux (flattened frame-pixel stats); the oracle predicts all
+    * three from the fixture truth table. */
   val q43MediaMeta: Q = Q(
     "q43_media_meta",
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'gif' END AS format,
        |    $DHex80 AS hx
        |  FROM documents
        |), dims AS (
@@ -83,7 +85,7 @@ object Multimodal {
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'gif' END AS format,
        |    $DHex AS hx
        |  FROM documents
        |), meta AS (
@@ -104,12 +106,13 @@ object Multimodal {
       .orderBy("kind", "format")
   }
 
-  /** q64 — video frame sampling: every 2nd stub-frame of each video
-    * payload as (doc_id, frame_idx, frame_hex) rows — the demux/keyframe
-    * plumbing of a media pipeline with the codec stubbed (the 32-byte
-    * payload is 8 four-byte "frames"). The oracle reconstructs each kept
-    * frame as a hex slice of the same md5-derived payload, so the
-    * Dataset flatMap path is fully hash-checked. */
+  /** q64 — REAL video frame sampling: each payload is an animated GIF
+    * demuxed with an ImageIO reader; every 2nd frame is kept and
+    * fingerprinted as the hex of its decoded pixel values. The fixture
+    * puts md5 bytes 4j..4j+3 in frame j's pixels, so the oracle's hex
+    * slices state exactly what the demuxer must produce — the
+    * keyframe-sampling plumbing of a media pipeline over a real
+    * multi-frame container. */
   val q64FrameSample: Q = Q(
     "q64_frame_sample",
     s"""WITH m AS (

@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   * samples equal the md5 byte stream, so the pre-codec oracles still
   * state the exact truth the decoder must reproduce.
   *
-  * The VIDEO path remains a stub (no mp4 demuxer on this classpath):
-  * a 32-byte md5-derived payload with deterministic pseudo-stats. The
-  * per-partition iterator shape is exactly where a real demuxer would
-  * amortize its init cost.
+  * The VIDEO path runs a REAL multi-frame container: payloads are
+  * animated GIFs (8 frames of 4x1 grayscale, LZW-compressed, written
+  * frame-by-frame with an ImageIO write sequence and demuxed back with
+  * an ImageIO reader). Each frame's four pixels are that frame's four
+  * md5 bytes, so the frame-sampling oracle's hex slices state exactly
+  * what the demuxer must produce. (No mp4 codec exists on this
+  * classpath; GIF is the honest real container available, and the
+  * demux/frame-sample plumbing is identical.)
   */
 object Multimodal {
 
@@ -41,8 +45,8 @@ object Multimodal {
       doc_id: Long, kind: String, format: String, content: Array[Byte])
 
   /** Decoded per-file stats: pixels for images (n_units = w*h, mean
-    * pixel value in milli), bytes for the audio/video stubs
-    * (n_units = 32, mean byte value in milli). */
+    * pixel value in milli), PCM samples for audio and flattened frame
+    * pixels for video (n_units = 32, mean value in milli). */
   final case class MediaMeta(
       doc_id: Long, kind: String, format: String,
       width: Int, height: Int, n_units: Long, mean_unit_milli: Long)
@@ -100,6 +104,88 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     require(ImageIO.write(img, "png", bos), "no PNG writer available")
     bos.toByteArray
+  }
+
+  /** Frame geometry of the video fixtures: 8 frames of 4x1 grayscale,
+    * so the 32 md5 bytes map 4-per-frame in order. Single-row frames
+    * deliberately: this JDK's GIF writer drops the LAST ROW of taller
+    * frames (verified empirically — 2x2 and 4x4 frames lose row h-1 on
+    * round-trip; height-1 frames are exact). */
+  val VidFrames = 8
+  val VidW = 4
+  val VidH = 1
+
+  /** 256-entry identity grayscale palette: palette index i = gray i.
+    * Values are read back via getRGB (the COLOR, not the index), so the
+    * round-trip is exact even if a writer permutes the palette. */
+  private def grayFrame(px: Array[Int]): BufferedImage = {
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new BufferedImage(VidW, VidH, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    var y = 0
+    while (y < VidH) {
+      var x = 0
+      while (x < VidW) {
+        img.getRaster.setSample(x, y, 0, px(y * VidW + x))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode 8 four-pixel frames as a REAL animated GIF (one ImageIO
+    * write sequence; LZW-compressed multi-frame container). */
+  def encodeGif(frames: Seq[Array[Int]]): Array[Byte] = {
+    import javax.imageio.IIOImage
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        writer.writeToSequence(new IIOImage(grayFrame(px), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Container sniff on the real payload bytes. */
+  def isGif(content: Array[Byte]): Boolean =
+    content.length > 6 &&
+      content.slice(0, 4).sameElements("GIF8".getBytes("US-ASCII"))
+
+  /** REAL demux: read every frame of the GIF with an ImageIO reader,
+    * returning each frame's gray values row-major (via getRGB — the
+    * color, not the palette index, so palette order can't drift it). */
+  def decodeGifFrames(content: Array[Byte]): Seq[Array[Int]] = {
+    import javax.imageio.stream.MemoryCacheImageInputStream
+    require(isGif(content), "decodeGifFrames: payload is not a GIF")
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(content)))
+      (0 until reader.getNumImages(true)).map { i =>
+        val img = reader.read(i)
+        val out = new Array[Int](img.getWidth * img.getHeight)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            out(y * img.getWidth + x) = img.getRGB(x, y) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    } finally reader.dispose()
   }
 
   /** Encode 8-bit unsigned mono PCM samples as a real WAV file. */
@@ -229,8 +315,9 @@ object Multimodal {
   }
 
   /** Binary media table derived deterministically from documents:
-    * images are real PNGs, audio files real WAVs (32 samples of 8-bit
-    * PCM = the md5 byte stream), video a 32-byte stub payload. */
+    * images are real PNGs, audio real WAVs (32 samples of 8-bit PCM =
+    * the md5 byte stream), video real animated GIFs (8 frames of 2x2,
+    * frame j's pixels = md5 bytes 4j..4j+3). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -241,7 +328,9 @@ object Multimodal {
           (id % 3).toInt match {
             case 0 => MediaFile(id, "image", "png", genPng(hx))
             case 1 => MediaFile(id, "audio", "wav", encodeWav(hexBytes(hx, 32)))
-            case _ => MediaFile(id, "video", "mp4", hexBytes(hx, 32))
+            case _ => MediaFile(id, "video", "gif",
+              encodeGif((0 until VidFrames).map(j =>
+                Array.tabulate(VidW * VidH)(k => hexByteAt(hx, j * 4 + k)))))
           }
         }
       }
@@ -259,25 +348,25 @@ object Multimodal {
     when(docId % 3 === 0, "image").when(docId % 3 === 1, "audio").otherwise("video")
 
   def formatCol(docId: Column): Column =
-    when(docId % 3 === 0, "png").when(docId % 3 === 1, "wav").otherwise("mp4")
+    when(docId % 3 === 0, "png").when(docId % 3 === 1, "wav").otherwise("gif")
 
-  /** STUB decode for the video payloads — deterministic pseudo-stats
-    * standing in for a real demuxer: "width"/"height" from the first
-    * two bytes, mean byte value in milli-units. */
-  def decodeStub(f: MediaFile): MediaMeta = {
-    val b = f.content.map(_ & 0xff)
+  /** Video stats from the REAL demux: the flattened frame pixel stream
+    * (32 values — frame j pixels = md5 bytes 4j..4j+3) drives the same
+    * deterministic formulas the oracle states over the hex stream. */
+  def decodeVideo(f: MediaFile): MediaMeta = {
+    val px = decodeGifFrames(f.content).flatten.toArray
     MediaMeta(f.doc_id, f.kind, f.format,
-      width = b(0) % 48 + 16,
-      height = b(1) % 48 + 16,
-      n_units = b.length.toLong,
-      mean_unit_milli = b.map(_.toLong).sum * 1000L / b.length)
+      width = px(0) % 48 + 16,
+      height = px(1) % 48 + 16,
+      n_units = px.length.toLong,
+      mean_unit_milli = px.map(_.toLong).sum * 1000L / px.length)
   }
 
   /** Batched per-partition decode: one pass per partition (a real
     * codec's init cost amortizes here). Images go through the REAL PNG
-    * decode, audio through the REAL WAV decode (the "dims" stats keep
-    * the sample-stream formulas the oracle states); video through the
-    * stub. */
+    * decode, audio through the REAL WAV decode, video through the REAL
+    * GIF demux — the "dims" stats keep the stream formulas the oracle
+    * states. */
   def decodeAll(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
@@ -292,26 +381,25 @@ object Multimodal {
           MediaMeta(f.doc_id, f.kind, f.format,
             sm(0) % 48 + 16, sm(1) % 48 + 16, sm.length.toLong,
             sm.map(_.toLong).sum * 1000L / sm.length)
-        } else decodeStub(f)
+        } else decodeVideo(f)
       }
     }
   }
 
-  /** STUB frame sampling for video payloads: treat the payload as 8
-    * 4-byte "frames", keep every `everyN`-th, fingerprint each. A real
-    * implementation would demux + decode keyframes here. */
-  def frameSampleStub(f: MediaFile, everyN: Int): Seq[(Int, String)] =
-    f.content.grouped(4).zipWithIndex
+  /** REAL frame sampling: demux the GIF, keep every `everyN`-th frame,
+    * fingerprint each as the hex of its decoded pixel values. */
+  def frameSample(f: MediaFile, everyN: Int): Seq[(Int, String)] =
+    decodeGifFrames(f.content).zipWithIndex
       .filter { case (_, i) => i % everyN == 0 }
       .map { case (frame, i) =>
-        i -> frame.map(b => f"${b & 0xff}%02x").mkString
-      }.toSeq
+        i -> frame.map(v => f"$v%02x").mkString
+      }
 
   /** Frames as rows: (doc_id, frame_idx, frame_hex). */
   def sampleFrames(files: Dataset[MediaFile], everyN: Int): DataFrame = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "video")
-      .flatMap(f => frameSampleStub(f, everyN).map { case (i, hx) => (f.doc_id, i, hx) })
+      .flatMap(f => frameSample(f, everyN).map { case (i, hx) => (f.doc_id, i, hx) })
       .toDF("doc_id", "frame_idx", "frame_hex")
   }
 

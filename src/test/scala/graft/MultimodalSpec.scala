@@ -10,7 +10,7 @@ import graft.sources.Multimodal.MediaFile
   * audio/video, frame sampling shape. */
 class MultimodalSpec extends SparkSpec {
 
-  test("media table: real PNG images, real WAV audio, 32-byte video stubs, all deterministic") {
+  test("media table: real PNG images, real WAV audio, real GIF video, all deterministic") {
     val a = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     val b = Multimodal.mediaTable(spark, sf).collect().sortBy(_.doc_id)
     assert(a.length == b.length && a.length > 0)
@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
       f.kind match {
         case "image" => assert(Multimodal.isPng(f.content), s"doc ${f.doc_id} not PNG")
         case "audio" => assert(Multimodal.isWav(f.content), s"doc ${f.doc_id} not WAV")
-        case _       => assert(f.content.length == 32)
+        case _       => assert(Multimodal.isGif(f.content), s"doc ${f.doc_id} not GIF")
       }
     }
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
@@ -66,7 +66,7 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(ph0 ^ ph1) <= 2)
   }
 
-  test("decodeAll: image stats from decoded pixels, stub stats for audio/video") {
+  test("decodeAll: every kind's stats come from its real decode path") {
     val files = Multimodal.mediaTable(spark, sf)
     val metas = Multimodal.decodeAll(files).collect().sortBy(_.doc_id)
     assert(metas.nonEmpty)
@@ -75,7 +75,7 @@ class MultimodalSpec extends SparkSpec {
         assert(m.width >= 16 && m.width < 64 && m.height >= 16 && m.height < 64)
         assert(m.n_units == m.width.toLong * m.height)
       } else {
-        assert(m.n_units == 32L) // 32 PCM samples (audio) / 32 stub bytes (video)
+        assert(m.n_units == 32L) // 32 PCM samples (audio) / 32 frame pixels (video)
       }
       assert(m.mean_unit_milli >= 0L && m.mean_unit_milli <= 255000L)
     }
@@ -91,14 +91,27 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaMeta(f.doc_id, f.kind, f.format,
           sm(0) % 48 + 16, sm(1) % 48 + 16, sm.length.toLong,
           sm.map(_.toLong).sum * 1000L / sm.length)
-      } else Multimodal.decodeStub(f)
+      } else Multimodal.decodeVideo(f)
     }
     assert(metas.toSeq == viaRows.toSeq)
   }
 
-  test("frame sampling keeps every Nth 4-byte frame of video payloads") {
-    val f = MediaFile(1L, "video", "mp4", Array.tabulate(32)(_.toByte))
-    val frames = Multimodal.frameSampleStub(f, 2)
+  test("video demux is REAL: arbitrary frames round-trip through the GIF container") {
+    val frames = (0 until 8).map(j => Array(j * 31 % 256, 255 - j, j * 7 % 256, (j * 97 + 3) % 256))
+    val gif = Multimodal.encodeGif(frames)
+    assert(Multimodal.isGif(gif))
+    val back = Multimodal.decodeGifFrames(gif)
+    assert(back.length == 8)
+    frames.zip(back).zipWithIndex.foreach { case ((want, got), i) =>
+      assert(got.toSeq == want.toSeq, s"frame $i lost in GIF round-trip")
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeGifFrames(Array.fill(40)(3.toByte)))
+  }
+
+  test("frame sampling keeps every Nth demuxed frame of video payloads") {
+    val gif = Multimodal.encodeGif((0 until 8).map(j => Array(4 * j, 4 * j + 1, 4 * j + 2, 4 * j + 3)))
+    val f = MediaFile(1L, "video", "gif", gif)
+    val frames = Multimodal.frameSample(f, 2)
     assert(frames.map(_._1) == Seq(0, 2, 4, 6))
     assert(frames.head._2 == "00010203")
     val df = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), 2)

@@ -30,12 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run-to-run swings (q35: 9-20s) on the wide-row construct+parse
   // queries, 24g is stable on the 128 GiB test box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // ~124 registered queries x whole-stage-codegen classes overflow the
-  // default 240m JIT code cache over a full bench run; once it fills,
-  // compilation degrades to flushing/interpreted and the wide codegen
-  // queries (q35/q36: ~10x interpreted-vs-JIT on their giant generated
-  // classes) swing run to run. 512m showed flushing again at 124
-  // queries (q35 14s in-suite vs 6.9s solo, round 5); keep headroom
-  // ahead of the registry's growth.
-  "-XX:ReservedCodeCacheSize=896m",
+  // ~125 registered queries x codegen classes: ONE compiled generation
+  // is ~126 MiB of native code, which fits the default 240m cache —
+  // but only since spark.sql.codegen.cache.maxEntries was raised to
+  // cover the registry's ~1,600 distinct generated classes (Bench.scala
+  // has the full story; at the default 100-entry cache every pass
+  // recompiled everything and overflowed any cache size). 896m is
+  // headroom, not a requirement: validate with
+  //   SPARK_GRAFT_CODECACHE=240m sbt -batch "runMain graft.Bench"
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "896m")}",
 )

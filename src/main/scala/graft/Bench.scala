@@ -19,6 +19,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Static conf, root cause of the round-5 "q35 41.9s in the driver
+      // harness" cliff: the registry's ~125 queries generate ~1,600
+      // distinct codegen classes per pass, but Spark's JVM-global
+      // generated-class cache holds only 100 entries by default — so
+      // the warmup passes and every timed sample re-Janino-compile and
+      // re-JIT the ENTIRE suite (~126 MiB of native code per pass,
+      // measured via graft.JitProbe). Three-plus passes of that churn
+      // overflow any default-sized (240m) JIT code cache, the sweeper
+      // starts flushing, and every query registered after the giant
+      // q35/q36 classes runs 2-3x interpreted. With the cache sized to
+      // the working set, repeat passes compile ZERO new classes (q35:
+      // 84 -> 0), so warmup costs are paid once and a 240m cache holds
+      // the single compiled generation comfortably.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -85,6 +99,15 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] write $path: $e") }
     }
+    // Round-5 record-keeping failure mode: a 2,000-char log tail
+    // decapitated the full map and left `parsed: null`. Print one final
+    // COMPACT line (total + the 10 slowest queries, ~500 B) LAST so any
+    // tail-truncating harness still captures complete, parseable JSON
+    // carrying the headline numbers.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"sf":"$sfDir","note":"10 slowest of ${results.size}%d; full map in BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // static conf: the 125-query registry generates ~1,600 distinct
+      // codegen classes per pass; the default 100-entry class cache
+      // evicts them all between passes (see Bench.scala for the full
+      // story), so re-runs re-compile everything
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -130,9 +130,11 @@ object TextFunctions {
   def ratioScaled(a: Column, b: Column, scale: Long): Column = {
     val al = a.cast("long")
     val lim = java.lang.Long.MAX_VALUE / math.max(scale, 1L)
+    // compare on the un-abs'd column: abs(Long.MinValue) wraps back to
+    // Long.MinValue and would slip past an abs()-based guard
     val prod =
       if (scale <= 1L) al * scale
-      else when(abs(al) > lim,
+      else when(al > lim || al < -lim,
         raise_error(concat(lit(s"ratioScaled overflow: |a|*$scale > 2^63 for a="), al)))
         .otherwise(al * scale)
     when(b === 0, 0L).otherwise(floor(prod / b))

@@ -33,6 +33,20 @@ import org.apache.spark.sql.types.LongType
   * never match; a null in either side's join key never matches (SQL
   * join semantics — unlike a raw ordering compare, where null == null).
   * Unmatched left rows join a null right side (LEFT join).
+  *
+  * Duplicate-time ties: when several right rows share the matched
+  * (key, time), the winner is defined by the single-pass mechanics —
+  * backward (and the forward/nearest exact-tie rt == lt path, which
+  * reuses the carried `lastMatch`) returns the LAST such row in the
+  * sorted right partition, because the advance loop keeps overwriting
+  * the carry while rt <= lt; a strictly-future forward match (rt > lt)
+  * returns the FIRST such row, because it peeks the un-consumed right
+  * head. pandas `merge_asof` picks the first row in both cases, so the
+  * exact-tie choice diverges from pandas. Within one (key, time) group
+  * the right sort order is not further specified anyway, so callers
+  * that need a deterministic winner among exact duplicates should
+  * pre-aggregate the right side to one row per (key, time) — q124 does
+  * (`Events.scala`), which is also what keeps its oracle bit-exact.
   */
 case class AsofJoinPlan(
     leftKeys: Seq[Expression],

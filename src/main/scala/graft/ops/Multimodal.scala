@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * the actual bytes with javax.imageio to reproduce it. Audio payloads
   * are real WAV files whose decoded PCM samples equal the md5 byte
   * stream (javax.sound.sampled), and video payloads real animated GIFs
-  * whose demuxed frame pixels equal the md5 byte stream 4-per-frame
-  * (javax.imageio write-sequence), so the hex-slice oracles hold
-  * across all three real containers. */
+  * (8 non-interlaced 4x4 frames; frame j's row y = md5 bytes 4j..4j+3
+  * rotated right by y, written with a javax.imageio write sequence),
+  * so the hex-slice oracles hold across all three real containers. */
 object Multimodal {
 
   private val DHex = "md5(text) || md5(text || '2')"
@@ -68,7 +68,8 @@ object Multimodal {
        |)
        |SELECT d.doc_id AS doc_id, kind, format,
        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN w * h ELSE 32 END AS BIGINT) AS n_units,
+       |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN w * h
+       |            WHEN d.doc_id % 3 = 1 THEN 32 ELSE 128 END AS BIGINT) AS n_units,
        |  CASE WHEN d.doc_id % 3 = 0 THEN CAST(FLOOR(i.pxsum * 1000 / (w * h)) AS BIGINT)
        |       ELSE CAST(FLOOR(($DSumBytes) * 1000 / 32) AS BIGINT) END AS mean_unit_milli
        |FROM dims d LEFT JOIN istat i ON d.doc_id = i.doc_id
@@ -108,19 +109,27 @@ object Multimodal {
 
   /** q64 — REAL video frame sampling: each payload is an animated GIF
     * demuxed with an ImageIO reader; every 2nd frame is kept and
-    * fingerprinted as the hex of its decoded pixel values. The fixture
-    * puts md5 bytes 4j..4j+3 in frame j's pixels, so the oracle's hex
-    * slices state exactly what the demuxer must produce — the
-    * keyframe-sampling plumbing of a media pipeline over a real
+    * fingerprinted as the hex of its decoded pixel values in row-major
+    * order. The fixture puts md5 bytes 4j..4j+3 in frame j, rotated
+    * right by y on row y, so the oracle states the 16-pixel fingerprint
+    * as the concatenation of four rotated hex slices — a demuxer that
+    * transposes, reverses, or reorders rows (exactly what the JDK GIF
+    * writer's interlaced default used to do) produces the wrong hex.
+    * The keyframe-sampling plumbing of a media pipeline over a real
     * multi-frame container. */
   val q64FrameSample: Q = Q(
     "q64_frame_sample",
     s"""WITH m AS (
        |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 2
+       |), f AS (
+       |  SELECT doc_id, i, substr(hx, i*8 + 1, 8) AS sl
+       |  FROM m CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) t
        |)
        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
-       |  substr(hx, i*8 + 1, 8) AS frame_hex
-       |FROM m CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) t
+       |  sl || substr(sl, 7, 2) || substr(sl, 1, 6)
+       |     || substr(sl, 5, 4) || substr(sl, 1, 4)
+       |     || substr(sl, 3, 6) || substr(sl, 1, 2) AS frame_hex
+       |FROM f
        |ORDER BY doc_id, frame_idx""") { (s, d) =>
     MM.sampleFrames(MM.mediaTable(s, d), everyN = 2)
       .orderBy("doc_id", "frame_idx")

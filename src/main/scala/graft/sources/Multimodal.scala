@@ -30,11 +30,13 @@ import org.apache.spark.sql.functions._
   * state the exact truth the decoder must reproduce.
   *
   * The VIDEO path runs a REAL multi-frame container: payloads are
-  * animated GIFs (8 frames of 4x1 grayscale, LZW-compressed, written
+  * animated GIFs (8 frames of 4x4 grayscale, LZW-compressed, written
   * frame-by-frame with an ImageIO write sequence and demuxed back with
-  * an ImageIO reader). Each frame's four pixels are that frame's four
-  * md5 bytes, so the frame-sampling oracle's hex slices state exactly
-  * what the demuxer must produce. (No mp4 codec exists on this
+  * an ImageIO reader). Frame j's row y holds that frame's four md5
+  * bytes rotated by (3y mod 4) — every row is a distinct rotation, so
+  * a demuxer that transposes, reverses, or reorders rows breaks the
+  * oracle — and the frame-sampling oracle states the expected pixel
+  * stream as rotated hex slices. (No mp4 codec exists on this
   * classpath; GIF is the honest real container available, and the
   * demux/frame-sample plumbing is identical.)
   */
@@ -106,14 +108,22 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Frame geometry of the video fixtures: 8 frames of 4x1 grayscale,
-    * so the 32 md5 bytes map 4-per-frame in order. Single-row frames
-    * deliberately: this JDK's GIF writer drops the LAST ROW of taller
-    * frames (verified empirically — 2x2 and 4x4 frames lose row h-1 on
-    * round-trip; height-1 frames are exact). */
+  /** Frame geometry of the video fixtures: 8 frames of 4x4 grayscale.
+    * The 32 md5 bytes map 4-per-frame; within frame j, row y is those
+    * four bytes rotated right by y (pixel (x, y) = byte 4j + (x+3y)%4),
+    * so all four rows are distinct rotations and the oracle can state
+    * each row as a rotated hex slice.
+    *
+    * Round 5 shipped 4x1 frames in the belief that this JDK's GIF
+    * writer drops the last row of taller frames. The real defect
+    * (isolated round 6) is the writer's default INTERLACED output:
+    * h in {2, 3, 4} frames come back with rows lost or permuted, while
+    * h >= 5 survive because the interlace passes happen to cover them.
+    * Writing with progressive mode disabled (see encodeGif) round-trips
+    * every height 1..12 exactly — pinned in MultimodalSpec. */
   val VidFrames = 8
   val VidW = 4
-  val VidH = 1
+  val VidH = 4
 
   /** 256-entry identity grayscale palette: palette index i = gray i.
     * Values are read back via getRGB (the COLOR, not the index), so the
@@ -135,8 +145,13 @@ object Multimodal {
     img
   }
 
-  /** Encode 8 four-pixel frames as a REAL animated GIF (one ImageIO
-    * write sequence; LZW-compressed multi-frame container). */
+  /** Encode 8 sixteen-pixel frames as a REAL animated GIF (one ImageIO
+    * write sequence; LZW-compressed multi-frame container). Progressive
+    * (interlaced) output is explicitly DISABLED: the JDK writer's
+    * default interlacing loses or permutes rows of frames with height
+    * 2..4 on round-trip (the "last-row bug" round 5 worked around with
+    * 4x1 frames was actually this); non-interlaced output round-trips
+    * every height exactly. */
   def encodeGif(frames: Seq[Array[Int]]): Array[Byte] = {
     import javax.imageio.IIOImage
     import javax.imageio.stream.MemoryCacheImageOutputStream
@@ -145,9 +160,11 @@ object Multimodal {
     val ios = new MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
       writer.prepareWriteSequence(null)
       frames.foreach { px =>
-        writer.writeToSequence(new IIOImage(grayFrame(px), null, null), null)
+        writer.writeToSequence(new IIOImage(grayFrame(px), null, null), param)
       }
       writer.endWriteSequence()
     } finally {
@@ -316,8 +333,8 @@ object Multimodal {
 
   /** Binary media table derived deterministically from documents:
     * images are real PNGs, audio real WAVs (32 samples of 8-bit PCM =
-    * the md5 byte stream), video real animated GIFs (8 frames of 2x2,
-    * frame j's pixels = md5 bytes 4j..4j+3). */
+    * the md5 byte stream), video real animated GIFs (8 frames of 4x4,
+    * frame j's row y = md5 bytes 4j..4j+3 rotated right by y). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -330,7 +347,10 @@ object Multimodal {
             case 1 => MediaFile(id, "audio", "wav", encodeWav(hexBytes(hx, 32)))
             case _ => MediaFile(id, "video", "gif",
               encodeGif((0 until VidFrames).map(j =>
-                Array.tabulate(VidW * VidH)(k => hexByteAt(hx, j * 4 + k)))))
+                Array.tabulate(VidW * VidH) { k =>
+                  val x = k % VidW; val y = k / VidW
+                  hexByteAt(hx, j * 4 + (x + 3 * y) % VidW)
+                })))
           }
         }
       }
@@ -351,8 +371,11 @@ object Multimodal {
     when(docId % 3 === 0, "png").when(docId % 3 === 1, "wav").otherwise("gif")
 
   /** Video stats from the REAL demux: the flattened frame pixel stream
-    * (32 values — frame j pixels = md5 bytes 4j..4j+3) drives the same
-    * deterministic formulas the oracle states over the hex stream. */
+    * (128 values — frame j's row y = md5 bytes 4j..4j+3 rotated by y,
+    * so every md5 byte appears exactly VidH times) drives the same
+    * deterministic formulas the oracle states over the hex stream:
+    * px(0)/px(1) are md5 bytes 0/1, and the mean over 4 rotated copies
+    * equals the mean over the 32-byte stream. */
   def decodeVideo(f: MediaFile): MediaMeta = {
     val px = decodeGifFrames(f.content).flatten.toArray
     MediaMeta(f.doc_id, f.kind, f.format,

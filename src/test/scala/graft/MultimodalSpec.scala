@@ -74,8 +74,10 @@ class MultimodalSpec extends SparkSpec {
       if (m.kind == "image") {
         assert(m.width >= 16 && m.width < 64 && m.height >= 16 && m.height < 64)
         assert(m.n_units == m.width.toLong * m.height)
+      } else if (m.kind == "audio") {
+        assert(m.n_units == 32L) // 32 PCM samples
       } else {
-        assert(m.n_units == 32L) // 32 PCM samples (audio) / 32 frame pixels (video)
+        assert(m.n_units == 128L) // 8 frames x 4x4 pixels
       }
       assert(m.mean_unit_milli >= 0L && m.mean_unit_milli <= 255000L)
     }
@@ -96,8 +98,9 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.toSeq == viaRows.toSeq)
   }
 
-  test("video demux is REAL: arbitrary frames round-trip through the GIF container") {
-    val frames = (0 until 8).map(j => Array(j * 31 % 256, 255 - j, j * 7 % 256, (j * 97 + 3) % 256))
+  test("video demux is REAL: arbitrary 4x4 frames round-trip through the GIF container") {
+    val frames = (0 until 8).map(j =>
+      Array.tabulate(16)(k => (j * 31 + k * 53 + 7) % 256))
     val gif = Multimodal.encodeGif(frames)
     assert(Multimodal.isGif(gif))
     val back = Multimodal.decodeGifFrames(gif)
@@ -108,12 +111,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeGifFrames(Array.fill(40)(3.toByte)))
   }
 
+  test("multi-row GIF frames survive exactly: interlaced output stays disabled") {
+    // Regression pin for the JDK GIF writer's interlaced default, which
+    // loses row 1 of 2-row frames and permutes rows of 3/4-row frames on
+    // round-trip. encodeGif writes MODE_DISABLED; if that regresses, the
+    // distinct-rotation rows below come back reordered and this fails.
+    val rows = Array(
+      Array(10, 20, 30, 40), Array(40, 10, 20, 30),
+      Array(30, 40, 10, 20), Array(20, 30, 40, 10))
+    val frame = rows.flatten
+    val back = Multimodal.decodeGifFrames(Multimodal.encodeGif(Seq(frame)))
+    assert(back.length == 1)
+    assert(back.head.toSeq == frame.toSeq, "row order not preserved through GIF round-trip")
+  }
+
   test("frame sampling keeps every Nth demuxed frame of video payloads") {
-    val gif = Multimodal.encodeGif((0 until 8).map(j => Array(4 * j, 4 * j + 1, 4 * j + 2, 4 * j + 3)))
+    // frame j: row y = bytes [4j..4j+3] rotated right by y — the
+    // mediaTable fixture layout
+    val gif = Multimodal.encodeGif((0 until 8).map(j =>
+      Array.tabulate(16) { k =>
+        val x = k % 4; val y = k / 4
+        4 * j + (x + 3 * y) % 4
+      }))
     val f = MediaFile(1L, "video", "gif", gif)
     val frames = Multimodal.frameSample(f, 2)
     assert(frames.map(_._1) == Seq(0, 2, 4, 6))
-    assert(frames.head._2 == "00010203")
+    assert(frames.head._2 == "00010203" + "03000102" + "02030001" + "01020300")
     val df = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), 2)
     assert(df.groupBy("doc_id").count().collect().forall(_.getLong(1) == 4))
   }

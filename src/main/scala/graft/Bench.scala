@@ -32,7 +32,7 @@ object Bench {
       // the working set, repeat passes compile ZERO new classes (q35:
       // 84 -> 0), so warmup costs are paid once and a 240m cache holds
       // the single compiled generation comfortably.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -40,13 +40,34 @@ object JitProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // static conf: match Bench; override via SPARK_GRAFT_CONF to A/B
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
     // A/B experiments: SPARK_GRAFT_CONF="key=value;key=value"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jit = ManagementFactory.getCompilationMXBean
+
+    // `wscg` mode: plan every query (AQE off so the physical tree is
+    // final at plan time), doCodeGen each whole-stage subtree, and print
+    // the largest generated sources — calibration data for JitCanarySpec.
+    if (args.headOption.contains("wscg")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val sizes = SparkEntry.registry.flatMap { q =>
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+          plan.collect {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+              (q.name, w.doCodeGen()._2.body.length)
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[jitprobe-wscg] ${q.name}: $e"); Nil }
+      }
+      sizes.sortBy(-_._2).take(20).foreach { case (n, s) =>
+        println(f"[wscg] $n%-26s $s%8d chars") }
+      println(s"[wscg] spans: ${sizes.size}, total chars: ${sizes.map(_._2.toLong).sum}")
+      spark.stop(); return
+    }
 
     val selected =
       if (args.nonEmpty) SparkEntry.registry.filter(q => args.contains(q.name))

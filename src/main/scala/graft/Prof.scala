@@ -13,7 +13,7 @@ object Prof {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", false)
       // static conf: match Bench (repeat passes reuse generated classes)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
     // A/B experiments: SPARK_GRAFT_CONF="key=value;key=value"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

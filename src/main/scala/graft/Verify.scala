@@ -17,7 +17,7 @@ object Verify {
       // codegen classes per pass; the default 100-entry class cache
       // evicts them all between passes (see Bench.scala for the full
       // story), so re-runs re-compile everything
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

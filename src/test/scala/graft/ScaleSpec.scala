@@ -130,8 +130,9 @@ class ScaleSpec extends SparkSpec {
     // makes a plan regression (lost broadcast, re-materialized subtree,
     // payload leaking into an exchange) fail `sbt test` instead of a
     // future bench. Ceilings are ~2.5x the volumes measured at sf0.01
-    // (graft.Prof, round 5): q26 233 KiB, q27 268 KiB, q87 6 KiB,
-    // q96 16 KiB, q98 798 KiB, q101 887 KiB, q112 <1 KiB, q115 2 KiB.
+    // (graft.Prof): q26 233 KiB, q27 268 KiB, q87 6 KiB, q96 16 KiB,
+    // q98 798 KiB, q101 887 KiB, q112 <1 KiB, q115 2 KiB, q123
+    // 1,115 KiB, q124 223 KiB, q125 651 KiB.
     val gauges: Seq[(String, Long)] = Seq(
       "q26_exact_dedup" -> 600L,
       "q27_minhash_lsh" -> 700L,
@@ -140,32 +141,56 @@ class ScaleSpec extends SparkSpec {
       "q98_kmeans_lloyd" -> 2048L,
       "q101_bigram_lm" -> 2048L,
       "q112_corr_matrix" -> 16L,
-      "q115_phash_dedup" -> 32L)
-    val written = new java.util.concurrent.atomic.AtomicLong
-    val stagesSeen = new java.util.concurrent.atomic.AtomicLong
+      "q115_phash_dedup" -> 32L,
+      "q123_bpe_encode" -> 2800L,
+      "q124_asof_directions" -> 560L,
+      "q125_hybrid_rrf" -> 1630L)
+    // Attribution is keyed on the job group, not on wall-clock windows: a
+    // straggler stage that completes after its query's action returns is
+    // still credited to ITS OWN gauge (the round-5 drain heuristic could
+    // hand it to the next query and flake the ceiling). Spark propagates
+    // the driver thread's job group to every job the action launches,
+    // including broadcast-exchange jobs on their separate pool.
+    val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]
+    val bytesByGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gid = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (gid != null && gid.startsWith("gauge-"))
+          js.stageInfos.foreach(si => stageToGroup.put(si.stageId, gid))
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val gid = stageToGroup.get(sc.stageInfo.stageId)
         val m = sc.stageInfo.taskMetrics
-        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        stagesSeen.incrementAndGet()
-      }
-    }
-    def drainListenerBus(): Unit = {
-      var prev = -1L; var cur = stagesSeen.get; var spins = 0
-      while (prev != cur && spins < 50) {
-        Thread.sleep(100); prev = cur; cur = stagesSeen.get; spins += 1
+        if (gid != null && m != null)
+          bytesByGroup
+            .computeIfAbsent(gid, _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val offenders = gauges.flatMap { case (name, ceilKiB) =>
-        drainListenerBus() // don't attribute a previous query's stragglers
-        written.set(0)
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        val gid = s"gauge-$name"
+        spark.sparkContext.setJobGroup(gid, s"shuffle gauge $name",
+          interruptOnCancel = false)
+        try SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
           .write.format("noop").mode("overwrite").save()
-        drainListenerBus()
-        val kib = written.get / 1024
+        finally spark.sparkContext.clearJobGroup()
+        // bounded wait for this group's listener events to land (the jobs
+        // are done once save() returns; only event delivery can lag, and a
+        // late event now lands on the right group either way)
+        def total: Long =
+          Option(bytesByGroup.get(gid)).map(_.get).getOrElse(0L)
+        var prev = -1L; var spins = 0
+        while (prev != total && spins < 50) {
+          prev = total; Thread.sleep(100); spins += 1
+        }
+        val kib = total / 1024
         if (kib > ceilKiB) Some(s"$name: shuffled $kib KiB > ceiling $ceilKiB KiB")
         else None
       }

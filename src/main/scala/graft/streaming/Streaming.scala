@@ -553,9 +553,15 @@ object Streaming {
     * collapses them), never a lost key. Run it between ingest runs,
     * like vacuum. */
   def lshStoreCompact(spark: SparkSession, stateDir: String, targetFiles: Int = 4): Unit = {
-    val dir = new java.io.File(stateDir)
-    val oldParts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    // Hadoop FileSystem API, not java.io.File: the store lives wherever
+    // the pipeline writes parquet (HDFS/S3A in production, file:// in
+    // tests), and a silent local-only vacuum would leave the superseded
+    // partitions accumulating forever on a real cluster.
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val oldParts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
     if (oldParts.isEmpty) return
     // materialize the compacted snapshot BEFORE writing into the same
     // root (the self-read would otherwise race its own output files)
@@ -566,11 +572,15 @@ object Streaming {
     val gen = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
     compacted.withColumn("ingest_batch", lit(gen))
       .write.mode("append").partitionBy("ingest_batch").parquet(stateDir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(): Unit
-    }
-    oldParts.foreach(rm)
+    // fail loud on an undeletable partition: admission stays correct with
+    // duplicate keys in the store, but the operator must know the vacuum
+    // did not complete (next compact retries the same partitions)
+    val undeleted = oldParts.filterNot(st => fs.delete(st.getPath, true))
+    if (undeleted.nonEmpty)
+      throw new java.io.IOException(
+        s"lshStoreCompact: ${undeleted.length} superseded partition(s) under " +
+          s"$stateDir could not be removed (${undeleted.map(_.getPath.getName).mkString(", ")}); " +
+          "duplicate band keys persist until a later compact succeeds")
   }
 
   /** Incremental ingest sink: append the stream to date-partitioned

@@ -330,6 +330,41 @@ class StreamingSpec extends SparkSpec {
       "compacted store must keep rejecting the replayed corpus")
   }
 
+  test("compaction interleaved with replay pressure: admission and store stay exact") {
+    // The production cadence is ingest -> compact -> ingest -> compact;
+    // this pins that a compacted store keeps exactly the same admission
+    // behavior under a full replay, and that a second compact collapses
+    // the replay's batch partitions back into one bounded generation.
+    val state = Files.createTempDirectory("graft-lshc").toString + "/state"
+    val out = Files.createTempDirectory("graft-lshc").toString + "/out"
+    Streaming.lshDedupIngest(
+      Streaming.documentsStream(spark, sf, copies = 1), state, out,
+      Files.createTempDirectory("graft-lshc-cp0").toString)
+    Streaming.lshStoreCompact(spark, state, targetFiles = 2)
+    val keys0 = spark.read.parquet(state).select("bkey", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val n = spark.read.parquet(out).count()
+    assert(n > 0 && keys0.nonEmpty)
+    // replay the whole corpus twice over against the compacted store,
+    // then compact again
+    Streaming.lshDedupIngest(
+      Streaming.documentsStream(spark, sf, copies = 2), state, out,
+      Files.createTempDirectory("graft-lshc-cp1").toString)
+    Streaming.lshStoreCompact(spark, state, targetFiles = 2)
+    assert(spark.read.parquet(out).count() == n,
+      "replay against a compacted store must admit nothing new")
+    assert(spark.read.parquet(state).select("bkey", "doc_id")
+      .collect().map(_.toSeq).toSet == keys0,
+      "compaction must preserve the exact (bkey, provenance) set")
+    // layout check through the same FileSystem API the vacuum uses
+    val root = new org.apache.hadoop.fs.Path(state)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+    assert(parts.length == 1,
+      s"expected one generation after recompact, got ${parts.map(_.getPath.getName).toSeq}")
+  }
+
   test("streaming ingest into a versioned table dedups across batches and replays") {
     import graft.sources.Versioned
     val table = Files.createTempDirectory("graft-vstream").toString

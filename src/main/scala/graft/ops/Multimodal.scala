@@ -263,6 +263,39 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q126 — REAL AVI demux: every video doc re-shipped in a second
+    * standard container (hand-muxed RIFF AVI, uncompressed 8-bit DIB
+    * frames — sources.Multimodal.encodeAvi), demuxed by walking the
+    * RIFF chunk tree. The fixture puts md5 bytes 8j..8j+7 in frame j
+    * with row y rotated left by y, so the oracle states frame 0's
+    * 64-pixel fingerprint as eight rotated hex slices — a demuxer that
+    * keeps DIB rows bottom-up (the classic bug), mis-strides, or maps
+    * palette indexes wrong produces the wrong hex — plus the closed-
+    * form stream mean (each byte appears exactly 8 times). */
+  val q126AviDemux: Q = Q(
+    "q126_avi_demux",
+    {
+      val rows = (0 until MM.AviH).map(y =>
+        if (y == 0) "sl"
+        else s"substr(sl, ${2 * y + 1}, ${16 - 2 * y}) || substr(sl, 1, ${2 * y})")
+        .mkString(" || ")
+      val sum64 = (0 until MM.AviFrames * MM.AviW).map(dByte).mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, $DHex80 AS hx FROM documents WHERE doc_id % 3 = 2
+         |), f AS (
+         |  SELECT doc_id, hx, substr(hx, 1, 16) AS sl FROM m
+         |)
+         |SELECT doc_id,
+         |  CAST(${MM.AviFrames} AS INT) AS n_frames,
+         |  CAST(${MM.AviW} AS INT) AS width, CAST(${MM.AviH} AS INT) AS height,
+         |  $rows AS frame0_hex,
+         |  CAST(FLOOR(($sum64) * 1000 / ${MM.AviFrames * MM.AviW}) AS BIGINT) AS mean_milli
+         |FROM f
+         |ORDER BY doc_id"""
+    }) { (s, d) =>
+    MM.aviDemux(MM.aviTable(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
-    q66ImageResize, q67AudioEnergy, q115PhashDedup)
+    q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux)
 }

@@ -205,6 +205,201 @@ object Multimodal {
     } finally reader.dispose()
   }
 
+  // ---------------------------------------------------------------
+  // AVI: a second, standard multi-frame video container, hand-muxed.
+  // The JDK ships no mp4/avi codec, but RIFF AVI with uncompressed
+  // 8-bit palettized DIB frames ('DIB ' handler, BI_RGB) is a fully
+  // public format simple enough to mux and demux exactly — and being
+  // lossless it stays oracle-checkable, unlike a lossy JPEG stream.
+  // Layout per the public spec: RIFF('AVI ' LIST('hdrl' avih
+  // LIST('strl' strh strf+palette)) LIST('movi' '00db'...) idx1),
+  // little-endian sizes, chunks padded to even length, DIB rows
+  // bottom-up and padded to 4-byte stride.
+  // ---------------------------------------------------------------
+
+  /** AVI fixture geometry: 8 frames of 8x8 — md5 bytes 8j..8j+7 are
+    * frame j's first row, and row y is that slice rotated LEFT by y
+    * (pixel (x, y) = byte 8j + (x+y)%8): 8 distinct rotations per
+    * frame, so a demuxer that flips the bottom-up row order (the
+    * classic DIB bug), transposes, or reorders frames breaks the
+    * oracle's rotated-hex-slice statement. */
+  val AviFrames = 8
+  val AviW = 8
+  val AviH = 8
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def u32(bos: ByteArrayOutputStream, v: Long): Unit = {
+    bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+    bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+  }
+  private def u16(bos: ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+  }
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(id.getBytes(Ascii)); u32(bos, data.length.toLong)
+    bos.write(data)
+    if (data.length % 2 == 1) bos.write(0) // RIFF pads chunks to even
+    bos.toByteArray
+  }
+  private def riffList(listType: String, children: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(listType.getBytes(Ascii))
+    children.foreach(bos.write)
+    riffChunk("LIST", bos.toByteArray)
+  }
+
+  /** Mux grayscale frames into a REAL uncompressed-DIB AVI. */
+  def encodeAvi(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "encodeAvi: every frame must be w*h samples")
+    val stride = (w + 3) / 4 * 4
+    val frameBytes = stride * h
+
+    val avih = { // MainAVIHeader (56 bytes)
+      val b = new ByteArrayOutputStream()
+      u32(b, 100000L)              // dwMicroSecPerFrame (10 fps)
+      u32(b, frameBytes * 10L)     // dwMaxBytesPerSec
+      u32(b, 0L)                   // dwPaddingGranularity
+      u32(b, 0x10L)                // dwFlags = AVIF_HASINDEX
+      u32(b, frames.length.toLong) // dwTotalFrames
+      u32(b, 0L)                   // dwInitialFrames
+      u32(b, 1L)                   // dwStreams
+      u32(b, frameBytes.toLong)    // dwSuggestedBufferSize
+      u32(b, w.toLong); u32(b, h.toLong)
+      (0 until 4).foreach(_ => u32(b, 0L)) // dwReserved
+      riffChunk("avih", b.toByteArray)
+    }
+    val strh = { // AVIStreamHeader (56 bytes)
+      val b = new ByteArrayOutputStream()
+      b.write("vids".getBytes(Ascii)); b.write("DIB ".getBytes(Ascii))
+      u32(b, 0L)                   // dwFlags
+      u16(b, 0); u16(b, 0)         // wPriority, wLanguage
+      u32(b, 0L)                   // dwInitialFrames
+      u32(b, 1L); u32(b, 10L)      // dwScale / dwRate = 10 fps
+      u32(b, 0L)                   // dwStart
+      u32(b, frames.length.toLong) // dwLength
+      u32(b, frameBytes.toLong)    // dwSuggestedBufferSize
+      u32(b, 0xffffffffL)          // dwQuality (default)
+      u32(b, 0L)                   // dwSampleSize
+      u16(b, 0); u16(b, 0); u16(b, w); u16(b, h) // rcFrame
+      riffChunk("strh", b.toByteArray)
+    }
+    val strf = { // BITMAPINFOHEADER + 256-entry gray RGBQUAD palette
+      val b = new ByteArrayOutputStream()
+      u32(b, 40L); u32(b, w.toLong); u32(b, h.toLong) // positive h: bottom-up
+      u16(b, 1); u16(b, 8)         // biPlanes, biBitCount
+      u32(b, 0L)                   // biCompression = BI_RGB
+      u32(b, frameBytes.toLong)    // biSizeImage
+      u32(b, 0L); u32(b, 0L)       // biXPelsPerMeter, biYPelsPerMeter
+      u32(b, 256L); u32(b, 0L)     // biClrUsed, biClrImportant
+      (0 until 256).foreach { i => b.write(i); b.write(i); b.write(i); b.write(0) }
+      riffChunk("strf", b.toByteArray)
+    }
+    val frameChunks = frames.map { px =>
+      val data = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) { // DIB rows are stored bottom-up, stride-padded
+        var x = 0
+        while (x < w) { data((h - 1 - y) * stride + x) = px(y * w + x).toByte; x += 1 }
+        y += 1
+      }
+      riffChunk("00db", data)
+    }
+    val idx1 = {
+      val b = new ByteArrayOutputStream()
+      var off = 4L // first chunk sits right after the 'movi' fourcc
+      frameChunks.foreach { fc =>
+        b.write("00db".getBytes(Ascii))
+        u32(b, 0x10L) // AVIIF_KEYFRAME
+        u32(b, off); u32(b, frameBytes.toLong)
+        off += fc.length
+      }
+      riffChunk("idx1", b.toByteArray)
+    }
+    val hdrl = riffList("hdrl", Seq(avih, riffList("strl", Seq(strh, strf))))
+    val movi = riffList("movi", frameChunks)
+    val bos = new ByteArrayOutputStream()
+    bos.write("AVI ".getBytes(Ascii))
+    bos.write(hdrl); bos.write(movi); bos.write(idx1)
+    riffChunk("RIFF", bos.toByteArray)
+  }
+
+  /** Container sniff on the real payload bytes. */
+  def isAvi(content: Array[Byte]): Boolean =
+    content.length > 12 &&
+      content.slice(0, 4).sameElements("RIFF".getBytes(Ascii)) &&
+      content.slice(8, 12).sameElements("AVI ".getBytes(Ascii))
+
+  /** REAL demux: walk the RIFF chunk tree, read dims + palette from
+    * 'strf', decode each '00db' DIB frame (bottom-up, stride-padded;
+    * negative biHeight = top-down is honored), and map palette index
+    * to its COLOR (like the GIF path: palette order can't drift the
+    * values). Returns (width, height, frames row-major top-down). */
+  def decodeAviFrames(content: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    require(isAvi(content), "decodeAviFrames: payload is not an AVI")
+    def fourcc(pos: Int) = new String(content, pos, 4, Ascii)
+    def u32At(pos: Int): Int =
+      (content(pos) & 0xff) | ((content(pos + 1) & 0xff) << 8) |
+        ((content(pos + 2) & 0xff) << 16) | ((content(pos + 3) & 0xff) << 24)
+    var w = 0; var hRaw = 0
+    val palette = Array.tabulate(256)(identity)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourcc(pos); val size = u32At(pos + 4)
+        id match {
+          case "LIST" =>
+            val lt = fourcc(pos + 8)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(pos + 12, pos + 8 + size)
+          case "strf" =>
+            w = u32At(pos + 8 + 4); hRaw = u32At(pos + 8 + 8)
+            require((u32At(pos + 8 + 14) & 0xffff) == 8,
+              "decodeAviFrames: expected 8-bit DIB frames")
+            val clrUsed = u32At(pos + 8 + 32)
+            val n = math.min(if (clrUsed == 0) 256 else clrUsed, 256)
+            var i = 0
+            while (i < n) { // RGBQUAD order is b, g, r, reserved
+              palette(i) = content(pos + 8 + 40 + 4 * i + 2) & 0xff
+              i += 1
+            }
+          case "00db" | "00dc" =>
+            require(w > 0, "decodeAviFrames: frame chunk before strf")
+            val h = math.abs(hRaw); val topDown = hRaw < 0
+            val stride = (w + 3) / 4 * 4
+            val out = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val srcRow = if (topDown) y else h - 1 - y
+              var x = 0
+              while (x < w) {
+                out(y * w + x) = palette(content(pos + 8 + srcRow * stride + x) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            frames += out
+          case _ => () // avih/strh/idx1/JUNK: not needed for decode
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, content.length)
+    (w, math.abs(hRaw), frames.toSeq)
+  }
+
+  /** The deterministic AVI fixture for one doc: 8 frames of 8x8, frame
+    * j's row y = md5 bytes 8j..8j+7 rotated left by y. */
+  def genAvi(hex: String): Array[Byte] =
+    encodeAvi((0 until AviFrames).map(j =>
+      Array.tabulate(AviW * AviH) { k =>
+        val x = k % AviW; val y = k / AviW
+        hexByteAt(hex, j * AviW + (x + y) % AviW)
+      }), AviW, AviH)
+
   /** Encode 8-bit unsigned mono PCM samples as a real WAV file. */
   def encodeWav(samples: Array[Byte]): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
@@ -354,6 +549,36 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** AVI twin of mediaTable's video slice: every video doc
+    * (doc_id % 3 == 2) as a real hand-muxed AVI payload ([[genAvi]]) —
+    * the same document can ship in two standard containers, and the
+    * demux plumbing is format-dispatched like a real media pipeline. */
+  def aviTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), hex80(col("text")).as("hx"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, hx) =>
+        MediaFile(id, "video", "avi", genAvi(hx))
+      })
+  }
+
+  /** Demux stats over REAL AVI payloads: frame count and dims from the
+    * container walk, frame 0 fingerprinted as its row-major pixel hex
+    * (pins bottom-up row recovery and palette mapping), mean over the
+    * full decoded pixel stream in milli. */
+  def aviDemux(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.map { f =>
+      val (w, h, frames) = decodeAviFrames(f.content)
+      val all = frames.flatten
+      (f.doc_id, frames.length, w, h,
+        frames.head.map(v => f"$v%02x").mkString,
+        all.map(_.toLong).sum * 1000L / all.length)
+    }.toDF("doc_id", "n_frames", "width", "height", "frame0_hex", "mean_milli")
   }
 
   /** 80 bytes (160 hex chars) of fixture truth per doc: bytes 0-1 are

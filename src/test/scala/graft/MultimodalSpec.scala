@@ -125,6 +125,49 @@ class MultimodalSpec extends SparkSpec {
     assert(back.head.toSeq == frame.toSeq, "row order not preserved through GIF round-trip")
   }
 
+  test("AVI mux/demux is REAL: arbitrary multi-frame video round-trips exactly") {
+    val frames = (0 until 8).map(j =>
+      Array.tabulate(64)(k => (j * 37 + k * 101 + 13) % 256))
+    val avi = Multimodal.encodeAvi(frames, 8, 8)
+    assert(Multimodal.isAvi(avi) && !Multimodal.isWav(avi)) // both are RIFF
+    val (w, h, back) = Multimodal.decodeAviFrames(avi)
+    assert(w == 8 && h == 8 && back.length == 8)
+    frames.zip(back).zipWithIndex.foreach { case ((want, got), i) =>
+      assert(got.toSeq == want.toSeq, s"frame $i lost in AVI round-trip")
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeAviFrames(Array.fill(40)(3.toByte)))
+  }
+
+  test("AVI stride padding: a width that is not a multiple of 4 round-trips") {
+    // 5x3 frames force a 8-byte DIB stride with 3 pad bytes per row; a
+    // demuxer that walks rows unpadded (or forgets bottom-up order — the
+    // distinct rows below catch a flip) reads garbage.
+    val frames = Seq(
+      Array.tabulate(15)(k => (k * 17 + 1) % 256),
+      Array.tabulate(15)(k => (k * 29 + 5) % 256))
+    val (w, h, back) = Multimodal.decodeAviFrames(Multimodal.encodeAvi(frames, 5, 3))
+    assert(w == 5 && h == 3 && back.length == 2)
+    frames.zip(back).foreach { case (want, got) => assert(got.toSeq == want.toSeq) }
+  }
+
+  test("AVI fixture geometry: frame j row y = md5 bytes 8j..8j+7 rotated left by y") {
+    val payloads = Multimodal.aviTable(spark, sf).collect()
+    assert(payloads.nonEmpty && payloads.forall(f => Multimodal.isAvi(f.content)))
+    val f = payloads.minBy(_.doc_id)
+    val (w, h, frames) = Multimodal.decodeAviFrames(f.content)
+    assert(w == Multimodal.AviW && h == Multimodal.AviH &&
+      frames.length == Multimodal.AviFrames)
+    // rows of each frame are distinct left-rotations of its 8-byte slice
+    frames.zipWithIndex.foreach { case (px, j) =>
+      val slice = px.slice(0, 8)
+      (0 until 8).foreach { y =>
+        val want = Array.tabulate(8)(x => slice((x + y) % 8))
+        assert(px.slice(8 * y, 8 * y + 8).toSeq == want.toSeq,
+          s"frame $j row $y is not the y-rotated slice")
+      }
+    }
+  }
+
   test("frame sampling keeps every Nth demuxed frame of video payloads") {
     // frame j: row y = bytes [4j..4j+3] rotated right by y — the
     // mediaTable fixture layout

@@ -296,6 +296,47 @@ object Multimodal {
     MM.aviDemux(MM.aviTable(s, d)).orderBy("doc_id")
   }
 
+  /** q127 — exact windowed spectrum over REAL decoded PCM: the WAV's
+    * 32 samples as 4 eight-sample windows, each reporting the DFT
+    * powers at bins 0 (DC), N/4 (quarter band) and N/2 (Nyquist) —
+    * the three bins whose twiddle factors are exactly {1, -1, +-i},
+    * so a genuine spectral computation stays integer-exact
+    * (sources.Multimodal.spectralBins; MultimodalSpec pins it against
+    * a brute-force floating DFT). The oracle restates each power from
+    * the fixture's hex bytes; hf_milli is the Nyquist share of the
+    * three-bin total under floor division. */
+  val q127AudioSpectrum: Q = Q(
+    "q127_audio_spectrum",
+    {
+      val b = (j: Int, n: Int) => dByte(j * 8 + n)
+      def cases(f: Int => String) =
+        s"CASE ${(0 until 4).map(j => s"WHEN i = $j THEN ${f(j)}").mkString(" ")} END"
+      val dc = cases(j => (0 until 8).map(b(j, _)).mkString(" + "))
+      val req = cases(j => s"${b(j, 0)} - ${b(j, 2)} + ${b(j, 4)} - ${b(j, 6)}")
+      val imq = cases(j => s"${b(j, 3)} + ${b(j, 7)} - ${b(j, 1)} - ${b(j, 5)}")
+      val alt = cases(j => (0 until 8).map(n =>
+        s"${if (n == 0) "" else if (n % 2 == 0) "+ " else "- "}${b(j, n)}").mkString(" "))
+      s"""WITH m AS (
+         |  SELECT doc_id, $DHex AS hx FROM documents WHERE doc_id % 3 = 1
+         |), w AS (
+         |  SELECT doc_id, i, $dc AS dc, $req AS req, $imq AS imq, $alt AS alt
+         |  FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+         |), p AS (
+         |  SELECT doc_id, i, dc*dc AS p_dc, req*req + imq*imq AS p_quarter,
+         |    alt*alt AS p_nyquist
+         |  FROM w
+         |)
+         |SELECT doc_id, CAST(i AS INT) AS win_idx, p_dc, p_quarter, p_nyquist,
+         |  CASE WHEN p_dc + p_quarter + p_nyquist = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (p_nyquist * 1000) // (p_dc + p_quarter + p_nyquist)
+         |  END AS hf_milli
+         |FROM p
+         |ORDER BY doc_id, win_idx"""
+    }) { (s, d) =>
+    MM.audioSpectrum(MM.mediaTable(s, d)).orderBy("doc_id", "win_idx")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
-    q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux)
+    q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux,
+    q127AudioSpectrum)
 }

@@ -688,4 +688,47 @@ object Multimodal {
       .flatMap(audioEnergyWindows)
       .toDF("doc_id", "win_idx", "energy")
   }
+
+  /** REAL windowed spectral analysis with EXACT arithmetic: for an
+    * N-sample window (4 | N) the DFT bins k = 0, N/4, N/2 have twiddle
+    * factors in {1, -1, i, -i}, so their spectral powers |X_k|^2 are
+    * exact integers — the classic fixed-point trick that lets a real
+    * spectrum stay oracle-checkable (any other bin needs irrational
+    * cos/sin). Per window: DC power, quarter-band power, Nyquist
+    * power, and the high-frequency share in milli (Nyquist power over
+    * the three-bin total, integer floor division). */
+  def spectralBins(window: Array[Int]): (Long, Long, Long) = {
+    var dc = 0L; var reQ = 0L; var imQ = 0L; var alt = 0L
+    var n = 0
+    while (n < window.length) {
+      val v = window(n).toLong
+      dc += v
+      (n % 4: @annotation.switch) match {
+        case 0 => reQ += v
+        case 1 => imQ -= v // e^(-i*pi*n/2) = (-i)^n
+        case 2 => reQ -= v
+        case 3 => imQ += v
+      }
+      alt += (if (n % 2 == 0) v else -v)
+      n += 1
+    }
+    (dc * dc, reQ * reQ + imQ * imQ, alt * alt)
+  }
+
+  /** Per-window exact spectral rows (8-sample windows) for one WAV. */
+  def audioSpectrumWindows(f: MediaFile): Seq[(Long, Int, Long, Long, Long, Long)] =
+    decodeWav(f.content).grouped(8).zipWithIndex.map { case (win, i) =>
+      val (pDc, pQ, pN) = spectralBins(win)
+      val denom = pDc + pQ + pN
+      val hf = if (denom == 0) 0L else pN * 1000L / denom
+      (f.doc_id, i, pDc, pQ, pN, hf)
+    }.toSeq
+
+  /** Exact three-bin spectrum rows for the audio subset. */
+  def audioSpectrum(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "audio")
+      .flatMap(audioSpectrumWindows)
+      .toDF("doc_id", "win_idx", "p_dc", "p_quarter", "p_nyquist", "hf_milli")
+  }
 }

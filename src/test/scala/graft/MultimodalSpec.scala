@@ -168,6 +168,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("spectral bins are a REAL DFT: integer powers equal the brute-force transform") {
+    // the exact-twiddle shortcut must agree with |X_k|^2 from the
+    // textbook O(N^2) floating DFT at k = 0, N/4, N/2 — for the decode
+    // window size (8) and another 4-divisible width (12)
+    def bruteforcePower(w: Array[Int], k: Int): Double = {
+      val n = w.length
+      val re = (0 until n).map(j => w(j) * math.cos(-2 * math.Pi * k * j / n)).sum
+      val im = (0 until n).map(j => w(j) * math.sin(-2 * math.Pi * k * j / n)).sum
+      re * re + im * im
+    }
+    val rnd = new scala.util.Random(20260813)
+    Seq(8, 12).foreach { n =>
+      (0 until 50).foreach { _ =>
+        val w = Array.fill(n)(rnd.nextInt(256))
+        val (pDc, pQ, pN) = Multimodal.spectralBins(w)
+        assert(math.abs(pDc - bruteforcePower(w, 0)) < 1e-4, s"DC bin off (n=$n)")
+        assert(math.abs(pQ - bruteforcePower(w, n / 4)) < 1e-4, s"quarter bin off (n=$n)")
+        assert(math.abs(pN - bruteforcePower(w, n / 2)) < 1e-4, s"Nyquist bin off (n=$n)")
+      }
+    }
+  }
+
   test("frame sampling keeps every Nth demuxed frame of video payloads") {
     // frame j: row y = bytes [4j..4j+3] rotated right by y — the
     // mediaTable fixture layout

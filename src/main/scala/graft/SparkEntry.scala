@@ -13,7 +13,7 @@ object SparkEntry {
     ops.Relational.all ++ ops.Text.all ++ ops.Dedup.all ++ ops.Similarity.all ++
       ops.Ocds.all ++ ops.Events.all ++ ops.Xml.all ++ ops.Multimodal.all ++
       ops.Custom.all ++ ops.Scrape.all ++ ops.Analytics.all ++ ops.Scale.all ++
-      ops.Enrich.all ++ ops.Clean.all
+      ops.Enrich.all ++ ops.Clean.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation — the host-rank weighting
+  * step of a web-scale pipeline (crawl frontiers and pretraining
+  * pipelines weight documents by the rank of their host; reference has
+  * no counterpart — north-star brief operator). The shape that matters
+  * at 100 TB: the ONLY big-data stage is the corpus scan that extracts
+  * per-doc outlinks and partially aggregates them into a host→host
+  * weighted edge list (map-side combine leaves ≤ hosts² rows per task
+  * in the shuffle); the power iteration itself runs on the tiny host
+  * graph (hosts ≪ docs at any scale) with broadcast joins only. All
+  * rank arithmetic is integer (micro-units, floor division) so the
+  * DuckDB oracle replays the iteration bit-for-bit.
+  */
+object Graph {
+
+  /** Damped PageRank power iteration in integer micro-units:
+    * r'(h) = 150000 + (850 * Σ_{g→h} w(g,h)·(r(g) div outdeg(g))) div 1000,
+    * starting from r = 1_000_000, run `iters` rounds (statically
+    * unrolled into the plan — no driver loop over data). `hosts` is
+    * (hid), `edges` (src, dst, w), `deg` (hid, outdeg); all three are
+    * host-cardinality (tiny), hence the explicit broadcasts. */
+  def powerIterate(hosts: DataFrame, edges: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
+    var r = hosts.select(col("hid"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(broadcast(r.select(col("hid").as("src"), col("r").as("pr"))), "src")
+        .join(broadcast(deg.select(col("hid").as("src"), col("outdeg"))), "src")
+        .groupBy("dst")
+        .agg(sum(expr("w * (pr div outdeg)")).as("c"))
+      r = hosts.select("hid")
+        .join(contrib.select(col("dst").as("hid"), col("c")), Seq("hid"), "left")
+        .select(col("hid"),
+          expr("CAST(150000 AS BIGINT) + (850 * coalesce(c, CAST(0 AS BIGINT))) div 1000").as("r"))
+    }
+    r
+  }
+
+  /** q128 — host-graph PageRank: hosts are the `source` values, each
+    * doc emits 3 outlinks whose targets are md5-derived (bytes 0..2 of
+    * the doc hash mod host count — fixture-style, so both engines
+    * derive the identical graph from the raw bytes), 3 damped rounds
+    * in integer micro-units. The oracle unrolls the same 3 rounds as
+    * chained CTEs. */
+  val q128HostRank: Q = Q(
+    "q128_host_rank",
+    {
+      def round(prev: String) =
+        s"""SELECT h.hid,
+           |    CAST(150000 + (850 * COALESCE(SUM(e.w * (p.r // g.outdeg)), 0)) // 1000
+           |      AS BIGINT) AS r
+           |  FROM hosts h
+           |  LEFT JOIN edges e ON e.dst = h.hid
+           |  LEFT JOIN $prev p ON p.hid = e.src
+           |  LEFT JOIN deg g ON g.hid = e.src
+           |  GROUP BY h.hid"""
+      s"""WITH d AS (
+         |  SELECT source, md5(text) AS hx FROM documents
+         |), hosts AS (
+         |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+         |    COUNT(*) AS n_docs
+         |  FROM d GROUP BY source
+         |), nh AS (
+         |  SELECT COUNT(*) AS n FROM hosts
+         |), links AS (
+         |  SELECT h.hid AS src,
+         |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+         |  FROM d
+         |  JOIN hosts h USING (source)
+         |  CROSS JOIN nh
+         |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+         |), edges AS (
+         |  SELECT src, dst, COUNT(*) AS w FROM links GROUP BY src, dst
+         |), deg AS (
+         |  SELECT hid, 3 * n_docs AS outdeg FROM hosts
+         |), r0 AS (
+         |  SELECT hid, CAST(1000000 AS BIGINT) AS r FROM hosts
+         |), r1 AS (
+         |${round("r0")}
+         |), r2 AS (
+         |${round("r1")}
+         |), r3 AS (
+         |${round("r2")}
+         |)
+         |SELECT h.source AS host, h.n_docs AS n_docs, r.r AS rank_micro
+         |FROM hosts h JOIN r3 r USING (hid)
+         |ORDER BY rank_micro DESC, host"""
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("hid", row_number().over(Window.orderBy("source")).cast("long") - 1L)
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh)) // 1-row host count: scale-safe scalar
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    val edges = links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val deg = hosts.select(col("hid"), (col("n_docs") * 3).as("outdeg"))
+    val ranks = powerIterate(hosts.select("hid"), edges, deg, iters = 3)
+    hosts.join(ranks, "hid")
+      .select(col("source").as("host"), col("n_docs"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("host"))
+  }
+
+  val all: Seq[Q] = Seq(q128HostRank)
+}

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "q117_cluster_quality" -> "Lloyd-style assignment scoring: the k-row centroid codebook broadcasts; the corpus streams once",
     "q121_ccnet_buckets" -> "composes q101 verbatim — inherits its allowlisted 1-row bigram-total broadcast",
     "q122_decay_score" -> "corpus-scalar join: the 1-row reference time broadcasts into the decay scan",
-    "q125_hybrid_rrf" -> "corpus-scalar joins: the 1-row query vector and BM25 stats broadcast; fusion joins two O(k)+O(matched) rank lists, never the corpus")
+    "q125_hybrid_rrf" -> "corpus-scalar joins: the 1-row query vector and BM25 stats broadcast; fusion joins two O(k)+O(matched) rank lists, never the corpus",
+    "q128_host_rank" -> "corpus-scalar join: the 1-row host count broadcasts into the outlink scan; the power iteration runs on the host-cardinality graph only")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -336,7 +336,32 @@ object Multimodal {
     MM.audioSpectrum(MM.mediaTable(s, d)).orderBy("doc_id", "win_idx")
   }
 
+  /** q129 — image-text alignment gate: every image doc's payload is
+    * decoded and its 9x8 box-downscaled grid compared against the grid
+    * the TEXT side predicts; docs with doc_id % 7 == 0 carry a REAL
+    * corrupted re-encode (cell (4,2) +16 mod 256 —
+    * sources.Multimodal.captionAlignment), which the detector must
+    * find without knowing the plant. The oracle states the closed
+    * form: exactly one mismatched cell (index 22) with deviation 16,
+    * or 240 when the bump wraps past 255. */
+  val q129CaptionAlign: Q = Q(
+    "q129_caption_align",
+    s"""WITH m AS (
+       |  SELECT doc_id, $DHex80 AS hx FROM documents WHERE doc_id % 3 = 0
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_mismatch,
+       |  CAST(CASE WHEN doc_id % 7 = 0
+       |       THEN (CASE WHEN ${dCell(4, 2)} >= 240 THEN 240 ELSE 16 END)
+       |       ELSE 0 END AS BIGINT) AS max_dev,
+       |  CAST(CASE WHEN doc_id % 7 = 0 THEN ${2 * MM.GridW + 4} ELSE -1 END AS INT) AS dev_cell,
+       |  doc_id % 7 <> 0 AS aligned
+       |FROM m
+       |ORDER BY doc_id""") { (s, d) =>
+    MM.captionAlignment(s, d).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
     q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux,
-    q127AudioSpectrum)
+    q127AudioSpectrum, q129CaptionAlign)
 }

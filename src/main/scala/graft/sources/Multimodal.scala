@@ -503,11 +503,10 @@ object Multimodal {
     code
   }
 
-  /** The planted near-dup for the perceptual-hash pipeline: a REAL
-    * re-encode — decode the PNG, bump every pixel of grid cell (3,3)
-    * by +1 mod 256, encode a fresh PNG. Flips at most 2 of the 64
-    * dHash bits (the two comparisons touching that cell). */
-  def reencodePerturbed(content: Array[Byte]): Array[Byte] = {
+  /** REAL corrupted re-encode: decode the PNG, bump every pixel of
+    * grid cell (pcx, pcy) by +delta mod 256, encode a fresh PNG. */
+  def reencodePerturbed(content: Array[Byte], pcx: Int, pcy: Int,
+      delta: Int): Array[Byte] = {
     val d = decodeImage(content)
     val img = new BufferedImage(d.width, d.height, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -518,13 +517,19 @@ object Multimodal {
       while (x < d.width) {
         val v = d.px(y * d.width + x)
         val cx = cellIndex(x, GridW, d.width)
-        raster.setSample(x, y, 0, if (cx == 3 && cy == 3) (v + 1) % 256 else v)
+        raster.setSample(x, y, 0, if (cx == pcx && cy == pcy) (v + delta) % 256 else v)
         x += 1
       }
       y += 1
     }
     encodePng(img)
   }
+
+  /** The planted near-dup for the perceptual-hash pipeline: cell (3,3)
+    * bumped by +1 — flips at most 2 of the 64 dHash bits (the two
+    * comparisons touching that cell). */
+  def reencodePerturbed(content: Array[Byte]): Array[Byte] =
+    reencodePerturbed(content, 3, 3, 1)
 
   /** Binary media table derived deterministically from documents:
     * images are real PNGs, audio real WAVs (32 samples of 8-bit PCM =
@@ -730,5 +735,47 @@ object Multimodal {
     files.filter(_.kind == "audio")
       .flatMap(audioSpectrumWindows)
       .toDF("doc_id", "win_idx", "p_dc", "p_quarter", "p_nyquist", "hf_milli")
+  }
+
+  /** Image-text alignment gate over REAL payloads: image docs ship a
+    * PNG that should be the faithful render of their text-side truth,
+    * but docs with doc_id % 7 == 0 carry a corrupted re-encode (cell
+    * (4,2) bumped by +16 mod 256 — a real decode→edit→encode, not a
+    * byte flip). The detector has no access to the plant: it decodes
+    * the payload, box-downsamples to the 9x8 grid (exact on the
+    * block-constant fixture), recomputes the expected grid from the
+    * text hash, and reports mismatch count / max deviation / worst
+    * cell. The multimodal consistency filter of an image-caption
+    * pipeline, with both feature paths real. */
+  def captionAlignment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), hex80(col("text")).as("hx"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, hx) =>
+        val base = genPng(hx)
+        val payload =
+          if (id % 7 == 0) reencodePerturbed(base, 4, 2, 16) else base
+        val (nMis, maxDev, devCell) = alignmentStats(payload, hx)
+        (id, nMis, maxDev, devCell, nMis == 0)
+      })
+      .toDF("doc_id", "n_mismatch", "max_dev", "dev_cell", "aligned")
+  }
+
+  /** The alignment detector itself: decode the payload, box-downscale
+    * to the grid, diff against the text-predicted cells. Returns
+    * (mismatched cells, max abs deviation, worst cell index or -1). */
+  def alignmentStats(payload: Array[Byte], hx: String): (Int, Long, Int) = {
+    val obs = boxDownscale(decodeImage(payload), GridW, GridH)
+    var nMis = 0; var maxDev = 0L; var devCell = -1
+    var i = 0
+    while (i < GridW * GridH) {
+      val dev = math.abs(obs(i) - cellValue(hx, i % GridW, i / GridW))
+      if (dev > 0) nMis += 1
+      if (dev > maxDev) { maxDev = dev; devCell = i }
+      i += 1
+    }
+    (nMis, maxDev, devCell)
   }
 }

@@ -190,6 +190,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("alignment detector localizes an arbitrary planted corruption") {
+    // the detector must find a corrupted cell it was never told about —
+    // plant at (7, 5) with a different delta than the registered query
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val hx = h("spec-doc") + h("spec-doc2") + h("spec-doc3") + h("spec-doc4") + h("spec-doc5")
+    val clean = Multimodal.genPng(hx)
+    assert(Multimodal.alignmentStats(clean, hx) == ((0, 0L, -1)), "clean render must align")
+    val corrupted = Multimodal.reencodePerturbed(clean, 7, 5, 100)
+    val (nMis, maxDev, devCell) = Multimodal.alignmentStats(corrupted, hx)
+    val v = Integer.parseInt(hx.substring(2 * (Multimodal.CellOff + 5 * Multimodal.GridW + 7),
+      2 * (Multimodal.CellOff + 5 * Multimodal.GridW + 7) + 2), 16)
+    assert(nMis == 1 && devCell == 5 * Multimodal.GridW + 7, "wrong cell localized")
+    assert(maxDev == math.abs((v + 100) % 256 - v), "deviation must be the real pixel delta")
+  }
+
   test("frame sampling keeps every Nth demuxed frame of video payloads") {
     // frame j: row y = bytes [4j..4j+3] rotated right by y — the
     // mediaTable fixture layout

@@ -153,4 +153,13 @@ object ContractsFinder {
     * replaces the reference's delete-then-append). */
   def exportCsv(df: DataFrame, outDir: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(outDir)
+
+  /** Reference merge stage (`3_merge_to_two.py:30-57`): glob the
+    * per-day Excel extracts, union them, export one header'd CSV —
+    * here with the corrected union-BY-NAME semantics (SURVEY §2.8 U1)
+    * instead of the reference's positional append, so days whose
+    * column sets drifted merge as nulls rather than silently
+    * misaligning. */
+  def mergeXlsxToCsv(spark: SparkSession, xlsxDir: String, outDir: String): Unit =
+    exportCsv(Xlsx.readDaily(spark, xlsxDir).drop("source_file"), outDir)
 }

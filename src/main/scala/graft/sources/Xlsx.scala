@@ -1,12 +1,13 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{ZipEntry, ZipOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Excel sink (reference `2a_extract_contracts_finder.py:654`,
   * `2b_extract_find_a_tender_XMLs.py:498`: one `.xlsx` workbook per
@@ -105,6 +106,104 @@ object Xlsx {
     * time; no driver collect). All columns are stringified null-safely;
     * rows within a workbook are ordered by the remaining columns so
     * re-runs are byte-stable. */
+  /** Inverse of [[colLetters]]: the 0-based column index of an A1-style
+    * cell reference ("B3" -> 1, "AA7" -> 26). */
+  def colIndex(cellRef: String): Int = {
+    var n = 0; var i = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      n = n * 26 + (cellRef.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  /** Parse one workbook (this sink's inline-string dialect) into
+    * (header, data rows) with the JDK's StAX pull parser — streaming,
+    * no DOM materialization of the sheet. Cells land at the column
+    * index their `r` reference names, so sparse rows (absent cells)
+    * read back as nulls rather than shifting later columns left. */
+  def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var sheet: Array[Byte] = null
+    Iterator.continually(zis.getNextEntry).takeWhile(_ != null).foreach { e =>
+      if (e.getName == "xl/worksheets/sheet1.xml") sheet = zis.readAllBytes()
+    }
+    require(sheet != null, "workbook has no xl/worksheets/sheet1.xml part")
+    val xif = javax.xml.stream.XMLInputFactory.newInstance()
+    xif.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    xif.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = xif.createXMLStreamReader(new ByteArrayInputStream(sheet))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellAt = -1
+    var inT = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => cells = scala.collection.mutable.ArrayBuffer.empty[String]
+            case "c" if cells != null =>
+              cellAt = Option(r.getAttributeValue(null, "r")).map(colIndex)
+                .getOrElse(cells.length)
+            case "t" if cellAt >= 0 => inT = true; text.clear()
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          text.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" if inT =>
+              inT = false
+              while (cells.length <= cellAt) cells += null
+              cells(cellAt) = text.toString
+            case "c" => cellAt = -1
+            case "row" if cells != null => rows += cells.toSeq; cells = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    if (rows.isEmpty) (Seq.empty, Seq.empty) else (rows.head, rows.tail.toSeq)
+  }
+
+  /** Glob-scan of daily workbooks (reference `3_merge_to_two.py:30-31`:
+    * `glob('{ds}_????_??_??.xlsx')` then append-all). Distributed: a
+    * `binaryFile` scan fans the workbooks across executors, each parsed
+    * once with the streaming reader. Columns align BY HEADER NAME
+    * against the union of all headers (first-seen order over
+    * path-sorted files) — the `unionByName(allowMissingColumns)`
+    * semantics SURVEY §2.8 picked to fix the reference's positional
+    * merge hazard; a file lacking a column yields nulls there. Lineage
+    * comes back as `source_file`. The header-union pre-pass ships only
+    * header rows to the driver, never data. */
+  def readDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val header: Seq[String] = bin
+      .map { case (path, bytes) => (path, parseWorkbook(bytes)._1) }
+      .collect().sortBy(_._1)
+      .foldLeft(Vector.empty[String]) { case (acc, (_, h)) =>
+        acc ++ h.filterNot(acc.contains)
+      }
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        header.map(StructField(_, StringType, nullable = true)))
+    val rows = bin.flatMap { case (path, bytes) =>
+      val (h, data) = parseWorkbook(bytes)
+      val at = header.map(h.indexOf) // -1 (absent column) -> null
+      data.map { cells =>
+        Row.fromSeq(path +: at.map(i =>
+          if (i >= 0 && i < cells.length) cells(i) else null))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    rows.toDF()
+  }
+
   def writeDaily(df: DataFrame, dayCol: String, outDir: String): Unit = {
     val cols = df.columns.toSeq
     val dataCols = cols.filterNot(_ == dayCol)

@@ -3,6 +3,7 @@ package graft
 import java.io.ByteArrayInputStream
 
 import graft.sources.Xlsx
+import org.apache.spark.sql.functions.{col, regexp_extract}
 
 /** Excel sink tests: the emitted workbooks must be genuine OOXML
   * packages — correct ZIP part layout, spec-conformant sheet XML that a
@@ -61,5 +62,65 @@ class XlsxSpec extends SparkSpec {
   test("column letters cover the multi-letter range") {
     assert(Seq(0, 25, 26, 51, 701, 702).map(Xlsx.colLetters) ==
       Seq("A", "Z", "AA", "AZ", "ZZ", "AAA"))
+    // colIndex is the exact inverse
+    assert(Seq(0, 25, 26, 51, 701, 702).forall(i =>
+      Xlsx.colIndex(Xlsx.colLetters(i) + "17") == i))
+  }
+
+  test("readDaily glob-merges workbooks by header name (union-by-name semantics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-rd").toString
+    // two daily extracts with DIFFERENT column sets — the reference's
+    // positional-merge hazard case (3_merge_to_two.py:41-57)
+    Xlsx.writeDaily(
+      Seq(("2020-01-01", "alpha", "10")).toDF("day", "title", "amount"),
+      "day", dir)
+    Xlsx.writeDaily(
+      Seq(("2020-01-02", "beta", "B-7")).toDF("day", "title", "ref"),
+      "day", dir)
+
+    val back = Xlsx.readDaily(spark, dir)
+    assert(back.columns.toSeq == Seq("source_file", "title", "amount", "ref"),
+      s"union-of-headers in first-seen path order, got ${back.columns.toSeq}")
+    val rows = back
+      .select(
+        regexp_extract(col("source_file"), "([0-9-]+)\\.xlsx$", 1).as("day"),
+        col("title"), col("amount"), col("ref"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    // a file lacking a column reads back null there, never shifted data
+    assert(rows == Seq(
+      ("2020-01-01", "alpha", "10", null),
+      ("2020-01-02", "beta", null, "B-7")))
+
+    // the full reference merge stage: glob xlsx -> one header'd CSV
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-xlsx-csv").toString
+    graft.sources.ContractsFinder.mergeXlsxToCsv(spark, dir, csvDir)
+    val merged = spark.read.option("header", "true").csv(csvDir)
+    assert(merged.columns.toSeq == Seq("title", "amount", "ref"))
+    assert(merged.count() == 2)
+  }
+
+  test("parseWorkbook keeps sparse cells at their referenced column") {
+    // a hand-built sheet with a missing middle cell: C must not shift to B
+    val (h, rows) = Xlsx.parseWorkbook(Xlsx.workbookBytes(
+      Seq("a", "b", "c"), Iterator(Seq("1", "2", "3"))))
+    assert(h == Seq("a", "b", "c") && rows == Seq(Seq("1", "2", "3")))
+    // forge sparsity by round-tripping a workbook whose writer skipped B2:
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c><c r="B1" t="inlineStr"><is><t>y</t></is></c></row>
+        |<row r="2"><c r="B2" t="inlineStr"><is><t>only-b</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.write(sheet.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    val (h2, rows2) = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(h2 == Seq("x", "y"))
+    assert(rows2 == Seq(Seq(null, "only-b")), s"got $rows2")
   }
 }

@@ -81,5 +81,57 @@ object Scrape {
       .orderBy("month_start")
   }
 
-  val all: Seq[Q] = Seq(q47ScrapeDiscovery)
+  /** Excel round-trip through the REAL sink and reader (SURVEY K1 + S8 +
+    * U1; reference stage 2 writes one `.xlsx` per day — `2a:654`,
+    * `2b:498` — and stage 3 glob-merges them — `3:30-57`). The query
+    * slices a bounded week of orders, exports it through
+    * [[graft.sources.Xlsx.writeDaily]] (genuine OOXML workbooks, one per
+    * day), reads the workbooks back with the distributed StAX reader,
+    * recovers the day from the FILENAME (F6 family — the data rows don't
+    * carry it), and aggregates; the oracle computes the same aggregate
+    * straight from parquet. A hash match proves the whole
+    * stringify→zip→XML→parse round trip is lossless, in the driver's own
+    * gate rather than only in ScalaTest.
+    *
+    * Determinism/oracle notes: money goes through DECIMAL(18,2) so the
+    * workbook cell is plain digits and the re-parsed sum is exact
+    * (shuffle-order double sums are banned — COVERAGE determinism
+    * rules); final money column is DOUBLE on both engines, counts/key
+    * sums BIGINT. Scale note: daily-extract workbooks are small by
+    * construction (the reference's are single-day scrapes); the slice
+    * here is one fixed week, so the export side stays bounded at any SF
+    * while the scan/aggregate sides scale normally. */
+  val q130XlsxRoundtrip: Q = Q(
+    "q130_xlsx_roundtrip",
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-01-07'
+      |GROUP BY 1
+      |ORDER BY 1""") { (s, d) =>
+    val slice = graft.Tables.orders(s, d)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-01-07"))
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("price"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    graft.sources.Xlsx.writeDaily(slice, "day", dir)
+    graft.sources.Xlsx.readDaily(s, dir)
+      .select(
+        regexp_extract(col("source_file"), "([0-9-]+)\\.xlsx$", 1).as("day"),
+        expr("try_cast(price AS DECIMAL(18,2))").as("p"),
+        col("o_orderkey").cast("bigint").as("k"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_orders"),
+        sum(col("p")).cast("double").as("total_price"),
+        sum(col("k")).cast("bigint").as("key_sum"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] = Seq(q47ScrapeDiscovery, q130XlsxRoundtrip)
 }

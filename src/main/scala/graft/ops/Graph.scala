@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality for corpus curation — the host-rank weighting
@@ -18,6 +17,25 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle replays the iteration bit-for-bit.
   */
 object Graph {
+
+  /** `ROW_NUMBER() OVER (ORDER BY key) - 1` without the single-task
+    * global window (round-6 VERDICT item 5): range-partition by `key`,
+    * sort within partitions, then `zipWithIndex` — which derives each
+    * partition's offset from a small count job over partition sizes, so
+    * every partition numbers its rows in parallel. Because range
+    * partitions are themselves in key order, the result is exactly the
+    * global ascending rank whatever the boundaries are; at 10⁷+ hosts
+    * this scales where the empty-frame window funnels all rows through
+    * one task. Keys must be distinct (they are: groupBy output). */
+  private def rankIds(df: DataFrame, key: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartitionByRange(col(key)).sortWithinPartitions(key)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
 
   /** Damped PageRank power iteration in integer micro-units:
     * r'(h) = 150000 + (850 * Σ_{g→h} w(g,h)·(r(g) div outdeg(g))) div 1000,
@@ -93,8 +111,8 @@ object Graph {
          |ORDER BY rank_micro DESC, host"""
     }) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
-    val hosts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("hid", row_number().over(Window.orderBy("source")).cast("long") - 1L)
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
     val nh = hosts.agg(count(lit(1)).as("n"))
     val links = docs
       .join(broadcast(hosts.select("source", "hid")), "source")

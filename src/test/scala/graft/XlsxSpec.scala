@@ -103,6 +103,46 @@ class XlsxSpec extends SparkSpec {
     assert(merged.count() == 2)
   }
 
+  test("readDaily at width: 120 sparse columns round-trip by name (r6 stretch)") {
+    import spark.implicits._
+    // The q130 oracle covers 7 aggregate rows over a week; this drives
+    // the merge at realistic extract WIDTH — 120 columns (multi-letter
+    // A1 refs deep into 'DP'), each day carrying a different sparse
+    // subset, so every alignment decision is by header NAME and every
+    // absent (day, column) pair must read back null, never shifted.
+    val allCols = (0 until 120).map(i => f"f$i%03d")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-wide").toString
+    // day d keeps columns where (i + d) % 3 != 0 — ~80 of 120, offset per day
+    def keep(d: Int)(i: Int): Boolean = (i + d) % 3 != 0
+    (0 until 3).foreach { d =>
+      val cols = allCols.indices.filter(keep(d)).map(allCols)
+      val row = ((s"2020-02-0${d + 1}") +: cols.map(c => s"$c@d$d")).toSeq
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row.fromSeq(row)),
+        org.apache.spark.sql.types.StructType(
+          ("day" +: cols).map(org.apache.spark.sql.types.StructField(
+            _, org.apache.spark.sql.types.StringType, nullable = true))))
+      Xlsx.writeDaily(df, "day", dir)
+    }
+    val back = Xlsx.readDaily(spark, dir)
+    // union of headers in first-seen path order = day0's ~80 columns,
+    // then the ones only later days introduce
+    assert(back.columns.length == 121 && back.columns.head == "source_file")
+    assert(back.columns.toSet == (allCols.toSet + "source_file"))
+    val rows = back.withColumn("day",
+        regexp_extract(col("source_file"), "2020-02-0([0-9])", 1).cast("int") - 1)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("day")
+      allCols.zipWithIndex.foreach { case (c, i) =>
+        val got = r.getAs[String](c)
+        val want = if (keep(d)(i)) s"$c@d$d" else null
+        assert(got == want, s"day $d col $c: got $got want $want")
+      }
+    }
+  }
+
   test("parseWorkbook keeps sparse cells at their referenced column") {
     // a hand-built sheet with a missing middle cell: C must not shift to B
     val (h, rows) = Xlsx.parseWorkbook(Xlsx.workbookBytes(

@@ -132,8 +132,15 @@ class ScaleSpec extends SparkSpec {
     // future bench. Ceilings are ~2.5x the volumes measured at sf0.01
     // (graft.Prof): q26 233 KiB, q27 268 KiB, q87 6 KiB, q96 16 KiB,
     // q98 798 KiB, q101 887 KiB, q112 <1 KiB, q115 2 KiB, q123
-    // 1,115 KiB, q124 223 KiB, q125 651 KiB.
+    // 1,115 KiB, q124 223 KiB, q125 651 KiB; round 7 adds the events
+    // pillar on the repaired fixture path — q37 373 KiB (sessionization
+    // shuffles user-keyed partials, never props payloads), q111
+    // 560 KiB, q103 5 KiB (cohort retention reduces to cohort×week
+    // cells before any exchange).
     val gauges: Seq[(String, Long)] = Seq(
+      "q37_sessionize" -> 940L,
+      "q111_range_features" -> 1400L,
+      "q103_cohort_retention" -> 16L,
       "q26_exact_dedup" -> 600L,
       "q27_minhash_lsh" -> 700L,
       "q87_shard_assign" -> 32L,

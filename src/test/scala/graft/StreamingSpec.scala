@@ -87,6 +87,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("eventsStream adapts to a legacy nanos-as-long fixture (same counts)") {
+    // The current testdata ships ts as timestamp[us]; the legacy branch
+    // (INT64 nanos) is live loader code and must keep producing the
+    // identical stream. Synthesize a legacy-encoded sfDir: same rows as
+    // the real fixture, ts re-encoded as epoch-nano longs, written as a
+    // single parquet FILE (stagedDir hard-links $sfDir/events.parquet).
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-legacy-sf")
+    val tmpOut = legacyDir.resolve("out").toString
+    Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .repartition(1)
+      .write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part, legacyDir.resolve("events.parquet"))
+    val q = Streaming.runToMemory(
+      Streaming.hourlyCounts(Streaming.eventsStream(spark, legacyDir.toString)),
+      "hourly_legacy")
+    val got = spark.table("hourly_legacy")
+      .groupBy("hour_start", "event_type")
+      .agg(max("n").as("n"), max("total_value").as("total_value"))
+    val want = Streaming.hourlyCounts(batchEvents)
+    assert(got.count() > 0)
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty,
+      "legacy-encoded stream diverged from the batch answer")
+    q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     val q = Streaming.runToMemory(
       Streaming.purchaseViewJoin(Streaming.eventsStream(spark, sf)), "pvjoin",

@@ -163,6 +163,67 @@ object Scale {
       .orderBy("shard", "pos")
   }
 
+  /** q131 — snapshot diff (CDC between table versions): the operation an
+    * incremental training-data refresh runs after every ingest — "what
+    * did this corpus revision add, remove, change?" — derived from the
+    * repo's versioned table layer, not from logs. The query commits two
+    * deterministic corpus revisions through `Versioned.commitOverwrite`
+    * (v_next drops every 11th doc and revises every 13th), time-travel
+    * reads both snapshots back, and diffs them with one full-outer join
+    * keyed on doc_id, classifying added / removed / changed and
+    * filtering unchanged rows. The oracle replays the same revision
+    * derivation and diff logically in SQL, so a hash match proves the
+    * whole commit→manifest→time-travel-read path is lossless, in the
+    * driver's own gate (same pattern as q130's workbook round trip).
+    *
+    * Scale shape: the diff is one shuffle join on the snapshot key with
+    * change detection on the compared column — unchanged rows never
+    * leave the join's output projection. At 100 TB the manifest layer
+    * prunes first: only files whose membership differs between the two
+    * manifests need scanning at all (identical data files are shared by
+    * reference across versions — see Versioned's dedup-append), so the
+    * joined fraction is the churn, not the corpus. */
+  val q131VersionDiff: Q = Q(
+    "q131_version_diff",
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |v1 AS (SELECT doc_id, text FROM base WHERE doc_id % 7 <> 0),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |       FROM base WHERE doc_id % 11 <> 0)
+      |SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |            WHEN v2.doc_id IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status,
+      |  COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CAST(LENGTH(v1.text) AS BIGINT) AS chars_v1,
+      |  CAST(LENGTH(v2.text) AS BIGINT) AS chars_v2
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text
+      |ORDER BY status, doc_id""") { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val rev1 = base.filter(col("doc_id") % 7 =!= 0)
+    val rev2 = base.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    val vA = graft.sources.Versioned.commitOverwrite(s, dir, rev1)
+    val vB = graft.sources.Versioned.commitOverwrite(s, dir, rev2)
+    val a = graft.sources.Versioned.read(s, dir, Some(vA))
+      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = graft.sources.Versioned.read(s, dir, Some(vB))
+      .select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_a") === col("id_b"), "full_outer")
+      .filter(col("id_a").isNull || col("id_b").isNull ||
+        col("text_a") =!= col("text_b"))
+      .select(
+        when(col("id_a").isNull, "added")
+          .when(col("id_b").isNull, "removed")
+          .otherwise("changed").as("status"),
+        coalesce(col("id_a"), col("id_b")).as("doc_id"),
+        length(col("text_a")).cast("long").as("chars_v1"),
+        length(col("text_b")).cast("long").as("chars_v2"))
+      .orderBy("status", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
-    q96EpochShuffle)
+    q96EpochShuffle, q131VersionDiff)
 }

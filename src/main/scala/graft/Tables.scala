@@ -38,9 +38,21 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // Harmless on a real-timestamp file; required to analyze a nanos one.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(s, load(s, d, "events"))
+  }
+
+  /** Normalize a raw events frame (batch scan or file-source stream) to
+    * the public `ts: TIMESTAMP` schema. ONE implementation for both the
+    * batch `Tables.events` and `Streaming.eventsStream` paths, so the
+    * UTC contract and the physical-type dispatch can't drift apart.
+    * Every recognized encoding is matched EXPLICITLY and anything else
+    * fails loud — a future fixture regen shipping e.g. DOUBLE seconds
+    * or STRING must error here, not silently cast to garbage instants
+    * in every runtime path (round-7 ADVICE).
+    */
+  private[graft] def normalizeEventsTs(s: SparkSession, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
         // Legacy nanos-as-INT64 fixture. `ts div 1000` — integer
@@ -48,14 +60,18 @@ object Tables {
         // precision at 2024 epoch-nano magnitudes (> 2^53).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw // already an instant
-      case _ =>
-        // TIMESTAMP_NTZ (current timestamp[us] fixture): reinterpret the
-        // naive wall-clock as a UTC instant. The cast goes through the
+      case TimestampNTZType =>
+        // Current timestamp[us] fixture: reinterpret the naive
+        // wall-clock as a UTC instant. The cast goes through the
         // session zone, which graft pins to UTC (see contract above).
         require(s.conf.get("spark.sql.session.timeZone") == "UTC",
           s"events NTZ→instant cast requires session timeZone=UTC, " +
             s"got ${s.conf.get("spark.sql.session.timeZone")}")
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        sys.error(s"events.ts: unexpected physical type $other — " +
+          "known encodings are INT64 nanos (via nanosAsLong), TIMESTAMP, " +
+          "and TIMESTAMP_NTZ; refusing to guess an instant semantics")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

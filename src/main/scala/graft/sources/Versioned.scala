@@ -172,7 +172,7 @@ object Versioned {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -48,14 +48,10 @@ object Streaming {
     val schema = StructType(eventsRawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physical) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)
-    physical match {
-      case LongType =>
-        // legacy nanos-as-INT64: integer division, see Tables.events
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ: naive micros are UTC instants (contract)
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    // Shared normalizer with the batch path (Tables.normalizeEventsTs):
+    // same explicit type dispatch, same UTC require on the NTZ branch,
+    // same fail-loud default — stream and batch can't drift apart.
+    graft.Tables.normalizeEventsTs(spark, raw)
   }
 
   private def stagedEventsDir(sfDir: String): String =

@@ -19,12 +19,20 @@ with SPARK_GRAFT_ONLY on the Verify side)
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def table_glob(sf_dir, t):
+    """Fixture tables are either a single parquet FILE (driver testdata)
+    or a DIRECTORY of part files (graft.Split fixtures) — glob the dir."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
 def fetch(con, sql):
@@ -58,7 +66,8 @@ def vals_equal(a, b):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # comma-separated query names: check just those
         names = {n.strip() for n in only.split(",") if n.strip()}

@@ -57,22 +57,36 @@ object Streaming {
   private def stagedEventsDir(sfDir: String): String =
     stagedDir(sfDir, "events", copies = 1)
 
-  /** Stage a single-file testdata table into a directory the file
-    * source can stream (hard-link, copy fallback). `copies` > 1 plants
-    * duplicate input files — micro-batch-spanning duplicates for the
+  /** Stage a testdata table into a directory the file source can
+    * stream (hard-link, copy fallback). Handles both fixture layouts:
+    * a single `<table>.parquet` FILE (the driver's testdata) and a
+    * `<table>.parquet/` DIRECTORY of part files (graft.Split's
+    * multi-file fixtures — every part is linked). `copies` > 1 plants
+    * duplicate inputs — micro-batch-spanning duplicates for the
     * incremental-dedup specs. */
   private def stagedDir(sfDir: String, table: String, copies: Int): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, s"$table.parquet")
+    val parts: Seq[Path] =
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(src)
+        try s.iterator().asScala.toSeq.filter(
+          _.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally s.close()
+      } else Seq(src)
+    // "s2" marks the multi-part naming scheme: a staging dir populated
+    // by the old single-file scheme must not be reused (its files would
+    // sit alongside the new names and double the stream's input).
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-$table-$copies-" + Integer.toHexString(sfDir.hashCode))
+      s"graft-$table-$copies-s2-" + Integer.toHexString(sfDir.hashCode))
     Files.createDirectories(dir)
-    (1 to copies).foreach { i =>
-      val dst = dir.resolve(s"$table$i.parquet")
+    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {
+      val dst = dir.resolve(s"$table$i-$j.parquet")
       if (!Files.exists(dst)) {
-        try Files.createLink(dst, src)
+        try Files.createLink(dst, p)
         catch { case _: Exception =>
-          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+          Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING) }
       }
     }
     dir.toString

@@ -28,9 +28,18 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // coalesce(1) keeps the sf0.01 driver compare cheap (one file per
+    // query); at larger SFs it would serialize each result's export
+    // through ONE task (the sf1 slice hit minutes on q35's 124-column
+    // flatten) — SPARK_GRAFT_NO_COALESCE=1 writes natural partitions
+    // instead (selfcheck/determinism glob the directory either way).
+    val singleFile = !sys.env.contains("SPARK_GRAFT_NO_COALESCE")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        (if (singleFile) res.coalesce(1) else res)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

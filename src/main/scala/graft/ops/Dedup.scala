@@ -100,14 +100,20 @@ object Dedup {
       explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
   }
 
-  private val DBands =
+  /** Signature + band-key CTEs without a candidate rule — shared by the
+    * pairwise `cand` (DBands) and q132's incremental batch-vs-index
+    * probe, which needs a DIFFERENT join predicate over the same bands. */
+  private val DSigsBands =
     s"""sigs AS (
        |  SELECT doc_id, sh, list_distinct(list_transform(sh, s -> $DHex32)) AS hs, $DSig AS sig
        |  FROM (SELECT doc_id, $DSh AS sh FROM corpus)
        |), bands AS (
        |  SELECT doc_id, md5(concat_ws('_', b, sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])) AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0,4)) AS b)
-       |), cand AS (
+       |)""".stripMargin
+
+  private val DBands =
+    s"""$DSigsBands, cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
        |)""".stripMargin
@@ -710,8 +716,52 @@ object Dedup {
       .orderBy("split_a", "split_b")
   }
 
+  /** q132 — INCREMENTAL dedup: probe an incoming batch against the band
+    * index of the EXISTING corpus, without re-pairing the corpus against
+    * itself. Production pipelines never re-run whole-corpus dedup per crawl
+    * drop — they persist the band→doc index (here: the localCheckpoint'd
+    * signature table standing in for a staging table) and join only the
+    * new batch's band keys against it. The fixture split reuses the
+    * corpus convention: base docs (doc_id < 1e6) are the existing index,
+    * the synthesized copies (doc_id ≥ 1e6) are the incoming batch.
+    *
+    * Scale shape: the probe join moves band KEYS only (16 bytes × 4 per
+    * doc), never payloads; on a cluster the batch side (a daily drop,
+    * ≪ corpus) broadcasts, so the indexed corpus is never shuffled at
+    * all. The verify stage then fetches shingle sets for candidate ids
+    * only — a semi-join-pruned lookup, not a corpus scan. Intra-batch
+    * duplicates are deliberately out of scope here (that's the q27
+    * pairwise pass run batch-locally before admission). */
+  val q132IncrementalDedup: Q = Q(
+    "q132_incremental_dedup",
+    s"""WITH $DCorpus, $DSigsBands, cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.bkey = y.bkey
+       |  WHERE x.doc_id >= 1000000 AND y.doc_id < 1000000
+       |), $DVerified
+       |SELECT c.doc_id, v.dup_of,
+       |  CASE WHEN v.dup_of IS NULL THEN 'new' ELSE 'dup' END AS decision
+       |FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+       |LEFT JOIN (SELECT doc_a AS doc_id, min(doc_b) AS dup_of
+       |           FROM verified GROUP BY doc_a) v USING (doc_id)
+       |ORDER BY doc_id""") { (s, d) =>
+    val bands = bandRows(s, d)
+    val idx = bands.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("doc_b"), col("bkey"))
+    val batch = bands.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id").as("doc_a"), col("bkey"))
+    val cand = batch.join(idx, "bkey").select("doc_a", "doc_b").distinct()
+    val matched = verifiedDupPairs(cand, shingleSets(s, d))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("dup_of"))
+    corpus(s, d).filter(col("doc_id") >= 1000000L).select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("decision", when(col("dup_of").isNull, "new").otherwise("dup"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
-    q119CdcChunks, q120SplitLeakage)
+    q119CdcChunks, q120SplitLeakage, q132IncrementalDedup)
 }

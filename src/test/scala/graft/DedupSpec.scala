@@ -88,6 +88,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q132: exact-copy batch docs resolve as dup of an existing index doc") {
+    val out = ops.Dedup.q132IncrementalDedup.fn(spark, sf).collect()
+    val batchN = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") >= 1000000L).count()
+    assert(out.length == batchN, "one decision row per incoming batch doc")
+    assert(out.forall(_.getLong(0) >= 1000000L), "index docs must not appear")
+    // decision string is exactly the dup_of nullability
+    out.foreach { r =>
+      assert((r.getString(2) == "new") == r.isNullAt(1),
+        s"decision/dup_of mismatch in $r")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) < 1000000L, "dup_of must point into the index")
+    }
+    // an exact copy (+2e6) of a non-empty doc shares its base's shingle
+    // set verbatim (J = 1), so it MUST come back dup — and its earliest
+    // match can be no later than the base itself
+    val nonEmptyBases = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") < 1000000L && col("doc_id") % 7 === 0 &&
+        size(col("toks")) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nonEmptyBases.nonEmpty)
+    val exact = out.filter(r => nonEmptyBases.contains(r.getLong(0) - 2000000L))
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(r.getString(2) == "dup", s"exact copy ${r.getLong(0)} not flagged dup")
+      assert(r.getLong(1) <= r.getLong(0) - 2000000L,
+        s"dup_of later than the base in $r")
+    }
+  }
+
   test("connectedComponents separates components and keeps singletons") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

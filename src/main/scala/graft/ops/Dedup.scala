@@ -716,6 +716,20 @@ object Dedup {
       .orderBy("split_a", "split_b")
   }
 
+  /** Static band index of the EXISTING corpus (doc_id < 1e6) — the
+    * persisted lookup side of the incremental probe (q132 and its
+    * streaming twin, Streaming.incrementalDedupStream). On a cluster
+    * this is a staging table written once per corpus snapshot. */
+  def indexBands(s: SparkSession, d: String): DataFrame =
+    bandRows(s, d).filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("idx_id"), col("bkey"))
+
+  /** Distinct shingle-hash sets of the index docs — the verify-side
+    * lookup for candidates surfaced by [[indexBands]]. */
+  def indexShingles(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("idx_id"), col("sh").as("sy"))
+
   /** q132 — INCREMENTAL dedup: probe an incoming batch against the band
     * index of the EXISTING corpus, without re-pairing the corpus against
     * itself. Production pipelines never re-run whole-corpus dedup per crawl

@@ -126,6 +126,45 @@ object Streaming {
       .dropDuplicates("fp")
   }
 
+  /** Streaming twin of q132's incremental dedup, in pure declarative
+    * form (contrast [[lshDedupIngest]], the foreachBatch store-updating
+    * variant): an incoming stream of (doc_id, toks) docs is probed
+    * against the STATIC band index of the existing corpus
+    * (ops.Dedup.indexBands) via a stream-static equi join, candidates
+    * are VERIFIED at exact Jaccard >= 0.7 against the static shingle
+    * sets (ops.Dedup.indexShingles), and a stateful dropDuplicates
+    * collapses the <=4 band hits per doc to one verdict row. Emits one
+    * row per verified-duplicate incoming doc; admission = stream minus
+    * output.
+    *
+    * Scale shape: the stream side computes signature/shingles in-row
+    * (narrow); both joins move band keys / candidate ids, never doc
+    * payloads. At fixture scale the static index fits the broadcast
+    * threshold; at 100 TB the static side is a bucketed staging table,
+    * so the equi joins shuffle only the micro-batch's keys against it —
+    * the plan shape is unchanged. State is one doc_id per verified dup
+    * (watermark-boundable with dropDuplicatesWithinWatermark when the
+    * stream carries event time). */
+  def incrementalDedupStream(docs: DataFrame, indexBands: DataFrame,
+      indexShingles: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{bandKey, tokenShingleHashes}
+    val sig = docs
+      .withColumn("sig", expr("graft_minhash(toks)"))
+      .withColumn("sx", array_distinct(tokenShingleHashes(col("toks"))))
+    val bands = sig.select(col("doc_id"), col("sx"),
+      explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
+    val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
+    val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
+    bands
+      .join(indexBands, "bkey")
+      .select(col("doc_id"), col("sx"), col("idx_id"))
+      .join(indexShingles, "idx_id")
+      // the ONE verify rule (Dedup.verifiedDupPairs): exact J >= 0.7
+      .filter(uni > 0 && inter * 1000000L >= uni * 700000L)
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** Tumbling-window hourly counts with a 1-hour watermark — the
     * streaming twin of q14. Works unchanged in batch. */
   def hourlyCounts(events: DataFrame): DataFrame =

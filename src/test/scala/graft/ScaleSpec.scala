@@ -143,6 +143,9 @@ class ScaleSpec extends SparkSpec {
       "q103_cohort_retention" -> 16L,
       "q26_exact_dedup" -> 600L,
       "q27_minhash_lsh" -> 700L,
+      // round 8: incremental batch-vs-index probe — band keys + shingle
+      // lookups for candidates only, measured 284 KiB at sf0.01
+      "q132_incremental_dedup" -> 710L,
       "q87_shard_assign" -> 32L,
       "q96_epoch_shuffle" -> 64L,
       "q98_kmeans_lloyd" -> 2048L,

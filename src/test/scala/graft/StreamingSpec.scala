@@ -267,6 +267,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental dedup (stream-static band probe) == batch q132 dup set") {
+    import graft.functions.TextFunctions.tokens
+    // synthesize the SAME incoming batch as q132 (Dedup.corpus's copies:
+    // near = first token dropped, exact = verbatim), delivered twice
+    // across micro-batches so the verdict-collapse state is exercised
+    val base = Streaming.documentsStream(spark, sf, copies = 2)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        slice(col("toks"), lit(2), size(col("toks"))).as("toks"))
+    val exact = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("toks"))
+    val q = Streaming.runToMemory(
+      Streaming.incrementalDedupStream(near.unionByName(exact),
+        ops.Dedup.indexBands(spark, sf), ops.Dedup.indexShingles(spark, sf)),
+      "incdedup", mode = "append")
+    val got = spark.table("incdedup").select("doc_id").distinct()
+    val want = ops.Dedup.q132IncrementalDedup.fn(spark, sf)
+      .filter(col("decision") === "dup").select("doc_id")
+    assert(got.count() > 0)
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty,
+      "streaming verified-dup set must equal the batch q132 dup set")
+    q.stop()
+  }
+
   test("streaming curation: quality gate + cross-batch dedup == batch pipeline") {
     // every document arrives TWICE in separate micro-batches; the
     // streaming dedup state must collapse the second arrival

@@ -1173,10 +1173,125 @@ object Clean {
       .orderBy("lang")
   }
 
+  /** q133 — per-source boilerplate strip (CCNet/RefinedWeb-style template
+    * removal; ref pipeline has no counterpart — this is the LLM-curation
+    * extension). q102 removes chunks duplicated ANYWHERE in the corpus
+    * (first occurrence wins); this removes chunks whose within-source
+    * document frequency crosses a threshold — nav bars, cookie banners,
+    * footers that a crawl of one host repeats on every page. A chunk is
+    * boilerplate for a source iff the source has >= 10 docs and the chunk
+    * appears in >= 20% of them; dedup keeps one copy, boilerplate keeps
+    * none. The documents table has no natural templates, so both engines
+    * plant them identically: doc_id%3 docs get a 16-token per-source
+    * header chunk, doc_id%9 docs additionally a second header (~11% of a
+    * source's docs — under the threshold, so it must SURVIVE: the oracle
+    * checks the threshold semantics, not just "headers vanish").
+    *
+    * Scale design: chunk TEXT never shuffles — the frequency pass moves
+    * (source, md5, doc_id) tuples, the per-source doc counts are a
+    * 20-row aggregate, and the boilerplate set (O(sources x frequent
+    * chunks)) broadcasts back to the chunk stream; the rebuild filters
+    * the chunk array IN the original document row (narrow projection
+    * over a localCheckpoint, same shape as q102). At 100 TB the shuffled
+    * bytes are O(chunks) x ~50 bytes, never the corpus. */
+  val q133BoilerplateStrip: Q = {
+    val dHdrA = "['nav','home','about','contact','privacy','terms'," +
+      "'copyright',source,'all','rights','reserved','subscribe'," +
+      "'newsletter','follow','us','today']"
+    val dHdrB = "['footer','sitemap','rss','login',source,'register'," +
+      "'search','menu','categories','tags','archive','popular'," +
+      "'recent','comments','share','links']"
+    Q("q133_boilerplate_strip",
+      s"""WITH t AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source,
+         |      CASE WHEN doc_id%9=0 THEN $dHdrA || $dHdrB || toks
+         |           WHEN doc_id%3=0 THEN $dHdrA || toks
+         |           ELSE toks END AS toks
+         |    FROM (SELECT doc_id, source, $DToks AS toks FROM documents) b
+         |  ) WHERE len(toks) > 0
+         |), ch AS (
+         |  SELECT doc_id, source, CAST((start-1)//16 AS BIGINT) AS idx,
+         |    array_to_string(toks[start:start+15], ' ') AS txt
+         |  FROM (SELECT doc_id, source, toks,
+         |          unnest(range(1, len(toks)+1, 16)) AS start FROM t)
+         |), srcn AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM t GROUP BY 1
+         |), fq AS (
+         |  SELECT source, md5(txt) AS fp,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM ch GROUP BY 1, 2
+         |), boiler AS (
+         |  SELECT fq.source, fq.fp FROM fq JOIN srcn ON srcn.source = fq.source
+         |  WHERE n_src >= 10 AND ${dRatio("n_docs", "n_src", 1000000L)} >= 200000
+         |), fl AS (
+         |  SELECT ch.doc_id, ch.idx FROM ch JOIN boiler
+         |    ON boiler.source = ch.source AND boiler.fp = md5(ch.txt)
+         |)
+         |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) FILTER (WHERE fl.idx IS NOT NULL) AS BIGINT) AS n_boiler,
+         |  md5(COALESCE(array_to_string(
+         |    list(ch.txt ORDER BY ch.idx) FILTER (WHERE fl.idx IS NULL), ' '),
+         |    '')) AS clean_fp
+         |FROM ch LEFT JOIN fl ON fl.doc_id = ch.doc_id AND fl.idx = ch.idx
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""") { (s, d) =>
+      def hdr(ws: Seq[String], srcAt: Int): Column = {
+        val cs = ws.map(lit(_): Column)
+        array(cs.take(srcAt) ++ (col("source") +: cs.drop(srcAt)): _*)
+      }
+      val hdrA = hdr(Seq("nav", "home", "about", "contact", "privacy",
+        "terms", "copyright", "all", "rights", "reserved", "subscribe",
+        "newsletter", "follow", "us", "today"), 7)
+      val hdrB = hdr(Seq("footer", "sitemap", "rss", "login", "register",
+        "search", "menu", "categories", "tags", "archive", "popular",
+        "recent", "comments", "share", "links"), 4)
+      val t = docs(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .withColumn("toks",
+          when(col("doc_id") % 9 === 0, concat(hdrA, hdrB, col("toks")))
+            .when(col("doc_id") % 3 === 0, concat(hdrA, col("toks")))
+            .otherwise(col("toks")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("chunks", transform(
+          sequence(lit(1), size(col("toks")), lit(16)),
+          st => struct(((st - 1) / 16).cast("long").as("idx"),
+            array_join(slice(col("toks"), st, lit(16)), " ").as("txt"))))
+        .select(col("doc_id"), col("source"), col("chunks"))
+        .localCheckpoint() // chunking runs once: frequency pass + rebuild
+      val ch = t.select(col("doc_id"), col("source"),
+          explode(col("chunks")).as("c"))
+        .select(col("doc_id"), col("source"),
+          col("c").getField("idx").as("idx"),
+          md5(col("c").getField("txt")).as("fp"))
+      val srcn = t.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val boiler = ch.groupBy("source", "fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .join(broadcast(srcn), "source")
+        .filter(col("n_src") >= 10 &&
+          ratioScaled(col("n_docs"), col("n_src"), 1000000L) >= 200000)
+        .select(col("source"), col("fp"))
+      val fl = ch.join(broadcast(boiler), Seq("source", "fp"))
+        .groupBy("doc_id").agg(collect_list(col("idx")).as("boil"))
+      val boil = coalesce(col("boil"), array().cast("array<bigint>"))
+      t.join(fl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          size(array_intersect(
+            transform(col("chunks"), _.getField("idx")), boil))
+            .cast("long").as("n_boiler"),
+          md5(array_join(
+            transform(
+              filter(col("chunks"),
+                c => !array_contains(boil, c.getField("idx"))),
+              _.getField("txt")), " ")).as("clean_fp"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
-    q114Unimax, q118BestfitPack)
+    q114Unimax, q118BestfitPack, q133BoilerplateStrip)
 }

@@ -173,4 +173,23 @@ class CleanSpec extends SparkSpec {
       s"allocations decreased in visit order: ${visitOrder.toSeq}")
     assert(cap.forall { case (l, c) => c == 2 * nTok(l) })
   }
+
+  test("q133: planted header stripped, below-threshold second header survives, strip is surgical") {
+    import graft.functions.TextFunctions.tokens
+    val out = ops.Clean.q133BoilerplateStrip.fn(spark, sf)
+    // threshold semantics in BOTH directions: the ~33%-frequency header is
+    // boilerplate (exactly one chunk flagged on every %3 doc), the ~11%
+    // second header on %9 docs is NOT (it stays under the 20% bar)
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_boiler") =!= 1).isEmpty)
+    assert(out.filter(col("doc_id") % 3 =!= 0 && col("n_boiler") =!= 0).isEmpty)
+    // surgical strip: the planted header is exactly one 16-token chunk, so
+    // a %3-not-%9 doc's cleaned text must equal its ORIGINAL tokenization
+    // (chunks shift down by one; chunk-join == token-join)
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("raw_fp"))
+    val planted = out.filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 =!= 0)
+      .join(raw, "doc_id")
+    assert(planted.filter(col("clean_fp") =!= col("raw_fp")).isEmpty)
+    assert(planted.count() > 0)
+  }
 }

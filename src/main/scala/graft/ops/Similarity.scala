@@ -1021,7 +1021,126 @@ object Similarity {
       .limit(20)
   }
 
+  /** q134 — incremental IVF maintenance: an APPEND batch lands in an
+    * existing index (the ANN-side twin of q132's incremental dedup —
+    * per crawl drop you don't rebuild the index, you assign the new
+    * vectors to the EXISTING cells and decide which cells need
+    * re-splitting). The batch (rotated copies of vec_id%4 — norm
+    * preserved, direction decorrelated, synthesized identically by both
+    * engines) is assigned via the broadcast-codebook argmax; the report
+    * per cell: base/new member counts, new-member fraction, centroid
+    * drift (1e6 - cosine between the pre-append centroid and the
+    * recomputed one), and a resplit flag when the new-member fraction
+    * reaches 21% — the signal a production pipeline uses to schedule
+    * re-clustering. The batch averages ~25% of each cell, so the
+    * threshold deliberately lands INSIDE the observed spread: some
+    * cells flag and some don't, and the oracle checks both outcomes
+    * (same two-sided-planting principle as q133).
+    *
+    * Scale shape: both assignment passes are narrow scans against a
+    * broadcast k-row codebook (no shuffle; at 100 TB the base
+    * assignment is READ from the persisted index table q54 materializes
+    * — recomputed here only because the fixture is stateless); the
+    * centroid update is the per-cell ordered fold q98 already uses, and
+    * every join in the report is over k rows. */
+  val q134IvfAppend: Q = {
+    val dFold =
+      s"""list_transform(
+         |    list_reduce(list_prepend(list_transform(range(0,$Dim), x -> CAST(0 AS DOUBLE)), vs),
+         |      (acc, e) -> list_transform(range(1,${Dim + 1}), i -> acc[i] + e[i])),
+         |    x -> x / n)""".stripMargin
+    val dNewPpm = Clean.dRatio(
+      "COALESCE(n_new, 0)", "COALESCE(n_base, 0) + COALESCE(n_new, 0)", 1000000L)
+    Q("q134_ivf_append",
+      s"""WITH vecs AS (
+         |  SELECT vec_id, $DVec AS v FROM embeddings
+         |), newb AS (
+         |  SELECT vec_id + 1000000 AS vec_id, list_concat(v[2:], v[1:1]) AS v
+         |  FROM vecs WHERE vec_id % 4 = 0
+         |), cents AS (
+         |  SELECT label AS cluster, n, $dFold AS c
+         |  FROM (SELECT label, list($DVec ORDER BY vec_id) AS vs, COUNT(*) AS n
+         |        FROM embeddings GROUP BY label)
+         |), ab AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT vec_id, v, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY ${dCosPpm("v", "c")} DESC, cluster) AS rn
+         |    FROM vecs CROSS JOIN cents) WHERE rn = 1
+         |), an AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT vec_id, v, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY ${dCosPpm("v", "c")} DESC, cluster) AS rn
+         |    FROM newb CROSS JOIN cents) WHERE rn = 1
+         |), newc AS (
+         |  SELECT cluster, $dFold AS c2
+         |  FROM (SELECT cluster, list(v ORDER BY vec_id) AS vs, COUNT(*) AS n
+         |        FROM (SELECT vec_id, v, cluster FROM ab
+         |              UNION ALL SELECT vec_id, v, cluster FROM an) uni
+         |        GROUP BY cluster)
+         |), nb AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_base FROM ab GROUP BY 1),
+         |   nn AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_new FROM an GROUP BY 1)
+         |SELECT CAST(cents.cluster AS BIGINT) AS cell,
+         |  COALESCE(n_base, 0) AS n_base, COALESCE(n_new, 0) AS n_new,
+         |  $dNewPpm AS new_ppm,
+         |  CASE WHEN c2 IS NULL THEN CAST(0 AS BIGINT)
+         |       ELSE 1000000 - ${dCosPpm("c", "c2")} END AS drift_ppm,
+         |  CASE WHEN $dNewPpm >= 210000 THEN 1 ELSE 0 END AS resplit
+         |FROM cents LEFT JOIN nb ON nb.cluster = cents.cluster
+         |  LEFT JOIN nn ON nn.cluster = cents.cluster
+         |  LEFT JOIN newc ON newc.cluster = cents.cluster
+         |ORDER BY cell""") { (s, d) =>
+      import graft.functions.TextFunctions.ratioScaled
+      val base = graft.Q.stageBarrier(Tables.embeddings(s, d))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val newb = base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("v"), 2, Dim - 1), slice(col("v"), 1, 1)).as("v"))
+      val cents = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+            _.getField("e")).as("vs"))
+        .select(col("label").as("cluster"),
+          transform(
+            aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+              (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+            x => x / col("n")).as("c"))
+        .localCheckpoint() // consumed by two assignment passes + the drift join
+      val ab = assignTo(base, cents).localCheckpoint() // counts + fold
+      val an = assignTo(newb, cents).localCheckpoint()
+      val newc = ab.unionByName(an)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+            _.getField("v")).as("vs"))
+        .select(col("cluster"),
+          transform(
+            aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+              (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+            x => x / col("n")).as("c2"))
+      val nb = ab.groupBy("cluster").agg(count(lit(1)).as("n_base"))
+      val nn = an.groupBy("cluster").agg(count(lit(1)).as("n_new"))
+      val newPpm = ratioScaled(coalesce(col("n_new"), lit(0L)),
+        coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)), 1000000L)
+      cents.join(nb, Seq("cluster"), "left")
+        .join(nn, Seq("cluster"), "left")
+        .join(newc, Seq("cluster"), "left")
+        .select(col("cluster").cast("long").as("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          newPpm.as("new_ppm"),
+          when(col("c2").isNull, 0L)
+            .otherwise(lit(1000000L) - cosPpm(col("c"), col("c2"))).as("drift_ppm"),
+          when(newPpm >= 210000, 1).otherwise(0).as("resplit"))
+        .orderBy("cell")
+    }
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
-    q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf)
+    q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
+    q134IvfAppend)
 }

@@ -45,4 +45,27 @@ class SimilaritySpec extends SparkSpec {
     val scores = out.map(_.getAs[Long]("rrf_ppm")).toSeq
     assert(scores == scores.sorted.reverse && out.length <= 20)
   }
+
+  test("q134: append batch is conserved across cells and the resplit flag recomputes from the counts") {
+    val out = ops.Similarity.q134IvfAppend.fn(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val nNewExpected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 0).count()
+    // every vector (base and appended) lands in exactly one cell
+    assert(out.map(_.getAs[Long]("n_base")).sum == nVecs)
+    assert(out.map(_.getAs[Long]("n_new")).sum == nNewExpected)
+    out.foreach { r =>
+      val nb = r.getAs[Long]("n_base"); val nn = r.getAs[Long]("n_new")
+      val ppm = if (nb + nn == 0) 0L
+        else math.floor(nn * 1000000.0 / (nb + nn)).toLong
+      assert(r.getAs[Long]("new_ppm") == ppm)
+      assert(r.getAs[Int]("resplit") == (if (ppm >= 210000) 1 else 0))
+      // cosine-derived drift stays in [0, 2e6]; empty cells report 0
+      val drift = r.getAs[Long]("drift_ppm")
+      assert(drift >= 0L && drift <= 2000000L)
+    }
+    // the 21% threshold lands inside the batch's spread: both outcomes occur
+    assert(out.exists(_.getAs[Int]("resplit") == 1))
+    assert(out.exists(_.getAs[Int]("resplit") == 0))
+  }
 }

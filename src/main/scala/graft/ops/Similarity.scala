@@ -490,7 +490,10 @@ object Similarity {
       (-ct.getField("cluster").cast("long")).as("negc"),
       ct.getField("cluster").as("cluster")))
 
-  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame =
+  /** Broadcast-codebook argmax assignment (vec_id, v) x (cluster, c) ->
+    * (vec_id, v, cluster). Package-visible: the streaming twin
+    * (streaming.Streaming.ivfAssignStream) runs the SAME code path. */
+  private[graft] def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame =
     withNorm(vecs, "v")
       .crossJoin(broadcast(codebookOf(cents)))
       .select(col("vec_id"), col("v"),
@@ -1043,6 +1046,22 @@ object Similarity {
     * — recomputed here only because the fixture is stateless); the
     * centroid update is the per-cell ordered fold q98 already uses, and
     * every join in the report is over k rows. */
+  /** Per-label deterministic mean centroids (cluster, c) — the IVF
+    * codebook q134 maintains, shared with the streaming twin
+    * (streaming.Streaming.ivfAssignStream). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          _.getField("e")).as("vs"))
+      .select(col("label").as("cluster"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+
   val q134IvfAppend: Q = {
     val dFold =
       s"""list_transform(
@@ -1097,18 +1116,8 @@ object Similarity {
       val newb = base.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(slice(col("v"), 2, Dim - 1), slice(col("v"), 1, 1)).as("v"))
-      val cents = Tables.embeddings(s, d)
-        .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
-            _.getField("e")).as("vs"))
-        .select(col("label").as("cluster"),
-          transform(
-            aggregate(col("vs"), array_repeat(lit(0.0), Dim),
-              (acc, e) => zip_with(acc, e, (x, y) => x + y)),
-            x => x / col("n")).as("c"))
-        .localCheckpoint() // consumed by two assignment passes + the drift join
+      // consumed by two assignment passes + the drift join
+      val cents = labelCentroids(s, d).localCheckpoint()
       val ab = assignTo(base, cents).localCheckpoint() // counts + fold
       val an = assignTo(newb, cents).localCheckpoint()
       val newc = ab.unionByName(an)

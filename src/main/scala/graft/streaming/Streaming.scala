@@ -108,6 +108,31 @@ object Streaming {
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir(sfDir, "documents", copies))
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over the embeddings table (same staging and
+    * `copies` semantics as [[documentsStream]]). */
+  def embeddingsStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir(sfDir, "embeddings", copies))
+
+  /** Streaming twin of q134's append assignment: new vectors arrive
+    * continuously and land in the EXISTING IVF cells via the same
+    * broadcast-codebook argmax code path the batch runs
+    * (ops.Similarity.assignTo) — a stateless narrow map over the
+    * stream, plus a stateful dropDuplicates so redelivered vectors
+    * (overlapping crawl drops) assign once. The codebook is the small
+    * static side; at 100 TB it is the persisted centroid table and the
+    * stream never shuffles. Emits (vec_id, cluster). */
+  def ivfAssignStream(vecs: DataFrame, cents: DataFrame): DataFrame =
+    graft.ops.Similarity.assignTo(vecs.dropDuplicates("vec_id"), cents)
+      .select(col("vec_id"), col("cluster"))
+
   /** Streaming twin of the curation gate (ops.Clean q69+q26): quality
     * keep-filter → streaming exact dedup on the normalized fingerprint.
     * The dedup state is one fingerprint per kept doc, exactly the

@@ -293,6 +293,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming IVF assignment (stream-static codebook argmax) == batch q134 per-cell counts") {
+    // the SAME append batch q134 synthesizes (rotated %4 vectors),
+    // delivered twice across micro-batches: the dropDuplicates state
+    // must collapse the redelivery before assignment counts
+    val newb = Streaming.embeddingsStream(spark, sf, copies = 2)
+      .filter(col("vec_id") % 4 === 0)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("concat(slice(v, 2, 63), slice(v, 1, 1))").as("v"))
+    val q = Streaming.runToMemory(
+      Streaming.ivfAssignStream(newb, ops.Similarity.labelCentroids(spark, sf)),
+      "ivfassign", mode = "append")
+    val got = spark.table("ivfassign")
+    val nNewIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 0).count()
+    assert(got.count() == nNewIds, "each appended vector assigns exactly once")
+    val gotAgg = got.groupBy(col("cluster").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_new"))
+    val want = ops.Similarity.q134IvfAppend.fn(spark, sf)
+      .select(col("cell"), col("n_new")).filter(col("n_new") > 0)
+    assert(want.exceptAll(gotAgg).isEmpty && gotAgg.exceptAll(want).isEmpty,
+      "streaming per-cell assignment counts must equal batch q134 n_new")
+    q.stop()
+  }
+
   test("streaming curation: quality gate + cross-batch dedup == batch pipeline") {
     // every document arrives TWICE in separate micro-batches; the
     // streaming dedup state must collapse the second arrival

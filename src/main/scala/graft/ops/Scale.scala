@@ -235,6 +235,53 @@ object Scale {
       .orderBy("status", "doc_id")
   }
 
+  /** q135 — manifest file skipping (min/max data skipping): the scan-side
+    * half of the 100 TB story. The query commits the documents table
+    * through `Versioned.commitAppendStats` after range-clustering on
+    * doc_id (`repartitionByRange`, so each data file covers a disjoint
+    * id band), which lifts each file's parquet-footer min/max into the
+    * manifest. `Versioned.readSkipping` then answers a doc_id range
+    * query from the PRUNED file set — the manifest alone eliminates the
+    * files whose [min,max] can't intersect the range, before any footer
+    * or page is opened. The oracle runs the same range aggregate over
+    * the full table, so a hash match proves pruned-read ≡ full-scan
+    * semantics; SourcesSpec asserts the pruning is REAL (files read <
+    * files in manifest) and that a stats-less v1 manifest degrades to
+    * read-everything rather than wrong answers.
+    *
+    * Scale shape: at 100 TB with ~1 GiB files this is the difference
+    * between planning 100k files and planning the ~100 whose band
+    * intersects the predicate — O(manifest) driver work, zero data I/O
+    * for skipped files, and the clustering step that makes it selective
+    * is the same range-exchange a sorted write already pays. */
+  val q135FileSkipping: Q = Q(
+    "q135_file_skipping",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS lo_id, MAX(doc_id) AS hi_id
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val dir = stagingDir(d, "q135")
+    graft.sources.Versioned.deleteRecursively(java.nio.file.Paths.get(dir))
+    graft.sources.Versioned.commitAppendStats(s, dir,
+      Tables.documents(s, d).repartitionByRange(8, col("doc_id")),
+      Seq("doc_id"))
+    val (pruned, _, _) =
+      graft.sources.Versioned.readSkipping(s, dir, "doc_id", 100L, 299L)
+    pruned.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("doc_id")).as("lo_id"), max(col("doc_id")).as("hi_id"))
+      .orderBy("lang")
+  }
+
+  /** Fixed per-(sfDir, query) staging path: cleared and rebuilt by each
+    * invocation, so repeated Bench/Verify passes keep ONE copy on disk
+    * (the q131 lesson — see its comment). */
+  private def stagingDir(sfDir: String, tag: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(sfDir.hashCode)).toString
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
-    q96EpochShuffle, q131VersionDiff)
+    q96EpochShuffle, q131VersionDiff, q135FileSkipping)
 }

@@ -46,6 +46,50 @@ object Versioned {
   def commitOverwrite(spark: SparkSession, dir: String, df: DataFrame): Int =
     commit(spark, dir, df, keepExisting = false)
 
+  /** Append `df` as a new version AND lift per-file min/max for
+    * `statCols` (integer-typed columns) out of the parquet FOOTERS into
+    * the manifest — the Delta/Iceberg data-skipping design reduced to
+    * one manifest level. The writers already paid for these statistics
+    * (parquet records them per row group unconditionally); the commit
+    * just aggregates them per file so a reader can prune files from the
+    * manifest alone, without opening a single footer. Pair with a
+    * `repartitionByRange` on the stat column so files cover disjoint
+    * ranges — clustered data is what makes min/max pruning selective.
+    * Footer reads run on the driver at commit time: O(files-touched)
+    * metadata-only reads, the same cost profile as Delta's stats
+    * collection, and never on the read path. */
+  def commitAppendStats(spark: SparkSession, dir: String, df: DataFrame,
+      statCols: Seq[String]): Int =
+    commit(spark, dir, df, keepExisting = true, statCols)
+
+  /** Read one version with manifest-level file skipping for the range
+    * predicate `lo <= colName <= hi`: files whose recorded [min,max]
+    * cannot intersect the range are never handed to the scan (files
+    * without stats for the column are conservatively kept). The range
+    * filter is still applied to the surviving files — skipping is an
+    * optimization, the predicate is the semantics. Returns
+    * (filtered frame, total files in manifest, files actually read). */
+  def readSkipping(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long, version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir")))
+    val entries = manifestEntries(dir, v)
+    val kept = entries.filter { case (_, stats) =>
+      stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown → must read
+      }
+    }
+    val pred = col(colName) >= lo && col(colName) <= hi
+    val df =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map { case (f, _) => s"$dir/data/$f" }: _*).filter(pred)
+      else // every file pruned: keep the schema, return zero rows
+        spark.read.parquet(entries.map { case (f, _) => s"$dir/data/$f" }: _*)
+          .filter(org.apache.spark.sql.functions.lit(false))
+    (df, entries.size, kept.size)
+  }
+
   /** The production ingest step: append `batch` as a new version,
     * keeping only rows whose `fpCol` fingerprint is new — not already
     * present in the latest snapshot, and first (by `tieBreak`) within
@@ -112,7 +156,7 @@ object Versioned {
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      keepExisting: Boolean): Int = {
+      keepExisting: Boolean, statCols: Seq[String] = Seq.empty): Int = {
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
     Files.createDirectories(Paths.get(dir, "_manifests"))
@@ -121,13 +165,15 @@ object Versioned {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val staging = Paths.get(dir, s"_staging-$commitId")
     df.write.parquet(staging.toString)
-    val newFiles = listDir(staging)
+    val newEntries = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
+        val stats = if (statCols.isEmpty) Map.empty[String, (Long, Long)]
+          else footerStats(spark, p, statCols)
         val name = s"$commitId-${p.getFileName.toString}"
         Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        name
-      }.sorted
+        name -> stats
+      }.sortBy(_._1)
     deleteRecursively(staging)
     // publish with a compare-and-swap: createLink is atomic and FAILS
     // if v<N>.json already exists (rename would silently replace it —
@@ -135,11 +181,10 @@ object Versioned {
     // re-read the latest version and retry against the new base.
     var attempt = 0
     while (true) {
-      val prev = if (keepExisting) latestVersion(dir).map(manifestFiles(dir, _))
+      val prev = if (keepExisting) latestVersion(dir).map(manifestEntries(dir, _))
         .getOrElse(Seq.empty) else Seq.empty
       val v = latestVersion(dir).getOrElse(0) + 1
-      val manifest = (prev ++ newFiles)
-        .map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val manifest = renderManifest(prev ++ newEntries)
       val tmp = Paths.get(dir, "_manifests", s".v$v-$commitId.json.tmp")
       Files.writeString(tmp, manifest)
       try {
@@ -156,14 +201,92 @@ object Versioned {
     -1 // unreachable
   }
 
-  private def manifestFiles(dir: String, v: Int): Seq[String] = {
+  /** Per-file min/max for integer-typed `cols`, aggregated across the
+    * file's row-group footers (driver-side metadata read, no data pages
+    * touched). A column is recorded only when EVERY row group carries
+    * usable stats — a single stats-less chunk makes the file's true
+    * range unknown, and recording a partial range would prune wrongly. */
+  private def footerStats(spark: SparkSession, file: Path,
+      cols: Seq[String]): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c))
+        val ok = chunks.nonEmpty && chunks.forall { ch =>
+          val t = ch.getPrimitiveType.getPrimitiveTypeName
+          (t == PrimitiveTypeName.INT64 || t == PrimitiveTypeName.INT32) &&
+            ch.getStatistics != null && !ch.getStatistics.isEmpty &&
+            ch.getStatistics.hasNonNullValue
+        }
+        if (!ok) None
+        else {
+          val mins = chunks.map(_.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
+          val maxs = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
+          Some(c -> (mins.min, maxs.max))
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** v1 manifest: `["file", ...]` (no stats anywhere). v2 (any entry
+    * carries stats): `{"files":[{"name":"f","stats":{"col":[mn,mx]}}]}`.
+    * Readers accept both; stats survive append rebases verbatim. */
+  private def renderManifest(entries: Seq[(String, Map[String, (Long, Long)])]): String =
+    if (entries.forall(_._2.isEmpty))
+      entries.map(e => "\"" + e._1 + "\"").mkString("[", ",", "]")
+    else {
+      val items = entries.map { case (f, stats) =>
+        val st = stats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
+          .mkString("{", ",", "}")
+        s"""{"name":"$f","stats":$st}"""
+      }
+      items.mkString("""{"files":[""", ",", "]}")
+    }
+
+  private def manifestFiles(dir: String, v: Int): Seq[String] =
+    manifestEntries(dir, v).map(_._1)
+
+  private def manifestEntries(dir: String, v: Int): Seq[(String, Map[String, (Long, Long)])] = {
     val m = Paths.get(dir, "_manifests", s"v$v.json")
     require(Files.exists(m), s"version $v does not exist under $dir")
     val s = Files.readString(m).trim
-    require(s.startsWith("[") && s.endsWith("]"), s"malformed manifest $m")
-    val body = s.substring(1, s.length - 1).trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    if (s.startsWith("[")) { // v1: bare file list
+      require(s.endsWith("]"), s"malformed manifest $m")
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"") -> Map.empty[String, (Long, Long)])
+    } else { // v2: {"files":[{"name":...,"stats":{col:[mn,mx]}}]}
+      // File names are commit-uuid + part-file names and column names are
+      // identifiers — no quotes/braces/commas inside values — so the
+      // hand-rolled split below is unambiguous for everything this layer
+      // writes (renderManifest is the only producer).
+      require(s.startsWith("""{"files":[""") && s.endsWith("]}"),
+        s"malformed manifest $m")
+      val body = s.stripPrefix("""{"files":[""").stripSuffix("]}").trim
+      if (body.isEmpty) Seq.empty
+      else body.split("""(?<=\}),(?=\{)""").toSeq.map { item =>
+        val nameRe = """"name":"([^"]+)"""".r
+        val name = nameRe.findFirstMatchIn(item)
+          .getOrElse(sys.error(s"manifest entry without name: $item")).group(1)
+        val statsBody = item.substring(item.indexOf(""""stats":{""") + 9)
+          .stripSuffix("}").stripSuffix("}")
+        val colRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+        val stats = colRe.findAllMatchIn(statsBody)
+          .map(mm => mm.group(1) -> (mm.group(2).toLong, mm.group(3).toLong)).toMap
+        name -> stats
+      }
+    }
   }
 
   private def listDir(p: Path): Seq[Path] = {

@@ -291,6 +291,38 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats: file skipping prunes files, matches the full scan, degrades safely") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-skipping").toString
+    // range-clustered commit: files cover disjoint doc_id bands, so
+    // footer min/max lifted into the manifest are actually selective
+    assert(Versioned.commitAppendStats(spark, dir,
+      docs.repartitionByRange(8, col("doc_id")), Seq("doc_id")) == 1)
+    val (pruned, total, kept) = Versioned.readSkipping(spark, dir, "doc_id", 10L, 19L)
+    assert(total >= 4, s"expected a multi-file commit, got $total")
+    assert(kept < total, s"skipping pruned nothing: read $kept of $total files")
+    val expect = docs.filter(col("doc_id").between(10, 19))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // a range beyond every file's [min,max]: zero rows, schema intact
+    val (none, _, kept0) = Versioned.readSkipping(spark, dir, "doc_id", 1000000L, 2000000L)
+    assert(kept0 == 0 && none.count() == 0 && none.columns.contains("text"))
+    // stats survive an append REBASE: the old entries keep pruning, the
+    // new out-of-range file is pruned too
+    assert(Versioned.commitAppendStats(spark, dir,
+      docs.filter(col("doc_id") < 5).repartitionByRange(1, col("doc_id")),
+      Seq("doc_id")) == 2)
+    val (pruned2, total2, kept2) = Versioned.readSkipping(spark, dir, "doc_id", 10L, 19L)
+    assert(total2 == total + 1 && kept2 == kept)
+    assert(pruned2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // a stats-less v1 manifest degrades to read-everything, never wrong
+    val legacy = Files.createTempDirectory("graft-skipping-legacy").toString
+    Versioned.commitAppend(spark, legacy, docs.repartitionByRange(4, col("doc_id")))
+    val (all, t2, k2) = Versioned.readSkipping(spark, legacy, "doc_id", 10L, 19L)
+    assert(t2 == k2, "legacy manifest must be read in full")
+    assert(all.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+
   test("incremental dedup ingest: new fingerprints append, replays are no-ops") {
     import graft.sources.Versioned
     val dir = Files.createTempDirectory("graft-dedup-ingest").toString

@@ -42,6 +42,15 @@ object TextFunctions {
     * Routed through the native plans.Hex32 (digest bytes folded
     * directly — no hex encode/substring/base-16 re-parse), which is
     * bit-identical to the column spelling (PlanSpec). */
+  /** Non-overlapping occurrence counts of a literal pattern list, one
+    * count per pattern in order, computed in a single Aho–Corasick pass
+    * (plans.MultiCount). DuckDB mirror, one expression per pattern:
+    * `(length(t) - length(replace(t, p, ''))) // length(p)`. */
+  def multiCount(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.column(graft.plans.MultiCount(PlanShim.expression(text), patterns))
+  }
+
   def hex32(c: Column): Column = {
     import org.apache.spark.sql.graft.PlanShim
     PlanShim.column(graft.plans.Hex32(PlanShim.expression(c.cast("string"))))

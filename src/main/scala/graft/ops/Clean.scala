@@ -1288,10 +1288,54 @@ object Clean {
     }
   }
 
+  /** q136 — phrase-blocklist scan (badword/template/policy lists): per-
+    * pattern corpus totals — documents hit and non-overlapping
+    * occurrences — for a fixed phrase list. The engine side runs ONE
+    * Aho–Corasick pass per document over all patterns (plans.MultiCount,
+    * a codegen'd native expression: the pattern set compiles to a dense
+    * byte DFA on the driver and rides into the generated code as a
+    * reference object); the oracle spells the portable per-pattern
+    * replace() trick — P passes per document — and a hash match proves
+    * the single-pass automaton counts exactly replace()'s left-to-right
+    * non-overlapping semantics.
+    *
+    * Scale shape: the document scan is narrow (text never leaves it);
+    * what shuffles is P rows per input partition of (pattern-index,
+    * partial count) — map-side combine collapses the per-doc explode
+    * before the exchange, so 100 TB of corpus moves KiB. A real
+    * blocklist is 10^2–10^4 phrases: the DFA grows O(total pattern
+    * bytes), per-doc cost stays ONE pass regardless of P, while the
+    * naive spelling scales O(P) passes — that gap is the operator. */
+  val q136BlocklistScan: Q = {
+    val pats = Seq("batch batch", "fast merge", "group order", "scan scan",
+      "slow filter", "spark data", "table window", "value table")
+    val dPats = pats.map(p => s"('$p')").mkString(", ")
+    Q("q136_blocklist_scan",
+      s"""WITH pats AS (SELECT * FROM (VALUES $dPats) p(pat)),
+         |hits AS (
+         |  SELECT p.pat, CAST((length(d.text) - length(replace(d.text, p.pat, '')))
+         |    // length(p.pat) AS BIGINT) AS n
+         |  FROM documents d CROSS JOIN pats p
+         |)
+         |SELECT pat, CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS docs_hit,
+         |  CAST(SUM(n) AS BIGINT) AS occurrences
+         |FROM hits GROUP BY pat ORDER BY pat""") { (s, d) =>
+      val patArr = array(pats.map(lit): _*)
+      docs(s, d)
+        .select(posexplode(multiCount(col("text"), pats)).as(Seq("pos", "n")))
+        .groupBy("pos")
+        .agg(count(when(col("n") > 0, 1)).as("docs_hit"),
+          sum(col("n")).as("occurrences"))
+        .select(element_at(patArr, col("pos") + 1).as("pat"),
+          col("docs_hit"), col("occurrences"))
+        .orderBy("pat")
+    }
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
-    q114Unimax, q118BestfitPack, q133BoilerplateStrip)
+    q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan)
 }

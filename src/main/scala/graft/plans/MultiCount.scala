@@ -17,11 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the oracle's job, not the engine's. This expression compiles the
   * pattern set into a dense byte-level DFA ONCE (driver side, shipped
   * as a reference object) and counts all patterns in a single scan;
-  * per-pattern counts are greedy-non-overlapping left-to-right, which
-  * for border-free patterns (no proper prefix = suffix; every
-  * multi-word phrase here) is exactly what the replace() trick counts,
-  * so the two spellings are value-identical and the DuckDB mirror
-  * stays in plain SQL.
+  * per-pattern counts are greedy non-overlapping in match-end order,
+  * which is exactly the left-to-right semantics of replace() for ANY
+  * pattern (self-overlapping ones included), so the two spellings are
+  * value-identical and the DuckDB mirror stays in plain SQL.
   *
   * Stays inside whole-stage codegen: the generated code calls the
   * automaton through a codegen reference object, same pattern as

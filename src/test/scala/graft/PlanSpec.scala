@@ -281,4 +281,38 @@ class PlanSpec extends SparkSpec {
     assert(sorts.forall(_.child.output.length <= 2),
       s"sort carries wide rows: ${sorts.map(_.child.output.map(_.name))}")
   }
+
+  test("graft_multi_count equals the replace() spelling and stays in codegen") {
+    import spark.implicits._
+    val pats = Seq("aa", "aba", "fast merge", "scan scan")
+    // self-overlap torture + real corpus text: replace() semantics are
+    // the contract (greedy left-to-right non-overlapping, per pattern)
+    val torture = Seq("aaaa", "ababa", "aa scan scan scan aa",
+      "fast merge fast merge", "", "no hits here").toDF("text")
+    val corpus = Tables.documents(spark, sf).select("text").limit(300)
+    for (df <- Seq(torture, corpus)) {
+      val both = df.select(col("text"),
+        multiCount(col("text"), pats).as("ac"),
+        array(pats.map(p =>
+          ((length(col("text")) - length(regexp_replace(col("text"),
+            java.util.regex.Pattern.quote(p), ""))) / p.length).cast("long")): _*)
+          .as("naive"))
+      val diff = both.filter(col("ac") =!= col("naive")).take(1)
+      assert(diff.isEmpty, diff.mkString)
+    }
+    // null text -> null; multi-byte text counts literal byte sequences
+    val edge = Seq((null: String, 1), ("héllo héllo", 2)).toDF("text", "i")
+      .select(multiCount(col("text"), Seq("héllo", "llo")).as("c"))
+      .collect()
+    assert(edge.exists(_.isNullAt(0)))
+    assert(edge.exists(r => !r.isNullAt(0) && r.getSeq[Long](0) == Seq(2L, 2L)))
+    // whole-stage codegen keeps the scan fused around the automaton call
+    val plan = spark.range(100)
+      .select(concat(lit("doc "), col("id").cast("string")).as("text"))
+      .select(multiCount(col("text"), pats).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_multi_count") && l.trim.startsWith("*(")),
+      s"not codegen'd:\n$plan")
+  }
 }

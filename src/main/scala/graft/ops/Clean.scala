@@ -1321,7 +1321,11 @@ object Clean {
          |  CAST(SUM(n) AS BIGINT) AS occurrences
          |FROM hits GROUP BY pat ORDER BY pat""") { (s, d) =>
       val patArr = array(pats.map(lit): _*)
-      docs(s, d)
+      // no stageBarrier: one automaton pass per doc is cheap enough that
+      // the round-robin exchange of document text would cost more than
+      // the parallelism it buys on low-split inputs (measured: the
+      // barrier was 100 KiB of the query's 114 KiB shuffle at sf0.01)
+      Tables.documents(s, d)
         .select(posexplode(multiCount(col("text"), pats)).as(Seq("pos", "n")))
         .groupBy("pos")
         .agg(count(when(col("n") > 0, 1)).as("docs_hit"),

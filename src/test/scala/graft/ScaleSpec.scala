@@ -146,6 +146,9 @@ class ScaleSpec extends SparkSpec {
       // round 8: incremental batch-vs-index probe — band keys + shingle
       // lookups for candidates only, measured 284 KiB at sf0.01
       "q132_incremental_dedup" -> 710L,
+      // round 8: blocklist scan — P (pattern, partial-count) rows per
+      // input partition, text never leaves the scan; measured 1 KiB
+      "q136_blocklist_scan" -> 16L,
       "q87_shard_assign" -> 32L,
       "q96_epoch_shuffle" -> 64L,
       "q98_kmeans_lloyd" -> 2048L,

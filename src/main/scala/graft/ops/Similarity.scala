@@ -702,6 +702,177 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q137 — IVF-PQ search (the FAISS IndexIVFPQ architecture as a
+    * declarative plan): coarse quantizer = the q54 IVF cells, fine
+    * quantizer = the q100 product codes, search = probe nprobe=2 cells,
+    * score candidates by ADC (asymmetric distance computation: each
+    * query precomputes an 8x10 lookup table of subspace inner products
+    * against the codebook, a candidate's approximate score is 8 table
+    * adds over its CODE — the vector itself is never read), shortlist
+    * top-20, then exact-cosine re-rank to the final top-5.
+    *
+    * Scale shape — this is the production ANN serving stack: the index
+    * build (cell assignment + PQ encode) is two narrow corpus passes
+    * against broadcast codebooks, after which the search path touches
+    * (a) the probed cells only (~nprobe/k of the corpus) and (b) only
+    * their 8-byte codes — the ADC join moves (vec_id, s, code) ints
+    * and the per-query LUT is broadcast; full 64-double vectors are
+    * read for exactly 20 candidates per query at re-rank. At 100 TB
+    * the codes are ~1/32 the vector bytes and the scan fraction is
+    * nprobe/k of that. Every fold is explicit left-to-right in
+    * double precision (determinism policy), ADC scores floor to ppm
+    * with vec_id tie-breaks, so the shortlist cut is identical in
+    * both engines. */
+  val q137IvfPqSearch: Q = Q(
+    "q137_ivfpq_search",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), $DCentroids, scored AS (
+       |  SELECT vec_id, label, ${dCosPpm("v", "c")} AS sc
+       |  FROM vecs CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, label) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, label) AS rn
+       |    FROM scored WHERE vec_id < 5) WHERE rn <= 2
+       |), sub AS (
+       |  SELECT vec_id, s, list_transform(range(1, 9), i -> v[s*8 + i]) AS sv
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0, 8)) AS s)
+       |), cb AS (
+       |  SELECT s, label AS code, list_transform(
+       |    list_reduce(list_prepend(list_transform(range(0,8), x -> CAST(0 AS DOUBLE)), vs),
+       |      (acc, e) -> list_transform(range(1,9), i -> acc[i] + e[i])),
+       |    x -> x / n) AS c
+       |  FROM (
+       |    SELECT s, label, list(sv ORDER BY vec_id) AS vs, COUNT(*) AS n FROM (
+       |      SELECT e.vec_id, e.label, t.s,
+       |        list_transform(range(1, 9), i -> ${DVec.replace("embedding", "e.embedding")}[t.s*8 + i]) AS sv
+       |      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) t)
+       |    GROUP BY s, label)
+       |), coded AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 9), i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+       |          (a, e) -> a + e), code) AS rn
+       |    FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cb.s, cb.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 9), i -> sv[i] * c[i])), (x, y) -> x + y) AS ip
+       |  FROM (SELECT * FROM sub WHERE vec_id < 5) q JOIN cb ON q.s = cb.s
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+       |), adc AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ip ORDER BY s)),
+       |      (x, y) -> x + y) * 1000000) AS BIGINT) AS adc_ppm
+       |  FROM (
+       |    SELECT c.query_id, c.vec_id, co.s, l.ip
+       |    FROM cand c JOIN coded co ON co.vec_id = c.vec_id
+       |    JOIN lut l ON l.query_id = c.query_id AND l.s = co.s AND l.code = co.code)
+       |  GROUP BY query_id, vec_id
+       |), short AS (
+       |  SELECT query_id, vec_id, adc_ppm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ppm DESC, vec_id) AS rn FROM adc) WHERE rn <= 20
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_ppm, cos_ppm FROM (
+       |  SELECT sh.query_id, sh.vec_id, sh.adc_ppm,
+       |    ${dCosPpm("qv.v", "cv.v")} AS cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY sh.query_id
+       |      ORDER BY ${dCosPpm("qv.v", "cv.v")} DESC, sh.vec_id) AS rank
+       |  FROM short sh JOIN vecs qv ON qv.vec_id = sh.query_id
+       |  JOIN vecs cv ON cv.vec_id = sh.vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val vecs = withNorm(graft.Q.stageBarrier(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    // coarse quantizer: q54's centroids + broadcast-argmax assignment
+    val cents = emb
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          _.getField("e")).as("vs"))
+      .select(col("label"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+      .localCheckpoint() // consumed by assignment + probe scoring
+    val assign = assignTo(vecs, cents.select(col("label").as("cluster"), col("c")))
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("sc").desc, col("label"))
+    val probes = vecs.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(withNorm(cents, "c")))
+      .select(col("vec_id"), col("label"),
+        cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("sc"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("label").as("cell"))
+    // fine quantizer: q100's per-subspace codebook + corpus encode
+    def subRows(df: DataFrame, extra: Column*): DataFrame = df
+      .withColumn("s", explode(array((0 until 8).map(i => lit(i.toLong)): _*)))
+      .select((extra :+ col("vec_id") :+ col("s") :+
+        slice(asDouble(col("embedding")), (col("s") * 8 + 1).cast("int"), lit(8))
+          .as("sv")): _*)
+    val zero8 = array_repeat(lit(0.0), 8)
+    val cb = subRows(emb, col("label")).groupBy("s", "label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("sv")))),
+          _.getField("sv")).as("vs"))
+      .select(col("s"), col("label").as("code"),
+        transform(
+          aggregate(col("vs"), zero8, (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+      .localCheckpoint() // consumed by encode + ADC lookup tables
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, e) => a + e)
+    val wCode = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    val coded = graft.Q.stageBarrier(subRows(emb))
+      .join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select("vec_id", "s", "code")
+    // per-query ADC lookup tables: 5 queries x 8 subspaces x 10 codes
+    val lut = subRows(emb.filter(col("vec_id") < 5))
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("sv"), col("c")).as("ip"))
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val adc = cand.join(coded, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(floor(aggregate(
+        transform(sort_array(collect_list(struct(col("s"), col("ip")))),
+          _.getField("ip")),
+        lit(0.0), (a, e) => a + e) * 1000000L).cast("long").as("adc_ppm"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_ppm").desc, col("vec_id"))
+    val short = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 20)
+      .select("query_id", "vec_id", "adc_ppm")
+    val qvecs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos_ppm").desc, col("vec_id"))
+    short.join(broadcast(qvecs), "query_id")
+      .join(vecs.select(col("vec_id"), col("v"), col("v_nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("adc_ppm"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "adc_ppm", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
   /** q104 — ANN recall evaluation: score the two approximate indexes
     * (hyperplane-LSH q32, IVF q54) against the brute-force ground
     * truth (q31) as recall-of-true-top-10 per query — the evaluation
@@ -1151,5 +1322,5 @@ object Similarity {
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
-    q134IvfAppend)
+    q134IvfAppend, q137IvfPqSearch)
 }

@@ -149,6 +149,10 @@ class ScaleSpec extends SparkSpec {
       // round 8: blocklist scan — P (pattern, partial-count) rows per
       // input partition, text never leaves the scan; measured 1 KiB
       "q136_blocklist_scan" -> 16L,
+      // round 8: IVF-PQ search — codebook partials + (vec_id, s, code)
+      // int rows for the ADC join; vectors shuffle only as the 20-per-
+      // query re-rank shortlist. Measured 978 KiB at sf0.01
+      "q137_ivfpq_search" -> 2450L,
       "q87_shard_assign" -> 32L,
       "q96_epoch_shuffle" -> 64L,
       "q98_kmeans_lloyd" -> 2048L,

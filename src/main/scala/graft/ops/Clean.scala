@@ -1306,9 +1306,15 @@ object Clean {
     * blocklist is 10^2–10^4 phrases: the DFA grows O(total pattern
     * bytes), per-doc cost stays ONE pass regardless of P, while the
     * naive spelling scales O(P) passes — that gap is the operator. */
-  val q136BlocklistScan: Q = {
-    val pats = Seq("batch batch", "fast merge", "group order", "scan scan",
+  /** q136's pattern list — shared with the streaming twin
+    * (Streaming.blocklistStream) so stream-vs-batch tests compare the
+    * same automaton. */
+  private[graft] val BlocklistPats: Seq[String] =
+    Seq("batch batch", "fast merge", "group order", "scan scan",
       "slow filter", "spark data", "table window", "value table")
+
+  val q136BlocklistScan: Q = {
+    val pats = BlocklistPats
     val dPats = pats.map(p => s"('$p')").mkString(", ")
     Q("q136_blocklist_scan",
       s"""WITH pats AS (SELECT * FROM (VALUES $dPats) p(pat)),

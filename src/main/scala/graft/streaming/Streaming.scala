@@ -133,6 +133,22 @@ object Streaming {
     graft.ops.Similarity.assignTo(vecs.dropDuplicates("vec_id"), cents)
       .select(col("vec_id"), col("cluster"))
 
+  /** Streaming twin of q136's blocklist scan: the Aho–Corasick
+    * projection is stateless and narrow (the compiled DFA rides in the
+    * expression, exactly the batch code path), and the running
+    * per-pattern totals are a streaming aggregation over P keys —
+    * state is O(patterns), the minimum any running total can hold, so
+    * the stream never shuffles more than P partial rows per batch.
+    * Emits (pos, docs_hit, occurrences) running totals; read with
+    * outputMode complete. */
+  def blocklistStream(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    docs.select(posexplode(
+        graft.functions.TextFunctions.multiCount(col("text"), patterns))
+        .as(Seq("pos", "n")))
+      .groupBy("pos")
+      .agg(count(when(col("n") > 0, 1)).as("docs_hit"),
+        sum(col("n")).as("occurrences"))
+
   /** Streaming twin of the curation gate (ops.Clean q69+q26): quality
     * keep-filter → streaming exact dedup on the normalized fingerprint.
     * The dedup state is one fingerprint per kept doc, exactly the

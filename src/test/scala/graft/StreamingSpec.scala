@@ -318,6 +318,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming blocklist running totals (complete mode) == batch q136") {
+    val pats = ops.Clean.BlocklistPats
+    val q = Streaming.runToMemory(
+      Streaming.blocklistStream(Streaming.documentsStream(spark, sf), pats),
+      "blocklist", mode = "complete")
+    val got = spark.table("blocklist")
+      .select(element_at(array(pats.map(lit): _*), col("pos") + 1).as("pat"),
+        col("docs_hit"), col("occurrences"))
+    val want = ops.Clean.q136BlocklistScan.fn(spark, sf)
+      .select("pat", "docs_hit", "occurrences")
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty,
+      "streaming totals after the last micro-batch must equal the batch scan")
+    q.stop()
+  }
+
   test("streaming curation: quality gate + cross-batch dedup == batch pipeline") {
     // every document arrives TWICE in separate micro-batches; the
     // streaming dedup state must collapse the second arrival

@@ -275,6 +275,77 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** q138 — incremental materialized-view maintenance: keep a per-lang
+    * aggregate view current across table revisions by applying the CDC
+    * diff (q131's derivation) as per-key DELTAS instead of rescanning
+    * the corpus. The query commits the same two revisions as q131
+    * through the versioned layer, time-travel reads both, folds the
+    * diff into (lang, Δdocs, Δchars) and adds it to the v1 snapshot's
+    * aggregate. The ORACLE computes the v2 aggregate directly — a hash
+    * match proves delta-apply ≡ full recompute, which is the entire
+    * correctness obligation of incremental view maintenance.
+    *
+    * Scale shape: refresh cost is O(churn) + O(view keys) — the diff
+    * join touches only files whose membership differs between the two
+    * manifests (identical data files are shared by reference across
+    * versions), the delta aggregation reduces churn rows to view keys
+    * map-side, and the apply join is view-sized. At 100 TB with 0.1%
+    * daily churn that is a ~1000x cheaper refresh than recompute. */
+  val q138IncrView: Q = Q(
+    "q138_incr_view",
+    """WITH base AS (SELECT doc_id, lang, text FROM documents),
+      |v1 AS (SELECT doc_id, lang, text FROM base WHERE doc_id % 7 <> 0),
+      |v2 AS (SELECT doc_id, lang,
+      |        CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |      FROM base WHERE doc_id % 11 <> 0),
+      |a1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(LENGTH(text)) AS BIGINT) AS chars FROM v1 GROUP BY lang),
+      |a2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(LENGTH(text)) AS BIGINT) AS chars FROM v2 GROUP BY lang)
+      |SELECT COALESCE(a1.lang, a2.lang) AS lang,
+      |  CAST(COALESCE(a2.n_docs, 0) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(a2.chars, 0) AS BIGINT) AS chars,
+      |  CAST(COALESCE(a2.n_docs, 0) - COALESCE(a1.n_docs, 0) AS BIGINT) AS d_docs,
+      |  CAST(COALESCE(a2.chars, 0) - COALESCE(a1.chars, 0) AS BIGINT) AS d_chars
+      |FROM a1 FULL OUTER JOIN a2 ON a1.lang = a2.lang
+      |ORDER BY lang""") { (s, d) =>
+    import graft.sources.Versioned
+    val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val rev1 = base.filter(col("doc_id") % 7 =!= 0)
+    val rev2 = base.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    // harness artifact, same pattern and footprint bound as q131
+    val dir = stagingDir(d, "q138")
+    Versioned.deleteRecursively(java.nio.file.Paths.get(dir))
+    val vA = Versioned.commitOverwrite(s, dir, rev1)
+    val vB = Versioned.commitOverwrite(s, dir, rev2)
+    val view1 = Versioned.read(s, dir, Some(vA)).groupBy("lang")
+      .agg(count(lit(1)).as("n1"), sum(length(col("text"))).cast("long").as("c1"))
+    val a = Versioned.read(s, dir, Some(vA))
+      .select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("text").as("text_a"))
+    val b = Versioned.read(s, dir, Some(vB))
+      .select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("text").as("text_b"))
+    val delta = a.join(b, col("id_a") === col("id_b"), "full_outer")
+      .filter(col("id_a").isNull || col("id_b").isNull ||
+        col("text_a") =!= col("text_b"))
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("id_a").isNull, 1L).when(col("id_b").isNull, -1L)
+          .otherwise(0L).as("dd"),
+        (coalesce(length(col("text_b")), lit(0)) -
+          coalesce(length(col("text_a")), lit(0))).cast("long").as("dc"))
+      .groupBy("lang").agg(sum("dd").as("d_docs"), sum("dc").as("d_chars"))
+    view1.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .cast("long").as("chars"),
+        coalesce(col("d_docs"), lit(0L)).cast("long").as("d_docs"),
+        coalesce(col("d_chars"), lit(0L)).cast("long").as("d_chars"))
+      .orderBy("lang")
+  }
+
   /** Fixed per-(sfDir, query) staging path: cleared and rebuilt by each
     * invocation, so repeated Bench/Verify passes keep ONE copy on disk
     * (the q131 lesson — see its comment). */
@@ -283,5 +354,5 @@ object Scale {
       s"graft-$tag-" + Integer.toHexString(sfDir.hashCode)).toString
 
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
-    q96EpochShuffle, q131VersionDiff, q135FileSkipping)
+    q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView)
 }

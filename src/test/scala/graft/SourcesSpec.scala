@@ -291,6 +291,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet bloom filters: point lookups on an unclustered column skip row groups") {
+    // min/max stats can't prune a high-cardinality column whose values
+    // interleave across files (every file's [min,max] spans the range);
+    // parquet's NATIVE bloom filters can — write-time opt-in per column,
+    // and the reader consults them during predicate pushdown with no
+    // engine code at all. The complement to range/z-order clustering:
+    // clustering earns stats-pruning for range queries, blooms earn
+    // point-lookup pruning on whatever the layout scatters.
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    docs.select(col("doc_id"), col("text"),
+        concat(lit("user"), col("doc_id") % 97).as("author"))
+      .repartition(8) // every file spans the full author range
+      .write
+      .option("parquet.bloom.filter.enabled#author", "true")
+      .option("parquet.bloom.filter.expected.ndv#author", "200")
+      .parquet(dir)
+    def scannedRows(value: String): Long = {
+      val q = spark.read.parquet(dir).filter(col("author") === value)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    // an absent value: every row group's bloom answers "definitely not"
+    val absent = scannedRows("user-nope")
+    assert(absent == 0, s"bloom must skip every row group, scanned $absent rows")
+    // a present value still reads (no false negatives, values intact)
+    val present = spark.read.parquet(dir)
+      .filter(col("author") === "user0").count()
+    assert(present == docs.filter(col("doc_id") % 97 === 0).count())
+  }
+
   test("manifest stats: file skipping prunes files, matches the full scan, degrades safely") {
     import graft.sources.Versioned
     val dir = Files.createTempDirectory("graft-skipping").toString

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -309,6 +310,12 @@ object Scale {
       |  CAST(COALESCE(a2.chars, 0) - COALESCE(a1.chars, 0) AS BIGINT) AS d_chars
       |FROM a1 FULL OUTER JOIN a2 ON a1.lang = a2.lang
       |ORDER BY lang""") { (s, d) =>
+    // The diff join compares md5 FINGERPRINTS, not text: change
+    // detection needs equality only, so the exchange carries fixed-width
+    // (id, lang, len, fp) rows and document payloads never shuffle —
+    // the same contract as the dedup family. (The oracle recomputes
+    // both aggregates from scratch, so it needs no fingerprint mirror:
+    // any fp-vs-text divergence would surface as a hash mismatch.)
     import graft.sources.Versioned
     val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val rev1 = base.filter(col("doc_id") % 7 =!= 0)
@@ -322,18 +329,19 @@ object Scale {
     val vB = Versioned.commitOverwrite(s, dir, rev2)
     val view1 = Versioned.read(s, dir, Some(vA)).groupBy("lang")
       .agg(count(lit(1)).as("n1"), sum(length(col("text"))).cast("long").as("c1"))
-    val a = Versioned.read(s, dir, Some(vA))
-      .select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("text").as("text_a"))
-    val b = Versioned.read(s, dir, Some(vB))
-      .select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("text").as("text_b"))
-    val delta = a.join(b, col("id_a") === col("id_b"), "full_outer")
+    def narrow(v: Int, tag: String): DataFrame =
+      Versioned.read(s, dir, Some(v)).select(
+        col("doc_id").as(s"id_$tag"), col("lang").as(s"lang_$tag"),
+        length(col("text")).as(s"len_$tag"), md5(col("text")).as(s"fp_$tag"))
+    val delta = narrow(vA, "a").join(narrow(vB, "b"),
+        col("id_a") === col("id_b"), "full_outer")
       .filter(col("id_a").isNull || col("id_b").isNull ||
-        col("text_a") =!= col("text_b"))
+        col("fp_a") =!= col("fp_b"))
       .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
         when(col("id_a").isNull, 1L).when(col("id_b").isNull, -1L)
           .otherwise(0L).as("dd"),
-        (coalesce(length(col("text_b")), lit(0)) -
-          coalesce(length(col("text_a")), lit(0))).cast("long").as("dc"))
+        (coalesce(col("len_b"), lit(0)) -
+          coalesce(col("len_a"), lit(0))).cast("long").as("dc"))
       .groupBy("lang").agg(sum("dd").as("d_docs"), sum("dc").as("d_chars"))
     view1.join(delta, Seq("lang"), "full_outer")
       .select(col("lang"),

@@ -153,6 +153,10 @@ class ScaleSpec extends SparkSpec {
       // int rows for the ADC join; vectors shuffle only as the 20-per-
       // query re-rank shortlist. Measured 978 KiB at sf0.01
       "q137_ivfpq_search" -> 2450L,
+      // round 8: incremental view refresh — the CDC diff compares
+      // fingerprints, so the join moves fixed-width (id, lang, len, fp)
+      // rows, never text. Measured 49 KiB at sf0.01
+      "q138_incr_view" -> 128L,
       "q87_shard_assign" -> 32L,
       "q96_epoch_shuffle" -> 64L,
       "q98_kmeans_lloyd" -> 2048L,

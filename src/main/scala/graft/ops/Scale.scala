@@ -354,6 +354,45 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** q139 — targeted delete (right-to-be-forgotten): remove a doc_id
+    * range from the versioned table by rewriting ONLY the files whose
+    * manifest [min,max] intersects the range; every other file carries
+    * into the new version by reference. The query commits the documents
+    * table range-clustered with stats (q135's layout), deletes
+    * [100, 299] via `Versioned.deleteWhere`, and aggregates the
+    * surviving corpus; the oracle filters the same range from the raw
+    * table, so a hash match proves the delete is exact — nothing extra
+    * removed, nothing left behind. SourcesSpec pins the mechanics the
+    * aggregate can't see: untouched files shared by NAME, the prior
+    * version still complete until vacuum, vacuum reclaiming the
+    * rewritten-away files.
+    *
+    * Scale shape: delete cost is O(files overlapping the predicate) —
+    * with range clustering that is ~selectivity x corpus, not the
+    * corpus; the shared files cost zero I/O and the manifest commit is
+    * one small JSON object. */
+  val q139TargetedDelete: Q = Q(
+    "q139_targeted_delete",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS lo_id, MAX(doc_id) AS hi_id
+      |FROM documents WHERE doc_id NOT BETWEEN 100 AND 299
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    import graft.sources.Versioned
+    val dir = stagingDir(d, "q139")
+    Versioned.deleteRecursively(java.nio.file.Paths.get(dir))
+    Versioned.commitAppendStats(s, dir,
+      Tables.documents(s, d).repartitionByRange(8, col("doc_id")),
+      Seq("doc_id"))
+    val (nv, _, _) = Versioned.deleteWhere(s, dir, "doc_id", 100L, 299L)
+    Versioned.read(s, dir, Some(nv))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("doc_id")).as("lo_id"), max(col("doc_id")).as("hi_id"))
+      .orderBy("lang")
+  }
+
   /** Fixed per-(sfDir, query) staging path: cleared and rebuilt by each
     * invocation, so repeated Bench/Verify passes keep ONE copy on disk
     * (the q131 lesson — see its comment). */
@@ -362,5 +401,6 @@ object Scale {
       s"graft-$tag-" + Integer.toHexString(sfDir.hashCode)).toString
 
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
-    q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView)
+    q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
+    q139TargetedDelete)
 }

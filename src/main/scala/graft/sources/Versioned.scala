@@ -155,8 +155,47 @@ object Versioned {
     dead.size
   }
 
+  /** Targeted row delete (the right-to-be-forgotten path): remove every
+    * row with `lo <= colName <= hi` by rewriting ONLY the files whose
+    * manifest [min,max] can intersect the range — all other files carry
+    * over into the new version BY REFERENCE (same names, zero I/O).
+    * Old versions still contain the rows until [[vacuum]] drops their
+    * manifests and reclaims the rewritten-away files; that two-step is
+    * the auditable deletion story every table format ships. Returns
+    * (new version, files rewritten, files shared). On a stats-less v1
+    * manifest every file is conservatively rewritten — correct, just
+    * not pruned. */
+  def deleteWhere(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long): (Int, Int, Int) = {
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir"))
+    val entries = manifestEntries(dir, v)
+    val (touched, shared) = entries.partition { case (_, stats) =>
+      stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown → may contain the range
+      }
+    }
+    if (touched.isEmpty) return (v, 0, shared.size)
+    val survivors = spark.read
+      .parquet(touched.map { case (f, _) => s"$dir/data/$f" }: _*)
+      .filter(!(col(colName) >= lo && col(colName) <= hi))
+    val keepStats = touched.headOption
+      .map(_._2.keys.toSeq.sorted).getOrElse(Seq.empty)
+    val nv = commitReplacing(spark, dir, survivors, shared, keepStats)
+    (nv, touched.size, shared.size)
+  }
+
+  /** Commit `df` as a new version that also keeps `sharedEntries` by
+    * reference (the rewrite-some-files half of deleteWhere). */
+  private def commitReplacing(spark: SparkSession, dir: String, df: DataFrame,
+      sharedEntries: Seq[(String, Map[String, (Long, Long)])],
+      statCols: Seq[String]): Int =
+    commit(spark, dir, df, keepExisting = false, statCols, sharedEntries)
+
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      keepExisting: Boolean, statCols: Seq[String] = Seq.empty): Int = {
+      keepExisting: Boolean, statCols: Seq[String] = Seq.empty,
+      extraEntries: Seq[(String, Map[String, (Long, Long)])] = Seq.empty): Int = {
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
     Files.createDirectories(Paths.get(dir, "_manifests"))
@@ -184,7 +223,7 @@ object Versioned {
       val prev = if (keepExisting) latestVersion(dir).map(manifestEntries(dir, _))
         .getOrElse(Seq.empty) else Seq.empty
       val v = latestVersion(dir).getOrElse(0) + 1
-      val manifest = renderManifest(prev ++ newEntries)
+      val manifest = renderManifest(prev ++ extraEntries ++ newEntries)
       val tmp = Paths.get(dir, "_manifests", s".v$v-$commitId.json.tmp")
       Files.writeString(tmp, manifest)
       try {

@@ -354,6 +354,34 @@ class SourcesSpec extends SparkSpec {
     assert(all.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
+  test("targeted delete rewrites only overlapping files; history survives until vacuum") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-delete").toString
+    val total = docs.count()
+    Versioned.commitAppendStats(spark, dir,
+      docs.repartitionByRange(8, col("doc_id")), Seq("doc_id"))
+    val before = Versioned.read(spark, dir, Some(1))
+      .inputFiles.map(_.split('/').last).toSet
+    val (nv, rewritten, shared) = Versioned.deleteWhere(spark, dir, "doc_id", 10L, 19L)
+    assert(nv == 2 && rewritten >= 1 && shared >= 1,
+      s"expected a partial rewrite, got rewritten=$rewritten shared=$shared")
+    // exactness: the range is gone, nothing else is
+    val now = Versioned.read(spark, dir)
+    assert(now.filter(col("doc_id").between(10, 19)).count() == 0)
+    assert(now.count() == total - 10)
+    // untouched files carry over BY NAME (zero I/O for the shared set)
+    val after = now.inputFiles.map(_.split('/').last).toSet
+    assert((after & before).size == shared,
+      s"shared files must keep their names: before=${before.size} after=${after.size} shared=$shared")
+    // time travel: v1 still has the deleted rows until vacuum reclaims it
+    assert(Versioned.read(spark, dir, Some(1)).count() == total)
+    assert(Versioned.vacuum(dir, keepLast = 1) == rewritten)
+    assert(Versioned.read(spark, dir).count() == total - 10)
+    // a no-op delete (range outside every file) shares everything
+    val (nv2, r2, s2) = Versioned.deleteWhere(spark, dir, "doc_id", 5000000L, 6000000L)
+    assert(nv2 == nv && r2 == 0 && s2 > 0, "out-of-range delete must not commit")
+  }
+
   test("incremental dedup ingest: new fingerprints append, replays are no-ops") {
     import graft.sources.Versioned
     val dir = Files.createTempDirectory("graft-dedup-ingest").toString

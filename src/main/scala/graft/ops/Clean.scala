@@ -1342,10 +1342,96 @@ object Clean {
     }
   }
 
+  /** q140 — end-to-end training-data build: the whole curation pipeline
+    * as ONE declarative query, producing the shard manifest a training
+    * run consumes. Quality gate (q69's rules) → exact dedup
+    * (first-occurrence fingerprint, q26's shape) → token-budget
+    * selection (q95's two-level running sum; budget = 60% of the
+    * surviving corpus's tokens, computed in-plan so the cut bites at
+    * every SF) → deterministic hash sharding (q87's md5 key) → per
+    * (lang, shard) manifest. The point is compositional: every stage is
+    * the already-verified operator, and Catalyst fuses them into one
+    * job — no intermediate materialization, no orchestration layer.
+    *
+    * Scale shape: gate and scoring are narrow projections; the dedup
+    * window and budget windows shuffle fingerprints and (score, n_tok)
+    * rows, never text; the budget total is one broadcast scalar; the
+    * manifest is a lang x shard aggregate. The heaviest exchange is
+    * O(kept docs) fixed-width rows — the corpus never shuffles. */
+  val q140TrainingBuild: Q = Q(
+    "q140_training_build",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), kept AS (
+       |  SELECT doc_id, lang, toks FROM t WHERE $DKeep
+       |), dedup AS (
+       |  SELECT doc_id, lang, toks FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(array_to_string(toks, ' ')) ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1
+       |), scored AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |      CAST(len(list_distinct(toks)) AS BIGINT)*1000000/len(toks)) AS BIGINT) END AS score
+       |  FROM dedup
+       |), tot AS (
+       |  SELECT CAST(SUM(n_tok)*6//10 AS BIGINT) AS budget FROM scored
+       |), c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored
+       |), sel AS (
+       |  SELECT doc_id, lang, n_tok FROM c CROSS JOIN tot WHERE cum <= budget
+       |)
+       |SELECT lang,
+       |  CAST(concat('0x', substr(md5('sh_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8 AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM sel GROUP BY lang, shard ORDER BY lang, shard""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kept = docs(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(keepExpr(col("toks")))
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val scored = kept
+      .withColumn("fp", fingerprint(col("toks")))
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        when(size(col("toks")) === 0, 0L)
+          .otherwise(floor(size(array_distinct(col("toks"))).cast("long") * 1000000L
+            / size(col("toks"))))
+          .cast("long").as("score"))
+      .localCheckpoint() // consumed by the budget scalar + both windows
+    val budget = scored.agg(
+      expr("CAST(sum(n_tok)*6 DIV 10 AS BIGINT)").as("budget"))
+    // q95's two-level running sum: per-score totals first (small frame),
+    // then the in-group cumsum parallel by score
+    val wScore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scoreCum = scored.groupBy("score")
+      .agg(sum("n_tok").as("score_tok"))
+      .withColumn("cum_before", coalesce(sum("score_tok").over(wScore), lit(0L)))
+      .select("score", "cum_before")
+    val wIn = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(scoreCum), "score")
+      .withColumn("cum", col("cum_before") + sum("n_tok").over(wIn))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .select(col("lang"),
+        pmod(hex32(concat(lit("sh_"), col("doc_id").cast("string"))), lit(8L))
+          .as("shard"),
+        col("n_tok"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "shard")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
-    q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan)
+    q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
+    q140TrainingBuild)
 }

@@ -157,6 +157,10 @@ class ScaleSpec extends SparkSpec {
       // fingerprints, so the join moves fixed-width (id, lang, len, fp)
       // rows, never text. Measured 49 KiB at sf0.01
       "q138_incr_view" -> 128L,
+      // round 8: end-to-end build — gate/dedup/budget/shard as one job;
+      // fingerprints + (score, n_tok) rows shuffle, never text.
+      // Measured 190 KiB at sf0.01
+      "q140_training_build" -> 480L,
       "q87_shard_assign" -> 32L,
       "q96_epoch_shuffle" -> 64L,
       "q98_kmeans_lloyd" -> 2048L,

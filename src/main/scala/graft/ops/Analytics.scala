@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -387,7 +388,76 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** q141 — corpus drift report between two revisions: the distribution
+    * monitor a production pipeline runs after every refresh. Each doc
+    * contributes two dimension rows — its language and its size bucket
+    * (n_chars/64 capped at 3) — and each revision's per-dimension SHARE
+    * lands in integer ppm; the report is share_v1, share_v2, and the
+    * absolute drift per dimension, full-outer so a dimension vanishing
+    * from (or appearing in) a revision still reports. The revisions are
+    * q131's derivations, so the drift numbers are cross-checkable
+    * against the diff family. Integer-ppm floors keep both engines
+    * bit-identical (the determinism policy's ratio rule; no logs, so no
+    * KL/PSI float divergence).
+    *
+    * Scale shape: two narrow scans, two ~9-key aggregations, one tiny
+    * full-outer join — the corpus never shuffles, and the per-revision
+    * totals are broadcast scalars. */
+  val q141DriftReport: Q = Q(
+    "q141_drift_report",
+    """WITH v1 AS (
+      |  SELECT lang, LEAST(n_chars // 64, 3) AS lb FROM documents WHERE doc_id % 7 <> 0
+      |), v2 AS (
+      |  SELECT lang, LEAST(n_chars // 64, 3) AS lb FROM documents WHERE doc_id % 11 <> 0
+      |), d1 AS (
+      |  SELECT 'lang:' || lang AS dim FROM v1
+      |  UNION ALL SELECT 'len:' || CAST(lb AS VARCHAR) FROM v1
+      |), d2 AS (
+      |  SELECT 'lang:' || lang AS dim FROM v2
+      |  UNION ALL SELECT 'len:' || CAST(lb AS VARCHAR) FROM v2
+      |), s1 AS (
+      |  SELECT dim, CAST(FLOOR(CAST(COUNT(*) AS BIGINT) * 1000000 /
+      |    (SELECT COUNT(*) FROM v1)) AS BIGINT) AS sh FROM d1 GROUP BY dim
+      |), s2 AS (
+      |  SELECT dim, CAST(FLOOR(CAST(COUNT(*) AS BIGINT) * 1000000 /
+      |    (SELECT COUNT(*) FROM v2)) AS BIGINT) AS sh FROM d2 GROUP BY dim
+      |)
+      |SELECT COALESCE(s1.dim, s2.dim) AS dim,
+      |  CAST(COALESCE(s1.sh, 0) AS BIGINT) AS share_v1_ppm,
+      |  CAST(COALESCE(s2.sh, 0) AS BIGINT) AS share_v2_ppm,
+      |  CAST(ABS(COALESCE(s1.sh, 0) - COALESCE(s2.sh, 0)) AS BIGINT) AS drift_ppm
+      |FROM s1 FULL OUTER JOIN s2 ON s1.dim = s2.dim
+      |ORDER BY dim""") { (s, d) =>
+    def dims(pred: org.apache.spark.sql.Column): DataFrame = Tables.documents(s, d)
+      .filter(pred)
+      .select(explode(array(
+        concat(lit("lang:"), col("lang")),
+        concat(lit("len:"), least(col("n_chars") / 64, lit(3L)).cast("long")
+          .cast("string")))).as("dim"))
+    def shares(df: DataFrame, shCol: String): DataFrame = {
+      // per-revision total stays IN-PLAN as a broadcast 1-row scalar.
+      // The dims frame carries 2 rows per doc, so _t = 2 x docs and
+      // share = floor(_c * 1e6 / docs) = floor(_c * 2e6 / _t) — the
+      // scaled integer numerator/denominator divide to the same IEEE
+      // double as the oracle's unscaled pair.
+      val total = df.groupBy().agg(count(lit(1)).as("_t"))
+      df.groupBy("dim").agg(count(lit(1)).as("_c"))
+        .crossJoin(broadcast(total))
+        .select(col("dim"),
+          floor(col("_c") * 2000000L / col("_t")).cast("long").as(shCol))
+    }
+    val s1 = shares(dims(col("doc_id") % 7 =!= 0), "sh1")
+    val s2 = shares(dims(col("doc_id") % 11 =!= 0), "sh2")
+    s1.join(s2, Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("sh1"), lit(0L)).as("share_v1_ppm"),
+        coalesce(col("sh2"), lit(0L)).as("share_v2_ppm"),
+        abs(coalesce(col("sh1"), lit(0L)) - coalesce(col("sh2"), lit(0L)))
+          .as("drift_ppm"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
-    q90CmsSketch, q112CorrMatrix)
+    q90CmsSketch, q112CorrMatrix, q141DriftReport)
 }

@@ -361,7 +361,48 @@ object Multimodal {
     MM.captionAlignment(s, d).orderBy("doc_id")
   }
 
+  /** q142 — embedded media metadata round trip: write tEXt ancillary
+    * chunks (PNG spec 11.3.4.3 — Latin-1 keyword NUL text, CRC32 over
+    * type+data) into every fixture PNG at the chunk level, then walk
+    * the container back, verify each chunk's CRC, and reconstruct the
+    * metadata record FROM THE EXTRACTED BYTES. The oracle states the
+    * expected record from the raw table columns, so a hash match proves
+    * the chunk mux → chunk walk → CRC → Latin-1 decode path is
+    * byte-exact per document — the sidecar-free metadata carriage a
+    * multimodal corpus uses (EXIF's role, in the container this
+    * classpath can really encode). MultimodalSpec additionally pins
+    * that insertion leaves the decoded pixels bit-identical and that a
+    * corrupted chunk fails ONLY its own CRC.
+    *
+    * Scale shape: one narrow per-row pass (build + walk are in-row
+    * byte work, the md5 record fingerprint is a codegen'd projection);
+    * the only exchange is the export sort. */
+  val q142PngMetadata: Q = Q(
+    "q142_png_metadata",
+    """SELECT doc_id, CAST(3 AS BIGINT) AS n_chunks, CAST(3 AS BIGINT) AS crc_ok,
+      |  md5('lang=' || lang || ';source=' || source || ';chars=' ||
+      |      CAST(n_chars AS VARCHAR)) AS meta_fp
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        MM.hex80(col("text")).as("hx"))
+      .as[(Long, String, String, Long, String)]
+      .mapPartitions(_.map { case (id, lang, src, nch, hx) =>
+        val png = MM.insertTextChunks(MM.genPng(hx),
+          Seq("lang" -> lang, "source" -> src, "chars" -> nch.toString))
+        val got = MM.textChunks(png)
+        val kv = got.map(t => t._1 -> t._2).toMap
+        (id, got.size.toLong, got.count(_._3).toLong,
+          s"lang=${kv("lang")};source=${kv("source")};chars=${kv("chars")}")
+      })
+      .toDF("doc_id", "n_chunks", "crc_ok", "rec")
+      .select(col("doc_id"), col("n_chunks"), col("crc_ok"),
+        md5(col("rec")).as("meta_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
     q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux,
-    q127AudioSpectrum, q129CaptionAlign)
+    q127AudioSpectrum, q129CaptionAlign, q142PngMetadata)
 }

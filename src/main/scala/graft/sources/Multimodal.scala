@@ -438,6 +438,73 @@ object Multimodal {
     content.length > PngMagic.length &&
       PngMagic.indices.forall(i => content(i) == PngMagic(i))
 
+  /** Insert tEXt metadata chunks (PNG spec 11.3.4.3: Latin-1
+    * keyword NUL text, CRC32 over type+data) immediately before IEND —
+    * the chunk walk finds IEND by length hopping, so payloads with any
+    * ancillary chunks survive. The pixel stream is untouched: every
+    * decoder ignores unknown/ancillary chunks, so the image round-trips
+    * bit-identically (MultimodalSpec pins it). */
+  def insertTextChunks(png: Array[Byte], kvs: Seq[(String, String)]): Array[Byte] = {
+    require(isPng(png), "insertTextChunks: payload is not a PNG")
+    val iend = chunkOffsets(png).collectFirst {
+      case (off, "IEND") => off
+    }.getOrElse(sys.error("insertTextChunks: PNG without IEND"))
+    val bos = new ByteArrayOutputStream()
+    bos.write(png, 0, iend)
+    kvs.foreach { case (k, v) =>
+      val data = (k + "\u0000" + v).getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("US-ASCII")
+      writeU32be(bos, data.length.toLong)
+      bos.write(typ)
+      bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      writeU32be(bos, crc.getValue)
+    }
+    bos.write(png, iend, png.length - iend)
+    bos.toByteArray
+  }
+
+  /** All tEXt chunks as (keyword, text, crcOk) in file order. */
+  def textChunks(png: Array[Byte]): Seq[(String, String, Boolean)] = {
+    require(isPng(png), "textChunks: payload is not a PNG")
+    chunkOffsets(png).filter(_._2 == "tEXt").map { case (off, _) =>
+      val len = u32be(png, off)
+      val data = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, off + 4, 4 + len)
+      val stored = u32be(png, off + 8 + len).toLong & 0xffffffffL
+      val nul = data.indexOf(0.toByte)
+      val (k, v) =
+        if (nul < 0) (new String(data, "ISO-8859-1"), "")
+        else (new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1, "ISO-8859-1"))
+      (k, v, stored == crc.getValue)
+    }
+  }
+
+  /** (offset, type) of every chunk, by length hopping from byte 8. */
+  private def chunkOffsets(png: Array[Byte]): Seq[(Int, String)] = {
+    val out = Seq.newBuilder[(Int, String)]
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= png.length) {
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      out += pos -> typ
+      if (typ == "IEND") done = true else pos += 12 + u32be(png, pos)
+    }
+    out.result()
+  }
+
+  private def u32be(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  private def writeU32be(bos: ByteArrayOutputStream, v: Long): Unit = {
+    bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+    bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+  }
+
   /** REAL decode: parse the PNG payload with javax.imageio and pull the
     * grayscale samples out of the decoded raster. */
   def decodeImage(content: Array[Byte]): DecodedImage = {

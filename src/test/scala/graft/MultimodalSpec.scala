@@ -206,6 +206,30 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDev == math.abs((v + 100) % 256 - v), "deviation must be the real pixel delta")
   }
 
+  test("tEXt metadata chunks: pixels untouched, values round-trip, CRC localizes corruption") {
+    val hex = "ab" * 80
+    val base = Multimodal.genPng(hex)
+    val kvs = Seq("lang" -> "en", "note" -> "héllo wörld", "empty" -> "")
+    val tagged = Multimodal.insertTextChunks(base, kvs)
+    // insertion is pixel-invariant (decoders ignore ancillary chunks)
+    val (d0, d1) = (Multimodal.decodeImage(base), Multimodal.decodeImage(tagged))
+    assert(d0.width == d1.width && d0.height == d1.height && d0.px.sameElements(d1.px))
+    // values round-trip byte-exactly, Latin-1 text included, CRCs green
+    val got = Multimodal.textChunks(tagged)
+    assert(got.map(t => (t._1, t._2)) == kvs && got.forall(_._3))
+    // corrupting one chunk's data fails ONLY that chunk's CRC
+    val idx = tagged.length - (12 + // IEND
+      kvs.reverse.take(2).map(kv => 12 + kv._1.length + 1 +
+        kv._2.getBytes("ISO-8859-1").length).sum) - 3 // inside chunk 1's value
+    val bad = tagged.clone(); bad(idx) = (bad(idx) ^ 0x01).toByte
+    val checked = Multimodal.textChunks(bad)
+    assert(checked.map(_._3) == Seq(false, true, true),
+      s"exactly the corrupted chunk must fail: ${checked.map(_._3)}")
+    // idempotent layering: a second insert appends after the first set
+    val twice = Multimodal.insertTextChunks(tagged, Seq("k2" -> "v2"))
+    assert(Multimodal.textChunks(twice).map(_._1) == Seq("lang", "note", "empty", "k2"))
+  }
+
   test("frame sampling keeps every Nth demuxed frame of video payloads") {
     // frame j: row y = bytes [4j..4j+3] rotated right by y — the
     // mediaTable fixture layout

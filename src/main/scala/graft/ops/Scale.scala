@@ -393,6 +393,62 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** q143 — key-skew audit: the diagnosis that DECIDES the q51 salting
+    * and AQE-skew treatments. For each candidate shuffle key the report
+    * gives key cardinality, row totals, the heaviest key's share and
+    * the top-10 keys' share (ppm), and the max/mean ratio (milli) — a
+    * skew_ratio_milli near 1000 is uniform, orders of magnitude above
+    * means one reducer drags the stage and the key needs salting or a
+    * broadcast. Integer ppm/milli floors keep both engines
+    * bit-identical.
+    *
+    * Scale shape: one map-side-combined count per key column, a 10-row
+    * top-k, and two scalar aggregates — O(keys) work per audited
+    * column, the corpus never shuffles payloads. This is the profile a
+    * planner would persist per table to choose join strategies. */
+  val q143SkewAudit: Q = Q(
+    "q143_skew_audit",
+    """WITH ec AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |lc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT 'events.user_id' AS key_col,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    CAST(MAX(c) AS BIGINT) AS max_rows,
+      |    CAST((SELECT SUM(c) FROM (SELECT c FROM ec ORDER BY c DESC, k LIMIT 10)) AS BIGINT) AS top10_rows
+      |  FROM ec
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey',
+      |    CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+      |    CAST((SELECT SUM(c) FROM (SELECT c FROM lc ORDER BY c DESC, k LIMIT 10)) AS BIGINT)
+      |  FROM lc
+      |)
+      |SELECT key_col, n_keys, n_rows, max_rows, top10_rows,
+      |  CAST(FLOOR(max_rows * 1000000 / n_rows) AS BIGINT) AS max_share_ppm,
+      |  CAST(FLOOR(top10_rows * 1000000 / n_rows) AS BIGINT) AS top10_share_ppm,
+      |  CAST(FLOOR(max_rows * 1000 * n_keys / n_rows) AS BIGINT) AS skew_ratio_milli
+      |FROM s ORDER BY key_col""") { (s, d) =>
+    def audit(df: DataFrame, key: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed by the scalar agg AND the top-10
+      val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(sum("c").as("top10_rows"))
+      counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_rows"))
+        .crossJoin(broadcast(top10))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_rows"), col("top10_rows"))
+    }
+    audit(Tables.events(s, d), "user_id", "events.user_id")
+      .unionByName(audit(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_rows"),
+        col("top10_rows"),
+        floor(col("max_rows") * 1000000L / col("n_rows")).cast("long").as("max_share_ppm"),
+        floor(col("top10_rows") * 1000000L / col("n_rows")).cast("long").as("top10_share_ppm"),
+        floor(col("max_rows") * 1000L * col("n_keys") / col("n_rows")).cast("long").as("skew_ratio_milli"))
+      .orderBy("key_col")
+  }
+
   /** Fixed per-(sfDir, query) staging path: cleared and rebuilt by each
     * invocation, so repeated Bench/Verify passes keep ONE copy on disk
     * (the q131 lesson — see its comment). */
@@ -402,5 +458,5 @@ object Scale {
 
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
-    q139TargetedDelete)
+    q139TargetedDelete, q143SkewAudit)
 }

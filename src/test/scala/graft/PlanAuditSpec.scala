@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q128_host_rank" -> "corpus-scalar join: the 1-row host count broadcasts into the outlink scan; the power iteration runs on the host-cardinality graph only",
     "q137_ivfpq_search" -> "shares q54's probe scoring: the k-row centroid codebook broadcasts against the 5 query vectors; the corpus-side ADC join is an equi-join on codes",
     "q140_training_build" -> "corpus-scalar join: the 1-row token budget broadcasts into the running-sum selection",
-    "q141_drift_report" -> "corpus-scalar joins: each revision's 1-row doc total broadcasts into its ~9-key share aggregate")
+    "q141_drift_report" -> "corpus-scalar joins: each revision's 1-row doc total broadcasts into its ~9-key share aggregate",
+    "q143_skew_audit" -> "scalar-scalar join: the 1-row top-10 total broadcasts against the 1-row key-count aggregate")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

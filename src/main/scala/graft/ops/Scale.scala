@@ -449,6 +449,47 @@ object Scale {
       .orderBy("key_col")
   }
 
+  /** q144 — schema evolution on the versioned table: a later append
+    * carries a NEW column (`quality`), the merged read null-fills it
+    * for pre-evolution files, and time travel to v1 still sees the
+    * old schema — the add-a-column migration every long-lived corpus
+    * table goes through, with zero rewrites of existing data. The
+    * oracle replays both generations with an explicit NULL column, so
+    * a hash match proves the merged read's null-fill semantics exactly.
+    *
+    * Scale shape: evolution costs one manifest commit; the merged read
+    * adds a footer-schema union at planning, no data I/O — the property
+    * that makes wide-table evolution viable at 100 TB. */
+  val q144SchemaEvolution: Q = Q(
+    "q144_schema_evolution",
+    """WITH v1 AS (
+      |  SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality FROM documents
+      |), v2 AS (
+      |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars, n_chars % 100 AS quality
+      |  FROM documents WHERE doc_id % 3 = 0
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+      |  CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    import graft.sources.Versioned
+    val dir = stagingDir(d, "q144")
+    Versioned.deleteRecursively(java.nio.file.Paths.get(dir))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppend(s, dir, base)
+    Versioned.commitAppend(s, dir, // the evolved generation: +quality
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"), (col("n_chars") % 100).as("quality")))
+    Versioned.read(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_with_quality"),
+        coalesce(sum(col("quality")), lit(0L)).cast("long").as("sum_quality"))
+      .orderBy("lang")
+  }
+
   /** Fixed per-(sfDir, query) staging path: cleared and rebuilt by each
     * invocation, so repeated Bench/Verify passes keep ONE copy on disk
     * (the q131 lesson — see its comment). */
@@ -458,5 +499,5 @@ object Scale {
 
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
-    q139TargetedDelete, q143SkewAudit)
+    q139TargetedDelete, q143SkewAudit, q144SchemaEvolution)
 }

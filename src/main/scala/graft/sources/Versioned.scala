@@ -118,12 +118,18 @@ object Versioned {
     else (commit(spark, dir, fresh, keepExisting = true), n)
   }
 
-  /** Read the latest version, or an explicit one (time travel). */
+  /** Read the latest version, or an explicit one (time travel).
+    * `mergeSchema` makes SCHEMA EVOLUTION work: an appended commit may
+    * carry new columns, and the merged read null-fills them for files
+    * written before the column existed (a version whose files all
+    * predate the column never shows it — time travel sees the schema
+    * of its era). Identical-schema tables pay only a footer-union at
+    * planning. */
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $dir")))
     val files = manifestFiles(dir, v).map(f => s"$dir/data/$f")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** All committed version numbers, ascending. */

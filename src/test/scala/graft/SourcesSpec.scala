@@ -354,6 +354,23 @@ class SourcesSpec extends SparkSpec {
     assert(all.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
+  test("schema evolution: merged read null-fills pre-evolution files; time travel keeps the old schema") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val base = docs.select(col("doc_id"), col("lang"))
+    Versioned.commitAppend(spark, dir, base)
+    Versioned.commitAppend(spark, dir,
+      base.limit(5).select(col("doc_id") + 1000000L as "doc_id", col("lang"),
+        lit(7L).as("quality")))
+    val merged = Versioned.read(spark, dir)
+    assert(merged.columns.contains("quality"))
+    // pre-evolution rows null-fill; evolved rows carry their values
+    assert(merged.filter(col("doc_id") < 1000000L && col("quality").isNotNull).count() == 0)
+    assert(merged.filter(col("quality") === 7L).count() == 5)
+    // time travel to v1 sees the schema of its era — no phantom column
+    assert(!Versioned.read(spark, dir, Some(1)).columns.contains("quality"))
+  }
+
   test("targeted delete rewrites only overlapping files; history survives until vacuum") {
     import graft.sources.Versioned
     val dir = Files.createTempDirectory("graft-delete").toString

@@ -161,6 +161,23 @@ object Versioned {
     dead.size
   }
 
+  /** OPTIMIZE: rewrite the latest version's files into a range-clustered
+    * layout on `clusterCol` with fresh footer-lifted stats — the
+    * compaction + re-cluster pass a versioned table runs after many
+    * small appends degrade its file skipping. Publishes as a new
+    * version (old snapshots stay time-travel readable until vacuum);
+    * returns (new version, files before, files after). */
+  def optimize(spark: SparkSession, dir: String, clusterCol: String,
+      nFiles: Int): (Int, Int, Int) = {
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir"))
+    val before = manifestEntries(dir, v).size
+    val rewritten = read(spark, dir, Some(v))
+      .repartitionByRange(nFiles, col(clusterCol))
+    val nv = commit(spark, dir, rewritten, keepExisting = false, Seq(clusterCol))
+    (nv, before, manifestEntries(dir, nv).size)
+  }
+
   /** Targeted row delete (the right-to-be-forgotten path): remove every
     * row with `lo <= colName <= hi` by rewriting ONLY the files whose
     * manifest [min,max] can intersect the range — all other files carry

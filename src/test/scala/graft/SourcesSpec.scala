@@ -371,6 +371,31 @@ class SourcesSpec extends SparkSpec {
     assert(!Versioned.read(spark, dir, Some(1)).columns.contains("quality"))
   }
 
+  test("versioned OPTIMIZE: fragmented appends compact, skipping returns, history intact") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-optimize").toString
+    // many tiny unclustered appends: every file spans the id range, so
+    // manifest stats exist but prune nothing
+    (0 until 4).foreach { m =>
+      Versioned.commitAppendStats(spark, dir,
+        docs.filter(col("doc_id") % 4 === m).repartition(6), Seq("doc_id"))
+    }
+    val total = docs.count()
+    val (_, t0, k0) = Versioned.readSkipping(spark, dir, "doc_id", 10L, 19L)
+    assert(t0 >= 20, s"expected a fragmented table, got $t0 files")
+    assert(k0 * 2 > t0, s"hash-scattered files should mostly survive pruning: $k0 of $t0")
+    val (nv, before, after) = Versioned.optimize(spark, dir, "doc_id", 4)
+    assert(before == t0 && after <= 4, s"optimize left $after of $before files")
+    // values intact, skipping strictly MORE selective, history readable
+    assert(Versioned.read(spark, dir).count() == total)
+    val (pruned, t1, k1) = Versioned.readSkipping(spark, dir, "doc_id", 10L, 19L)
+    assert(k1 < t1, s"post-optimize skipping must prune: $k1 of $t1")
+    assert(k1.toLong * t0 < k0.toLong * t1,
+      s"optimize must improve selectivity: $k1/$t1 vs $k0/$t0")
+    assert(pruned.count() == docs.filter(col("doc_id").between(10, 19)).count())
+    assert(Versioned.read(spark, dir, Some(nv - 1)).count() <= total)
+  }
+
   test("targeted delete rewrites only overlapping files; history survives until vacuum") {
     import graft.sources.Versioned
     val dir = Files.createTempDirectory("graft-delete").toString

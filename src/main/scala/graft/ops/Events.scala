@@ -544,8 +544,65 @@ object Events {
       .orderBy("user_id", "event_type")
   }
 
+  /** q145 — length-matched control sampling: for every treatment doc
+    * (doc_id % 5 = 0) find the closest-length control from the rest of
+    * its language's pool — the matched-pair construction an A/B eval
+    * or ablation study needs, expressed as the custom NEAREST as-of
+    * join (plans.AsofJoin) over a composite sort key. The key is
+    * `n_chars * 1e6 + doc_id`, unique by construction, so "nearest"
+    * has no ambiguous ties (nearest-by-length with doc_id as the
+    * deterministic tiebreak in composite order); the oracle composes
+    * DuckDB's backward+forward ASOF JOINs exactly as q124 does.
+    *
+    * Scale shape: the as-of exec is the sorted-merge O(L+R) pass —
+    * each side shuffles once on the group key, no pair blowup — which
+    * is what makes matched sampling viable when both pools are large. */
+  val q145MatchedControls: Q = Q(
+    "q145_matched_controls",
+    """WITH b AS (
+      |  SELECT doc_id, lang, n_chars, n_chars*1000000 + doc_id AS mkey FROM documents
+      |), t AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+      |p AS (SELECT doc_id AS c_id, lang AS c_lang, n_chars AS c_chars, mkey AS c_mkey
+      |      FROM b WHERE doc_id % 5 <> 0),
+      |jb AS (
+      |  SELECT t.doc_id, p.c_id AS b_id, p.c_chars AS b_chars, p.c_mkey AS b_mkey
+      |  FROM t ASOF LEFT JOIN p ON t.lang = p.c_lang AND t.mkey >= p.c_mkey
+      |), jf AS (
+      |  SELECT t.doc_id, t.lang, t.n_chars, t.mkey,
+      |    p.c_id AS f_id, p.c_chars AS f_chars, p.c_mkey AS f_mkey
+      |  FROM t ASOF LEFT JOIN p ON t.lang = p.c_lang AND t.mkey <= p.c_mkey
+      |)
+      |SELECT doc_id, lang, n_chars, control_id, control_chars,
+      |  ABS(n_chars - control_chars) AS gap_chars
+      |FROM (
+      |  SELECT jf.doc_id, jf.lang, jf.n_chars,
+      |    CASE WHEN b_mkey IS NULL THEN f_id
+      |         WHEN f_mkey IS NULL THEN b_id
+      |         WHEN (jf.mkey - b_mkey) <= (f_mkey - jf.mkey) THEN b_id
+      |         ELSE f_id END AS control_id,
+      |    CASE WHEN b_mkey IS NULL THEN f_chars
+      |         WHEN f_mkey IS NULL THEN b_chars
+      |         WHEN (jf.mkey - b_mkey) <= (f_mkey - jf.mkey) THEN b_chars
+      |         ELSE f_chars END AS control_chars
+      |  FROM jf JOIN jb ON jf.doc_id = jb.doc_id
+      |) ORDER BY doc_id""") { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") * 1000000L + col("doc_id")).as("mkey"))
+    val treat = base.filter(col("doc_id") % 5 === 0)
+    val pool = base.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("c_id"), col("lang").as("c_lang"),
+        col("n_chars").as("c_chars"), col("mkey").as("c_mkey"))
+    graft.plans.AsofJoin(treat, pool, "lang", "c_lang", "mkey", "c_mkey",
+        direction = "nearest")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("c_id").as("control_id"), col("c_chars").as("control_chars"),
+        abs(col("n_chars") - col("c_chars")).as("gap_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
-    q106HourlyAnomaly, q111RangeFeatures, q122DecayScore)
+    q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls)
 }

@@ -129,6 +129,76 @@ object Scale {
       .orderBy("shard")
   }
 
+  /** q146 — stratified train/val/test split: every document is assigned
+    * to a split with EXACT per-language proportions (80/10/10 by count,
+    * floor at each boundary) and a deterministic membership — rank the
+    * docs of each language by a hash of their id and cut at
+    * floor(.8n)/floor(.9n). Hash-threshold splits (`hex32(id) % 10 < 8`)
+    * are only approximately proportional; eval sets need exact counts.
+    *
+    * The per-language rank is the scale problem: `ROW_NUMBER() OVER
+    * (PARTITION BY lang ...)` funnels each language through ONE task —
+    * with a handful of languages over 100 TB that is a handful of
+    * straggler reducers. Spelled here as a grouped extension of
+    * Graph.rankIds: range-partition by the full (lang, ord, doc_id)
+    * composite (a language spans many partitions, each partition holds
+    * a contiguous slice of one-or-more languages), sort within
+    * partitions, then reconstruct the within-language rank from tiny
+    * per-(partition, language) stats — count and first-row offset, at
+    * most partitions x languages rows — cumulated per language and
+    * broadcast back. Rows never move twice; the heavy data sees one
+    * range exchange, reused by both the stats pass and the join-back
+    * (numPartitions pinned so AQE cannot re-coalesce the sides apart).
+    * Ties are impossible: doc_id is in the sort key on both engines. */
+  val q146StratifiedSplit: Q = Q(
+    "q146_stratified_split",
+    """WITH keyed AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5('split_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS ord
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ord, doc_id) - 1 AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS tot
+      |  FROM keyed
+      |)
+      |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank_in_lang,
+      |  CASE WHEN rk * 10 < tot * 8 THEN 'train'
+      |       WHEN rk * 10 < tot * 9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM ranked ORDER BY lang, doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.hex32(
+          concat(lit("split_"), col("doc_id").cast("string"))).as("ord"))
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = keyed
+      .repartitionByRange(n, col("lang"), col("ord"), col("doc_id"))
+      .sortWithinPartitions("lang", "ord", "doc_id")
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_off", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    // <= numPartitions x languages rows: stats, not data.
+    val stats = sorted.groupBy("_pid", "lang")
+      .agg(count(lit(1)).as("_n"), min(col("_off")).as("_minoff"))
+    val bases = stats.withColumn("_base",
+      coalesce(sum("_n").over(
+        Window.partitionBy("lang").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = stats.groupBy("lang").agg(sum("_n").as("_tot"))
+    sorted
+      .join(broadcast(bases.select("_pid", "lang", "_base", "_minoff")),
+        Seq("_pid", "lang"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("rank_in_lang", col("_base") + col("_off") - col("_minoff"))
+      .select(col("lang"), col("doc_id"), col("rank_in_lang"),
+        when(col("rank_in_lang") * 10 < col("_tot") * 8, "train")
+          .when(col("rank_in_lang") * 10 < col("_tot") * 9, "val")
+          .otherwise("test").as("split"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** q96 — epoch shuffle manifest: the deterministic global permutation
     * a training loop reads each epoch, spelled the way it scales. Every
     * doc gets a pseudo-random sort key from md5 of (epoch, doc_id); the
@@ -499,5 +569,6 @@ object Scale {
 
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
-    q139TargetedDelete, q143SkewAudit, q144SchemaEvolution)
+    q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
+    q146StratifiedSplit)
 }

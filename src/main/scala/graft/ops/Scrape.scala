@@ -133,115 +133,5 @@ object Scrape {
       .orderBy("day")
   }
 
-  /** q147 — URL canonicalization + dedup: the crawl-frontier primitive
-    * that collapses the many spellings of one resource before any fetch
-    * or content-dedup spends money on it. Each document synthesizes a
-    * deterministically messy URL (the in-query twin of q47's rendered
-    * HTML): upper/lower-cased scheme and host, explicit default port,
-    * `www.` prefix, trailing slash, shuffled query-parameter order,
-    * `utm_*` tracking params, and a fragment — then canonicalizes:
-    * lowercase scheme+host only (paths stay case-sensitive), strip
-    * `:443`, strip `www.`, drop the fragment, strip the trailing slash,
-    * drop `utm_*` params and sort the rest. Docs `i` and `i+1000` mangle
-    * differently but collapse to the same canonical URL, so the final
-    * audit (canonical, n_dups, id range) proves every rule fired.
-    *
-    * Scale: canonicalization is a pure per-row projection — all string
-    * functions + one array HOF, fully codegen'd, zero shuffle; the dedup
-    * is one groupBy on the canonical key with map-side partials. At
-    * 100 TB of frontier this is scan-bound, exactly as it should be. */
-  val q147UrlCanonicalize: Q = Q(
-    "q147_url_canonicalize",
-    """WITH raw AS (
-      |  SELECT doc_id,
-      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
-      |    || (CASE WHEN doc_id % 3 = 2
-      |          THEN 'WWW.Media-' || CAST(doc_id % 20 AS VARCHAR) || '.Example.ORG'
-      |          ELSE 'www.media-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' END)
-      |    || (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END)
-      |    || '/Articles/p' || CAST(doc_id % 100 AS VARCHAR)
-      |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
-      |    || '?'
-      |    || (CASE WHEN doc_id % 3 = 0
-      |          THEN 'ref=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&q=term' || CAST(doc_id % 10 AS VARCHAR)
-      |        WHEN doc_id % 3 = 1
-      |          THEN 'q=term' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x&ref=' || CAST(doc_id % 5 AS VARCHAR)
-      |        ELSE 'q=term' || CAST(doc_id % 10 AS VARCHAR) || '&ref=' || CAST(doc_id % 5 AS VARCHAR) END)
-      |    || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
-      |      AS raw_url
-      |  FROM documents
-      |), split1 AS (
-      |  SELECT doc_id, substr(raw_url, 9) AS rest FROM raw
-      |), split2 AS (
-      |  SELECT doc_id, split_part(rest, '/', 1) AS hostport,
-      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-      |  FROM split1
-      |), split3 AS (
-      |  SELECT doc_id,
-      |    regexp_replace(regexp_replace(lower(hostport), ':443$', ''), '^www\.', '') AS host,
-      |    split_part(pathq, '#', 1) AS nofrag
-      |  FROM split2
-      |), split4 AS (
-      |  SELECT doc_id, host,
-      |    regexp_replace(split_part(nofrag, '?', 1), '/$', '') AS path,
-      |    CASE WHEN strpos(nofrag, '?') > 0
-      |         THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS qs
-      |  FROM split3
-      |), canon AS (
-      |  SELECT doc_id, host, path,
-      |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
-      |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS params
-      |  FROM split4
-      |)
-      |SELECT 'https://' || host || path
-      |    || CASE WHEN length(params) > 0 THEN '?' || params ELSE '' END AS canonical_url,
-      |  COUNT(*) AS n_dups, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-      |FROM canon GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    val dId = col("doc_id")
-    def m(k: Int) = dId % k
-    val raw = graft.Tables.documents(s, d).select(dId,
-      concat(
-        when(m(3) === 0, "HTTPS://").otherwise("https://"),
-        when(m(3) === 2,
-          concat(lit("WWW.Media-"), m(20).cast("string"), lit(".Example.ORG")))
-          .otherwise(concat(lit("www.media-"), m(20).cast("string"), lit(".example.org"))),
-        when(m(3) === 1, ":443").otherwise(""),
-        lit("/Articles/p"), m(100).cast("string"),
-        when(m(2) === 1, "/").otherwise(""),
-        lit("?"),
-        when(m(3) === 0,
-          concat(lit("ref="), m(5).cast("string"), lit("&utm_source=feed&q=term"), m(10).cast("string")))
-          .when(m(3) === 1,
-            concat(lit("q=term"), m(10).cast("string"), lit("&utm_campaign=x&ref="), m(5).cast("string")))
-          .otherwise(
-            concat(lit("q=term"), m(10).cast("string"), lit("&ref="), m(5).cast("string"))),
-        when(m(2) === 1, concat(lit("#sec"), m(7).cast("string"))).otherwise("")
-      ).as("raw_url"))
-    raw
-      .withColumn("_rest", expr("substring(raw_url, 9)"))
-      .withColumn("_hostport", substring_index(col("_rest"), "/", 1))
-      .withColumn("_pathq", expr("substring(_rest, length(_hostport) + 1)"))
-      .withColumn("_host",
-        regexp_replace(regexp_replace(lower(col("_hostport")), ":443$", ""), "^www\\.", ""))
-      .withColumn("_nofrag", substring_index(col("_pathq"), "#", 1))
-      .withColumn("_path", regexp_replace(substring_index(col("_nofrag"), "?", 1), "/$", ""))
-      .withColumn("_qs",
-        when(instr(col("_nofrag"), "?") > 0,
-          expr("substring(_nofrag, instr(_nofrag, '?') + 1)")).otherwise(lit("")))
-      .withColumn("_params",
-        array_join(array_sort(filter(split(col("_qs"), "&"),
-          p => not(p.startsWith("utm_")) && p =!= "")), "&"))
-      .select(
-        concat(lit("https://"), col("_host"), col("_path"),
-          when(length(col("_params")) > 0, concat(lit("?"), col("_params")))
-            .otherwise(lit(""))).as("canonical_url"),
-        col("doc_id"))
-      .groupBy("canonical_url")
-      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"))
-      .orderBy("canonical_url")
-  }
-
-  val all: Seq[Q] = Seq(q47ScrapeDiscovery, q130XlsxRoundtrip,
-    q147UrlCanonicalize)
+  val all: Seq[Q] = Seq(q47ScrapeDiscovery, q130XlsxRoundtrip)
 }

@@ -914,6 +914,65 @@ object Clean {
       .limit(20)
   }
 
+  /** q148 — inverted-index build: materialize per-term posting lists in
+    * the classical on-disk layout — df, collection frequency, and a
+    * delta-encoded postings string `docgap:tf@pos.pos...,docgap:tf@...`
+    * where each doc id is stored as its gap from the previous posting
+    * (the front-coding that makes real indexes compress) and positions
+    * are kept per posting for phrase queries. q105/q75 SCORE with tf/df;
+    * this materializes the searchable artifact itself.
+    *
+    * Scale shape: one (term, doc) aggregation off the token stream
+    * (map-side partials collapse repeats), then the gap window and the
+    * final fold both partition BY TERM — vocabulary cardinality, so
+    * parallelism is wide and no global sort exists. Stopword terms make
+    * long postings (bounded by df); that is the q143 skew-audit case,
+    * and a production variant shards postings past a df ceiling — here
+    * they stay well under partition size at any gate SF. The per-term
+    * ordered fold reuses the sorted-unique join spelling (A3):
+    * collect_list of (doc_id, entry) structs, array_sort, transform. */
+  val q148InvertedIndex: Q = Q(
+    "q148_inverted_index",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(range(0, len(toks))) AS pos
+       |  FROM t
+       |), td AS (
+       |  SELECT term, doc_id, COUNT(*) AS tf,
+       |    string_agg(CAST(pos AS VARCHAR), '.' ORDER BY pos) AS poss
+       |  FROM tok GROUP BY 1, 2
+       |), g AS (
+       |  SELECT term, doc_id, tf, poss,
+       |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+       |  FROM td
+       |)
+       |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       |  string_agg(CAST(gap AS VARCHAR) || ':' || CAST(tf AS VARCHAR) || '@' || poss,
+       |    ',' ORDER BY doc_id) AS postings
+       |FROM g GROUP BY term ORDER BY term""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val td = tok.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(array_sort(collect_list(col("pos"))), ".").as("poss"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    td
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag("doc_id", 1).over(w), lit(0L)))
+      .withColumn("entry",
+        concat(col("gap").cast("string"), lit(":"), col("tf").cast("string"),
+          lit("@"), col("poss")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("entry")))),
+          _.getField("entry")), ",").as("postings"))
+      .orderBy("term")
+  }
+
   /** q110 — DSIR-style importance resampling (Xie et al. 2023 shape):
     * rank raw documents by how much they look like a TARGET domain
     * (here lang='en') under hashed-unigram bucket models. Token →
@@ -1433,5 +1492,5 @@ object Clean {
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
-    q140TrainingBuild)
+    q140TrainingBuild, q148InvertedIndex)
 }

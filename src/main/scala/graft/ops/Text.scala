@@ -595,8 +595,71 @@ object Text {
       .orderBy("lang", "bucket")
   }
 
+  /** q149 — Heaps-law vocabulary growth: how fast the corpus vocabulary
+    * grows as documents stream in — the curve (cumulative vocab vs
+    * cumulative tokens) that sizes tokenizer vocabularies and predicts
+    * how much NEW text a crawl refresh actually contributes (a flat
+    * tail means the source is mined out). The doc-id space is cut into
+    * ten equal buckets standing in for ingest order; each term counts
+    * toward the bucket of its FIRST occurrence, so per-bucket new-term
+    * counts plus a cumulative sum reproduce the growth curve without
+    * ever re-scanning prefixes.
+    *
+    * Scale: one min-aggregation on term (the only wide shuffle —
+    * vocabulary cardinality, map-side partials collapse repeats), one
+    * 10-key doc-level aggregation, and cumulative windows over the
+    * 10-row report. No prefix re-scans, no per-decile passes: the
+    * first-occurrence trick turns "vocab after p% of the corpus" — ten
+    * nested DISTINCT counts — into a single linear pass. */
+  val q149VocabGrowth: Q = Q(
+    "q149_vocab_growth",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), dn AS (
+       |  SELECT MAX(doc_id) + 1 AS n FROM t
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM t
+       |), fo AS (
+       |  SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+       |), nb AS (
+       |  SELECT first_doc * 10 // n AS bucket, COUNT(*) AS new_terms
+       |  FROM fo CROSS JOIN dn GROUP BY 1
+       |), db AS (
+       |  SELECT doc_id * 10 // n AS bucket, COUNT(*) AS n_docs,
+       |    SUM(len(toks)) AS n_tokens
+       |  FROM t CROSS JOIN dn GROUP BY 1
+       |)
+       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       |  CAST(COALESCE(new_terms, 0) AS BIGINT) AS new_terms,
+       |  CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+       |FROM db LEFT JOIN nb USING (bucket)
+       |ORDER BY bucket""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dn = t.agg((max("doc_id") + 1).as("n"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    val fo = tok.groupBy("term").agg(min("doc_id").as("first_doc"))
+    val nb = fo.crossJoin(broadcast(dn))
+      .groupBy(expr("first_doc * 10 div n").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val db = t.crossJoin(broadcast(dn))
+      .groupBy(expr("doc_id * 10 div n").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("n_tokens"))
+    // 10-row report: the unpartitioned cumulative windows are deliberate
+    val w = Window.orderBy("bucket")
+    db.join(nb, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        sum("n_tokens").over(w).cast("long").as("cum_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).cast("long").as("cum_vocab"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
-    q113BpeRounds, q121CcnetBuckets, q123BpeEncode)
+    q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth)
 }

@@ -973,6 +973,78 @@ object Clean {
       .orderBy("term")
   }
 
+  /** q150 — positional phrase query: find documents containing an exact
+    * token-adjacency phrase by intersecting per-term position lists —
+    * the retrieval-side consumer of the q148 index (q136's Aho-Corasick
+    * scans raw TEXT for substrings; this answers from the TOKENIZED
+    * position space, the way an index serves phrase queries without
+    * touching documents). Three probe phrases: two that occur, one that
+    * cannot (reported with zero hits via the left join — absence is part
+    * of the contract). Overlapping matches count once per start position
+    * on both engines.
+    *
+    * Scale: the token stream is first filtered to the phrase vocabulary
+    * (broadcast IN-list — the analogue of reading only those postings),
+    * so the positional self-join on (doc, term, pos+1) runs over a
+    * vanishing fraction of the corpus; the phrase dictionary is
+    * broadcast. No full-text rescan, no unfiltered self-join. */
+  val q150PhraseQuery: Q = Q(
+    "q150_phrase_query",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(range(0, len(toks))) AS pos
+       |  FROM t
+       |  WHERE len(list_intersect(toks,
+       |    ['spark', 'join', 'table', 'quantum', 'flux'])) > 0
+       |), ph AS (
+       |  SELECT * FROM (VALUES
+       |    ('spark join', 'spark', 'join'),
+       |    ('table table', 'table', 'table'),
+       |    ('quantum flux', 'quantum', 'flux')) AS v(phrase, w1, w2)
+       |), m AS (
+       |  SELECT ph.phrase, a.doc_id
+       |  FROM ph
+       |  JOIN tok a ON a.term = ph.w1
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |            AND b.term = ph.w2
+       |), agg AS (
+       |  SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_hits,
+       |    MIN(doc_id) AS first_doc
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT ph.phrase, CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, first_doc
+       |FROM ph LEFT JOIN agg USING (phrase)
+       |ORDER BY phrase""") { (s, d) =>
+    import s.implicits._
+    val vocab = Seq("spark", "join", "table", "quantum", "flux")
+    val ph = Seq(
+      ("spark join", "spark", "join"),
+      ("table table", "table", "table"),
+      ("quantum flux", "quantum", "flux")).toDF("phrase", "w1", "w2")
+    val tok = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(vocab: _*))
+    val a = tok.join(broadcast(ph), col("term") === col("w1"))
+      .select(col("phrase"), col("w2"), col("doc_id").as("a_doc"),
+        (col("pos") + 1).as("next_pos"))
+    val m = a.join(tok.as("b"),
+      col("a_doc") === col("b.doc_id") && col("next_pos") === col("b.pos") &&
+        col("w2") === col("b.term"))
+    val agg = m.groupBy("phrase")
+      .agg(countDistinct(col("a_doc")).as("n_docs"), count(lit(1)).as("n_hits"),
+        min(col("a_doc")).as("first_doc"))
+    ph.select("phrase").join(agg, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_doc"))
+      .orderBy("phrase")
+  }
+
   /** q110 — DSIR-style importance resampling (Xie et al. 2023 shape):
     * rank raw documents by how much they look like a TARGET domain
     * (here lang='en') under hashed-unigram bucket models. Token →
@@ -1492,5 +1564,5 @@ object Clean {
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
-    q140TrainingBuild, q148InvertedIndex)
+    q140TrainingBuild, q148InvertedIndex, q150PhraseQuery)
 }

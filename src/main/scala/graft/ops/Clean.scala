@@ -973,6 +973,82 @@ object Clean {
       .orderBy("term")
   }
 
+  /** q151 — registrable-domain extraction (eTLD+1): reduce hosts to the
+    * unit that domain caps, crawl budgets, and dedup priors actually key
+    * on. `site.co.uk` and `news.site.co.uk` are ONE registrable domain;
+    * a naive "last two labels" parse calls them `co.uk` — the public-
+    * suffix list exists because TLD label counts vary. Hosts synthesize
+    * with 1- and 2-label suffixes and 0–2 subdomain labels; the suffix
+    * table joins by dot-boundary suffix match, longest match wins
+    * (max_by on label count — `x.co.uk` matches both `uk` and `co.uk`
+    * and must take the latter), and the registrable domain is the one
+    * label left of the winning suffix. q79's cap and q92's canonicalizer
+    * consume a host; this is the normalizer that turns a host into the
+    * capping key.
+    *
+    * Scale: the suffix list is a broadcast non-equi join (real PSL is
+    * ~9k rows — still broadcast), longest-match is a per-host max_by
+    * with map-side partials, and the final rollup groups by domain.
+    * Per-row string ops stay in codegen; nothing shuffles but the
+    * (host, domain) aggregates. */
+  val q151PublicSuffix: Q = Q(
+    "q151_public_suffix",
+    """WITH hosts AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'news.site' || CAST(doc_id % 30 AS VARCHAR) || '.co.uk'
+      |         WHEN doc_id % 4 = 1 THEN 'site' || CAST(doc_id % 30 AS VARCHAR) || '.com'
+      |         WHEN doc_id % 4 = 2 THEN 'a.b.site' || CAST(doc_id % 30 AS VARCHAR) || '.org.uk'
+      |         ELSE 'cdn.site' || CAST(doc_id % 30 AS VARCHAR) || '.io' END AS host
+      |  FROM documents
+      |), suf AS (
+      |  SELECT * FROM (VALUES ('uk', 1), ('com', 1), ('org', 1), ('io', 1),
+      |    ('co.uk', 2), ('org.uk', 2), ('ac.uk', 2)) AS s(suffix, nlabels)
+      |), cand AS (
+      |  SELECT doc_id, host, suffix, nlabels
+      |  FROM hosts JOIN suf ON ends_with(host, '.' || suffix)
+      |), best AS (
+      |  SELECT doc_id, host, arg_max(suffix, nlabels) AS suffix
+      |  FROM cand GROUP BY 1, 2
+      |), dom AS (
+      |  SELECT doc_id, host, suffix,
+      |    regexp_extract(substr(host, 1, length(host) - length(suffix) - 1),
+      |      '([^.]+)$', 1) || '.' || suffix AS domain
+      |  FROM best
+      |)
+      |SELECT domain, suffix AS public_suffix,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+      |  MIN(doc_id) AS first_doc
+      |FROM dom GROUP BY 1, 2 ORDER BY 1""") { (s, d) =>
+    import s.implicits._
+    val suf = Seq(("uk", 1), ("com", 1), ("org", 1), ("io", 1),
+      ("co.uk", 2), ("org.uk", 2), ("ac.uk", 2)).toDF("suffix", "nlabels")
+    val n30 = pmod(col("doc_id"), lit(30)).cast("string")
+    val hosts = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(lit("news.site"), n30, lit(".co.uk")))
+        .when(col("doc_id") % 4 === 1, concat(lit("site"), n30, lit(".com")))
+        .when(col("doc_id") % 4 === 2, concat(lit("a.b.site"), n30, lit(".org.uk")))
+        .otherwise(concat(lit("cdn.site"), n30, lit(".io"))).as("host"))
+    val best = hosts
+      .join(broadcast(suf), col("host").endsWith(concat(lit("."), col("suffix"))))
+      .groupBy("doc_id", "host")
+      .agg(max_by(col("suffix"), col("nlabels")).as("suffix"))
+    best
+      .select(col("doc_id"), col("host"), col("suffix"),
+        concat(
+          regexp_extract(
+            expr("substring(host, 1, length(host) - length(suffix) - 1)"),
+            "([^.]+)$", 1),
+          lit("."), col("suffix")).as("domain"))
+      .groupBy("domain", "suffix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("domain"), col("suffix").as("public_suffix"),
+        col("n_docs"), col("n_hosts"), col("first_doc"))
+      .orderBy("domain")
+  }
+
   /** q150 — positional phrase query: find documents containing an exact
     * token-adjacency phrase by intersecting per-term position lists —
     * the retrieval-side consumer of the q148 index (q136's Aho-Corasick
@@ -1564,5 +1640,6 @@ object Clean {
     q78BottomkSample, q79DomainCap, q83BloomDecontam,
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
-    q140TrainingBuild, q148InvertedIndex, q150PhraseQuery)
+    q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
+    q151PublicSuffix)
 }

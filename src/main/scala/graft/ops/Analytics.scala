@@ -457,7 +457,96 @@ object Analytics {
       .orderBy("dim")
   }
 
+  /** q152 — k-anonymous release via hierarchical generalization: publish
+    * per-(nation, period) order counts and revenue so that NO released
+    * row aggregates fewer than k=10 orders — the data-release gate that
+    * keeps a public stats table from identifying individual buyers.
+    * Unlike a plain HAVING (which silently drops small groups and
+    * biases every marginal), small cells climb a generalization ladder:
+    * month cells under k merge into their quarter; quarter cells still
+    * under k merge into their year; anything still under k lands in one
+    * per-nation residual row — every order is released exactly once, at
+    * the finest granularity that clears k. (q13/q58 compute ALL rollup
+    * levels; this picks one level per drill-path, data-dependently.)
+    *
+    * Scale: three successively tinier aggregations (month cells, then
+    * only the failing cells re-grouped — the cascade shrinks by
+    * construction), each with map-side partials; money stays exact
+    * DECIMAL until the DOUBLE boundary. The release is union-all of the
+    * four levels tagged by `level`. */
+  val q152KanonRelease: Q = Q(
+    "q152_kanon_release",
+    """WITH base AS (
+      |  SELECT n_name, strftime(o_orderdate, '%Y') AS y,
+      |    strftime(o_orderdate, '%m') AS m,
+      |    CAST((CAST(strftime(o_orderdate, '%m') AS BIGINT) + 2) // 3 AS VARCHAR) AS qtr,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), mth AS (
+      |  SELECT n_name, y, qtr, m, COUNT(*) AS n, SUM(price) AS rev
+      |  FROM base GROUP BY 1, 2, 3, 4
+      |), okm AS (
+      |  SELECT n_name, 'month' AS level, y || '-' || m AS period, n, rev
+      |  FROM mth WHERE n >= 10
+      |), qt AS (
+      |  SELECT n_name, y, qtr, SUM(n) AS n, SUM(rev) AS rev
+      |  FROM mth WHERE n < 10 GROUP BY 1, 2, 3
+      |), okq AS (
+      |  SELECT n_name, 'quarter' AS level, y || '-Q' || qtr AS period, n, rev
+      |  FROM qt WHERE n >= 10
+      |), yr AS (
+      |  SELECT n_name, y, SUM(n) AS n, SUM(rev) AS rev
+      |  FROM qt WHERE n < 10 GROUP BY 1, 2
+      |), oky AS (
+      |  SELECT n_name, 'year' AS level, y AS period, n, rev
+      |  FROM yr WHERE n >= 10
+      |), res AS (
+      |  SELECT n_name, 'residual' AS level, '*' AS period,
+      |    SUM(n) AS n, SUM(rev) AS rev
+      |  FROM yr WHERE n < 10 GROUP BY 1
+      |)
+      |SELECT n_name, level, period, CAST(n AS BIGINT) AS n,
+      |  CAST(rev AS DOUBLE) AS revenue
+      |FROM (SELECT * FROM okm UNION ALL SELECT * FROM okq
+      |      UNION ALL SELECT * FROM oky UNION ALL SELECT * FROM res)
+      |ORDER BY n_name, level, period""") { (s, d) =>
+    val K = 10
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy").as("y"),
+        date_format(col("o_orderdate"), "MM").as("m"),
+        expr("cast((cast(date_format(o_orderdate, 'MM') as bigint) + 2) div 3 as string)").as("qtr"),
+        dec(col("o_totalprice")).as("price"))
+    val mth = base.groupBy("n_name", "y", "qtr", "m")
+      .agg(count(lit(1)).as("n"), sum("price").as("rev"))
+    val okm = mth.filter(col("n") >= K)
+      .select(col("n_name"), lit("month").as("level"),
+        concat(col("y"), lit("-"), col("m")).as("period"), col("n"), col("rev"))
+    val qt = mth.filter(col("n") < K)
+      .groupBy("n_name", "y", "qtr").agg(sum("n").as("n"), sum("rev").as("rev"))
+    val okq = qt.filter(col("n") >= K)
+      .select(col("n_name"), lit("quarter").as("level"),
+        concat(col("y"), lit("-Q"), col("qtr")).as("period"), col("n"), col("rev"))
+    val yr = qt.filter(col("n") < K)
+      .groupBy("n_name", "y").agg(sum("n").as("n"), sum("rev").as("rev"))
+    val oky = yr.filter(col("n") >= K)
+      .select(col("n_name"), lit("year").as("level"), col("y").as("period"),
+        col("n"), col("rev"))
+    val res = yr.filter(col("n") < K)
+      .groupBy("n_name").agg(sum("n").as("n"), sum("rev").as("rev"))
+      .select(col("n_name"), lit("residual").as("level"), lit("*").as("period"),
+        col("n"), col("rev"))
+    okm.unionByName(okq).unionByName(oky).unionByName(res)
+      .select(col("n_name"), col("level"), col("period"),
+        col("n").cast("long").as("n"), col("rev").cast("double").as("revenue"))
+      .orderBy("n_name", "level", "period")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
-    q90CmsSketch, q112CorrMatrix, q141DriftReport)
+    q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease)
 }

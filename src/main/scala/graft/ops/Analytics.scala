@@ -546,7 +546,69 @@ object Analytics {
       .orderBy("n_name", "level", "period")
   }
 
+  /** q153 — exact global order statistics WITHOUT a global sort:
+    * distributed selection by binary search on the value domain. q57's
+    * exact per-group percentiles sort bounded groups; the GLOBAL exact
+    * median of one 100 TB column can't sort at all — but the k-th
+    * smallest value is the least v with count(<= v) > k, so ~log2(range)
+    * full-scan COUNT aggregates (map-side partials, one tiny shuffle
+    * each; here over a cached narrow projection) pin it exactly. Both
+    * targets (lower median, p90) advance in the SAME pass each round —
+    * one conditional-count aggregate serves every open search. This is
+    * the exact companion to approx_percentile: O(scan · log range) work,
+    * O(1) driver state, no skew sensitivity.
+    *
+    * Driver loop is over per-round SCALAR aggregates (the q98/q113
+    * iterative pattern — never row collects); iteration count is
+    * data-bounded at ~24 for a cents domain and independent of row
+    * count. The oracle computes the same ranks by window sort — at
+    * oracle scale DuckDB can afford what 100 TB cannot. */
+  val q153ExactSelect: Q = Q(
+    "q153_exact_select",
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM lineitem
+      |), nn AS (SELECT COUNT(*) AS n FROM v),
+      |ks AS (
+      |  SELECT 'median' AS stat, (n - 1) // 2 AS k FROM nn
+      |  UNION ALL
+      |  SELECT 'p90' AS stat, (n - 1) * 9 // 10 AS k FROM nn
+      |), s AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS rk FROM v
+      |)
+      |SELECT stat, CAST(k AS BIGINT) AS k, c AS value_cents
+      |FROM ks JOIN s ON s.rk = ks.k
+      |ORDER BY stat""") { (s, d) =>
+    import s.implicits._
+    val v = Tables.lineitem(s, d)
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("c"))
+      .localCheckpoint()
+    val head = v.agg(count(lit(1)), min("c"), max("c")).head()
+    val n = head.getLong(0)
+    val (vmin, vmax) = (head.getLong(1), head.getLong(2))
+    // (0-based target rank, search bounds) per statistic
+    val targets = Array(("median", (n - 1) / 2), ("p90", (n - 1) * 9 / 10))
+    val lo = Array.fill(targets.length)(vmin)
+    val hi = Array.fill(targets.length)(vmax)
+    while (targets.indices.exists(i => lo(i) < hi(i))) {
+      val mids = targets.indices.map(i => (lo(i) + hi(i)) >> 1)
+      val counts = v.agg(
+        sum(when(col("c") <= mids(0), 1L).otherwise(0L)),
+        sum(when(col("c") <= mids(1), 1L).otherwise(0L))).head()
+      targets.indices.foreach { i =>
+        if (lo(i) < hi(i)) {
+          if (counts.getLong(i) > targets(i)._2) hi(i) = mids(i)
+          else lo(i) = mids(i) + 1
+        }
+      }
+    }
+    targets.indices.map(i => (targets(i)._1, targets(i)._2, lo(i)))
+      .toDF("stat", "k", "value_cents")
+      .orderBy("stat")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
-    q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease)
+    q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
+    q153ExactSelect)
 }

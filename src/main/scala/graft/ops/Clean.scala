@@ -1121,6 +1121,73 @@ object Clean {
       .orderBy("phrase")
   }
 
+  /** q154 — incremental index maintenance: merge an append batch into
+    * the q148 posting lists touching ONLY the terms the batch contains —
+    * the q132/q134 incremental discipline applied to the index artifact.
+    * Base corpus (doc_id % 10 != 0) and batch (doc_id % 10 = 0) keep
+    * per-(term, doc) tf rows as the index STATE; the merge semi-joins
+    * the state to the batch's term set, unions the batch rows in, and
+    * re-encodes doc gaps only for those terms (batch docs interleave
+    * with base docs, so gap re-encoding per affected term is the honest
+    * minimum — append-only gap concat would corrupt interleaved ids).
+    * The oracle recomputes the same postings from the FULL corpus
+    * restricted to affected terms, so the hash gate proves
+    * merge == recompute, the invariant incremental maintenance owes.
+    *
+    * Scale: the delta touches |affected terms| posting lists, not the
+    * index; the un-affected state never moves. Window and fold partition
+    * by term, as in q148. */
+  val q154IndexMaintain: Q = Q(
+    "q154_index_maintain",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM t
+       |), td AS (
+       |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), aff AS (
+       |  SELECT DISTINCT term FROM td WHERE doc_id % 10 = 0
+       |), m AS (
+       |  SELECT td.term, doc_id, tf FROM td JOIN aff USING (term)
+       |), g AS (
+       |  SELECT term, doc_id, tf,
+       |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+       |  FROM m
+       |)
+       |SELECT term,
+       |  CAST(COUNT(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS BIGINT) AS df_base,
+       |  CAST(COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT) AS df_batch,
+       |  CAST(COUNT(*) AS BIGINT) AS df_merged,
+       |  string_agg(CAST(gap AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+       |    ',' ORDER BY doc_id) AS postings_merged
+       |FROM g GROUP BY term ORDER BY term""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val td = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // state read by base split, batch split, and term set
+    val base = td.filter(col("doc_id") % 10 =!= 0)
+    val batch = td.filter(col("doc_id") % 10 === 0)
+    val affected = batch.select("term").distinct()
+    val merged = base.join(affected, Seq("term"), "left_semi")
+      .unionByName(batch)
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    merged
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag("doc_id", 1).over(w), lit(0L)))
+      .withColumn("entry",
+        concat(col("gap").cast("string"), lit(":"), col("tf").cast("string")))
+      .groupBy("term")
+      .agg(
+        count(when(col("doc_id") % 10 =!= 0, 1)).as("df_base"),
+        count(when(col("doc_id") % 10 === 0, 1)).as("df_batch"),
+        count(lit(1)).as("df_merged"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("entry")))),
+          _.getField("entry")), ",").as("postings_merged"))
+      .orderBy("term")
+  }
+
   /** q110 — DSIR-style importance resampling (Xie et al. 2023 shape):
     * rank raw documents by how much they look like a TARGET domain
     * (here lang='en') under hashed-unigram bucket models. Token →
@@ -1641,5 +1708,5 @@ object Clean {
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
     q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
-    q151PublicSuffix)
+    q151PublicSuffix, q154IndexMaintain)
 }

@@ -607,8 +607,79 @@ object Analytics {
       .orderBy("stat")
   }
 
+  /** q155 — quasi-identifier uniqueness audit: BEFORE releasing data,
+    * measure how re-identifiable each candidate QI set makes it — the
+    * diagnosis that decides where q152's k ladder must start. For the
+    * drill path nation → +month → +day → +priority, report group-size
+    * structure: total groups, rows, singleton groups (unique = directly
+    * re-identifiable), and sub-k groups/rows (k=10, q152's threshold),
+    * plus singleton-row ppm as the headline risk number.
+    *
+    * Scale: the four audits are NOT four aggregations — the drill path
+    * is a prefix chain, so ONE rollup computes every level's group
+    * sizes in a single shuffle (grouping() flags name the level; the
+    * grand-total row is filtered), and the histogram over group sizes
+    * is a 4-key reduce of the already-aggregated cell table. Integer
+    * ppm floor-division on both engines. */
+  val q155QiAudit: Q = Q(
+    "q155_qi_audit",
+    """WITH base AS (
+      |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS mon,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderpriority AS pri
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), cells AS (
+      |  SELECT COUNT(*) AS sz,
+      |    GROUPING(n_name) AS g_n, GROUPING(mon) AS g_m,
+      |    GROUPING(day) AS g_d, GROUPING(pri) AS g_p
+      |  FROM base GROUP BY ROLLUP (n_name, mon, day, pri)
+      |), lab AS (
+      |  SELECT sz,
+      |    CASE WHEN g_m = 1 THEN 'qi1_nation'
+      |         WHEN g_d = 1 THEN 'qi2_nation_month'
+      |         WHEN g_p = 1 THEN 'qi3_nation_day'
+      |         ELSE 'qi4_nation_day_priority' END AS qi
+      |  FROM cells WHERE g_n = 0
+      |)
+      |SELECT qi, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(CASE WHEN sz = 1 THEN 1 END) AS BIGINT) AS uniq_groups,
+      |  CAST(COUNT(CASE WHEN sz < 10 THEN 1 END) AS BIGINT) AS subk_groups,
+      |  CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS subk_rows,
+      |  CAST(COUNT(CASE WHEN sz = 1 THEN 1 END) * 1000000 // SUM(sz) AS BIGINT) AS uniq_ppm
+      |FROM lab GROUP BY qi ORDER BY qi""") { (s, d) =>
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_orderpriority").as("pri"))
+    base.rollup(col("n_name"), col("mon"), col("day"), col("pri"))
+      .agg(count(lit(1)).as("sz"),
+        grouping(col("n_name")).as("g_n"), grouping(col("mon")).as("g_m"),
+        grouping(col("day")).as("g_d"), grouping(col("pri")).as("g_p"))
+      .filter(col("g_n") === 0)
+      .withColumn("qi",
+        when(col("g_m") === 1, "qi1_nation")
+          .when(col("g_d") === 1, "qi2_nation_month")
+          .when(col("g_p") === 1, "qi3_nation_day")
+          .otherwise("qi4_nation_day_priority"))
+      .groupBy("qi")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("sz").as("n_rows"),
+        count(when(col("sz") === 1, 1)).as("uniq_groups"),
+        count(when(col("sz") < 10, 1)).as("subk_groups"),
+        sum(when(col("sz") < 10, col("sz")).otherwise(0L)).as("subk_rows"))
+      .select(col("qi"), col("n_groups"), col("n_rows"), col("uniq_groups"),
+        col("subk_groups"), col("subk_rows"),
+        expr("uniq_groups * 1000000 div n_rows").as("uniq_ppm"))
+      .orderBy("qi")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
-    q153ExactSelect)
+    q153ExactSelect, q155QiAudit)
 }

@@ -206,6 +206,26 @@ object Streaming {
       .dropDuplicates("doc_id")
   }
 
+  /** Streaming twin of q154's index delta: each incoming document emits
+    * its own per-term posting rows (term, tf) computed IN-ROW — distinct
+    * terms × an array-filter count — so the delta stream is stateless
+    * narrow projection except the redelivery guard (dropDuplicates on
+    * (doc_id, term): exactly-once deltas under at-least-once delivery;
+    * tf is a pure function of the doc so redelivered rows are identical
+    * and safe to collapse). The store-side merge is q154's batch merge
+    * (semi-join affected terms, re-encode gaps), run per micro-batch the
+    * way lshDedupIngest runs its store update. */
+  def indexDeltaStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(transform(array_distinct(col("toks")),
+        t => struct(t.as("term"),
+          size(filter(col("toks"), x => x === t)).cast("long").as("tf")))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .dropDuplicates("doc_id", "term")
+  }
+
   /** Tumbling-window hourly counts with a 1-hour watermark — the
     * streaming twin of q14. Works unchanged in batch. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -333,6 +333,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming index delta (stateless in-row tf) == batch q154 batch-side rows") {
+    // the q154 append batch (doc_id % 10 = 0), delivered twice across
+    // micro-batches; the (doc_id, term) redelivery guard must collapse
+    // the second arrival to keep deltas exactly-once
+    val q = Streaming.runToMemory(
+      Streaming.indexDeltaStream(
+        Streaming.documentsStream(spark, sf, copies = 2)
+          .filter(col("doc_id") % 10 === 0)),
+      "idxdelta", mode = "append")
+    val got = spark.table("idxdelta")
+    val want = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty,
+      "streamed per-(doc, term) tf deltas must equal the batch aggregation")
+    q.stop()
+  }
+
   test("streaming curation: quality gate + cross-batch dedup == batch pipeline") {
     // every document arrives TWICE in separate micro-batches; the
     // streaming dedup state must collapse the second arrival

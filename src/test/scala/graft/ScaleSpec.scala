@@ -169,7 +169,25 @@ class ScaleSpec extends SparkSpec {
       "q115_phash_dedup" -> 32L,
       "q123_bpe_encode" -> 2800L,
       "q124_asof_directions" -> 560L,
-      "q125_hybrid_rrf" -> 1630L)
+      "q125_hybrid_rrf" -> 1630L,
+      // round 8 second wave, measured at sf0.01 (graft.Prof write-side):
+      // q146 40 KiB (composite range exchange + tiny stats broadcasts),
+      // q148 937 KiB ((term, doc, tf, positions) posting rows — O(index),
+      // inherent to materializing it; text never shuffles), q149 253 KiB
+      // (term first-occurrence partials), q150 92 KiB (phrase-vocab token
+      // slice only), q151 25 KiB (host/domain aggregates), q152 127 KiB
+      // (month cells then shrinking cascade), q153 1 KiB (count scalars —
+      // the selection loop's whole point), q154 513 KiB (affected-term
+      // posting rows), q155 625 KiB (rollup cells, sz histogram)
+      "q146_stratified_split" -> 100L,
+      "q148_inverted_index" -> 2350L,
+      "q149_vocab_growth" -> 640L,
+      "q150_phrase_query" -> 230L,
+      "q151_public_suffix" -> 64L,
+      "q152_kanon_release" -> 320L,
+      "q153_exact_select" -> 8L,
+      "q154_index_maintain" -> 1280L,
+      "q155_qi_audit" -> 1560L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -601,8 +601,98 @@ object Events {
       .orderBy("doc_id")
   }
 
+  /** q156 — CUSUM drift detection on daily event rates: the sequential
+    * changepoint statistic S_t = max(0, S_{t-1} + deviation_t) that
+    * catches SUSTAINED small drifts a per-point z-score (q106) misses —
+    * the pipeline monitor for "this source's volume has been creeping up
+    * for a week". The recurrence looks inherently sequential (a naive
+    * port would be a recursive CTE or a driver loop), but the classic
+    * identity S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P turns
+    * it into TWO stock window passes — a running sum and a running min —
+    * which is exactly what a distributed engine executes well. Both
+    * directions (up/down drift) run in the same pass; slack (5% of the
+    * per-type daily mean) and alarm threshold (50% of it) are integer
+    * milli-units derived from the data, so the statistic is exact on
+    * both engines at any SF.
+    *
+    * Scale: one (type, day) count aggregation, a broadcast per-type mean,
+    * and per-type ordered windows — here 6 types stand in for the
+    * per-source/per-host key space a 100 TB monitor partitions by, so
+    * window parallelism is key-cardinality-wide. */
+  val q156CusumDrift: Q = Q(
+    "q156_cusum_drift",
+    """WITH raw AS (
+      |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    COUNT(*) AS x0
+      |  FROM events GROUP BY 1, 2
+      |), daily AS (
+      |  SELECT event_type, day,
+      |    x0 + CASE WHEN event_type = 'click' AND day >= '2024-01-15'
+      |              THEN x0 // 4 ELSE 0 END
+      |       - CASE WHEN event_type = 'view' AND day >= '2024-01-22'
+      |              THEN x0 // 8 ELSE 0 END AS x
+      |  FROM raw
+      |), m AS (
+      |  SELECT event_type, SUM(x) * 1000 // COUNT(*) AS mean_milli
+      |  FROM daily GROUP BY 1
+      |), d AS (
+      |  SELECT daily.event_type, day, x, mean_milli,
+      |    x * 1000 - mean_milli - mean_milli // 20 AS d_up,
+      |    mean_milli - x * 1000 - mean_milli // 20 AS d_dn
+      |  FROM daily JOIN m USING (event_type)
+      |), c AS (
+      |  SELECT *,
+      |    SUM(d_up) OVER (PARTITION BY event_type ORDER BY day) AS cu,
+      |    SUM(d_dn) OVER (PARTITION BY event_type ORDER BY day) AS cd
+      |  FROM d
+      |), r AS (
+      |  SELECT *,
+      |    LEAST(CAST(0 AS BIGINT), MIN(cu) OVER (PARTITION BY event_type ORDER BY day)) AS mu,
+      |    LEAST(CAST(0 AS BIGINT), MIN(cd) OVER (PARTITION BY event_type ORDER BY day)) AS md
+      |  FROM c
+      |)
+      |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+      |  CAST(cu - mu AS BIGINT) AS s_up_milli,
+      |  CAST(cd - md AS BIGINT) AS s_dn_milli,
+      |  cu - mu > mean_milli // 2 AS alarm_up,
+      |  cd - md > mean_milli // 2 AS alarm_dn
+      |FROM r ORDER BY event_type, day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // planted drifts (q129's corruption pattern): a +25% step on clicks
+    // from Jan 15 and a −12% step on views from Jan 22, so both alarm
+    // directions fire on an otherwise-stationary fixture
+    val daily = graft.Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x0"))
+      .withColumn("x", expr(
+        """x0 + CASE WHEN event_type = 'click' AND day >= '2024-01-15'
+          |           THEN x0 div 4 ELSE 0 END
+          |    - CASE WHEN event_type = 'view' AND day >= '2024-01-22'
+          |           THEN x0 div 8 ELSE 0 END""".stripMargin))
+      .drop("x0")
+    val m = daily.groupBy("event_type")
+      .agg(expr("sum(x) * 1000 div count(1)").as("mean_milli"))
+    val dd = daily.join(broadcast(m), "event_type")
+      .withColumn("d_up", expr("x * 1000 - mean_milli - mean_milli div 20"))
+      .withColumn("d_dn", expr("mean_milli - x * 1000 - mean_milli div 20"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    dd
+      .withColumn("cu", sum("d_up").over(w))
+      .withColumn("cd", sum("d_dn").over(w))
+      .withColumn("mu", least(lit(0L), min("cu").over(w)))
+      .withColumn("md", least(lit(0L), min("cd").over(w)))
+      .select(col("event_type"), col("day"), col("x").cast("long").as("x"),
+        (col("cu") - col("mu")).cast("long").as("s_up_milli"),
+        (col("cd") - col("md")).cast("long").as("s_dn_milli"),
+        (col("cu") - col("mu") > expr("mean_milli div 2")).as("alarm_up"),
+        (col("cd") - col("md") > expr("mean_milli div 2")).as("alarm_dn"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
-    q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls)
+    q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
+    q156CusumDrift)
 }

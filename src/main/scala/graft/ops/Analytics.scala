@@ -678,8 +678,75 @@ object Analytics {
       .orderBy("qi")
   }
 
+  /** q157 — jackknife confidence intervals in ONE pass: the uncertainty
+    * companion to every point estimate in this pack (q57/q153 say what
+    * the mean/median IS; nothing said how sure). Naive bootstrap
+    * re-reads the data B times — a non-starter at 100 TB. The
+    * delete-one-fold jackknife needs only per-(group, fold) partial sums
+    * from a single scan: rows hash into g=10 deterministic folds, each
+    * leave-one-out mean is (S−s_i)/(N−n_i) from the fold partials, and
+    * the jackknife variance (g−1)/g·Σ(m_i−m̄)² recombines 10 numbers per
+    * group. Arithmetic is integer milli-cents throughout (BIGINT sums,
+    * floor division); the one FP op is sqrt of an integer — correctly
+    * rounded by IEEE on both engines, so floor(sqrt) is deterministic.
+    * CI = mean ± 2·se.
+    *
+    * Scale: one (priority, fold) aggregation — 50 cells — with map-side
+    * partials; everything after is broadcast-sized. Resampling B times
+    * becomes a free by-product of the same partials that computed the
+    * estimate. */
+  val q157JackknifeCi: Q = Q(
+    "q157_jackknife_ci",
+    """WITH v AS (
+      |  SELECT o_orderpriority AS pri,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(concat('0x', substr(md5('jk_' || CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 10 AS fold
+      |  FROM orders
+      |), f AS (
+      |  SELECT pri, fold, SUM(cents) AS s, COUNT(*) AS n FROM v GROUP BY 1, 2
+      |), t AS (
+      |  SELECT pri, SUM(s) AS st, SUM(n) AS nt FROM f GROUP BY 1
+      |), loo AS (
+      |  SELECT f.pri, fold, (st - s) * 1000 // (nt - n) AS mean_i
+      |  FROM f JOIN t USING (pri)
+      |), jb AS (
+      |  SELECT pri, SUM(mean_i) // 10 AS jbar FROM loo GROUP BY 1
+      |), ss AS (
+      |  SELECT loo.pri, SUM((mean_i - jbar) * (mean_i - jbar)) AS ssq
+      |  FROM loo JOIN jb USING (pri) GROUP BY 1
+      |)
+      |SELECT t.pri AS priority, CAST(nt AS BIGINT) AS n,
+      |  CAST(st * 1000 // nt AS BIGINT) AS mean_milli,
+      |  CAST(ssq * 9 // 10 AS BIGINT) AS jack_var,
+      |  CAST(st * 1000 // nt - 2 * CAST(FLOOR(SQRT(ssq * 9 // 10)) AS BIGINT) AS BIGINT) AS ci_lo_milli,
+      |  CAST(st * 1000 // nt + 2 * CAST(FLOOR(SQRT(ssq * 9 // 10)) AS BIGINT) AS BIGINT) AS ci_hi_milli
+      |FROM t JOIN ss ON t.pri = ss.pri
+      |ORDER BY priority""") { (s, d) =>
+    val v = Tables.orders(s, d).select(
+      col("o_orderpriority").as("pri"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      pmod(graft.functions.TextFunctions.hex32(
+        concat(lit("jk_"), col("o_orderkey").cast("string"))), lit(10L)).as("fold"))
+    val f = v.groupBy("pri", "fold")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+    val t = f.groupBy("pri").agg(sum("s").as("st"), sum("n").as("nt"))
+    val loo = f.join(broadcast(t), "pri")
+      .select(col("pri"), expr("(st - s) * 1000 div (nt - n)").as("mean_i"))
+    val jb = loo.groupBy("pri").agg(expr("sum(mean_i) div 10").as("jbar"))
+    val ss = loo.join(broadcast(jb), "pri")
+      .groupBy("pri")
+      .agg(sum((col("mean_i") - col("jbar")) * (col("mean_i") - col("jbar"))).as("ssq"))
+    t.join(ss, "pri")
+      .select(col("pri").as("priority"), col("nt").as("n"),
+        expr("st * 1000 div nt").as("mean_milli"),
+        expr("ssq * 9 div 10").as("jack_var"),
+        expr("st * 1000 div nt - 2 * cast(floor(sqrt(ssq * 9 div 10)) as bigint)").as("ci_lo_milli"),
+        expr("st * 1000 div nt + 2 * cast(floor(sqrt(ssq * 9 div 10)) as bigint)").as("ci_hi_milli"))
+      .orderBy("priority")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
-    q153ExactSelect, q155QiAudit)
+    q153ExactSelect, q155QiAudit, q157JackknifeCi)
 }

@@ -187,7 +187,10 @@ class ScaleSpec extends SparkSpec {
       "q152_kanon_release" -> 320L,
       "q153_exact_select" -> 8L,
       "q154_index_maintain" -> 1280L,
-      "q155_qi_audit" -> 1560L)
+      "q155_qi_audit" -> 1560L,
+      // q156: (type, day) count partials + 150-cell window input;
+      // measured 15 KiB at sf0.01
+      "q156_cusum_drift" -> 40L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -690,9 +690,73 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** q158 — SCD Type-2 dimension join: each fact row joins the dimension
+    * VERSION that was valid at fact time — the warehouse temporal join
+    * (q40's as-of family matches nearest events; this matches interval
+    * membership [valid_from, valid_to) keyed by equality). Customers get
+    * three synthesized segment versions with per-key effective dates;
+    * every order must pick the segment in force on its order date.
+    *
+    * The oracle states the textbook definition — lead() builds validity
+    * intervals, the join predicate is BETWEEN — but an interval join at
+    * 100 TB degenerates to a per-key nested loop. The Spark side spells
+    * the SAME semantics as the q40 carry-forward: union version-change
+    * events with facts, order by (key, date, change-first), and
+    * last_value(ignore nulls) carries the in-force version onto each
+    * fact row — ONE shuffle on the key, state of one row per group, no
+    * inequality predicate anywhere. The hash gate proves the two
+    * spellings equivalent. */
+  val q158Scd2Join: Q = Q(
+    "q158_scd2_join",
+    """WITH vers AS (
+      |  SELECT c_custkey AS ck, DATE '1992-01-01' AS eff,
+      |    'seg-' || CAST(c_custkey % 5 AS VARCHAR) || '-v1' AS seg FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER),
+      |    'seg-' || CAST(c_custkey % 5 AS VARCHAR) || '-v2' FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1996-07-01' + CAST(c_custkey % 365 AS INTEGER),
+      |    'seg-' || CAST(c_custkey % 5 AS VARCHAR) || '-v3' FROM customer
+      |), win AS (
+      |  SELECT ck, seg, eff AS valid_from,
+      |    COALESCE(lead(eff) OVER (PARTITION BY ck ORDER BY eff),
+      |      DATE '9999-12-31') AS valid_to
+      |  FROM vers
+      |)
+      |SELECT seg, strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN win
+      |  ON o_custkey = ck AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    def ver(effExpr: String, v: String) =
+      Tables.customer(s, d).select(
+        col("c_custkey").as("ck"), expr(effExpr).as("eff"),
+        concat(lit("seg-"), pmod(col("c_custkey"), lit(5)).cast("string"),
+          lit(s"-$v")).as("seg"),
+        lit(0).as("is_fact"), lit(null).cast("date").as("odate"),
+        lit(null).cast(DecimalType(18, 2)).as("price"))
+    val changes = ver("date'1992-01-01'", "v1")
+      .unionByName(ver("date_add(date'1994-01-01', cast(c_custkey % 365 as int))", "v2"))
+      .unionByName(ver("date_add(date'1996-07-01', cast(c_custkey % 365 as int))", "v3"))
+    val facts = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"), col("o_orderdate").as("eff"),
+      lit(null).cast("string").as("seg"), lit(1).as("is_fact"),
+      col("o_orderdate").as("odate"), dec(col("o_totalprice")).as("price"))
+    // change rows sort before facts at equal dates: valid_from <= t
+    val w = Window.partitionBy("ck").orderBy("eff", "is_fact")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(facts)
+      .withColumn("cur_seg", last("seg", ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .groupBy(col("cur_seg").as("seg"),
+        date_format(col("odate"), "yyyy").as("yr"))
+      .agg(count(lit(1)).as("n"), sum("price").cast("double").as("revenue"))
+      .orderBy("seg", "yr")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
-    q156CusumDrift)
+    q156CusumDrift, q158Scd2Join)
 }

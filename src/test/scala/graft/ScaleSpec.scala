@@ -190,7 +190,12 @@ class ScaleSpec extends SparkSpec {
       "q155_qi_audit" -> 1560L,
       // q156: (type, day) count partials + 150-cell window input;
       // measured 15 KiB at sf0.01
-      "q156_cusum_drift" -> 40L)
+      "q156_cusum_drift" -> 40L,
+      // q157: 50 (group, fold) partial cells; measured 4 KiB at sf0.01
+      "q157_jackknife_ci" -> 16L,
+      // q158: one custkey shuffle of (version-change + fact) rows;
+      // measured 402 KiB at sf0.01
+      "q158_scd2_join" -> 1010L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -745,8 +745,84 @@ object Analytics {
       .orderBy("priority")
   }
 
+  /** q159 — data-contract validation: the admission gate an ingest batch
+    * passes before it may touch the warehouse — null checks, range
+    * checks, enum domains, key uniqueness, and referential integrity,
+    * emitted as one violation report (rule, count, sample key). The
+    * batch is the orders table with five planted corruptions (the q156
+    * pattern — distinct prime moduli at nonzero residues, pairwise
+    * disjoint over the key range): a nulled date, a negated price, an orphaned custkey, a
+    * collapsed duplicate key, and an out-of-domain status.
+    *
+    * Scale: the row-local rules (null/range/enum) fold into ONE
+    * conditional-aggregate pass over the scan; uniqueness is one
+    * key-grouped count; referential integrity is one anti-join against
+    * the dimension (broadcast when it fits, shuffle otherwise). The
+    * report is a union of 1-row aggregates — the whole audit costs one
+    * read of the batch plus two keyed exchanges, independent of how
+    * many row-local rules the contract carries. */
+  val q159ContractAudit: Q = Q(
+    "q159_contract_audit",
+    """WITH corrupted AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 1009 = 1008 THEN 1 ELSE o_orderkey END AS okey,
+      |    CASE WHEN o_orderkey % 997 = 996 THEN o_custkey + 1000000 ELSE o_custkey END AS ck,
+      |    CASE WHEN o_orderkey % 983 = 982 THEN NULL ELSE o_orderdate END AS odate,
+      |    CASE WHEN o_orderkey % 991 = 990 THEN -CAST(o_totalprice AS DECIMAL(18,2))
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+      |    CASE WHEN o_orderkey % 977 = 976 THEN 'X' ELSE o_orderstatus END AS status
+      |  FROM orders
+      |), r1 AS (
+      |  SELECT 'null_order_date' AS rule, COUNT(*) AS n_violations,
+      |    MIN(okey) AS sample_key FROM corrupted WHERE odate IS NULL
+      |), r2 AS (
+      |  SELECT 'nonpositive_price' AS rule, COUNT(*) AS n_violations,
+      |    MIN(okey) AS sample_key FROM corrupted WHERE price <= 0
+      |), r3 AS (
+      |  SELECT 'orphan_custkey' AS rule, COUNT(*) AS n_violations,
+      |    MIN(okey) AS sample_key FROM corrupted
+      |  WHERE ck NOT IN (SELECT c_custkey FROM customer)
+      |), r4 AS (
+      |  SELECT 'duplicate_orderkey' AS rule, COUNT(*) AS n_violations,
+      |    MIN(okey) AS sample_key
+      |  FROM (SELECT okey FROM corrupted GROUP BY okey HAVING COUNT(*) > 1)
+      |), r5 AS (
+      |  SELECT 'invalid_status' AS rule, COUNT(*) AS n_violations,
+      |    MIN(okey) AS sample_key FROM corrupted
+      |  WHERE status NOT IN ('F', 'O', 'P')
+      |)
+      |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, sample_key
+      |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      |      UNION ALL SELECT * FROM r5)
+      |ORDER BY rule""") { (s, d) =>
+    val k = col("o_orderkey")
+    val corrupted = Tables.orders(s, d).select(
+      when(k % 1009 === 1008, 1L).otherwise(k).as("okey"),
+      when(k % 997 === 996, col("o_custkey") + 1000000L).otherwise(col("o_custkey")).as("ck"),
+      when(k % 983 === 982, lit(null).cast("date")).otherwise(col("o_orderdate")).as("odate"),
+      when(k % 991 === 990, -dec(col("o_totalprice"))).otherwise(dec(col("o_totalprice"))).as("price"),
+      when(k % 977 === 976, "X").otherwise(col("o_orderstatus")).as("status"))
+      .localCheckpoint() // five rules read the same corrupted batch
+    def report(rule: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_violations"), min("okey").as("sample_key"))
+        .select(lit(rule).as("rule"), col("n_violations"), col("sample_key"))
+    val r1 = report("null_order_date", corrupted.filter(col("odate").isNull))
+    val r2 = report("nonpositive_price", corrupted.filter(col("price") <= 0))
+    val r3 = report("orphan_custkey",
+      corrupted.join(broadcast(Tables.customer(s, d)),
+        col("ck") === col("c_custkey"), "left_anti"))
+    val r4 = report("duplicate_orderkey",
+      corrupted.groupBy("okey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1))
+    val r5 = report("invalid_status",
+      corrupted.filter(!col("status").isin("F", "O", "P")))
+    r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+      .orderBy("rule")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
-    q153ExactSelect, q155QiAudit, q157JackknifeCi)
+    q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit)
 }

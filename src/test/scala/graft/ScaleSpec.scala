@@ -195,7 +195,10 @@ class ScaleSpec extends SparkSpec {
       "q157_jackknife_ci" -> 16L,
       // q158: one custkey shuffle of (version-change + fact) rows;
       // measured 402 KiB at sf0.01
-      "q158_scd2_join" -> 1010L)
+      "q158_scd2_join" -> 1010L,
+      // q159: uniqueness key-count + 1-row rule aggregates; the anti-join
+      // dim side broadcasts. Measured 84 KiB at sf0.01
+      "q159_contract_audit" -> 210L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

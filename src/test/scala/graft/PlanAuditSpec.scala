@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "q137_ivfpq_search" -> "shares q54's probe scoring: the k-row centroid codebook broadcasts against the 5 query vectors; the corpus-side ADC join is an equi-join on codes",
     "q140_training_build" -> "corpus-scalar join: the 1-row token budget broadcasts into the running-sum selection",
     "q141_drift_report" -> "corpus-scalar joins: each revision's 1-row doc total broadcasts into its ~9-key share aggregate",
-    "q143_skew_audit" -> "scalar-scalar join: the 1-row top-10 total broadcasts against the 1-row key-count aggregate")
+    "q143_skew_audit" -> "scalar-scalar join: the 1-row top-10 total broadcasts against the 1-row key-count aggregate",
+    "q149_vocab_growth" -> "corpus-scalar join: the 1-row doc-count broadcasts into the bucket assignment on both the term and doc legs",
+    "q151_public_suffix" -> "public-suffix longest match: the 7-row (real PSL: ~9k-row) suffix table broadcasts into the dot-boundary suffix predicate; per-host matches are label-count-bounded")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

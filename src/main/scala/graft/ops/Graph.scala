@@ -152,5 +152,111 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("host"))
   }
 
-  val all: Seq[Q] = Seq(q128HostRank)
+  /** q160 — triangle counting on the q128 host graph (undirected,
+    * deduplicated, loops dropped): the clustering-structure metric
+    * behind spam-farm detection and community density. The naive
+    * wedge join (edges ⋈ edges on the shared endpoint) explodes on hub
+    * nodes — a degree-10⁶ host contributes 10¹² wedges. The standard
+    * fix is ORIENTATION: point every edge from its lower-(degree, id)
+    * endpoint to the higher one; every node's OUT-degree is then
+    * O(√m), the wedge join runs only over out-neighbor pairs, and each
+    * triangle is enumerated exactly once (its lowest-rank vertex owns
+    * it). The closing-edge check is a semi-join of wedge pairs against
+    * the oriented edge set — rank order guarantees the closure edge is
+    * oriented (v1, v2), so one equi-join suffices.
+    *
+    * Scale: rank/degree tables are node-cardinality (broadcast); the
+    * wedge join is the only super-linear step and the orientation bound
+    * is precisely what keeps it feasible — that bound is the operator.
+    * Oracle replays the same construction relationally. */
+  val q160TriangleCount: Q = Q(
+    "q160_triangle_count",
+    """WITH d AS (
+      |  SELECT source, md5(text) AS hx FROM documents
+      |), hosts AS (
+      |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+      |    COUNT(*) AS n_docs
+      |  FROM d GROUP BY source
+      |), nh AS (
+      |  SELECT COUNT(*) AS n FROM hosts
+      |), links AS (
+      |  SELECT h.hid AS src,
+      |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+      |  FROM d
+      |  JOIN hosts h USING (source)
+      |  CROSS JOIN nh
+      |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+      |), ue AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM links WHERE src <> dst
+      |), degv AS (
+      |  SELECT v, COUNT(*) AS dg
+      |  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+      |  GROUP BY v
+      |), rk AS (
+      |  SELECT v, dg * 1000000000 + v AS r FROM degv
+      |), o AS (
+      |  SELECT CASE WHEN ra.r < rb.r THEN a ELSE b END AS src,
+      |    CASE WHEN ra.r < rb.r THEN b ELSE a END AS dst,
+      |    GREATEST(ra.r, rb.r) AS dst_r
+      |  FROM ue JOIN rk ra ON ra.v = a JOIN rk rb ON rb.v = b
+      |), w AS (
+      |  SELECT x.src AS u, x.dst AS v1, y.dst AS v2
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dst_r < y.dst_r
+      |), tri AS (
+      |  SELECT u, v1, v2
+      |  FROM w JOIN o z ON z.src = w.v1 AND z.dst = w.v2
+      |), credit AS (
+      |  SELECT hid, COUNT(*) AS n_triangles
+      |  FROM (SELECT u AS hid FROM tri UNION ALL SELECT v1 FROM tri
+      |        UNION ALL SELECT v2 FROM tri)
+      |  GROUP BY hid
+      |)
+      |SELECT h.source AS host, CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+      |FROM hosts h LEFT JOIN credit c USING (hid)
+      |ORDER BY host""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh))
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    // edge-cardinality tables referenced multiply below — materialize
+    // once (ue feeds degree + orientation; o feeds both wedge legs and
+    // the closing-edge probe)
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val degv = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val rk = degv.select(col("v"), (col("dg") * 1000000000L + col("v")).as("r"))
+    val o = ue
+      .join(broadcast(rk.select(col("v").as("a"), col("r").as("ra"))), "a")
+      .join(broadcast(rk.select(col("v").as("b"), col("r").as("rb"))), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ra"), col("rb")).as("dst_r"))
+      .localCheckpoint()
+    val w = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && col("x.dst_r") < col("y.dst_r"))
+      .select(col("x.dst").as("v1"), col("y.dst").as("v2"), col("x.src").as("u"))
+    val tri = w.join(o.select(col("src").as("v1"), col("dst").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val credit = tri.select(col("u").as("hid"))
+      .unionAll(tri.select(col("v1").as("hid")))
+      .unionAll(tri.select(col("v2").as("hid")))
+      .groupBy("hid").agg(count(lit(1)).as("n_triangles"))
+    hosts.join(credit, Seq("hid"), "left")
+      .select(col("source").as("host"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount)
 }

@@ -198,7 +198,10 @@ class ScaleSpec extends SparkSpec {
       "q158_scd2_join" -> 1010L,
       // q159: uniqueness key-count + 1-row rule aggregates; the anti-join
       // dim side broadcasts. Measured 84 KiB at sf0.01
-      "q159_contract_audit" -> 210L)
+      "q159_contract_audit" -> 210L,
+      // q160: node/edge-cardinality tables only — the wedge join runs on
+      // checkpointed oriented edges. Measured 18 KiB at sf0.01
+      "q160_triangle_count" -> 48L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -658,8 +658,76 @@ object Text {
       .orderBy("bucket")
   }
 
+  /** q161 — collocation mining by PMI-style lift: the phrase-discovery
+    * pass that seeds tokenizer merge lists and stop-phrase tables
+    * (reference has no counterpart — north-star text operator).
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) over adjacent token pairs,
+    * reported as integer ppm: floor(c_ab · N_bigrams · 10⁶ / (c_a·c_b)),
+    * min-support c_ab ≥ 5, top 50 by (lift desc, bigram asc).
+    *
+    * Scale shape: token instances collapse to TYPE counts via map-side
+    * partial aggregation before any shuffle — the two shuffles carry
+    * O(distinct bigrams) and O(vocab) rows, never O(tokens). The
+    * unigram join runs AFTER the min-support filter shrinks the pair
+    * table, keyed on the pair's own endpoints (no broadcast assumption:
+    * at 100 TB whitespace vocab can be billions of types; AQE still
+    * picks broadcast when the sides are actually small). The top-50 is
+    * a TakeOrdered, not a global sort. The lift product stays exact in
+    * double floor-division up to c_ab·N_b·10⁶ < 2⁵³ (q101's convention);
+    * beyond that the spelling would move to DECIMAL(38,0).
+    */
+  val q161PmiCollocations: Q = Q(
+    "q161_pmi_collocations",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), ug AS (
+       |  SELECT unnest(toks) AS term FROM t
+       |), ugc AS (
+       |  SELECT term, COUNT(*) AS cu FROM ug GROUP BY term
+       |), bgr AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS a,
+       |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS b
+       |  FROM t WHERE len(toks) >= 2
+       |), cab AS (
+       |  SELECT a, b, COUNT(*) AS n_pair FROM bgr GROUP BY a, b
+       |), nb AS (
+       |  SELECT SUM(n_pair) AS tot FROM cab
+       |)
+       |SELECT c.a || ' ' || c.b AS bigram, CAST(c.n_pair AS BIGINT) AS n_pair,
+       |  CAST(FLOOR(c.n_pair * CAST(nb.tot AS BIGINT) * 1000000 / (ua.cu * ub.cu)) AS BIGINT) AS lift_ppm
+       |FROM cab c
+       |JOIN ugc ua ON ua.term = c.a
+       |JOIN ugc ub ON ub.term = c.b
+       |CROSS JOIN nb
+       |WHERE c.n_pair >= 5
+       |ORDER BY lift_ppm DESC, bigram LIMIT 50""") { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val ugc = t.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val cab = t.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // feeds both the bigram total and the scored join
+    val nb = cab.agg(sum("n_pair").cast("long").as("tot"))
+    cab.filter(col("n_pair") >= 5)
+      .join(ugc.select(col("term").as("a"), col("cu").as("cua")), "a")
+      .join(ugc.select(col("term").as("b"), col("cu").as("cub")), "b")
+      .crossJoin(broadcast(nb)) // 1-row bigram total: scale-safe scalar
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("n_pair"),
+        floor(col("n_pair") * col("tot") * 1000000L / (col("cua") * col("cub")))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
-    q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth)
+    q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
+    q161PmiCollocations)
 }

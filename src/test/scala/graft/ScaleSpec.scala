@@ -201,7 +201,10 @@ class ScaleSpec extends SparkSpec {
       "q159_contract_audit" -> 210L,
       // q160: node/edge-cardinality tables only — the wedge join runs on
       // checkpointed oriented edges. Measured 18 KiB at sf0.01
-      "q160_triangle_count" -> 48L)
+      "q160_triangle_count" -> 48L,
+      // q161: bigram/unigram TYPE counts only (map-side partials collapse
+      // token instances before the exchange). Measured 674 KiB at sf0.01
+      "q161_pmi_collocations" -> 1700L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

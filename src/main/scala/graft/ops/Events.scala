@@ -754,9 +754,63 @@ object Events {
       .orderBy("seg", "yr")
   }
 
+  /** q162 — rolling 7-day distinct actives (DAU/WAU/stickiness): the
+    * sliding-window COUNT(DISTINCT) that naive engines spell as one
+    * window-function pass per day — quadratic in window length and
+    * un-partial-aggregatable. The scalable spelling: (1) collapse
+    * events to DISTINCT (user, day) — map-side partial dedup makes the
+    * first shuffle O(user-days), never O(events); (2) each user-day
+    * CONTRIBUTES to the ≤7 window-ends it falls in (a 7-way explode of
+    * fixed-width rows, no payload); (3) dedup (user, window-end) and
+    * count — a user active 5 days in one window still counts once.
+    * Day spine from the observed [min, max] span, so windows with zero
+    * actives still report. Stickiness = floor(10⁶·dau/wau). */
+  val q162RollingActive: Q = Q(
+    "q162_rolling_active",
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), span AS (
+      |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM ev GROUP BY day
+      |), contrib AS (
+      |  SELECT DISTINCT user_id, day + CAST(t.j AS INTEGER) AS wday
+      |  FROM ev CROSS JOIN (SELECT unnest(range(0, 7)) AS j) t
+      |), wau AS (
+      |  SELECT wday AS day, COUNT(*) AS wau FROM contrib GROUP BY wday
+      |)
+      |SELECT s.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+      |  CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau,
+      |  CAST(FLOOR(COALESCE(d.dau, 0) * 1000000 / w.wau) AS BIGINT) AS stickiness_ppm
+      |FROM spine s LEFT JOIN dau d USING (day) LEFT JOIN wau w USING (day)
+      |ORDER BY s.day""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint() // feeds span + dau + the window-contribution explode
+    val span = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dau = ev.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ev
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    // spine/dau/wau are all day-cardinality — tiny whatever the event count
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        floor(coalesce(col("dau"), lit(0L)) * 1000000L / col("wau"))
+          .cast("long").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
-    q156CusumDrift, q158Scd2Join)
+    q156CusumDrift, q158Scd2Join, q162RollingActive)
 }

@@ -204,7 +204,11 @@ class ScaleSpec extends SparkSpec {
       "q160_triangle_count" -> 48L,
       // q161: bigram/unigram TYPE counts only (map-side partials collapse
       // token instances before the exchange). Measured 674 KiB at sf0.01
-      "q161_pmi_collocations" -> 1700L)
+      "q161_pmi_collocations" -> 1700L,
+      // q162: DISTINCT (user, day) partials + the 7-way fixed-width
+      // contribution explode — O(user-days), never O(events); day-level
+      // report tables are tiny. Measured 79 KiB at sf0.01
+      "q162_rolling_active" -> 200L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

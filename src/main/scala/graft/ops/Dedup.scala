@@ -774,8 +774,103 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q163 — EXACT set-similarity self-join via prefix filtering
+    * (AllPairs/PPJoin family): every pair with 5-shingle-set Jaccard
+    * ≥ 0.6, with ZERO false negatives — the deterministic complement to
+    * the probabilistic MinHash stack (q27 trades recall for speed via
+    * banding; audits and legal-hold dedup need the exact answer). Sets
+    * are the same distinct shingle HASHES the verify stack uses (8-byte
+    * rows in every shuffle, both engines hash identically; a hash
+    * collision merges the same two shingles on both sides).
+    *
+    * The filter that makes "exact" feasible at scale: order each doc's
+    * shingles by ascending global document frequency (rarest first,
+    * value tie-break) and keep only the first p = |s| − ⌈t·|s|⌉ + 1 as
+    * its PREFIX. Two sets with Jaccard ≥ t MUST share a prefix element
+    * under the same global order, so the candidate join runs over
+    * inverted lists of each doc's RAREST shingles — buckets stay small
+    * exactly because the elements are rare, where a naive bucket join
+    * explodes on boilerplate shingles. A size filter (5·min ≥ 3·max ⇔
+    * min ≥ 0.6·max) prunes before exact verification counts the true
+    * intersection. All thresholds in integer arithmetic — ⌈0.6·sz⌉
+    * spelled (3·sz+4) div 5 on both engines, so no float-ceiling edge
+    * can disagree.
+    *
+    * Scale shape: the df join + per-doc rank moves O(doc-shingle)
+    * fixed-width rows — inherent, the global frequency order IS the
+    * operator; candidates and verification are bounded by prefix-bucket
+    * sizes, never n². */
+  val q163PrefixJoin: Q = Q(
+    "q163_prefix_join",
+    s"""WITH $DCorpus, hsets AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, s -> $DHex32)) AS hs
+       |  FROM (SELECT doc_id, $DSh AS sh FROM corpus)
+       |), tok AS (
+       |  SELECT doc_id, unnest(hs) AS h FROM hsets
+       |), df AS (
+       |  SELECT h, COUNT(*) AS df FROM tok GROUP BY h
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+       |), rk AS (
+       |  SELECT k.doc_id, k.h,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY f.df, k.h) AS pos
+       |  FROM tok k JOIN df f USING (h)
+       |), pref AS (
+       |  SELECT r.doc_id, r.h, z.sz FROM rk r JOIN sz z USING (doc_id)
+       |  WHERE r.pos <= z.sz - (3*z.sz + 4)//5 + 1
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
+       |    AND 5*LEAST(x.sz, y.sz) >= 3*GREATEST(x.sz, y.sz)
+       |), inter AS (
+       |  SELECT c.da, c.db, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN tok a ON a.doc_id = c.da
+       |  JOIN tok b ON b.doc_id = c.db AND b.h = a.h
+       |  GROUP BY c.da, c.db
+       |)
+       |SELECT i.da AS doc_a, i.db AS doc_b, CAST(i.ni AS BIGINT) AS n_common,
+       |  CAST(FLOOR(i.ni * 1000000 / (za.sz + zb.sz - i.ni)) AS BIGINT) AS jaccard_ppm
+       |FROM inter i
+       |JOIN sz za ON za.doc_id = i.da
+       |JOIN sz zb ON zb.doc_id = i.db
+       |WHERE 5*i.ni >= 3*(za.sz + zb.sz - i.ni)
+       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint() // feeds df, the rank join, and both verify legs
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rk = tok.join(df, "h") // O(doc-shingle) on h: no dictionary broadcast assumption
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .join(sz, "doc_id") // doc-partitioned above: reuses the window's exchange
+    val pref = rk
+      .filter(col("pos") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) * 5 >= greatest(col("x.sz"), col("y.sz")) * 3)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("da"), col("h")), "da")
+      .join(tok.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .filter(col("ni") * 5 >= (col("sza") + col("szb") - col("ni")) * 3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("ni").as("n_common"),
+        floor(col("ni") * 1000000L / (col("sza") + col("szb") - col("ni")))
+          .cast("long").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
-    q119CdcChunks, q120SplitLeakage, q132IncrementalDedup)
+    q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin)
 }

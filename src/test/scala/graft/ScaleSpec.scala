@@ -208,7 +208,12 @@ class ScaleSpec extends SparkSpec {
       // q162: DISTINCT (user, day) partials + the 7-way fixed-width
       // contribution explode — O(user-days), never O(events); day-level
       // report tables are tiny. Measured 79 KiB at sf0.01
-      "q162_rolling_active" -> 200L)
+      "q162_rolling_active" -> 200L,
+      // q163: exact prefix-filter join — O(doc-shingle) 8-byte hash rows
+      // for the df/rank pass (inherent: the global frequency order IS
+      // the operator), prefix-bucket-bounded candidates. Measured
+      // 940 KiB at sf0.01
+      "q163_prefix_join" -> 2350L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -808,9 +808,55 @@ object Events {
       .orderBy("day")
   }
 
+  /** q164 — session-scoped Markov transition matrix: P(next event type |
+    * current), counting only successor pairs inside the same 30-minute
+    * session (a cross-session "transition" is navigation noise, not
+    * behavior — same gap rule as q37). The user-journey model behind
+    * next-action prediction and anomalous-flow detection.
+    *
+    * Scale: ONE shuffle on user_id (the lead() window), after which
+    * transitions partial-aggregate map-side to the ≤|types|² count
+    * matrix; the normalization join runs on that tiny matrix. Types are
+    * a closed small set, so the output is O(1) in the event count. */
+  val q164MarkovTransitions: Q = Q(
+    "q164_markov_transitions",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts)//1000000 AS sec, ts, event_id
+      |  FROM events
+      |), nxt AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+      |    lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) - sec AS gap
+      |  FROM ev
+      |), c AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM nxt
+      |  WHERE dst IS NOT NULL AND gap <= 1800 GROUP BY src, dst
+      |), tot AS (
+      |  SELECT src, SUM(n) AS tn FROM c GROUP BY src
+      |)
+      |SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+      |  CAST(FLOOR(c.n * 1000000 / t.tn) AS BIGINT) AS p_ppm
+      |FROM c JOIN tot t USING (src)
+      |ORDER BY src, dst""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"), col("event_id"))
+      .select(col("event_type").as("src"),
+        lead("event_type", 1).over(w).as("dst"),
+        (lead("sec", 1).over(w) - col("sec")).as("gap"))
+      .filter(col("dst").isNotNull && col("gap") <= 1800)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("src").agg(sum("n").as("tn"))
+    c.join(tot, "src")
+      .select(col("src"), col("dst"), col("n"),
+        floor(col("n") * 1000000L / col("tn")).cast("long").as("p_ppm"))
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
-    q156CusumDrift, q158Scd2Join, q162RollingActive)
+    q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions)
 }

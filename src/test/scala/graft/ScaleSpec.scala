@@ -213,7 +213,11 @@ class ScaleSpec extends SparkSpec {
       // for the df/rank pass (inherent: the global frequency order IS
       // the operator), prefix-bucket-bounded candidates. Measured
       // 940 KiB at sf0.01
-      "q163_prefix_join" -> 2350L)
+      "q163_prefix_join" -> 2350L,
+      // q164: one user_id window pass over fixed-width (type, sec) rows
+      // (inherent: successor pairs need per-user order, same as q37),
+      // then the ≤|types|² matrix. Measured 268 KiB at sf0.01
+      "q164_markov_transitions" -> 670L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1701,6 +1701,71 @@ object Clean {
       .orderBy("lang", "shard")
   }
 
+  /** q167 — feature hashing (the "hashing trick"): every token maps to
+    * one of 256 buckets by hash, with a second hash bit choosing ±1 so
+    * collisions cancel in expectation (Weinberger et al. 2009) — the
+    * fixed-width, vocabulary-free featurization that feeds linear
+    * classifiers/regressors at corpus scale (q91's scorer is the
+    * degenerate weights-as-hash case of this transform). Per-doc sparse
+    * vectors are the intermediate; the output audits the transform
+    * corpus-wide per bucket: docs touching it, signed mass, L2 mass,
+    * and how many distinct token types collide there.
+    *
+    * Scale: explode → (doc, bucket) partial sums (map-side combine
+    * collapses repeated tokens before the exchange), then a 256-cell
+    * rollup; the type-collision count shuffles (bucket, token) pairs —
+    * VOCABULARY-bounded, not corpus-bounded. Output is 256 rows
+    * whatever the corpus size. */
+  val q167FeatureHash: Q = Q(
+    "q167_feature_hash",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), h AS (
+       |  SELECT doc_id, tk,
+       |    CAST(concat('0x', substr(md5(tk),1,8)) AS BIGINT) AS hv
+       |  FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+       |), f AS (
+       |  SELECT doc_id, tk, hv % 256 AS bucket,
+       |    CASE WHEN (hv//256) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM h
+       |), pd AS (
+       |  SELECT doc_id, bucket, SUM(sg) AS feat
+       |  FROM f GROUP BY doc_id, bucket
+       |), bk AS (
+       |  SELECT bucket,
+       |    COUNT(*) FILTER (feat <> 0) AS n_docs,
+       |    SUM(feat) AS sum_feat, SUM(feat*feat) AS sum_sq
+       |  FROM pd GROUP BY bucket
+       |), ty AS (
+       |  SELECT bucket, COUNT(DISTINCT tk) AS n_types FROM f GROUP BY bucket
+       |)
+       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(sum_feat AS BIGINT) AS sum_feat,
+       |  CAST(sum_sq AS BIGINT) AS sum_sq,
+       |  CAST(n_types AS BIGINT) AS n_types
+       |FROM bk JOIN ty USING (bucket)
+       |ORDER BY bucket""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val f = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .withColumn("hv", hex32(col("tk")))
+      .select(col("doc_id"), col("tk"),
+        pmod(col("hv"), lit(256)).as("bucket"),
+        when(pmod(shiftright(col("hv"), 8), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sg"))
+      .localCheckpoint() // bucket rollup + type-count reuse one pass
+    val bk = f.groupBy("doc_id", "bucket").agg(sum("sg").as("feat"))
+      .groupBy("bucket")
+      .agg(count(when(col("feat") =!= 0, 1)).as("n_docs"),
+        sum("feat").as("sum_feat"),
+        sum(col("feat") * col("feat")).as("sum_sq"))
+    val ty = f.groupBy("bucket").agg(countDistinct(col("tk")).as("n_types"))
+    bk.join(ty, "bucket")
+      .select(col("bucket"), col("n_docs"), col("sum_feat"), col("sum_sq"),
+        col("n_types"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
@@ -1708,5 +1773,5 @@ object Clean {
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
     q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
-    q151PublicSuffix, q154IndexMaintain)
+    q151PublicSuffix, q154IndexMaintain, q167FeatureHash)
 }

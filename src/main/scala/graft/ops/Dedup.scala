@@ -869,8 +869,95 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q168 — exact CONTAINMENT join (asymmetric near-dup / quote
+    * detection): ordered pairs where ≥80% of the source doc's distinct
+    * 5-shingles appear in the destination doc — C(a→b) = |a∩b|/|a| —
+    * the relation Jaccard misses when a short doc is quoted inside a
+    * much longer one (sizes differ, J is low, containment is high).
+    * Mutual containment rows ≈ symmetric near-dups; one-sided rows are
+    * the quotes/excerpts a dedup policy handles differently.
+    *
+    * Exactness by pigeonhole, as in q163 but one-sided: if b misses ALL
+    * of a's first p = sza − ⌈0.8·sza⌉ + 1 rarest-first shingles, then
+    * |a∩b| ≤ sza − p < 0.8·sza — so joining a-PREFIXES against the FULL
+    * index has zero false negatives, with no constraint needed on b's
+    * ordering. Size filter 5·szb ≥ 4·sza prunes impossible pairs before
+    * the exact intersection verify. Integer thresholds throughout.
+    *
+    * Scale: the candidate join is rare-biased on the prefix side (the
+    * global-df ordering exists exactly to keep Σ_h df_pref(h)·df(h)
+    * small); everything shuffled is 8-byte hashes + ids, never text. */
+  val q168ContainmentJoin: Q = Q(
+    "q168_containment_join",
+    s"""WITH $DCorpus, hsets AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, s -> $DHex32)) AS hs
+       |  FROM (SELECT doc_id, $DSh AS sh FROM corpus)
+       |), tok AS (
+       |  SELECT doc_id, unnest(hs) AS h FROM hsets
+       |), df AS (
+       |  SELECT h, COUNT(*) AS df FROM tok GROUP BY h
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+       |), rk AS (
+       |  SELECT k.doc_id, k.h,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY f.df, k.h) AS pos
+       |  FROM tok k JOIN df f USING (h)
+       |), pref AS (
+       |  SELECT r.doc_id, r.h, z.sz FROM rk r JOIN sz z USING (doc_id)
+       |  WHERE r.pos <= z.sz - (4*z.sz + 4)//5 + 1
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pref x
+       |  JOIN (SELECT t.doc_id, t.h, z.sz FROM tok t JOIN sz z USING (doc_id)) y
+       |    ON x.h = y.h AND x.doc_id <> y.doc_id AND 5*y.sz >= 4*x.sz
+       |), inter AS (
+       |  SELECT c.da, c.db, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN tok a ON a.doc_id = c.da
+       |  JOIN tok b ON b.doc_id = c.db AND b.h = a.h
+       |  GROUP BY c.da, c.db
+       |)
+       |SELECT i.da AS src_doc, i.db AS dst_doc, CAST(i.ni AS BIGINT) AS n_common,
+       |  CAST(za.sz AS BIGINT) AS sz_src,
+       |  CAST(FLOOR(i.ni * 1000000 / za.sz) AS BIGINT) AS cont_ppm
+       |FROM inter i JOIN sz za ON za.doc_id = i.da
+       |WHERE 5*i.ni >= 4*za.sz
+       |ORDER BY src_doc, dst_doc""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint() // feeds df, the rank join, the full index side, verify
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rk = tok.join(df, "h")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .join(sz, "doc_id")
+    val pref = rk
+      .filter(col("pos") <= col("sz") - expr("(4*sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+    val full = tok.join(sz, "doc_id")
+    val cand = pref.as("x").join(full.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.sz") * 5 >= col("x.sz") * 4)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("da"), col("h")), "da")
+      .join(tok.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .filter(col("ni") * 5 >= col("sza") * 4)
+      .select(col("da").as("src_doc"), col("db").as("dst_doc"),
+        col("ni").as("n_common"), col("sza").as("sz_src"),
+        floor(col("ni") * 1000000L / col("sza")).cast("long").as("cont_ppm"))
+      .orderBy("src_doc", "dst_doc")
+  }
+
   val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
-    q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin)
+    q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin,
+    q168ContainmentJoin)
 }

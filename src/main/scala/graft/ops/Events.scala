@@ -854,9 +854,121 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** q165 — multi-touch conversion attribution: each `purchase` credits
+    * the `click`/`view` touches by the same user in the 7 days before
+    * it, under three standard models — first-touch (all credit to the
+    * earliest touch), last-touch (all to the latest), linear (split
+    * proportionally to per-channel touch counts). Conversions with no
+    * lookback touch credit a synthetic `direct` channel. Money in
+    * integer cents (`FLOOR(value*100)`); linear splits use integer
+    * floor division, so up to (channels−1) cents of rounding loss per
+    * conversion is the defined semantics, not drift.
+    *
+    * Scale: NO conversion×touch inequality join anywhere — the lookback
+    * reduces to conditional aggregates over ONE `rangeBetween(-7d, 0)`
+    * window (per-channel counts + min/max of a packed `sec·2³²+event_id`
+    * key), so the whole query is a single user_id shuffle followed by
+    * the ≤ models×channels report matrix. First/last argmax rides the
+    * packed key: second-resolution time, event_id tie-break (assumes
+    * event_id < 2³² — 4.3e9 events; re-pack wider if a fixture ever
+    * exceeds it). */
+  val q165Attribution: Q = Q(
+    "q165_attribution",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(ts)//1000000 AS sec
+      |  FROM events
+      |), w AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER win AS n_click,
+      |    SUM(CASE WHEN event_type='view'  THEN 1 ELSE 0 END) OVER win AS n_view,
+      |    MIN(CASE WHEN event_type='click' THEN sec*4294967296 + event_id END) OVER win AS fc,
+      |    MIN(CASE WHEN event_type='view'  THEN sec*4294967296 + event_id END) OVER win AS fv,
+      |    MAX(CASE WHEN event_type='click' THEN sec*4294967296 + event_id END) OVER win AS lc,
+      |    MAX(CASE WHEN event_type='view'  THEN sec*4294967296 + event_id END) OVER win AS lv
+      |  FROM ev
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY sec
+      |                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |), conv AS (
+      |  SELECT CAST(FLOOR(value*100) AS BIGINT) AS cents,
+      |    n_click, n_view, fc, fv, lc, lv
+      |  FROM w WHERE event_type='purchase'
+      |), lab AS (
+      |  SELECT cents, n_click, n_view,
+      |    CASE WHEN fc IS NULL AND fv IS NULL THEN 'direct'
+      |         WHEN fv IS NULL OR (fc IS NOT NULL AND fc <= fv) THEN 'click'
+      |         ELSE 'view' END AS first_ch,
+      |    CASE WHEN lc IS NULL AND lv IS NULL THEN 'direct'
+      |         WHEN lv IS NULL OR (lc IS NOT NULL AND lc >= lv) THEN 'click'
+      |         ELSE 'view' END AS last_ch
+      |  FROM conv
+      |), m AS (
+      |  SELECT 'first' AS model, first_ch AS channel, cents AS credit FROM lab
+      |  UNION ALL SELECT 'last', last_ch, cents FROM lab
+      |  UNION ALL SELECT 'linear', 'click', cents*n_click//(n_click+n_view)
+      |    FROM lab WHERE n_click > 0
+      |  UNION ALL SELECT 'linear', 'view', cents*n_view//(n_click+n_view)
+      |    FROM lab WHERE n_view > 0
+      |  UNION ALL SELECT 'linear', 'direct', cents
+      |    FROM lab WHERE n_click + n_view = 0
+      |)
+      |SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_conv,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_cents
+      |FROM m GROUP BY model, channel
+      |ORDER BY model, channel""") { (s, d) =>
+    val pack = col("sec") * 4294967296L + col("event_id")
+    def typed(t: String, c: org.apache.spark.sql.Column) =
+      when(col("event_type") === t, c)
+    val win = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-604800, 0)
+    val lab = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("n_click", sum(typed("click", lit(1)).otherwise(0)).over(win))
+      .withColumn("n_view", sum(typed("view", lit(1)).otherwise(0)).over(win))
+      .withColumn("fc", min(typed("click", pack)).over(win))
+      .withColumn("fv", min(typed("view", pack)).over(win))
+      .withColumn("lc", max(typed("click", pack)).over(win))
+      .withColumn("lv", max(typed("view", pack)).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100).cast("long").as("cents"),
+        col("n_click"), col("n_view"),
+        when(col("fc").isNull && col("fv").isNull, "direct")
+          .when(col("fv").isNull || (col("fc").isNotNull && col("fc") <= col("fv")), "click")
+          .otherwise("view").as("first_ch"),
+        when(col("lc").isNull && col("lv").isNull, "direct")
+          .when(col("lv").isNull || (col("lc").isNotNull && col("lc") >= col("lv")), "click")
+          .otherwise("view").as("last_ch"))
+    // credit rows: a compact literal-struct explode beats 5 unioned
+    // re-scans of the (already tiny) conversion frame
+    lab.select(explode(array(
+        struct(lit("first").as("model"), col("first_ch").as("channel"),
+          col("cents").as("credit"), lit(true).as("keep")),
+        struct(lit("last").as("model"), col("last_ch").as("channel"),
+          col("cents").as("credit"), lit(true).as("keep")),
+        struct(lit("linear").as("model"), lit("click").as("channel"),
+          // ANSI: the struct evaluates before the keep filter, so the
+          // divisor must be guarded even on discarded rows
+          expr("CASE WHEN n_click + n_view = 0 THEN 0 " +
+            "ELSE cents * n_click div (n_click + n_view) END").as("credit"),
+          (col("n_click") > 0).as("keep")),
+        struct(lit("linear").as("model"), lit("view").as("channel"),
+          expr("CASE WHEN n_click + n_view = 0 THEN 0 " +
+            "ELSE cents * n_view div (n_click + n_view) END").as("credit"),
+          (col("n_view") > 0).as("keep")),
+        struct(lit("linear").as("model"), lit("direct").as("channel"),
+          col("cents").as("credit"),
+          (col("n_click") + col("n_view") === 0).as("keep")))).as("r"))
+      .filter(col("r.keep"))
+      .groupBy(col("r.model").as("model"), col("r.channel").as("channel"))
+      .agg(count(lit(1)).as("n_conv"), sum(col("r.credit")).as("credit_cents"))
+      .orderBy("model", "channel")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
-    q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions)
+    q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
+    q165Attribution)
 }

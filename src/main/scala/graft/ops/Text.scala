@@ -725,9 +725,171 @@ object Text {
       .limit(50)
   }
 
+  /** q166 — classifier calibration / reliability diagram + ECE: does
+    * the language-ID classifier's confidence mean anything? Confidence
+    * is the Laplace-smoothed winner share (v_max+1)/(v_tot+4) in milli —
+    * posterior mean under a uniform Dirichlet prior, so it grows with
+    * evidence volume (250 at zero votes, →1000 as pure votes pile up)
+    * instead of collapsing to {250, 1000} on purity alone; docs bucket
+    * into confidence deciles; each bucket
+    * reports observed accuracy vs mean stated confidence and their gap.
+    * Expected Calibration Error = Σ n_b·|acc_b − conf_b| / N, the
+    * eval artifact a confidence-thresholded corpus gate (CCNet-style
+    * "keep if lang score ≥ x") must be tuned from. The `zh` label the
+    * 4-way classifier can never predict keeps the miscalibration real.
+    * All integer arithmetic: vote shares and accuracies floor to milli,
+    * ECE floors once at the end.
+    *
+    * Scale: narrow scan → per-doc (bin, conf, correct) → ≤10-cell
+    * aggregate; the N and ECE totals re-aggregate the 10-row matrix
+    * (localCheckpoint pins it so the corpus scan runs once), then
+    * broadcast back. O(1) output in the corpus size. */
+  val q166CalibrationEce: Q = Q(
+    "q166_calibration_ece",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred,
+       |    (greatest(v_en,v_de,v_fr,v_es)+1)*1000//(v_en+v_de+v_fr+v_es+4)
+       |      AS conf_milli
+       |  FROM v
+       |), b AS (
+       |  SELECT LEAST(conf_milli//100, 9) AS bin,
+       |    conf_milli,
+       |    CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS ok
+       |  FROM p
+       |), g AS (
+       |  SELECT bin, COUNT(*) AS n, SUM(conf_milli) AS sc, SUM(ok) AS nok
+       |  FROM b GROUP BY bin
+       |), r AS (
+       |  SELECT bin, n, sc//n AS conf_milli, nok*1000//n AS acc_milli
+       |  FROM g
+       |), tot AS (
+       |  SELECT SUM(n) AS nn,
+       |    SUM(n * abs(acc_milli - conf_milli)) AS gapsum
+       |  FROM r
+       |)
+       |SELECT bin, CAST(n AS BIGINT) AS n,
+       |  CAST(conf_milli AS BIGINT) AS conf_milli,
+       |  CAST(acc_milli AS BIGINT) AS acc_milli,
+       |  CAST(abs(acc_milli - conf_milli) AS BIGINT) AS gap_milli,
+       |  CAST(gapsum//nn AS BIGINT) AS ece_milli
+       |FROM r CROSS JOIN tot
+       |ORDER BY bin""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val votes = LangStopwords.map { case (lang, sw) =>
+      lang -> size(filter(col("toks"), t => t.isin(sw: _*))).cast("long")
+    }
+    val vmax = greatest(votes.map(_._2): _*)
+    val vtot = votes.map(_._2).reduce(_ + _)
+    val g = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), langId(col("toks")).as("lang_pred"),
+        expr_floorDiv((vmax + 1) * 1000, vtot + 4).as("conf_milli"))
+      .select(least(floor(col("conf_milli") / 100), lit(9L)).cast("long").as("bin"),
+        col("conf_milli"),
+        when(col("lang") === col("lang_pred"), 1L).otherwise(0L).as("ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("conf_milli").as("sc"), sum("ok").as("nok"))
+      .select(col("bin"), col("n"),
+        expr_floorDiv(col("sc"), col("n")).as("conf_milli"),
+        expr_floorDiv(col("nok") * 1000, col("n")).as("acc_milli"))
+      .localCheckpoint() // the ECE total re-aggregates this ≤10-row matrix
+    val tot = g.agg(sum("n").as("nn"),
+      sum(col("n") * abs(col("acc_milli") - col("conf_milli"))).as("gapsum"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("conf_milli"), col("acc_milli"),
+        abs(col("acc_milli") - col("conf_milli")).as("gap_milli"),
+        expr_floorDiv(col("gapsum"), col("nn")).as("ece_milli"))
+      .orderBy("bin")
+  }
+
+  /** Nonnegative long floor-division via `floor(a/b)` — the `/` runs in
+    * DOUBLE, exact while a < 2^53 (corpus-count × milli magnitudes stay
+    * far below that); same spelling as every ppm/milli ratio in the
+    * tree, so both engines round identically. */
+  private def expr_floorDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(a / b).cast("long")
+
+  /** q169 — vocabulary drift between corpus slices: unigram
+    * distributions of two halves (doc_id parity stands in for the
+    * time/source split a production monitor would use), compared by
+    * total-variation distance in ppm plus the top-30 movers — the
+    * corpus-monitoring twin of q141's metadata drift (this one watches
+    * WHAT IS SAID, q141 watches where it came from). TVD instead of
+    * KL/JS precisely because it's rational: ½Σ|p_a − p_b| needs no
+    * logarithm, so the whole report stays in exact integer ppm and two
+    * engines cannot disagree in the last bit.
+    *
+    * Scale: token INSTANCES collapse to (slice, type) counts map-side,
+    * so the exchange is vocabulary-bounded; totals and TVD re-aggregate
+    * the checkpointed vocab table and broadcast back; top-30 is a
+    * TakeOrdered, never a global sort. */
+  val q169VocabDrift: Q = Q(
+    "q169_vocab_drift",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), c AS (
+       |  SELECT sl, tk, COUNT(*) AS n
+       |  FROM (SELECT doc_id % 2 AS sl, unnest(toks) AS tk FROM t)
+       |  GROUP BY sl, tk
+       |), p AS (
+       |  SELECT tk,
+       |    SUM(CASE WHEN sl = 0 THEN n ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN sl = 1 THEN n ELSE 0 END) AS cb
+       |  FROM c GROUP BY tk
+       |), tot AS (
+       |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM p
+       |), sh AS (
+       |  SELECT tk, ca, cb,
+       |    ca*1000000//na AS pa_ppm, cb*1000000//nb AS pb_ppm
+       |  FROM p CROSS JOIN tot
+       |), tvd AS (
+       |  SELECT SUM(abs(pa_ppm - pb_ppm))//2 AS tvd_ppm FROM sh
+       |)
+       |SELECT tk AS token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       |  CAST(pa_ppm AS BIGINT) AS pa_ppm, CAST(pb_ppm AS BIGINT) AS pb_ppm,
+       |  CAST(abs(pa_ppm - pb_ppm) AS BIGINT) AS delta_ppm,
+       |  CAST(tvd_ppm AS BIGINT) AS tvd_ppm
+       |FROM sh CROSS JOIN tvd
+       |ORDER BY delta_ppm DESC, token LIMIT 30""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val p = docs(s, d)
+      .select(pmod(col("doc_id"), lit(2)).as("sl"),
+        explode(tokens(col("text"))).as("tk"))
+      .groupBy("sl", "tk").agg(count(lit(1)).as("n"))
+      .groupBy("tk")
+      .agg(sum(when(col("sl") === 0, col("n")).otherwise(0L)).as("ca"),
+        sum(when(col("sl") === 1, col("n")).otherwise(0L)).as("cb"))
+      .localCheckpoint() // totals + TVD re-aggregate this vocab table
+    val tot = p.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val sh = p.crossJoin(broadcast(tot))
+      .select(col("tk"), col("ca"), col("cb"),
+        floor(col("ca") * 1000000L / col("na")).cast("long").as("pa_ppm"),
+        floor(col("cb") * 1000000L / col("nb")).cast("long").as("pb_ppm"))
+    val tvd = sh.agg(
+      floor(sum(abs(col("pa_ppm") - col("pb_ppm"))) / 2).cast("long").as("tvd_ppm"))
+    sh.crossJoin(broadcast(tvd))
+      .select(col("tk").as("token"), col("ca"), col("cb"),
+        col("pa_ppm"), col("pb_ppm"),
+        abs(col("pa_ppm") - col("pb_ppm")).as("delta_ppm"), col("tvd_ppm"))
+      .orderBy(col("delta_ppm").desc, col("token"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
-    q161PmiCollocations)
+    q161PmiCollocations, q166CalibrationEce, q169VocabDrift)
 }

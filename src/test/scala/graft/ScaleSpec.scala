@@ -217,7 +217,23 @@ class ScaleSpec extends SparkSpec {
       // q164: one user_id window pass over fixed-width (type, sec) rows
       // (inherent: successor pairs need per-user order, same as q37),
       // then the ≤|types|² matrix. Measured 268 KiB at sf0.01
-      "q164_markov_transitions" -> 670L)
+      "q164_markov_transitions" -> 670L,
+      // q165: the 7-day lookback is conditional aggregates over one
+      // range-frame window — one user_id exchange of fixed-width rows,
+      // NO conversion×touch join. Measured 240 KiB at sf0.01
+      "q165_attribution" -> 600L,
+      // q166: per-doc (bin, conf, ok) partials collapse to ≤10 cells
+      // map-side. Measured 84 KiB at sf0.01
+      "q166_calibration_ece" -> 210L,
+      // q167: (doc, bucket) signed partials + vocab-bounded (bucket,
+      // token) distinct rows; 256-row output. Measured 192 KiB at sf0.01
+      "q167_feature_hash" -> 480L,
+      // q168: prefix×full-index candidate join — 8-byte hashes + ids
+      // only, rare-biased prefix side. Measured 691 KiB at sf0.01
+      "q168_containment_join" -> 1730L,
+      // q169: token instances collapse to (slice, type) counts map-side;
+      // everything after is vocab-bounded. Measured 89 KiB at sf0.01
+      "q169_vocab_drift" -> 230L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -821,8 +821,57 @@ object Analytics {
       .orderBy("rule")
   }
 
+  /** q171 — audience overlap matrix: for every unordered pair of event
+    * types, how many users did BOTH, and the Jaccard of the two
+    * audiences — the segment-overlap report behind "does `error`
+    * co-occur with `purchase` users or a disjoint crowd?".
+    *
+    * Scale: events collapse to DISTINCT (user, type) first — O(users ×
+    * types), with map-side partial dedup — and the pair join is a
+    * per-user SELF-join producing ≤ C(|types|,2) = 10 rows per user,
+    * co-partitioned on user_id (one exchange, reused by both sides).
+    * Audience totals are |types| rows and broadcast back. Never a
+    * user×user comparison anywhere. */
+  val q171AudienceOverlap: Q = Q(
+    "q171_audience_overlap",
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), pair AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS inter
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY ta, tb
+      |), tot AS (
+      |  SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY event_type
+      |)
+      |SELECT ta, tb, CAST(inter AS BIGINT) AS inter,
+      |  CAST(x.nu AS BIGINT) AS nu_a, CAST(y.nu AS BIGINT) AS nu_b,
+      |  CAST(FLOOR(inter * 1000000 / (x.nu + y.nu - inter)) AS BIGINT) AS jaccard_ppm
+      |FROM pair JOIN tot x ON x.event_type = ta
+      |JOIN tot y ON y.event_type = tb
+      |ORDER BY ta, tb""") { (s, d) =>
+    val ut = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // feeds both self-join sides + the totals
+    val pair = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("inter"))
+    val tot = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    pair
+      .join(broadcast(tot.select(col("event_type").as("ta"), col("nu").as("nu_a"))), "ta")
+      .join(broadcast(tot.select(col("event_type").as("tb"), col("nu").as("nu_b"))), "tb")
+      .select(col("ta"), col("tb"), col("inter"), col("nu_a"), col("nu_b"),
+        floor(col("inter") * 1000000L / (col("nu_a") + col("nu_b") - col("inter")))
+          .cast("long").as("jaccard_ppm"))
+      .orderBy("ta", "tb")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
-    q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit)
+    q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
+    q171AudienceOverlap)
 }

@@ -965,10 +965,114 @@ object Events {
       .orderBy("model", "channel")
   }
 
+  /** q170 — interval OVERLAP join via tiling: user sessions (q37's
+    * 30-min-gap derivation) joined to campaign/promo windows (Mon+Thu
+    * 12:00–18:00 UTC over the event span) on TIME OVERLAP — the join
+    * class Spark has no native operator for (as-of covers "latest ≤ t",
+    * not "ranges intersect"). The standard scalable spelling: every
+    * interval maps to the integer epoch-days it touches, the join runs
+    * as an EQUI-join on the day tile, and the exact closed-interval
+    * predicate `greatest(starts) ≤ least(ends)` filters tile-collisions
+    * — no inequality-only join, no cross product. A (session, promo)
+    * pair can't duplicate across tiles because a promo lives inside one
+    * day. Promos with zero overlapping sessions still report (left
+    * join off the promo spine).
+    *
+    * Scale: tiles are O(sessions · days-per-session) ≈ O(sessions)
+    * fixed-width rows; the promo side is day-cardinality and explicitly
+    * broadcast. Epoch-second integers everywhere — no timezone or date
+    * arithmetic in the hot path. */
+  val q170IntervalOverlap: Q = Q(
+    "q170_interval_overlap",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts)//1000000 AS sec, ts
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM ev
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT user_id, session_idx, MIN(sec) AS s_start, MAX(sec) AS s_end
+      |  FROM (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |        FROM marked)
+      |  GROUP BY user_id, session_idx
+      |), span AS (
+      |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+      |), promo AS (
+      |  SELECT day,
+      |    epoch_us(CAST(day AS TIMESTAMP))//1000000 + 43200 AS w_start,
+      |    epoch_us(CAST(day AS TIMESTAMP))//1000000 + 64800 AS w_end
+      |  FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM span)
+      |  WHERE dayofweek(day) IN (1, 4)
+      |), tiles AS (
+      |  SELECT user_id, s_start, s_end,
+      |    unnest(range(s_start//86400, s_end//86400 + 1)) AS tile
+      |  FROM sess
+      |), hit AS (
+      |  SELECT p.day, t.user_id,
+      |    least(t.s_end, p.w_end) - greatest(t.s_start, p.w_start) AS ov
+      |  FROM promo p JOIN tiles t ON t.tile = p.w_start//86400
+      |  WHERE greatest(t.s_start, p.w_start) <= least(t.s_end, p.w_end)
+      |), g AS (
+      |  SELECT day, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users,
+      |    SUM(ov) AS overlap_sec
+      |  FROM hit GROUP BY day
+      |)
+      |SELECT p.day AS promo_day,
+      |  CAST(COALESCE(g.n_sessions, 0) AS BIGINT) AS n_sessions,
+      |  CAST(COALESCE(g.n_users, 0) AS BIGINT) AS n_users,
+      |  CAST(COALESCE(g.overlap_sec, 0) AS BIGINT) AS overlap_sec
+      |FROM promo p LEFT JOIN g USING (day)
+      |ORDER BY promo_day""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(min("sec").as("s_start"), max("sec").as("s_end"))
+    val span = Tables.events(s, d)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    // Spark dayofweek is Sun=1..Sat=7; DuckDB Sun=0..Sat=6 — Mon/Thu is
+    // (2,5) here vs (1,4) in the oracle, same days.
+    val promo = span
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .filter(dayofweek(col("day")).isin(2, 5))
+      .select(col("day"),
+        (unix_timestamp(col("day").cast("timestamp")) + 43200L).as("w_start"),
+        (unix_timestamp(col("day").cast("timestamp")) + 64800L).as("w_end"))
+    val tiles = sess.select(col("user_id"), col("s_start"), col("s_end"),
+      explode(sequence(floor(col("s_start") / 86400).cast("long"),
+        floor(col("s_end") / 86400).cast("long"))).as("tile"))
+    val g = tiles.join(broadcast(promo),
+        col("tile") === floor(col("w_start") / 86400).cast("long") &&
+          greatest(col("s_start"), col("w_start")) <= least(col("s_end"), col("w_end")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("s_end"), col("w_end")) -
+          greatest(col("s_start"), col("w_start"))).as("overlap_sec"))
+    promo.select("day").join(g, Seq("day"), "left")
+      .select(col("day").as("promo_day"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("overlap_sec"), lit(0L)).as("overlap_sec"))
+      .orderBy("promo_day")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
-    q165Attribution)
+    q165Attribution, q170IntervalOverlap)
 }

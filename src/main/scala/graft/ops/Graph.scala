@@ -258,5 +258,96 @@ object Graph {
       .orderBy("host")
   }
 
-  val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount)
+  /** q173 — community detection by synchronous label propagation, on a
+    * DOCUMENT graph (nodes = docs, 2 hash-derived links each → mean
+    * degree ~4; the 20-host graph is near-complete and collapses to one
+    * label, which demonstrates nothing): every node starts as its own
+    * community and repeatedly adopts the most frequent label among its
+    * neighbors (ties → smallest label; isolated nodes keep their own),
+    * 3 rounds. The deterministic LPA variant — vanilla LPA's random
+    * tie-breaking and visit order are replaced by the (count DESC,
+    * label ASC) rule, so both engines converge to the identical
+    * labeling and the oracle replays it exactly. Completes the graph
+    * pillar: q61 finds CONNECTED components, this finds denser
+    * sub-communities inside them.
+    *
+    * Scale: labels are NODE-cardinality — deliberately NOT broadcast
+    * (docs ≫ memory at 100 TB); every round is two equi-joins
+    * co-partitioned on the node id plus one window argmax over the
+    * (node, label) count table, the q61 posture. Only the 1-row node
+    * count broadcasts. localCheckpoint cuts the unrolled lineage so
+    * round k+1 doesn't replay round k. */
+  val q173LabelProp: Q = Q(
+    "q173_label_prop",
+    {
+      def round(i: Int) = {
+        val prev = s"l${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.u AS id, p.lab, COUNT(*) AS c
+           |  FROM und e JOIN $prev p ON p.id = e.v GROUP BY e.u, p.lab
+           |), b$i AS (
+           |  SELECT id, lab,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+           |  FROM c$i
+           |), l$i AS (
+           |  SELECT p.id, COALESCE(b.lab, p.lab) AS lab
+           |  FROM $prev p
+           |  LEFT JOIN (SELECT id, lab FROM b$i WHERE rn = 1) b ON b.id = p.id
+           |)"""
+      }
+      s"""WITH nd AS (
+         |  SELECT COUNT(*) AS n FROM documents
+         |), links AS (
+         |  SELECT doc_id AS src,
+         |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+         |  FROM documents
+         |  CROSS JOIN nd
+         |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
+         |), ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM links WHERE src <> dst
+         |), und AS (
+         |  SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue
+         |), l0 AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM l3 GROUP BY lab
+         |ORDER BY n_docs DESC, community"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val links = docs
+      .crossJoin(broadcast(nd)) // 1-row count: the only broadcast here
+      .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
+        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = ue.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // edge-cardinality; read once per round
+    val wArg = Window.partitionBy("id").orderBy(col("c").desc, col("lab"))
+    var lab = docs.select(col("doc_id").as("id"), col("doc_id").as("lab"))
+    for (_ <- 1 to 3) {
+      val best = und
+        .join(lab.select(col("id").as("v"), col("lab")), "v")
+        .groupBy(col("u").as("id"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lab").as("nlab"))
+      lab = lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlab"), col("lab")).as("lab"))
+        .localCheckpoint() // cut the unrolled lineage between rounds
+    }
+    lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("community"))
+  }
+
+  val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp)
 }

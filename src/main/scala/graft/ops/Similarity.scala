@@ -96,6 +96,16 @@ object Similarity {
     s"""CASE WHEN sqrt(${dDot(a, a)}) = 0 OR sqrt(${dDot(b, b)}) = 0 THEN 0
        |ELSE CAST(FLOOR(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})) * 1000000) AS BIGINT) END""".stripMargin
 
+  /** 16-dim prefix variants of dDot/dCosPpm (q172 truncated ranking).
+    * Index order matches the Spark `dot` over `slice(v, 1, 16)`, so the
+    * float sums associate identically. */
+  private def dDot16(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,17), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  private def dCosPpm16(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dDot16(a, a)}) = 0 OR sqrt(${dDot16(b, b)}) = 0 THEN 0
+       |ELSE CAST(FLOOR(${dDot16(a, b)} / (sqrt(${dDot16(a, a)}) * sqrt(${dDot16(b, b)})) * 1000000) AS BIGINT) END""".stripMargin
+
   /** planes as a 16-element list of 64-double sign lists (1-indexed). */
   private val DPlanes =
     """planes AS (
@@ -1319,8 +1329,70 @@ object Similarity {
     }
   }
 
+  /** q172 — truncated-dimension (Matryoshka-style) retrieval quality:
+    * does ranking by the FIRST 16 of 64 dimensions reproduce the
+    * full-vector top-10? Per query: overlap@10 between the two
+    * rankings, plus both top-1 ids and whether they agree — the audit
+    * that decides if a prefix-truncated index (4× cheaper to store and
+    * scan) is retrieval-equivalent before anything ships it.
+    *
+    * Scale: BOTH cosines compute in ONE pass over the scored frame —
+    * two window ranks share one (query_id) exchange, overlap and top-1s
+    * are conditional aggregates over rank flags, so there is no
+    * top10×top10 self-join and vectors are read exactly once. Queries
+    * broadcast as in q31. */
+  val q172PrefixDimQuality: Q = Q(
+    "q172_prefix_dim_quality",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${dCosPpm("qv", "v")} AS cf,
+       |    ${dCosPpm16("qv", "v")} AS cp
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS rf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, vec_id) AS rp
+       |  FROM scored
+       |)
+       |SELECT query_id,
+       |  CAST(COUNT(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 END) AS BIGINT) AS overlap10,
+       |  MAX(CASE WHEN rf = 1 THEN vec_id END) AS top1_full,
+       |  MAX(CASE WHEN rp = 1 THEN vec_id END) AS top1_prefix,
+       |  CAST(CASE WHEN MAX(CASE WHEN rf = 1 THEN vec_id END)
+       |            = MAX(CASE WHEN rp = 1 THEN vec_id END) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS top1_agree
+       |FROM ranked GROUP BY query_id
+       |ORDER BY query_id""") { (s, d) =>
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+      .withColumn("p", slice(col("v"), 1, 16))
+    val vecsP = vecs.withColumn("p_nrm", sqrt(dot(col("p"), col("p"))))
+    val qs = vecsP.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"), col("p").as("qp"), col("p_nrm").as("qp_nrm"))
+    val wf = Window.partitionBy("query_id").orderBy(col("cf").desc, col("vec_id"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cp").desc, col("vec_id"))
+    vecsP.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cf"),
+        cosPpmPre(dot(col("qp"), col("p")), col("qp_nrm"), col("p_nrm")).as("cp"))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .groupBy("query_id")
+      .agg(count(when(col("rf") <= 10 && col("rp") <= 10, 1)).as("overlap10"),
+        max(when(col("rf") === 1, col("vec_id"))).as("top1_full"),
+        max(when(col("rp") === 1, col("vec_id"))).as("top1_prefix"))
+      .select(col("query_id"), col("overlap10"), col("top1_full"), col("top1_prefix"),
+        when(col("top1_full") === col("top1_prefix"), 1L).otherwise(0L).as("top1_agree"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
-    q134IvfAppend, q137IvfPqSearch)
+    q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality)
 }

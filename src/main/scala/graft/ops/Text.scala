@@ -887,9 +887,50 @@ object Text {
       .limit(30)
   }
 
+  /** q174 — tokenizer fertility by language: after the 2-round BPE of
+    * q113/q123, how many tokens does each language spend per
+    * whitespace word (merges trained on the mixed corpus favor the
+    * dominant language — minority languages keep fertility ≈ 1000
+    * while the majority compresses), and how many characters ride in
+    * each token. THE metric multilingual vocab sizing is tuned from
+    * (UniMax/fertility-balancing papers); composes the shared DBpeChain
+    * verbatim so the measured tokenizer cannot drift from the trained
+    * one. Integer milli ratios.
+    *
+    * Scale: the BPE chain's own passes dominate; this adds one narrow
+    * word-count scan and a |langs|-row aggregate. */
+  val q174BpeFertility: Q = Q(
+    "q174_bpe_fertility",
+    s"""$DBpeChain
+       |SELECT d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(t0.toks)) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(s2.toks)) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(len(s2.toks))*1000//SUM(len(t0.toks)) AS BIGINT) AS fertility_milli,
+       |  CAST(SUM(d.n_chars)*1000//SUM(len(s2.toks)) AS BIGINT) AS chars_per_tok_milli
+       |FROM s2
+       |JOIN t0 ON t0.doc_id = s2.doc_id
+       |JOIN documents d ON d.doc_id = s2.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val (_, _, _, s2) = bpeRun(s, d)
+    val words = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_w"))
+    s2.select(col("doc_id"), size(col("toks")).cast("long").as("n_b"))
+      .join(words, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_w").as("n_words"),
+        sum("n_b").as("n_bpe"), sum("n_chars").as("nc"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        floor(col("n_bpe") * 1000 / col("n_words")).cast("long").as("fertility_milli"),
+        floor(col("nc") * 1000 / col("n_bpe")).cast("long").as("chars_per_tok_milli"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
-    q161PmiCollocations, q166CalibrationEce, q169VocabDrift)
+    q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
+    q174BpeFertility)
 }

@@ -233,7 +233,23 @@ class ScaleSpec extends SparkSpec {
       "q168_containment_join" -> 1730L,
       // q169: token instances collapse to (slice, type) counts map-side;
       // everything after is vocab-bounded. Measured 89 KiB at sf0.01
-      "q169_vocab_drift" -> 230L)
+      "q169_vocab_drift" -> 230L,
+      // q170: session rows + day tiles, all fixed-width; promos
+      // broadcast. Measured 189 KiB at sf0.01
+      "q170_interval_overlap" -> 480L,
+      // q171: DISTINCT (user, type) partials; ≤10 pair rows per user.
+      // Measured 7 KiB at sf0.01
+      "q171_audience_overlap" -> 32L,
+      // q172: one scored pass, two ranks share the query_id exchange.
+      // Measured 175 KiB at sf0.01
+      "q172_prefix_dim_quality" -> 440L,
+      // q173: 3 rounds × (edge⋈label co-partitioned join + argmax
+      // window) — all node/edge-cardinality int rows. Measured 106 KiB
+      "q173_label_prop" -> 270L,
+      // q174: the shared BPE chain's pair-count passes dominate (same
+      // volume class as q123's 1,115 KiB); fertility adds one
+      // |langs|-row aggregate. Measured 321 KiB at sf0.01
+      "q174_bpe_fertility" -> 810L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -869,9 +869,214 @@ object Analytics {
       .orderBy("ta", "tb")
   }
 
+  /** q175 — robust outlier gate by HISTOGRAM median/MAD: per event
+    * type, the exact low-median and median-absolute-deviation of the
+    * cents-quantized value, and the count of events beyond 3·MAD — the
+    * outlier filter that survives the skew that wrecks mean/stddev
+    * gates. The trick is that NO row-level sort exists anywhere: values
+    * collapse to a (type, cents, count) HISTOGRAM first (map-side
+    * partials, value domain ≪ row count), the median is the first
+    * histogram cell whose running count crosses (n+1)/2 — one window
+    * over histogram CELLS — and the MAD repeats the same move on the
+    * |v−median| re-keyed histogram. Outliers are counted from the
+    * histogram too, so the corpus is scanned exactly once. q153 pulls
+    * one global order statistic by binary search; this pulls per-group
+    * medians for ALL groups in two histogram passes. All integer. */
+  val q175RobustOutliers: Q = Q(
+    "q175_robust_outliers",
+    """WITH v AS (
+      |  SELECT event_type AS t, CAST(FLOOR(value*100) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL
+      |), h AS (
+      |  SELECT t, c, COUNT(*) AS k FROM v GROUP BY t, c
+      |), n AS (
+      |  SELECT t, SUM(k) AS n FROM h GROUP BY t
+      |), cum AS (
+      |  SELECT t, c, SUM(k) OVER (PARTITION BY t ORDER BY c) AS cm FROM h
+      |), med AS (
+      |  SELECT t, MIN(c) AS med FROM cum JOIN n USING (t)
+      |  WHERE cm >= (n+1)//2 GROUP BY t
+      |), dh AS (
+      |  SELECT h.t, abs(h.c - m.med) AS dv, SUM(h.k) AS k
+      |  FROM h JOIN med m ON m.t = h.t GROUP BY h.t, abs(h.c - m.med)
+      |), dcum AS (
+      |  SELECT t, dv, SUM(k) OVER (PARTITION BY t ORDER BY dv) AS cm FROM dh
+      |), mad AS (
+      |  SELECT t, MIN(dv) AS mad FROM dcum JOIN n USING (t)
+      |  WHERE cm >= (n+1)//2 GROUP BY t
+      |), outl AS (
+      |  SELECT h.t, SUM(CASE WHEN abs(h.c - m.med) > 3*d.mad THEN h.k ELSE 0 END) AS n_out
+      |  FROM h JOIN med m ON m.t = h.t JOIN mad d ON d.t = h.t GROUP BY h.t
+      |)
+      |SELECT t AS event_type, CAST(n.n AS BIGINT) AS n,
+      |  CAST(med AS BIGINT) AS median_cents, CAST(mad AS BIGINT) AS mad_cents,
+      |  CAST(n_out AS BIGINT) AS n_outliers,
+      |  CAST(n_out*1000000//n.n AS BIGINT) AS outlier_ppm
+      |FROM n JOIN med USING (t) JOIN mad USING (t) JOIN outl USING (t)
+      |ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("t"), floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("t", "c").agg(count(lit(1)).as("k"))
+      .localCheckpoint() // the histogram IS the dataset from here on
+    val n = h.groupBy("t").agg(sum("k").as("n"))
+    val wc = Window.partitionBy("t").orderBy("c")
+    val med = h.withColumn("cm", sum("k").over(wc))
+      .join(broadcast(n), "t")
+      .filter(col("cm") >= floor((col("n") + 1) / 2))
+      .groupBy("t").agg(min("c").as("med"))
+    val dh = h.join(broadcast(med), "t")
+      .groupBy(col("t"), abs(col("c") - col("med")).as("dv"))
+      .agg(sum("k").as("k"))
+    val wd = Window.partitionBy("t").orderBy("dv")
+    val mad = dh.withColumn("cm", sum("k").over(wd))
+      .join(broadcast(n), "t")
+      .filter(col("cm") >= floor((col("n") + 1) / 2))
+      .groupBy("t").agg(min("dv").as("mad"))
+    val outl = h.join(broadcast(med), "t").join(broadcast(mad), "t")
+      .groupBy("t")
+      .agg(sum(when(abs(col("c") - col("med")) > col("mad") * 3, col("k"))
+        .otherwise(0L)).as("n_out"))
+    n.join(med, "t").join(mad, "t").join(outl, "t")
+      .select(col("t").as("event_type"), col("n"),
+        col("med").as("median_cents"), col("mad").as("mad_cents"),
+        col("n_out").as("n_outliers"),
+        floor(col("n_out") * 1000000L / col("n")).cast("long").as("outlier_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** q178 — per-group OLS time trend: daily revenue cents per event
+    * type regressed on the day index, closed-form slope and intercept
+    * from the five classic sums (n, Σx, Σy, Σx², Σxy) — q112 measures
+    * association between metrics; this fits the TIME trend per group.
+    * Day index is days since the global first day (broadcast scalar),
+    * so x stays tiny (≤ span in days) and every sum is an exact BIGINT;
+    * the final divisions run double-on-both-engines (num < 2^53 — the
+    * 30-day × daily-cents product is ~1e13 at sf1), so floor() is
+    * bit-identical between Spark and DuckDB.
+    *
+    * Scale: one (type, day) partial agg collapses the corpus to
+    * |types|·|days| rows; everything after is arithmetic on that tiny
+    * frame. Groups whose x-variance is zero (single active day) are
+    * excluded — the regression is undefined there. */
+  val q178TrendOls: Q = Q(
+    "q178_trend_ols",
+    """WITH ev AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |    CAST(FLOOR(value*100) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL
+      |), daily AS (
+      |  SELECT t, day, SUM(c) AS y FROM ev GROUP BY t, day
+      |), mind AS (
+      |  SELECT MIN(day) AS mind FROM daily
+      |), xy AS (
+      |  SELECT t, CAST(datediff('day', mind, day) AS BIGINT) AS x, y
+      |  FROM daily CROSS JOIN mind
+      |), a AS (
+      |  SELECT t, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      |  FROM xy GROUP BY t
+      |)
+      |SELECT t AS event_type, CAST(n AS BIGINT) AS n_days,
+      |  CAST(sy AS BIGINT) AS total_cents,
+      |  CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx)) AS BIGINT)
+      |    AS slope_cents_per_day,
+      |  CAST(FLOOR(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx)) AS BIGINT)
+      |    AS intercept_cents
+      |FROM a WHERE n*sxx > sx*sx
+      |ORDER BY event_type""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("t"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("t", "day").agg(sum("c").as("y"))
+      .localCheckpoint() // |types|·|days| rows; min-day scalar + sums both read it
+    val mind = daily.agg(min("day").as("mind"))
+    val a = daily.crossJoin(broadcast(mind))
+      .select(col("t"), datediff(col("day"), col("mind")).cast("long").as("x"), col("y"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    a.filter(col("n") * col("sxx") > col("sx") * col("sx"))
+      .select(col("t").as("event_type"), col("n").as("n_days"),
+        col("sy").as("total_cents"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).cast("long")
+          .as("slope_cents_per_day"),
+        floor((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).cast("long")
+          .as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q180 — Gini revenue concentration per market segment, computed
+    * from the per-customer revenue HISTOGRAM (q175's move applied to an
+    * order statistic that normally demands a global sort): with revenue
+    * quantized to whole dollars and grouped to (segment, v, k) cells,
+    * the rank-weighted sum Σ i·x_i over ascending ranks i collapses per
+    * cell to v·k·(2·c_lo + k + 1)/2 where c_lo is the running count
+    * below the cell — one window over CELLS, never a row-level sort.
+    * Gini = (2Σi·x_i − (n+1)·Σx) / (n·Σx), emitted in ppm. Dollars (not
+    * cents) keep 2Σi·x_i ≈ n²·x̄ inside BIGINT through sf10+; the 100 TB
+    * path swaps the two accumulators to DECIMAL(38,0). The final ratio
+    * runs double-on-both-engines (identical IEEE ops on identical
+    * BIGINTs), so the floor is bit-identical even above 2^53.
+    *
+    * Scale: per-customer partial agg, broadcast customer-dim join for
+    * the segment, histogram partial agg, then windows over ≤|distinct
+    * revenue| cells per segment. Purchasing customers only. */
+  val q180GiniConcentration: Q = Q(
+    "q180_gini_concentration",
+    """WITH r AS (
+      |  SELECT o_custkey, CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY o_custkey
+      |), seg AS (
+      |  SELECT c.c_mktsegment AS segment, r.rev
+      |  FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+      |), h AS (
+      |  SELECT segment, rev AS v, COUNT(*) AS k FROM seg GROUP BY segment, rev
+      |), cum AS (
+      |  SELECT segment, v, k,
+      |    SUM(k) OVER (PARTITION BY segment ORDER BY v) - k AS c_lo
+      |  FROM h
+      |), a AS (
+      |  SELECT segment, SUM(k) AS n, SUM(v*k) AS t,
+      |    SUM(v*k*(2*c_lo + k + 1)) AS two_si
+      |  FROM cum GROUP BY segment
+      |)
+      |SELECT segment, CAST(n AS BIGINT) AS n_customers,
+      |  CAST(t AS BIGINT) AS total_dollars,
+      |  CAST(FLOOR(CAST(two_si - (n+1)*t AS DOUBLE) * 1000000
+      |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))) AS BIGINT) AS gini_ppm
+      |FROM a ORDER BY segment""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(floor(sum("o_totalprice")).cast("long").as("rev"))
+    val seg = r.join(
+        broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))),
+        "o_custkey")
+      .groupBy("segment", "rev").agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy("segment").orderBy("v")
+    val a = seg.select(col("segment"), col("rev").as("v"), col("k"))
+      .withColumn("c_lo", sum("k").over(w) - col("k"))
+      .groupBy("segment")
+      .agg(sum("k").as("n"), sum(col("v") * col("k")).as("t"),
+        sum(col("v") * col("k") * (col("c_lo") * 2 + col("k") + 1)).as("two_si"))
+    a.select(col("segment"), col("n").as("n_customers"),
+        col("t").as("total_dollars"),
+        floor((col("two_si") - (col("n") + 1) * col("t")).cast("double") * 1000000d /
+          (col("n").cast("double") * col("t").cast("double"))).cast("long")
+          .as("gini_ppm"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
-    q171AudienceOverlap)
+    q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
+    q180GiniConcentration)
 }

@@ -1069,10 +1069,223 @@ object Events {
       .orderBy("promo_day")
   }
 
+  /** q176 — top session paths: the 20 most frequent 3-step event-type
+    * journeys (a>b>c) whose two hops both stay inside the 30-minute
+    * session gap — the order-3 sharpening of q164's transition matrix
+    * (a Markov chain can't see that view>click>purchase outweighs
+    * click>view>purchase; the path table can). Share in ppm of all
+    * in-session 3-paths.
+    *
+    * Scale: two lead() columns over the ONE user_id window shuffle,
+    * then paths partial-aggregate to the ≤|types|³ count table; top-20
+    * is a TakeOrdered, the total is a broadcast scalar. */
+  val q176SessionPaths: Q = Q(
+    "q176_session_paths",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts)//1000000 AS sec, ts, event_id
+      |  FROM events
+      |), tri AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3,
+      |    lead(sec) OVER w - sec AS g1,
+      |    lead(sec, 2) OVER w - lead(sec) OVER w AS g2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), p AS (
+      |  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      |  FROM tri
+      |  WHERE t3 IS NOT NULL AND g1 <= 1800 AND g2 <= 1800
+      |  GROUP BY path
+      |), tot AS (
+      |  SELECT SUM(n) AS tn FROM p
+      |)
+      |SELECT path, CAST(n AS BIGINT) AS n,
+      |  CAST(n*1000000//tn AS BIGINT) AS share_ppm
+      |FROM p CROSS JOIN tot
+      |ORDER BY n DESC, path LIMIT 20""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val p = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"), col("event_id"))
+      .select(col("event_type").as("t1"),
+        lead("event_type", 1).over(w).as("t2"),
+        lead("event_type", 2).over(w).as("t3"),
+        (lead("sec", 1).over(w) - col("sec")).as("g1"),
+        (lead("sec", 2).over(w) - lead("sec", 1).over(w)).as("g2"))
+      .filter(col("t3").isNotNull && col("g1") <= 1800 && col("g2") <= 1800)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val tot = p.agg(sum("n").as("tn"))
+    p.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        floor(col("n") * 1000000L / col("tn")).cast("long").as("share_ppm"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q177 — A/B experiment readout: users hash-split into two arms
+    * (user_id parity — the deterministic stand-in for an assignment
+    * service), per-user total purchase cents as the metric (users with
+    * NO purchase count as zero — dropping them is the classic
+    * conversion-bias bug), per-arm mean and sample variance, and a
+    * Welch t² statistic with a significance flag. Everything rational:
+    * variance from the (n·Σx² − S²)/(n(n−1)) identity on integer sums,
+    * and t² = diff²·n₀n₁/(v₀n₁ + v₁n₀) — the SQUARED Welch statistic
+    * precisely so no square root enters (t² > 1.96² ⇔ |t| > 1.96).
+    *
+    * Scale: one user-keyed partial-sum pass (map-side combine), then
+    * 2-row arithmetic; the t² frame broadcasts back onto the arm rows.
+    * Magnitudes stay < 2^53 (cents² · users), so the floor-division
+    * doubles are exact. */
+  val q177AbReport: Q = Q(
+    "q177_ab_report",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), p AS (
+      |  SELECT user_id, SUM(CAST(FLOOR(value*100) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), m AS (
+      |  SELECT u.user_id % 2 AS arm, COALESCE(p.cents, 0) AS x
+      |  FROM u LEFT JOIN p USING (user_id)
+      |), a AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+      |  FROM m GROUP BY arm
+      |), v AS (
+      |  SELECT arm, n, sx, CAST(FLOOR(sx*1000/n) AS BIGINT) AS mean_cents_milli,
+      |    (n*sxx - sx*sx)//(n*(n-1)) AS var_cents2
+      |  FROM a
+      |), t AS (
+      |  SELECT CAST(FLOOR(
+      |      (c.sx*1000/c.n - x.sx*1000/x.n)*(c.sx*1000/c.n - x.sx*1000/x.n)
+      |        * c.n * x.n
+      |      / (c.var_cents2*1000000*x.n + x.var_cents2*1000000*c.n)
+      |      * 1000) AS BIGINT) AS t2_milli
+      |  FROM v c, v x WHERE c.arm = 0 AND x.arm = 1
+      |)
+      |SELECT arm, CAST(n AS BIGINT) AS n_users, mean_cents_milli,
+      |  CAST(var_cents2 AS BIGINT) AS var_cents2, t2_milli,
+      |  CAST(CASE WHEN t2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM v CROSS JOIN t
+      |ORDER BY arm""") { (s, d) =>
+    val u = Tables.events(s, d).select("user_id").distinct()
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val v = u.join(p, Seq("user_id"), "left")
+      .select(pmod(col("user_id"), lit(2)).as("arm"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("arm"), col("n"), col("sx"),
+        floor(col("sx") * 1000 / col("n")).cast("long").as("mean_cents_milli"),
+        floor((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).cast("long").as("var_cents2"))
+      .localCheckpoint() // 2 rows; t² reads both, then joins back on
+    val c = v.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("sx").as("sx0"), col("var_cents2").as("v0"))
+    val x = v.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("sx").as("sx1"), col("var_cents2").as("v1"))
+    val t = c.crossJoin(x).select(
+      floor((col("sx0") * 1000 / col("n0") - col("sx1") * 1000 / col("n1"))
+        * (col("sx0") * 1000 / col("n0") - col("sx1") * 1000 / col("n1"))
+        * col("n0") * col("n1")
+        / (col("v0") * 1000000L * col("n1") + col("v1") * 1000000L * col("n0"))
+        * 1000).cast("long").as("t2_milli"))
+    v.crossJoin(broadcast(t))
+      .select(col("arm"), col("n").as("n_users"), col("mean_cents_milli"),
+        col("var_cents2"), col("t2_milli"),
+        when(col("t2_milli") > 3841, 1L).otherwise(0L).as("significant"))
+      .orderBy("arm")
+  }
+
+  /** q179 — landing/bounce report: sessions grouped by their LANDING
+    * event type (the session's first event — which is exactly the
+    * is_new=1 row the 30-minute sessionizer already marks, so no extra
+    * first-row window is needed), with bounce rate (single-event
+    * sessions), mean events-per-session and mean duration in milli, and
+    * the purchase revenue the landing type ultimately drove. The
+    * entry-point quality metric: which first-touch event types open
+    * sessions that go nowhere vs sessions that convert.
+    *
+    * Scale: q37's single user_id window shuffle, a (user, session)
+    * partial agg, then a |types|-row rollup. Ratios stay in the
+    * `floor(a·10^k / b)` double-on-both-engines envelope (all
+    * magnitudes ≪ 2^53). */
+  val q179LandingBounce: Q = Q(
+    "q179_landing_bounce",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts)//1000000 AS sec, ts,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value*100) AS BIGINT) ELSE 0 END AS pc
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM ev
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked
+      |), per AS (
+      |  SELECT user_id, session_idx,
+      |    COUNT(*) AS n_events,
+      |    MAX(CASE WHEN is_new = 1 THEN event_type END) AS landing,
+      |    MAX(sec) - MIN(sec) AS dur_sec,
+      |    SUM(pc) AS pc
+      |  FROM sess GROUP BY user_id, session_idx
+      |)
+      |SELECT landing AS landing_type,
+      |  COUNT(*) AS n_sessions,
+      |  COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+      |  CAST(FLOOR(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+      |    * 1000000 / COUNT(*)) AS BIGINT) AS bounce_ppm,
+      |  CAST(FLOOR(CAST(SUM(n_events) AS DOUBLE) * 1000 / COUNT(*)) AS BIGINT)
+      |    AS events_per_session_milli,
+      |  CAST(FLOOR(CAST(SUM(dur_sec) AS DOUBLE) * 1000 / COUNT(*)) AS BIGINT)
+      |    AS duration_sec_milli,
+      |  CAST(SUM(pc) AS BIGINT) AS purchase_cents
+      |FROM per GROUP BY landing
+      |ORDER BY landing_type""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"),
+        when(col("event_type") === "purchase", floor(col("value") * 100).cast("long"))
+          .otherwise(0L).as("pc"))
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wRun).cast("long"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("is_new") === 1, col("event_type"))).as("landing"),
+        (max("sec") - min("sec")).as("dur_sec"),
+        sum("pc").as("pc"))
+    per.groupBy(col("landing").as("landing_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounces"),
+        floor(count(when(col("n_events") === 1, 1)).cast("double") * 1000000d /
+          count(lit(1))).cast("long").as("bounce_ppm"),
+        floor(sum("n_events").cast("double") * 1000d / count(lit(1)))
+          .cast("long").as("events_per_session_milli"),
+        floor(sum("dur_sec").cast("double") * 1000d / count(lit(1)))
+          .cast("long").as("duration_sec_milli"),
+        sum("pc").as("purchase_cents"))
+      .orderBy("landing_type")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
-    q165Attribution, q170IntervalOverlap)
+    q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
+    q179LandingBounce)
 }

@@ -331,9 +331,25 @@ object Graph {
     val und = ue.select(col("a").as("u"), col("b").as("v"))
       .unionAll(ue.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint() // edge-cardinality; read once per round
+    labelPropagate(docs.select(col("doc_id").as("id"), col("doc_id").as("lab")),
+        und, rounds = 3)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("community"))
+  }
+
+  /** Deterministic synchronous label propagation: from `init` (id, lab)
+    * over undirected edges `und` (u, v — BOTH directions present), each
+    * round every node adopts the most frequent neighbor label with the
+    * (count DESC, label ASC) tie-break; isolated nodes keep their own.
+    * Returns the final (id, lab). Labels are node-cardinality — joins
+    * stay co-partitioned, nothing broadcasts (see q173). */
+  private[graft] def labelPropagate(init: DataFrame, und: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wArg = Window.partitionBy("id").orderBy(col("c").desc, col("lab"))
-    var lab = docs.select(col("doc_id").as("id"), col("doc_id").as("lab"))
-    for (_ <- 1 to 3) {
+    var lab = init
+    for (_ <- 1 to rounds) {
       val best = und
         .join(lab.select(col("id").as("v"), col("lab")), "v")
         .groupBy(col("u").as("id"), col("lab")).agg(count(lit(1)).as("c"))
@@ -344,9 +360,7 @@ object Graph {
         .select(col("id"), coalesce(col("nlab"), col("lab")).as("lab"))
         .localCheckpoint() // cut the unrolled lineage between rounds
     }
-    lab.groupBy(col("lab").as("community"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("community"))
+    lab
   }
 
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp)

@@ -118,6 +118,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q168: planted exact copies are mutually contained, suffix dups one-way") {
+    val rows = ops.Dedup.q168ContainmentJoin.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // contract: every emitted row clears the 0.8 threshold, no self-pairs
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 800000L, s"below-threshold row $r")
+      assert(r.getLong(0) != r.getLong(1), s"self pair $r")
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // exact copies (+2000000, doc_id%7==0): identical shingle sets ->
+    // 100% containment BOTH ways
+    val m7 = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L)
+      .select("doc_id").limit(5).collect().map(_.getLong(0))
+    assert(m7.nonEmpty)
+    m7.foreach { d =>
+      assert(pairs.get((d, d + 2000000L)).contains(1000000L), s"copy of $d: fwd missing")
+      assert(pairs.get((d + 2000000L, d)).contains(1000000L), s"copy of $d: bwd missing")
+    }
+    // suffix near-dups (+1000000, doc_id%5==0, first token dropped):
+    // every shingle of the suffix is a shingle of the original, so the
+    // suffix is 100% contained in the original
+    val m5 = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") < 1000000L &&
+        size(col("toks")) >= 10)
+      .select("doc_id").limit(5).collect().map(_.getLong(0))
+    m5.foreach { d =>
+      assert(pairs.get((d + 1000000L, d)).contains(1000000L),
+        s"suffix dup of $d not contained in its original")
+    }
+  }
+
   test("connectedComponents separates components and keeps singletons") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val oneWay = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

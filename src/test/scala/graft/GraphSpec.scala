@@ -7,6 +7,44 @@ import graft.ops.Graph
   * and the registered query must be invariant to input partitioning. */
 class GraphSpec extends SparkSpec {
 
+  test("labelPropagate resolves two bridged 4-cliques into two communities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cliques {0,1,2,3} and {4,5,6,7}, one bridge 3-4: after 3 rounds
+    // every clique node must carry its clique's min id; the (count DESC,
+    // label ASC) rule keeps the bridge from merging them (each side of
+    // the bridge is outvoted by its own clique)
+    val cliqueEdges = for {
+      base <- Seq(0L, 4L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val ue = (cliqueEdges :+ (3L, 4L)).toDF("a", "b")
+    val und = ue.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("v"))).cache()
+    val init = (0L to 7L).toDF("id").select(col("id"), col("id").as("lab"))
+    val got = Graph.labelPropagate(init, und, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach(i => assert(got(i) == 0L, s"node $i: ${got(i)} != 0"))
+    (4L to 7L).foreach(i => assert(got(i) == 4L, s"node $i: ${got(i)} != 4"))
+  }
+
+  test("labelPropagate: isolated node keeps its label; 2-cycle oscillates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val und = Seq((0L, 1L), (1L, 0L)).toDF("u", "v")
+    val init = Seq(0L, 1L, 9L).toDF("id").select(col("id"), col("id").as("lab"))
+    // synchronous LPA on a bipartite 2-cycle is the textbook oscillator:
+    // each round the two nodes SWAP labels — pin that known property
+    // (odd rounds: swapped; even rounds: back to start) rather than
+    // pretending it converges
+    val odd = Graph.labelPropagate(init, und, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd(0L) == 1L && odd(1L) == 0L, s"round 1 must swap, got $odd")
+    val even = Graph.labelPropagate(init, und, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even(0L) == 0L && even(1L) == 1L, s"round 2 must swap back, got $even")
+    assert(odd(9L) == 9L && even(9L) == 9L, "isolated node must keep its label")
+  }
+
   test("powerIterate equals the integer formula replayed by hand") {
     import spark.implicits._
     // A(0) <- B(1) w=2, A <- C(2) w=1; B <- A w=1; C has no in-links

@@ -249,7 +249,27 @@ class ScaleSpec extends SparkSpec {
       // q174: the shared BPE chain's pair-count passes dominate (same
       // volume class as q123's 1,115 KiB); fertility adds one
       // |langs|-row aggregate. Measured 321 KiB at sf0.01
-      "q174_bpe_fertility" -> 810L)
+      "q174_bpe_fertility" -> 810L,
+      // q175: (type, cents) histogram cells — O(value domain), never
+      // O(rows); median/MAD windows run on cells. Measured 353 KiB
+      "q175_robust_outliers" -> 890L,
+      // q176: one user_id window pass, paths collapse to ≤|types|³
+      // counts map-side. Measured 267 KiB at sf0.01
+      "q176_session_paths" -> 670L,
+      // q177: per-user partial sums then 2-row arm arithmetic.
+      // Measured 4 KiB at sf0.01
+      "q177_ab_report" -> 16L,
+      // q178: the corpus collapses to |types|·|days| daily cells
+      // map-side; regression sums are arithmetic on that frame.
+      // Measured 5 KiB at sf0.01
+      "q178_trend_ols" -> 16L,
+      // q179: q37's one user_id window pass (fixed-width rows), then
+      // (user, session) partials and a |types|-row rollup. Measured
+      // 263 KiB at sf0.01
+      "q179_landing_bounce" -> 660L,
+      // q180: per-customer revenue partials + (segment, dollars)
+      // histogram cells; the customer dim broadcasts. Measured 52 KiB
+      "q180_gini_concentration" -> 130L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1073,10 +1073,159 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** q182 — unpivot/melt: q48's wide (priority × status-columns) revenue
+    * table folded back to long (priority, status, revenue) rows with
+    * Spark's native `unpivot` (Catalyst `Expand` under the hood — one
+    * pass, no self-union). Null cells are RETAINED (a missing
+    * combination is a fact worth keeping in the long form); the oracle
+    * spells the relational definition, a UNION ALL per measure column.
+    * Wide→long is the other half of the reshape surface q48 opened. */
+  val q182Unpivot: Q = Q(
+    "q182_unpivot",
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+      |  FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority, status, revenue FROM (
+      |  SELECT o_orderpriority, 'F' AS status, rev_f AS revenue FROM wide
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'O' AS status, rev_o AS revenue FROM wide
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'P' AS status, rev_p AS revenue FROM wide
+      |)
+      |ORDER BY o_orderpriority, status""") { (s, d) =>
+    val wide = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))
+          .cast("double").as("rev_f"),
+        sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))
+          .cast("double").as("rev_o"),
+        sum(when(col("o_orderstatus") === "P", dec(col("o_totalprice"))))
+          .cast("double").as("rev_p"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("rev_f"), col("rev_o"), col("rev_p")),
+        "status", "revenue")
+      .select(col("o_orderpriority"),
+        upper(substring(col("status"), 5, 1)).as("status"), col("revenue"))
+      .orderBy("o_orderpriority", "status")
+  }
+
+  /** q185 — RFM segmentation: every user scored on Recency (days since
+    * last event), Frequency (event count) and Monetary (purchase cents,
+    * zero-filled), each dimension cut into terciles, and the 27 possible
+    * (r, f, m) segments reported with population and mean metrics — the
+    * classic CRM cohorting move. Tercile thresholds come from the q175
+    * histogram-crossing trick: each dimension collapses to value-
+    * domain-bounded cells (monetary is bucketed on whole DOLLARS
+    * exactly so its cell table stays bounded by the value range, not
+    * the user count), one running-count window over cells reads off
+    * t1 = min v with cum ≥ ⌈n/3⌉ and t2 at ⌈2n/3⌉, and the six scalars
+    * broadcast back onto users. Bucket = 1 + (v>t1) + (v>t2). No
+    * row-level sort, no ntile over users.
+    *
+    * Scale: one user-keyed partial agg, three cell histograms, one
+    * broadcast-join bucketing pass, 27-row output. */
+  val q185RfmSegments: Q = Q(
+    "q185_rfm_segments",
+    """WITH u AS (
+      |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m
+      |  FROM events GROUP BY user_id
+      |), mx AS (
+      |  SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+      |), rfm AS (
+      |  SELECT user_id, CAST(datediff('day', last_day, maxd) AS BIGINT) AS r,
+      |    f, m, m//100 AS md
+      |  FROM u CROSS JOIN mx
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM rfm
+      |), tr AS (
+      |  SELECT MIN(CASE WHEN cm >= (n+2)//3 THEN v END) AS t1,
+      |    MIN(CASE WHEN cm >= (2*n+2)//3 THEN v END) AS t2
+      |  FROM (SELECT r AS v, SUM(COUNT(*)) OVER (ORDER BY r) AS cm
+      |        FROM rfm GROUP BY r) CROSS JOIN n
+      |), tf AS (
+      |  SELECT MIN(CASE WHEN cm >= (n+2)//3 THEN v END) AS t1,
+      |    MIN(CASE WHEN cm >= (2*n+2)//3 THEN v END) AS t2
+      |  FROM (SELECT f AS v, SUM(COUNT(*)) OVER (ORDER BY f) AS cm
+      |        FROM rfm GROUP BY f) CROSS JOIN n
+      |), tm AS (
+      |  SELECT MIN(CASE WHEN cm >= (n+2)//3 THEN v END) AS t1,
+      |    MIN(CASE WHEN cm >= (2*n+2)//3 THEN v END) AS t2
+      |  FROM (SELECT md AS v, SUM(COUNT(*)) OVER (ORDER BY md) AS cm
+      |        FROM rfm GROUP BY md) CROSS JOIN n
+      |), b AS (
+      |  SELECT
+      |    1 + CASE WHEN r > tr.t1 THEN 1 ELSE 0 END
+      |      + CASE WHEN r > tr.t2 THEN 1 ELSE 0 END AS r_b,
+      |    1 + CASE WHEN f > tf.t1 THEN 1 ELSE 0 END
+      |      + CASE WHEN f > tf.t2 THEN 1 ELSE 0 END AS f_b,
+      |    1 + CASE WHEN md > tm.t1 THEN 1 ELSE 0 END
+      |      + CASE WHEN md > tm.t2 THEN 1 ELSE 0 END AS m_b,
+      |    f, m
+      |  FROM rfm CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+      |)
+      |SELECT CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b,
+      |  CAST(m_b AS BIGINT) AS m_b,
+      |  COUNT(*) AS n_users,
+      |  CAST(FLOOR(CAST(SUM(f) AS DOUBLE) * 1000 / COUNT(*)) AS BIGINT)
+      |    AS mean_events_milli,
+      |  CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_cents
+      |FROM b GROUP BY r_b, f_b, m_b
+      |ORDER BY r_b, f_b, m_b""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("m"))
+    val mx = Tables.events(s, d).agg(max(to_date(col("ts"))).as("maxd"))
+    val rfm = u.crossJoin(broadcast(mx))
+      .select(col("user_id"), datediff(col("maxd"), col("last_day")).cast("long").as("r"),
+        col("f"), col("m"), (col("m") / 100).cast("long").as("md"))
+      .localCheckpoint() // three histograms + the bucketing pass all read it
+    val n = rfm.agg(count(lit(1)).as("n"))
+    // tercile thresholds off the value histogram: cells are value-domain
+    // bounded (r: days, f: per-user counts, md: whole dollars), so the
+    // one global running-count window runs over a tiny cell table
+    def thr(dim: String, p: String): DataFrame = {
+      val w = Window.orderBy("v")
+      rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("k"))
+        .withColumn("cm", sum("k").over(w))
+        .crossJoin(broadcast(n))
+        .agg(min(when(col("cm") >= floor((col("n") + 2) / 3), col("v"))).as(s"t1$p"),
+          min(when(col("cm") >= floor((col("n") * 2 + 2) / 3), col("v"))).as(s"t2$p"))
+    }
+    def bucket(v: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column,
+        t2: org.apache.spark.sql.Column) =
+      lit(1) + when(v > t1, 1).otherwise(0) + when(v > t2, 1).otherwise(0)
+    rfm.crossJoin(broadcast(thr("r", "r"))).crossJoin(broadcast(thr("f", "f")))
+      .crossJoin(broadcast(thr("md", "m")))
+      .select(bucket(col("r"), col("t1r"), col("t2r")).cast("long").as("r_b"),
+        bucket(col("f"), col("t1f"), col("t2f")).cast("long").as("f_b"),
+        bucket(col("md"), col("t1m"), col("t2m")).cast("long").as("m_b"),
+        col("f"), col("m"))
+      .groupBy("r_b", "f_b", "m_b")
+      .agg(count(lit(1)).as("n_users"),
+        floor(sum("f").cast("double") * 1000d / count(lit(1)))
+          .cast("long").as("mean_events_milli"),
+        floor(sum("m").cast("double") / count(lit(1)))
+          .cast("long").as("mean_cents"))
+      .orderBy("r_b", "f_b", "m_b")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
     q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
-    q180GiniConcentration)
+    q180GiniConcentration, q182Unpivot, q185RfmSegments)
 }

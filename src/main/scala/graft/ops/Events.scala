@@ -1281,11 +1281,61 @@ object Events {
       .orderBy("landing_type")
   }
 
+  /** q181 — incremental sessionization across day boundaries: each DAY
+    * is sessionized independently (the shape a production pipeline has
+    * when it processes daily extracts as they land), producing per-day
+    * session FRAGMENTS; a second pass applies the identical 30-minute
+    * gap rule over fragments only, re-merging sessions that straddle
+    * midnight (including chains spanning 3+ days — the fragment pass is
+    * a full interval merge, not a pairwise boundary fix-up). The two-
+    * level split is exact: within a user, consecutive events across a
+    * fragment boundary are precisely (prev fragment's end, next
+    * fragment's start), so the fragment-level gap test decides exactly
+    * the event-level question. The ORACLE is q37's direct global
+    * sessionization SQL verbatim — the hash gate itself proves
+    * incremental == batch.
+    *
+    * Scale: this is the cheaper plan at 100 TB — stage 1's window
+    * partitions by (user, day), so each day's extract sessionizes
+    * independently (and incrementally, as files land); stage 2 runs
+    * over fragments, orders of magnitude fewer rows than events. */
+  val q181BoundarySessions: Q = Q(
+    "q181_boundary_sessions",
+    q37Sessionize.oracle.get) { (s, d) =>
+    val wd = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val wdRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frags = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag("sec", 1).over(wd))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("frag_idx", sum("is_new").over(wdRun))
+      .groupBy("user_id", "day", "frag_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("sec").as("start_sec"), max("sec").as("end_sec"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    val wf = Window.partitionBy("user_id").orderBy("start_sec")
+    val wfRun = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frags
+      .withColumn("prev_end", lag("end_sec", 1).over(wf))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("start_sec") - col("prev_end") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wfRun).cast("long"))
+      .groupBy("user_id", "session_idx")
+      .agg(sum("n_events").as("n_events"),
+        min("start_sec").as("start_sec"),
+        (max("end_sec") - min("start_sec")).as("duration_sec"),
+        sum("n_purchases").as("n_purchases"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
-    q179LandingBounce)
+    q179LandingBounce, q181BoundarySessions)
 }

@@ -567,8 +567,81 @@ object Scale {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-" + Integer.toHexString(sfDir.hashCode)).toString
 
+  /** Rendezvous (highest-random-weight) key for q186: a per-(doc,
+    * shard) hash packed with the shard id so ties are impossible —
+    * key = hash·16 + (15−s), argmax over shards recovers s from the
+    * max key's low bits. The hash SQUARES the affine LCG mod p: an
+    * affine-only h(doc,s) = (a·doc + b_s) mod p makes the argmax
+    * gap-proportional (the new shard wins b_8's arc of the circle, not
+    * 1/9 — measured 5.6%); squaring decorrelates the per-shard weights
+    * (measured 10.2% ≈ 1/9, balanced shards). h² ≤ p² < 2^63 so every
+    * intermediate stays in BIGINT on both engines. Pure integer
+    * projection, no explode. */
+  private def rvKey(shard: Int): String = {
+    val h = s"((doc_id * 1103515245 + ${shard.toLong * 2654435761L} + 12345) % 2147483647)"
+    s"(($h * $h) % 2147483647) * 16 + ${15 - shard}"
+  }
+
+  /** q186 — shard-rebalance audit: when a cluster grows 8→9 shards, how
+    * much data moves under modulo placement vs rendezvous (highest-
+    * random-weight) hashing? Modulo reshuffles ~8/9 of every key;
+    * rendezvous moves exactly the docs the NEW shard wins (~1/9, the
+    * provable minimum) because adding a candidate can only steal the
+    * argmax, never reorder the survivors. The audit that justifies
+    * consistent placement for 100 TB shard maps — q87 assigns shards
+    * statically; this measures the cost of CHANGING the shard count.
+    * Both placements are branch-free integer projections (the argmax is
+    * a greatest() over 9 tie-proof packed keys, no explode, no join);
+    * the whole audit is one scan into a 2-row report. */
+  val q186RendezvousRebalance: Q = Q(
+    "q186_rendezvous_rebalance",
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    (doc_id * 1103515245 + 12345) % 2147483647 AS hd,
+       |    ${(0 until 8).map(rvKey).mkString("greatest(", ", ", ")")} AS k8,
+       |    ${(0 until 9).map(rvKey).mkString("greatest(", ", ", ")")} AS k9
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, hd % 8 AS m8, hd % 9 AS m9,
+       |    15 - (k8 % 16) AS r8, 15 - (k9 % 16) AS r9
+       |  FROM k
+       |)
+       |SELECT strategy, n_docs, n_moved,
+       |  CAST(n_moved*1000000//n_docs AS BIGINT) AS moved_ppm
+       |FROM (
+       |  SELECT 'mod' AS strategy, COUNT(*) AS n_docs,
+       |    COUNT(CASE WHEN m8 <> m9 THEN 1 END) AS n_moved FROM s
+       |  UNION ALL
+       |  SELECT 'rendezvous' AS strategy, COUNT(*) AS n_docs,
+       |    COUNT(CASE WHEN r8 <> r9 THEN 1 END) AS n_moved FROM s
+       |)
+       |ORDER BY strategy""") { (s, d) =>
+    def key(shard: Int) = {
+      val h = (col("doc_id") * 1103515245L + lit(shard.toLong * 2654435761L) +
+        12345L) % 2147483647L
+      ((h * h) % 2147483647L) * 16L + lit(15L - shard)
+    }
+    val k = Tables.documents(s, d).select(col("doc_id"),
+      ((col("doc_id") * 1103515245L + 12345L) % 2147483647L).as("hd"),
+      greatest((0 until 8).map(key): _*).as("k8"),
+      greatest((0 until 9).map(key): _*).as("k9"))
+    val sh = k.select(
+      (col("hd") % 8).as("m8"), (col("hd") % 9).as("m9"),
+      (lit(15L) - col("k8") % 16).as("r8"), (lit(15L) - col("k9") % 16).as("r9"))
+    val mod = sh.agg(count(lit(1)).as("n_docs"),
+      count(when(col("m8") =!= col("m9"), 1)).as("n_moved"))
+      .select(lit("mod").as("strategy"), col("n_docs"), col("n_moved"))
+    val rv = sh.agg(count(lit(1)).as("n_docs"),
+      count(when(col("r8") =!= col("r9"), 1)).as("n_moved"))
+      .select(lit("rendezvous").as("strategy"), col("n_docs"), col("n_moved"))
+    mod.unionAll(rv)
+      .select(col("strategy"), col("n_docs"), col("n_moved"),
+        floor(col("n_moved") * 1000000L / col("n_docs")).cast("long").as("moved_ppm"))
+      .orderBy("strategy")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
-    q146StratifiedSplit)
+    q146StratifiedSplit, q186RendezvousRebalance)
 }

@@ -927,10 +927,136 @@ object Text {
       .orderBy("lang")
   }
 
+  /** q183 — χ² feature selection: the top-50 tokens most associated
+    * with the English class (label = lang='en'), ranked by the classic
+    * Pearson χ² over the per-token 2×2 document-frequency contingency
+    * table — the feature-selection pass a classifier pipeline (q91's
+    * shape) runs before committing a vocabulary. q161's PMI measures
+    * token–token affinity; this measures token–CLASS discrimination,
+    * n·(n11·n00 − n10·n01)² / (df·(n−df)·np·(n−np)) in milli. Cell
+    * counts are exact BIGINTs (cross products ≤ n² stay well inside
+    * 2^53 after the one double cast); the final ratio runs double-on-
+    * both-engines. df is bounded away from 0 and n so the denominator
+    * never vanishes.
+    *
+    * Scale: doc→distinct-token explode collapses map-side to (token,
+    * df, n11) partials; the class-total frame is a broadcast scalar. */
+  val q183Chi2Tokens: Q = Q(
+    "q183_chi2_tokens",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang = 'en' AS pos,
+       |    list_distinct($DToks) AS toks
+       |  FROM documents
+       |), n AS (
+       |  SELECT COUNT(*) AS n, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np FROM d
+       |), tok AS (
+       |  SELECT pos, unnest(toks) AS token FROM d
+       |), tf AS (
+       |  SELECT token,
+       |    COUNT(*) AS df,
+       |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n11
+       |  FROM tok GROUP BY token
+       |), c AS (
+       |  SELECT token, df, n11,
+       |    n11*(n - np - df + n11) - (df - n11)*(np - n11) AS det, n, np
+       |  FROM tf CROSS JOIN n
+       |  WHERE df >= 10 AND df <= n - 10
+       |)
+       |SELECT token, CAST(df AS BIGINT) AS df, CAST(n11 AS BIGINT) AS n11,
+       |  CAST(FLOOR(CAST(n AS DOUBLE) * CAST(det AS DOUBLE) * CAST(det AS DOUBLE) * 1000
+       |    / (CAST(df*(n - df) AS DOUBLE) * CAST(np*(n - np) AS DOUBLE))) AS BIGINT)
+       |    AS chi2_milli
+       |FROM c
+       |ORDER BY chi2_milli DESC, token LIMIT 50""") { (s, d) =>
+    val dd = docs(s, d)
+      .select((col("lang") === "en").as("pos"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val n = dd.agg(count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val tf = dd.select(col("pos"), explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(when(col("pos"), 1L).otherwise(0L)).as("n11"))
+    val c = tf.crossJoin(broadcast(n))
+      .filter(col("df") >= 10 && col("df") <= col("n") - 10)
+      .withColumn("det",
+        col("n11") * (col("n") - col("np") - col("df") + col("n11")) -
+          (col("df") - col("n11")) * (col("np") - col("n11")))
+    c.select(col("token"), col("df"), col("n11"),
+        floor(col("n").cast("double") * col("det").cast("double") *
+          col("det").cast("double") * 1000d /
+          ((col("df") * (col("n") - col("df"))).cast("double") *
+            (col("np") * (col("n") - col("np"))).cast("double")))
+          .cast("long").as("chi2_milli"))
+      .orderBy(col("chi2_milli").desc, col("token"))
+      .limit(50)
+  }
+
+  /** q184 — exact ROC-AUC by histogram rank-sum: how well the q22
+    * stopword-ratio score separates English from non-English documents,
+    * per source — the Mann-Whitney U statistic computed WITHOUT any
+    * row-level sort. Scores collapse to per-(source, score) (pos, neg)
+    * histogram cells; one window over cells gives the negatives-below
+    * running count, and 2·U = Σ p·(2·negs_below + n) credits ties at
+    * half (the exact midrank convention). AUC_ppm = 10⁶·U/(P·N), the
+    * probability a random English doc outscores a random non-English
+    * one. The same cell-histogram move as q175/q180, driving a third
+    * statistic family (rank-sum tests).
+    *
+    * Scale: one narrow scoring scan, (source, score) partial agg,
+    * windows over cells; per-source totals broadcast back. */
+  val q184AucRanksum: Q = Q(
+    "q184_auc_ranksum",
+    s"""WITH t AS (
+       |  SELECT source, lang = 'en' AS pos, $DToks AS toks FROM documents
+       |), sc AS (
+       |  SELECT source, pos,
+       |    CASE WHEN len(toks)=0 THEN 0 ELSE CAST(FLOOR(
+       |      CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)*1000000/len(toks)) AS BIGINT) END AS v
+       |  FROM t
+       |), h AS (
+       |  SELECT source, v,
+       |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+       |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+       |  FROM sc GROUP BY source, v
+       |), cum AS (
+       |  SELECT source, v, p, q,
+       |    SUM(q) OVER (PARTITION BY source ORDER BY v) - q AS q_below
+       |  FROM h
+       |), a AS (
+       |  SELECT source, SUM(p) AS np, SUM(q) AS nq,
+       |    SUM(p*(2*q_below + q)) AS u2
+       |  FROM cum GROUP BY source
+       |)
+       |SELECT source, CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+       |  CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000
+       |    / (2 * CAST(np AS DOUBLE) * CAST(nq AS DOUBLE))) AS BIGINT) AS auc_ppm
+       |FROM a WHERE np > 0 AND nq > 0
+       |ORDER BY source""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val en = LangStopwords.head._2
+    val h = docs(s, d)
+      .select(col("source"), (col("lang") === "en").as("pos"),
+        stopwordPpm(tokens(col("text")), en).as("v"))
+      .groupBy("source", "v")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("q"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val a = h.withColumn("q_below", sum("q").over(w) - col("q"))
+      .groupBy("source")
+      .agg(sum("p").as("np"), sum("q").as("nq"),
+        sum(col("p") * (col("q_below") * 2 + col("q"))).as("u2"))
+    a.filter(col("np") > 0 && col("nq") > 0)
+      .select(col("source"), col("np").as("n_pos"), col("nq").as("n_neg"),
+        floor(col("u2").cast("double") * 1000000d /
+          (col("np").cast("double") * col("nq").cast("double") * 2))
+          .cast("long").as("auc_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
-    q174BpeFertility)
+    q174BpeFertility, q183Chi2Tokens, q184AucRanksum)
 }

@@ -49,4 +49,59 @@ class AnalyticsSpec extends SparkSpec {
         s"flag=${r.getString(0)} exact=${r.getAs[Long]("exact_nd")} outside 10%")
     }
   }
+
+  test("q181: per-day incremental sessionization equals q37's global pass exactly") {
+    // the operator's whole claim: fragment-level re-merge reconstructs the
+    // event-level session partition bit-for-bit (the oracle proves it vs
+    // DuckDB at sf0.01, which contains one midnight-straddling session;
+    // this proves it engine-internally, row for row)
+    val inc = ops.Events.q181BoundarySessions.fn(spark, sf)
+    val glob = ops.Events.q37Sessionize.fn(spark, sf)
+    assert(inc.exceptAll(glob).isEmpty && glob.exceptAll(inc).isEmpty)
+
+    // planted fixture with GUARANTEED boundary sessions (sf0.001 has
+    // none): u1 straddles one midnight (23:50+23:59 -> 00:10+00:20) then
+    // a separate afternoon session; u2 straddles two different midnights
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-03-01 23:50:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-03-01 23:59:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-03-02 00:10:00", 1L, "purchase", 9.0, "{}"),
+      (4L, "2024-03-02 00:20:00", 1L, "view", 1.0, "{}"),
+      (5L, "2024-03-02 13:00:00", 1L, "view", 1.0, "{}"),
+      (6L, "2024-03-01 23:55:00", 2L, "view", 1.0, "{}"),
+      (7L, "2024-03-02 00:05:00", 2L, "view", 1.0, "{}"),
+      (8L, "2024-03-02 23:58:00", 2L, "view", 1.0, "{}"),
+      (9L, "2024-03-03 00:14:00", 2L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "raw_ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("raw_ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q181").toString
+    try {
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val pInc = ops.Events.q181BoundarySessions.fn(spark, dir).collect()
+      val pGlob = ops.Events.q37Sessionize.fn(spark, dir).collect()
+      assert(pInc.map(_.toSeq).toSeq == pGlob.map(_.toSeq).toSeq)
+      // u1: one merged midnight session (4 events, 1 purchase) + the 13:00
+      // singleton; u2: two merged boundary sessions of 2 events each
+      val byUser = pInc.groupBy(_.getLong(0))
+      assert(byUser(1L).map(r => (r.getLong(2), r.getLong(5))).sorted.toSeq ==
+        Seq((1L, 0L), (4L, 1L)))
+      assert(byUser(2L).map(r => (r.getLong(2), r.getLong(5))).sorted.toSeq ==
+        Seq((2L, 0L), (2L, 1L)))
+    } finally {
+      graft.sources.Versioned.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("q186: rendezvous moves ~1/9 of docs, modulo moves ~8/9") {
+    val rows = ops.Scale.q186RendezvousRebalance.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // mod placement: P[h%8 == h%9] = 1/9 for uniform h -> ~888888 ppm moved
+    assert(rows("mod") > 800000L && rows("mod") < 960000L,
+      s"mod moved_ppm=${rows("mod")} not ~8/9")
+    // rendezvous: only the new shard's wins move -> ~111111 ppm
+    assert(rows("rendezvous") > 60000L && rows("rendezvous") < 170000L,
+      s"rendezvous moved_ppm=${rows("rendezvous")} not ~1/9")
+  }
 }

@@ -269,7 +269,26 @@ class ScaleSpec extends SparkSpec {
       "q179_landing_bounce" -> 660L,
       // q180: per-customer revenue partials + (segment, dollars)
       // histogram cells; the customer dim broadcasts. Measured 52 KiB
-      "q180_gini_concentration" -> 130L)
+      "q180_gini_concentration" -> 130L,
+      // q181: one (user, day) window pass + the fragment-level merge —
+      // fragments are orders of magnitude fewer than events. Measured
+      // 525 KiB at sf0.01
+      "q181_boundary_sessions" -> 1320L,
+      // q182: |priorities|-row wide frame in, 3x that out. Measured
+      // 2 KiB at sf0.01
+      "q182_unpivot" -> 8L,
+      // q183: (token, df, n11) partials only — doc sets collapse
+      // map-side; class totals broadcast. Measured 154 KiB at sf0.01
+      "q183_chi2_tokens" -> 390L,
+      // q184: (source, score) histogram cells; one window over cells.
+      // Measured 134 KiB at sf0.01
+      "q184_auc_ranksum" -> 340L,
+      // q185: per-user partials + three value-domain histograms +
+      // broadcast thresholds. Measured 13 KiB at sf0.01
+      "q185_rfm_segments" -> 40L,
+      // q186: branch-free projection into two global aggregates —
+      // effectively zero shuffle. Measured 0 KiB at sf0.01
+      "q186_rendezvous_rebalance" -> 4L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1331,11 +1331,158 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q187 — co-visitation recommender: for every item (the `k` prop,
+    * the fixture's 100-value item domain), the top-5 other items whose
+    * audiences overlap most, scored by co-user count with lift (how many
+    * times more often the pair co-occurs than independence predicts, in
+    * ppm). The item-item similarity build behind "users who viewed X
+    * also viewed" — q171 overlaps the 5 EVENT TYPES; this builds the
+    * item×item matrix from the JSON payload and ranks per row.
+    *
+    * Scale: distinct (user, item) first (the only row-cardinality
+    * shuffle), then a user-co-partitioned self-join whose output is
+    * bounded by Σ_u items_u² — items_u is capped by the item domain,
+    * and a per-user item cap is the standard guard at web scale. The
+    * pair table is ≤ |items|² rows; ranking windows run on that. */
+  val q187Covisitation: Q = Q(
+    "q187_covisitation",
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |), ni AS (
+      |  SELECT item, COUNT(*) AS n_i FROM ui GROUP BY item
+      |), nu AS (
+      |  SELECT COUNT(DISTINCT user_id) AS nu FROM ui
+      |), pair AS (
+      |  SELECT a.item AS item, b.item AS rec, COUNT(*) AS n_ab
+      |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      |  GROUP BY a.item, b.item
+      |), scored AS (
+      |  SELECT pair.item AS item, pair.rec AS rec, n_ab,
+      |    CAST(FLOOR(CAST(n_ab AS DOUBLE) * nu * 1000000
+      |      / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE))) AS BIGINT) AS lift_ppm
+      |  FROM pair
+      |  JOIN ni na ON na.item = pair.item
+      |  JOIN ni nb ON nb.item = pair.rec
+      |  CROSS JOIN nu
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |    ORDER BY n_ab DESC, rec) AS rk
+      |  FROM scored
+      |)
+      |SELECT item, CAST(rk AS BIGINT) AS rk, rec, n_ab, lift_ppm
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY item, rk""") { (s, d) =>
+    val ui = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .localCheckpoint() // both join sides + the item counts read it
+    val ni = ui.groupBy("item").agg(count(lit(1)).as("n_i"))
+    val nu = ui.agg(countDistinct("user_id").as("nu"))
+    val pair = ui.as("a").join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("rec"))
+      .agg(count(lit(1)).as("n_ab"))
+    val w = Window.partitionBy("item").orderBy(col("n_ab").desc, col("rec"))
+    pair
+      .join(broadcast(ni.select(col("item"), col("n_i").as("na"))), "item")
+      .join(broadcast(ni.select(col("item").as("rec"), col("n_i").as("nb"))), "rec")
+      .crossJoin(broadcast(nu))
+      .select(col("item"), col("rec"), col("n_ab"),
+        floor(col("n_ab").cast("double") * col("nu") * 1000000d /
+          (col("na").cast("double") * col("nb").cast("double")))
+          .cast("long").as("lift_ppm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("item", "rk", "rec", "n_ab", "lift_ppm")
+      .orderBy("item", "rk")
+  }
+
+  /** q188 — time-to-conversion survival curve: for every user who
+    * viewed, the delay from FIRST view to the first purchase at-or-
+    * after it, bucketed by hour, with the exact survival fraction
+    * (users not yet converted) after each bucket in ppm; never-
+    * converting viewers land in a sentinel bucket (999999) that sorts
+    * last and closes the curve at the censored share. q38 finds the
+    * funnel firsts; this turns them into the delay DISTRIBUTION the
+    * funnel hides.
+    *
+    * Scale: two user-keyed aggregates (one shuffle — the funnel firsts
+    * and the join are both user-partitioned), then delays collapse to
+    * ≤ span-in-hours cells; the cumulative window runs over CELLS. */
+  val q188ConversionDelay: Q = Q(
+    "q188_conversion_delay",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts)//1000000 AS sec FROM events
+      |), fv AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view
+      |  FROM ev GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.sec >= f.first_view
+      |      THEN e.sec END) AS first_conv,
+      |    MIN(f.first_view) AS first_view
+      |  FROM ev e JOIN fv f USING (user_id)
+      |  WHERE f.first_view IS NOT NULL
+      |  GROUP BY e.user_id
+      |), bucketed AS (
+      |  SELECT CASE WHEN first_conv IS NULL THEN 999999
+      |    ELSE (first_conv - first_view) // 3600 END AS bucket_h
+      |  FROM fp
+      |), h AS (
+      |  SELECT bucket_h, COUNT(*) AS n_users FROM bucketed GROUP BY bucket_h
+      |), nv AS (
+      |  SELECT SUM(n_users) AS nv FROM h
+      |), cum AS (
+      |  SELECT bucket_h, n_users,
+      |    SUM(CASE WHEN bucket_h <> 999999 THEN n_users ELSE 0 END)
+      |      OVER (ORDER BY bucket_h) AS cum_conv
+      |  FROM h
+      |)
+      |SELECT CAST(bucket_h AS BIGINT) AS bucket_h,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(cum_conv AS BIGINT) AS cum_conv,
+      |  CAST(FLOOR(CAST(nv - cum_conv AS DOUBLE) * 1000000 / nv) AS BIGINT)
+      |    AS surv_ppm
+      |FROM cum CROSS JOIN nv
+      |ORDER BY bucket_h""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val fv = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("sec"))).as("first_view"))
+      .filter(col("first_view").isNotNull)
+    val fp = ev.join(fv, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase" && col("sec") >= col("first_view"),
+          col("sec"))).as("first_conv"),
+        min("first_view").as("first_view"))
+    val h = fp
+      .select(when(col("first_conv").isNull, 999999L)
+        .otherwise(floor((col("first_conv") - col("first_view")) / 3600).cast("long"))
+        .as("bucket_h"))
+      .groupBy("bucket_h").agg(count(lit(1)).as("n_users"))
+      .localCheckpoint() // ≤ span-in-hours cells; total + curve read it
+    val nv = h.agg(sum("n_users").as("nv"))
+    val w = Window.orderBy("bucket_h") // cells only: bounded by the time span
+    h.withColumn("cum_conv",
+        sum(when(col("bucket_h") =!= 999999L, col("n_users")).otherwise(0L)).over(w))
+      .crossJoin(broadcast(nv))
+      .select(col("bucket_h"), col("n_users"), col("cum_conv"),
+        floor((col("nv") - col("cum_conv")).cast("double") * 1000000d / col("nv"))
+          .cast("long").as("surv_ppm"))
+      .orderBy("bucket_h")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
-    q179LandingBounce, q181BoundarySessions)
+    q179LandingBounce, q181BoundarySessions, q187Covisitation,
+    q188ConversionDelay)
 }

@@ -640,8 +640,160 @@ object Scale {
       .orderBy("strategy")
   }
 
+  /** q189 — join-cardinality estimation audit: for the three fact/dim
+    * joins of the schema, the EXACT join output size computed from the
+    * two per-key frequency histograms (Σₖ aₖ·bₖ — no fact join ever
+    * runs) against the textbook uniform-independence estimate
+    * |A|·|B|/max(ndv) every cost-based optimizer starts from, with the
+    * error in ppm. Skewed keys are exactly where the uniform estimate
+    * collapses and a 1000-executor plan picks the wrong join strategy;
+    * this is the audit that quantifies it from metadata-sized inputs.
+    *
+    * Scale: per-key count aggregates (map-side partials), histogram ⋈
+    * histogram on the key (co-partitioned, key-cardinality), 3-row
+    * output. The fact tables are scanned once each, key column only. */
+  val q189JoinCardinality: Q = Q(
+    "q189_join_cardinality",
+    """WITH co AS (
+      |  SELECT 'customer_orders' AS join_name,
+      |    (SELECT COUNT(*) FROM customer) AS n_left,
+      |    (SELECT COUNT(*) FROM orders) AS n_right,
+      |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS nd_left,
+      |    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS nd_right,
+      |    (SELECT CAST(SUM(a.n*b.n) AS BIGINT) FROM
+      |      (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) a
+      |      JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) b
+      |      USING (k)) AS actual
+      |), ol AS (
+      |  SELECT 'orders_lineitem' AS join_name,
+      |    (SELECT COUNT(*) FROM orders) AS n_left,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_right,
+      |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS nd_left,
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS nd_right,
+      |    (SELECT CAST(SUM(a.n*b.n) AS BIGINT) FROM
+      |      (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) a
+      |      JOIN (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) b
+      |      USING (k)) AS actual
+      |), pl AS (
+      |  SELECT 'part_lineitem' AS join_name,
+      |    (SELECT COUNT(*) FROM part) AS n_left,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_right,
+      |    (SELECT COUNT(DISTINCT p_partkey) FROM part) AS nd_left,
+      |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS nd_right,
+      |    (SELECT CAST(SUM(a.n*b.n) AS BIGINT) FROM
+      |      (SELECT p_partkey AS k, COUNT(*) AS n FROM part GROUP BY 1) a
+      |      JOIN (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) b
+      |      USING (k)) AS actual
+      |)
+      |SELECT join_name, n_left, n_right, nd_left, nd_right,
+      |  CAST(FLOOR(CAST(n_left AS DOUBLE) * n_right
+      |    / CASE WHEN nd_left > nd_right THEN nd_left ELSE nd_right END) AS BIGINT)
+      |    AS est_uniform,
+      |  actual,
+      |  CAST(FLOOR(CAST(FLOOR(CAST(n_left AS DOUBLE) * n_right
+      |      / CASE WHEN nd_left > nd_right THEN nd_left ELSE nd_right END) AS DOUBLE)
+      |    * 1000000 / actual) AS BIGINT) AS est_over_actual_ppm
+      |FROM (SELECT * FROM co UNION ALL SELECT * FROM ol UNION ALL SELECT * FROM pl)
+      |ORDER BY join_name""") { (s, d) =>
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val a = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("n"))
+      val b = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("n"))
+      val actual = a.as("a").join(b.as("b"), "k")
+        .agg(sum(col("a.n") * col("b.n")).as("actual"))
+      val stats = left.agg(count(lit(1)).as("n_left"),
+          countDistinct(col(lk)).as("nd_left"))
+        .crossJoin(right.agg(count(lit(1)).as("n_right"),
+          countDistinct(col(rk)).as("nd_right")))
+      stats.crossJoin(broadcast(actual))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("nd_left"), col("nd_right"),
+          floor(col("n_left").cast("double") * col("n_right") /
+            when(col("nd_left") > col("nd_right"), col("nd_left"))
+              .otherwise(col("nd_right")))
+            .cast("long").as("est_uniform"), col("actual"))
+    }
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    audit("customer_orders", c, "c_custkey", o, "o_custkey")
+      .unionAll(audit("orders_lineitem", o, "o_orderkey", l, "l_orderkey"))
+      .unionAll(audit("part_lineitem", p, "p_partkey", l, "l_partkey"))
+      .select(col("*"),
+        floor(col("est_uniform").cast("double") * 1000000d / col("actual"))
+          .cast("long").as("est_over_actual_ppm"))
+      .orderBy("join_name")
+  }
+
+  /** q190 — id-continuity audit by CHUNKED gaps-and-islands: find every
+    * missing range in the event_id sequence (after q139-style targeted
+    * deletions, planted here as `event_id % 997 = 0`) WITHOUT the
+    * single-partition global window the textbook islands query needs.
+    * q181's two-level move applied to sequences: ids bucket into 4096-id
+    * chunks, islands form inside each chunk in parallel, then the
+    * boundary pass re-merges islands that touch across chunk edges —
+    * island fragments are orders of magnitude fewer than ids, so the one
+    * global window left runs over FRAGMENTS. Gaps are the complements of
+    * consecutive merged islands.
+    *
+    * Scale: the chunk size is the parallelism lever (bigger chunks →
+    * fewer fragments for the merge window); ids never leave their chunk
+    * partition until they've collapsed to (min, max) fragment rows. */
+  val q190IdContinuity: Q = Q(
+    "q190_id_continuity",
+    """WITH ids AS (
+      |  SELECT event_id AS id FROM events WHERE event_id % 997 <> 0
+      |), isl AS (
+      |  SELECT id,
+      |    CASE WHEN id - lag(id) OVER (ORDER BY id) = 1 THEN 0 ELSE 1 END AS brk
+      |  FROM ids
+      |), grp AS (
+      |  SELECT id, SUM(brk) OVER (ORDER BY id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM isl
+      |), island AS (
+      |  SELECT g, MIN(id) AS lo, MAX(id) AS hi FROM grp GROUP BY g
+      |)
+      |SELECT hi + 1 AS gap_start, nxt - 1 AS gap_end,
+      |  CAST(nxt - hi - 1 AS BIGINT) AS gap_len
+      |FROM (SELECT hi, lead(lo) OVER (ORDER BY lo) AS nxt FROM island)
+      |WHERE nxt IS NOT NULL AND nxt > hi + 1
+      |ORDER BY gap_start""") { (s, d) =>
+    // chunk-local islands in parallel, then q181's boundary re-merge:
+    // the oracle computes the same islands with the direct (single-
+    // window) textbook query — the hash gate proves the chunked plan
+    // equal to the global one
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.events(s, d)
+      .filter(col("event_id") % 997 =!= 0)
+      .select(col("event_id").as("id"), floor(col("event_id") / 4096).as("chunk"))
+    val wc = Window.partitionBy("chunk").orderBy("id")
+    val wcRun = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frags = ids
+      .withColumn("brk",
+        when(col("id") - lag("id", 1).over(wc) === 1, 0).otherwise(1))
+      .withColumn("g", sum("brk").over(wcRun))
+      .groupBy("chunk", "g")
+      .agg(min("id").as("lo"), max("id").as("hi"))
+    // islands touching across a chunk edge merge: same gap rule, gap 0
+    val wf = Window.orderBy("lo") // fragments only — ≪ ids
+    val wfRun = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = frags
+      .withColumn("brk",
+        when(col("lo") - lag("hi", 1).over(wf) === 1, 0).otherwise(1))
+      .withColumn("g2", sum("brk").over(wfRun))
+      .groupBy("g2")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+    merged
+      .withColumn("nxt", lead("lo", 1).over(Window.orderBy("lo")))
+      .filter(col("nxt").isNotNull && col("nxt") > col("hi") + 1)
+      .select((col("hi") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col("hi") - 1).cast("long").as("gap_len"))
+      .orderBy("gap_start")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
-    q146StratifiedSplit, q186RendezvousRebalance)
+    q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
+    q190IdContinuity)
 }

@@ -288,7 +288,19 @@ class ScaleSpec extends SparkSpec {
       "q185_rfm_segments" -> 40L,
       // q186: branch-free projection into two global aggregates —
       // effectively zero shuffle. Measured 0 KiB at sf0.01
-      "q186_rendezvous_rebalance" -> 4L)
+      "q186_rendezvous_rebalance" -> 4L,
+      // q187: distinct (user, item) + the co-partitioned self-join's
+      // ≤|items|² pair partials. Measured 203 KiB at sf0.01
+      "q187_covisitation" -> 510L,
+      // q188: two user-keyed aggregates sharing one exchange; delay
+      // cells after that. Measured 10 KiB at sf0.01
+      "q188_conversion_delay" -> 32L,
+      // q189: per-key count histograms (key-cardinality) for three
+      // joins — the fact join itself never runs. Measured 545 KiB
+      "q189_join_cardinality" -> 1370L,
+      // q190: ids collapse to island fragments inside each 4096-id
+      // chunk; the merge window sees fragments only. Measured 50 KiB
+      "q190_id_continuity" -> 130L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

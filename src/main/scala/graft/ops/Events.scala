@@ -1477,6 +1477,85 @@ object Events {
       .orderBy("bucket_h")
   }
 
+  /** q192 — seasonal decomposition of hourly traffic: the classic
+    * moving-average decomposition (trend = 25-hour centered MA on the
+    * ZERO-FILLED hourly series, seasonal = per-hour-of-day mean of the
+    * detrended values, residual = the rest) in exact integer milli.
+    * q106 z-scores raw hourly counts; this first REMOVES the trend, so
+    * the seasonal profile isn't polluted by growth or weekly drift, and
+    * reports the per-hour seasonal amplitude plus the mean absolute
+    * residual (how much traffic the trend+season model fails to
+    * explain). Edge hours without a full 25-hour frame are excluded
+    * from estimation.
+    *
+    * Scale: the corpus collapses to hourly cells map-side; the spine,
+    * the MA frame and the hod rollup all run over ≤ span-in-hours
+    * cells (the one ordered window is cell-bounded, same posture as
+    * q188's curve). */
+  val q192SeasonalDecomp: Q = Q(
+    "q192_seasonal_decomp",
+    """WITH b AS (
+      |  SELECT epoch_us(ts)//1000000//3600 AS h, COUNT(*) AS c
+      |  FROM events GROUP BY 1
+      |), bounds AS (
+      |  SELECT MIN(h) AS lo, MAX(h) AS hi FROM b
+      |), spine AS (
+      |  SELECT unnest(generate_series(lo, hi)) AS h FROM bounds
+      |), dense AS (
+      |  SELECT spine.h AS h, COALESCE(b.c, 0) AS c
+      |  FROM spine LEFT JOIN b USING (h)
+      |), tr AS (
+      |  SELECT h, c,
+      |    SUM(c) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s25,
+      |    COUNT(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS w
+      |  FROM dense
+      |), dt AS (
+      |  SELECT h, c*1000 - CAST(FLOOR(CAST(s25 AS DOUBLE)*1000/25) AS BIGINT) AS d
+      |  FROM tr WHERE w = 25
+      |), se AS (
+      |  SELECT h % 24 AS hod, COUNT(*) AS n_hours,
+      |    CAST(FLOOR(CAST(SUM(d) AS DOUBLE)/COUNT(*)) AS BIGINT) AS seasonal_milli
+      |  FROM dt GROUP BY 1
+      |), r AS (
+      |  SELECT dt.h % 24 AS hod, abs(dt.d - se.seasonal_milli) AS ad
+      |  FROM dt JOIN se ON se.hod = dt.h % 24
+      |)
+      |SELECT CAST(se.hod AS BIGINT) AS hod, CAST(n_hours AS BIGINT) AS n_hours,
+      |  seasonal_milli,
+      |  CAST(FLOOR(CAST(SUM(ad) AS DOUBLE)/COUNT(*)) AS BIGINT) AS mean_abs_resid_milli
+      |FROM r JOIN se USING (hod)
+      |GROUP BY se.hod, n_hours, seasonal_milli
+      |ORDER BY hod""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .select((unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val bounds = b.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val dense = spine.join(b, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val wma = Window.orderBy("h").rowsBetween(-12, 12) // span-in-hours cells
+    val dt = dense
+      .withColumn("s25", sum("c").over(wma))
+      .withColumn("w", count(lit(1)).over(wma))
+      .filter(col("w") === 25)
+      .select(col("h"),
+        (col("c") * 1000 - floor(col("s25").cast("double") * 1000d / 25).cast("long"))
+          .as("d"))
+      .localCheckpoint() // cell table; seasonal + residual both read it
+    val se = dt.groupBy((col("h") % 24).as("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        floor(sum("d").cast("double") / count(lit(1))).cast("long")
+          .as("seasonal_milli"))
+    dt.select((col("h") % 24).as("hod"), col("d"))
+      .join(broadcast(se), "hod")
+      .groupBy(col("hod"), col("n_hours"), col("seasonal_milli"))
+      .agg(floor(sum(abs(col("d") - col("seasonal_milli"))).cast("double") /
+        count(lit(1))).cast("long").as("mean_abs_resid_milli"))
+      .select(col("hod").cast("long").as("hod"), col("n_hours"),
+        col("seasonal_milli"), col("mean_abs_resid_milli"))
+      .orderBy("hod")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -1484,5 +1563,5 @@ object Events {
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
-    q188ConversionDelay)
+    q188ConversionDelay, q192SeasonalDecomp)
 }

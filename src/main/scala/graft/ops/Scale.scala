@@ -791,9 +791,70 @@ object Scale {
       .orderBy("gap_start")
   }
 
+  /** Tables × columns profiled by q191 (static so the oracle enumerates
+    * the same surface). */
+  private val profiled: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** q191 — one-pass table profiler: per column of three tables, row
+    * count, null count (+ppm) and EXACT distinct-value count — the
+    * catalog-statistics collector every optimizer and data-quality
+    * dashboard needs. The Spark plan melts each table to (column,
+    * value-as-string) pairs and aggregates (column, value) partials in
+    * ONE shuffle per table — the exchange carries Σ per-column NDV
+    * rows, never row×column pairs, because the partial agg collapses
+    * duplicates map-side; casts to string are injective per column so
+    * per-column NDV is preserved. (At 100 TB you'd swap exact NDV for
+    * HLL partials in the same plan shape; the melt and the single
+    * exchange stay identical.) The oracle spells the same numbers the
+    * boring way — one COUNT(DISTINCT) projection per column.
+    *
+    * The timestamp column casts through epoch micros, not the string
+    * form, so the (injective) representation is engine-independent. */
+  val q191TableProfile: Q = Q(
+    "q191_table_profile",
+    profiled.flatMap { case (t, cols) =>
+      cols.map { c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  CAST(FLOOR(CAST(COUNT(*) - COUNT($c) AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT) AS null_ppm,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv
+           |FROM $t""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")) { (s, d) =>
+    def melt(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+      val pairs = cols.map { c =>
+        struct(lit(c).as("col"),
+          (if (name == "events" && c == "ts")
+             unix_micros(col(c)).cast("string")
+           else col(c).cast("string")).as("v"))
+      }
+      df.select(explode(array(pairs: _*)).as("cv"))
+        .select(col("cv.col").as("col"), col("cv.v").as("v"))
+        .groupBy("col", "v").agg(count(lit(1)).as("k"))
+        .groupBy("col")
+        .agg(sum("k").as("n_rows"),
+          sum(when(col("v").isNull, col("k")).otherwise(0L)).as("n_nulls"),
+          count(when(col("v").isNotNull, 1)).as("ndv"))
+        .select(lit(name).as("tbl"), col("col"), col("n_rows"), col("n_nulls"),
+          floor(col("n_nulls").cast("double") * 1000000d / col("n_rows"))
+            .cast("long").as("null_ppm"), col("ndv"))
+    }
+    val byName = Map[String, DataFrame](
+      "orders" -> Tables.orders(s, d),
+      "events" -> Tables.events(s, d),
+      "documents" -> Tables.documents(s, d))
+    profiled.map { case (t, cols) => melt(t, byName(t), cols) }
+      .reduce(_ unionAll _)
+      .orderBy("tbl", "col")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
     q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
-    q190IdContinuity)
+    q190IdContinuity, q191TableProfile)
 }

@@ -300,7 +300,15 @@ class ScaleSpec extends SparkSpec {
       "q189_join_cardinality" -> 1370L,
       // q190: ids collapse to island fragments inside each 4096-id
       // chunk; the merge window sees fragments only. Measured 50 KiB
-      "q190_id_continuity" -> 130L)
+      "q190_id_continuity" -> 130L,
+      // q191: (column, value) partials collapse duplicates map-side —
+      // the exchange carries Σ per-column NDV rows, never row×column.
+      // Measured 889 KiB at sf0.01 (documents.text dominates: its
+      // values ARE near-distinct)
+      "q191_table_profile" -> 2230L,
+      // q192: hourly cells only; spine, MA frame and hod rollup are all
+      // cell-bounded. Measured 13 KiB at sf0.01
+      "q192_seasonal_decomp" -> 40L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -39,7 +39,20 @@ class PlanAuditSpec extends SparkSpec {
     "q141_drift_report" -> "corpus-scalar joins: each revision's 1-row doc total broadcasts into its ~9-key share aggregate",
     "q143_skew_audit" -> "scalar-scalar join: the 1-row top-10 total broadcasts against the 1-row key-count aggregate",
     "q149_vocab_growth" -> "corpus-scalar join: the 1-row doc-count broadcasts into the bucket assignment on both the term and doc legs",
-    "q151_public_suffix" -> "public-suffix longest match: the 7-row (real PSL: ~9k-row) suffix table broadcasts into the dot-boundary suffix predicate; per-host matches are label-count-bounded")
+    "q151_public_suffix" -> "public-suffix longest match: the 7-row (real PSL: ~9k-row) suffix table broadcasts into the dot-boundary suffix predicate; per-host matches are label-count-bounded",
+    "q161_pmi_collocations" -> "corpus-scalar join: the 1-row unigram/bigram totals broadcast into the vocab-bounded pair scoring",
+    "q166_calibration_ece" -> "corpus-scalar join: the 1-row doc total broadcasts into the ≤10-bin ECE report",
+    "q169_vocab_drift" -> "corpus-scalar join: the 1-row per-slice token totals broadcast into the vocab-bounded drift scoring",
+    "q172_prefix_dim_quality" -> "shares q31's shape: the k query vectors broadcast; the corpus is scored in one streaming pass",
+    "q174_bpe_fertility" -> "composes q113's BPE chain verbatim — inherits its allowlisted per-round 1-row merge-pair broadcasts",
+    "q176_session_paths" -> "corpus-scalar join: the 1-row path total broadcasts into the ≤|types|³ share table",
+    "q177_ab_report" -> "scalar-scalar joins: the two 1-row arm frames form the t² scalar, which broadcasts back onto the 2-row report",
+    "q178_trend_ols" -> "corpus-scalar join: the 1-row global min-day broadcasts into the |types|·|days| daily-cell frame",
+    "q183_chi2_tokens" -> "corpus-scalar join: the 1-row (n, np) class totals broadcast into the per-token contingency scoring",
+    "q185_rfm_segments" -> "scalar joins: the 1-row user count and three 1-row tercile-threshold frames broadcast into the bucketing pass",
+    "q187_covisitation" -> "corpus-scalar join: the 1-row user count broadcasts into the ≤|items|² lift scoring",
+    "q188_conversion_delay" -> "corpus-scalar join: the 1-row viewer total broadcasts into the ≤span-in-hours curve cells",
+    "q189_join_cardinality" -> "scalar-scalar joins: each audit row is built from 1-row stats frames (n, ndv, Σaₖbₖ) cross-joined into one report row")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -111,6 +111,10 @@ object Prof {
     // warmup
     byName("q02_filter_project")(spark, sf).write.format("noop").mode("overwrite").save()
     for (name <- args; _ <- 1 to 2) {
+      // drop accumulated localCheckpoint blocks so each measurement is
+      // independent of what ran before it (same rationale as Bench)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       shufWrite.set(0); shufRead.set(0); stages.clear()
       val t0 = System.nanoTime()
       byName(name)(spark, sf).write.format("noop").mode("overwrite").save()

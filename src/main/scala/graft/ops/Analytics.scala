@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1222,10 +1222,259 @@ object Analytics {
       .orderBy("r_b", "f_b", "m_b")
   }
 
+  /** q193 — spatial radius self-join via grid-cell bucketing: all
+    * customer pairs within 1.0° of each other on a synthetic flat
+    * plane, WITHOUT the all-pairs cross join. Coordinates are a
+    * deterministic fixture stand-in (two quadratic integer mixes of
+    * c_custkey → µdeg positions on a 60°×120° plane; a *linear* LCG
+    * would put consecutive keys on a sparse lattice with no close
+    * pairs — the k² term breaks the lattice; a real deployment reads
+    * real coordinates), but the join geometry is the production shape: each
+    * point lands in one 1°×1° home cell, the probe side explodes to
+    * its 3×3 cell neighborhood, and candidates meet in a hash join on
+    * the cell key — because the radius equals the cell size, every
+    * qualifying pair shares (home cell, one of 9 probe cells) EXACTLY
+    * once, so no post-join dedup. Distances stay in exact integer
+    * µdeg² (squared Euclidean; no haversine transcendentals to drift
+    * cross-engine). Flat-grid semantics: no ±180° wrap (documented,
+    * matches the oracle).
+    *
+    * Scale: candidate volume is 9× points keyed by cell vs n² for the
+    * cross join; both sides shuffle on the cell key only (ids + 2
+    * coords, fixed width). Dense cells degrade locally, not globally —
+    * the skew answer is the same salting/AQE toolkit as any hash join
+    * (q51/q143). Ref: the engine-extension mandate (SURVEY §2.4),
+    * DSQ-family grid joins in PAPERS.md. */
+  val q193GridRadiusJoin: Q = Q(
+    "q193_grid_radius_join",
+    """WITH p AS (
+      |  SELECT c_custkey AS k,
+      |    (CAST(c_custkey AS BIGINT) * c_custkey * 31
+      |      + CAST(c_custkey AS BIGINT) * 7919) % 60000001 AS y,
+      |    (CAST(c_custkey AS BIGINT) * c_custkey * 37
+      |      + CAST(c_custkey AS BIGINT) * 104729) % 120000001 AS x
+      |  FROM customer
+      |)
+      |SELECT a.k AS a_key, b.k AS b_key,
+      |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+      |FROM p a JOIN p b ON a.k < b.k
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |  <= 1000000000000
+      |ORDER BY a_key, b_key""") { (s, d) =>
+    val cellSz = 1000000L // 1° in µdeg = the search radius
+    val k = col("c_custkey").cast("long")
+    val p = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      ((k * k * 31L + k * 7919L) % 60000001L).as("y"),
+      ((k * k * 37L + k * 104729L) % 120000001L).as("x"))
+    val home = p.select(col("k").as("a_key"), col("x").as("ax"), col("y").as("ay"),
+      floor(col("x") / cellSz).cast("long").as("cx"),
+      floor(col("y") / cellSz).cast("long").as("cy"))
+    val offs = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj")))): _*)
+    val probe = p.select(col("k").as("b_key"), col("x").as("bx"), col("y").as("by"),
+        floor(col("x") / cellSz).cast("long").as("hx"),
+        floor(col("y") / cellSz).cast("long").as("hy"))
+      .withColumn("o", explode(offs))
+      .select(col("b_key"), col("bx"), col("by"),
+        (col("hx") + col("o.di")).as("cx"), (col("hy") + col("o.dj")).as("cy"))
+    val dsq = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    home.join(probe, Seq("cx", "cy"))
+      .filter(col("a_key") < col("b_key") && dsq <= cellSz * cellSz)
+      .select(col("a_key"), col("b_key"), dsq.as("dist_sq"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** q194 — functional-dependency audit: for five candidate FDs across
+    * four tables, measure how close each X→Y is to holding — the
+    * profiling step behind normalization, key discovery, and
+    * dirty-data triage (TANE's g3 error, computed exactly). Per FD:
+    * distinct LHS keys, keys violating (≥2 distinct RHS values),
+    * violating rows = rows − Σ_key max RHS-group count (= the minimum
+    * deletions to make the FD hold, g3), and g3 as ppm of rows.
+    *
+    * Scale: each FD is two collapsing aggregations — (X,Y) partials
+    * map-side, then X-level rollup — never a self-join; the five FDs
+    * union after reducing to one row each. */
+  val q194FdAudit: Q = {
+    def fdSql(tbl: String, lhs: String, rhs: String): String =
+      s"""SELECT '$tbl.$lhs->$rhs' AS fd, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_keys,
+         |  COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS viol_keys,
+         |  CAST(SUM(cnt) - SUM(mx) AS BIGINT) AS viol_rows,
+         |  CAST(FLOOR(CAST(SUM(cnt) - SUM(mx) AS DOUBLE) * 1000000
+         |    / SUM(cnt)) AS BIGINT) AS g3_ppm
+         |FROM (
+         |  SELECT $lhs, SUM(c) AS cnt, MAX(c) AS mx, COUNT(*) AS n_rhs
+         |  FROM (SELECT $lhs, $rhs, COUNT(*) AS c FROM $tbl GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val fds = Seq(
+      ("part", "p_brand", "p_type"), ("part", "p_type", "p_brand"),
+      ("customer", "c_mktsegment", "c_nationkey"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_partkey", "l_suppkey"))
+    Q("q194_fd_audit",
+      fds.map { case (t, l, r) => fdSql(t, l, r) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")) { (s, d) =>
+      def audit(df: DataFrame, tbl: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("c"))
+          .groupBy(col(lhs))
+          .agg(sum("c").as("cnt"), max("c").as("mx"), count(lit(1)).as("n_rhs"))
+          .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+            count(when(col("n_rhs") > 1, 1)).as("viol_keys"),
+            (sum("cnt") - sum("mx")).as("viol_rows"),
+            floor((sum("cnt") - sum("mx")).cast("double") * 1000000d / sum("cnt"))
+              .cast("long").as("g3_ppm"))
+          .select(lit(s"$tbl.$lhs->$rhs").as("fd"), col("n_rows"), col("n_keys"),
+            col("viol_keys"), col("viol_rows"), col("g3_ppm"))
+      val parts = Tables.part(s, d)
+      audit(parts, "part", "p_brand", "p_type")
+        .unionByName(audit(parts, "part", "p_type", "p_brand"))
+        .unionByName(audit(Tables.customer(s, d), "customer", "c_mktsegment", "c_nationkey"))
+        .unionByName(audit(Tables.orders(s, d), "orders", "o_custkey", "o_orderpriority"))
+        .unionByName(audit(Tables.lineitem(s, d), "lineitem", "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    }
+  }
+
+  /** q195 — complete edit-distance≤1 similarity join via
+    * deletion-neighborhood indexing (FastSS; Bocek et al. 2007, public
+    * algorithm): every noisy string joins every canonical string at
+    * Levenshtein distance ≤ 1, with GUARANTEED recall — unlike q53's
+    * heuristic suffix blocking, which misses pairs whose block key was
+    * itself corrupted. Strings are deterministic 4-char base-26 spellings
+    * of c_custkey (alphabet-substring encoding — identical on both
+    * engines); the noisy side plants one deletion (k%3=0), one
+    * substitution (k%3=1) or nothing (k%3=2) at position k%4.
+    *
+    * Index: each side emits (variant, pos) = the string itself tagged
+    * −1 plus each delete-one-char variant tagged by position. Two
+    * strings are at ED≤1 IFF variants collide with (both −1) ↔ equal;
+    * (exactly one −1) ↔ insert/delete; (same pos ≥ 0) ↔ substitution —
+    * so the candidate set is EXACT, the final `levenshtein` is a
+    * belt-and-braces verify, and the DISTINCT collapses the L+1
+    * duplicate collisions of identical strings.
+    *
+    * Scale: the exchange carries O(n·(L+1)) short fixed-width variant
+    * rows — never the n² cross join the oracle runs; candidate volume
+    * is bounded by true-match volume (exactness), so no verify blowup.
+    * Ref: record-linkage mandate (SURVEY §2.3), q53's candidate/verify
+    * shape with the recall hole closed. */
+  val q195EditDistanceJoin: Q = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // 4-char base-26 spelling, most-significant digit first (SQL text)
+    val nameSql =
+      s"""substr('$alpha', (k // 17576) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 676) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 26) % 26 + 1, 1) ||
+         |    substr('$alpha', k % 26 + 1, 1)""".stripMargin
+    Q("q195_edit_distance_join",
+      s"""WITH canon AS (
+         |  SELECT c_custkey AS ck, $nameSql AS canonical
+         |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k, c_custkey FROM customer)
+         |), noisy AS (
+         |  SELECT ck AS nk,
+         |    CASE ck % 3
+         |      WHEN 0 THEN substr(canonical, 1, ck % 4) || substr(canonical, ck % 4 + 2, 10)
+         |      WHEN 1 THEN substr(canonical, 1, ck % 4) ||
+         |        substr('$alpha', (ck * 17) % 26 + 1, 1) || substr(canonical, ck % 4 + 2, 10)
+         |      ELSE canonical END AS noisy_name
+         |  FROM canon
+         |)
+         |SELECT nk, noisy_name, ck, canonical,
+         |  CAST(levenshtein(noisy_name, canonical) AS BIGINT) AS ed
+         |FROM noisy, canon
+         |WHERE levenshtein(noisy_name, canonical) <= 1
+         |ORDER BY nk, ck""".stripMargin) { (s, d) =>
+      val k = col("c_custkey").cast("long")
+      // 4-char base-26 spelling (mirror of nameSql; Spark spells // as div)
+      val canonical = concat(
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 17576) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 676) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 26) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', CAST(c_custkey AS BIGINT) % 26 + 1, 1)"))
+      val canon = Tables.customer(s, d)
+        .select(k.as("ck"), canonical.as("canonical"))
+      val noisy = canon.select(col("ck").as("nk"),
+        when(col("ck") % 3 === 0,
+          concat(expr("substr(canonical, 1, CAST(ck % 4 AS INT))"),
+            expr("substr(canonical, CAST(ck % 4 AS INT) + 2, 10)")))
+          .when(col("ck") % 3 === 1,
+            concat(expr("substr(canonical, 1, CAST(ck % 4 AS INT))"),
+              expr(s"substr('$alpha', CAST((ck * 17) % 26 AS INT) + 1, 1)"),
+              expr("substr(canonical, CAST(ck % 4 AS INT) + 2, 10)")))
+          .otherwise(col("canonical")).as("noisy_name"))
+      // (variant, pos) index: the string tagged -1 + delete-one variants
+      def variants(strCol: String): Column = expr(
+        s"""transform(sequence(-1, length($strCol) - 1), i ->
+           |  struct(CASE WHEN i = -1 THEN $strCol
+           |    ELSE concat(substr($strCol, 1, i), substr($strCol, i + 2, 10))
+           |    END AS v, i AS p))""".stripMargin)
+      val nVar = noisy.select(col("nk"), col("noisy_name"),
+        explode(variants("noisy_name")).as("o"))
+        .select(col("nk"), col("noisy_name"), col("o.v").as("v"), col("o.p").as("pn"))
+      val cVar = canon.select(col("ck"), col("canonical"),
+        explode(variants("canonical")).as("o"))
+        .select(col("ck"), col("canonical"), col("o.v").as("v"), col("o.p").as("pc"))
+      nVar.join(cVar, "v")
+        .filter(col("pn") === -1 || col("pc") === -1 || col("pn") === col("pc"))
+        .select(col("nk"), col("noisy_name"), col("ck"), col("canonical"))
+        .distinct()
+        .withColumn("ed", levenshtein(col("noisy_name"), col("canonical")).cast("long"))
+        .filter(col("ed") <= 1)
+        .orderBy("nk", "ck")
+    }
+  }
+
+  /** q196 — 2-D skyline (Pareto frontier) of parts: maximize p_size,
+    * minimize price — the points no other point dominates (≥ in both
+    * dims, > in one). Spelled as a CELL-HISTOGRAM skyline: p_size has a
+    * bounded domain, so one size-keyed aggregation collapses the table
+    * to ≤|sizes| (size, min-price) cells, the frontier is decided by an
+    * exclusive running-min window over those CELLS (never a global
+    * row-level window), and survivors are recovered by a broadcast join
+    * of the tiny frontier back to the scan. Equal points both survive
+    * (neither strictly dominates) — the oracle's NOT EXISTS spells the
+    * same rule. Prices stay exact BIGINT cents.
+    *
+    * Scale: one exchange of (size, min) partials — map-side combine
+    * collapses to the value domain; the window and frontier live on
+    * ≤|sizes| rows; the verify join broadcasts. The D>2 generalization
+    * keeps the same shape: grid-cell prune → per-cell local skyline →
+    * merge of local skylines (skyline(∪ skyline(Pᵢ)) = skyline(∪Pᵢ)). */
+  val q196Skyline: Q = Q(
+    "q196_skyline",
+    """SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+      |  CAST(p_retailprice * 100 AS BIGINT) AS cents
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+      |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+      |ORDER BY p_partkey""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      col("p_size").cast("long").as("size"),
+      (col("p_retailprice") * 100).cast("long").as("cents"))
+    val cells = pts.groupBy("size").agg(min("cents").as("mn"))
+    // exclusive running min over strictly larger sizes (cells only)
+    val wLarger = Window.orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = cells
+      .withColumn("minLarger", min("mn").over(wLarger))
+      .filter(col("minLarger").isNull || col("mn") < col("minLarger"))
+      .select(col("size").as("f_size"), col("mn")) // renamed: frontier derives from pts
+    pts.join(broadcast(frontier),
+        col("size") === col("f_size") && col("cents") === col("mn"))
+      .select(col("p_partkey"), col("size"), col("cents"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
     q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
-    q180GiniConcentration, q182Unpivot, q185RfmSegments)
+    q180GiniConcentration, q182Unpivot, q185RfmSegments, q193GridRadiusJoin,
+    q194FdAudit, q195EditDistanceJoin, q196Skyline)
 }

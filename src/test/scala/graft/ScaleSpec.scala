@@ -308,7 +308,20 @@ class ScaleSpec extends SparkSpec {
       "q191_table_profile" -> 2230L,
       // q192: hourly cells only; spine, MA frame and hod rollup are all
       // cell-bounded. Measured 13 KiB at sf0.01
-      "q192_seasonal_decomp" -> 40L)
+      "q192_seasonal_decomp" -> 40L,
+      // q193: 1×home + 9×probe fixed-width point rows keyed by cell —
+      // 10n candidate rows, never n². Measured 111 KiB at sf0.01
+      "q193_grid_radius_join" -> 280L,
+      // q194: five FDs × two collapsing aggs — (X,Y) partials map-side,
+      // X-level rollup after. Measured 634 KiB at sf0.01
+      "q194_fd_audit" -> 1590L,
+      // q195: O(n·(L+1)) short variant rows + true-match-bounded
+      // candidates — never the n² cross join. Measured 1554 KiB at
+      // sf0.01 (the 52k true pairs dominate; variant index is 97 KiB)
+      "q195_edit_distance_join" -> 3890L,
+      // q196: (size, min-cents) partials collapse to the value domain
+      // map-side; frontier broadcasts. Measured 1 KiB at sf0.01
+      "q196_skyline" -> 8L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

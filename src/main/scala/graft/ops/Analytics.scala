@@ -1470,11 +1470,78 @@ object Analytics {
       .orderBy("p_partkey")
   }
 
+  /** q197 — Theil-Sen robust trend: the MEDIAN pairwise slope of daily
+    * order revenue (and the median-residual intercept), the
+    * outlier-resistant complement to q178's least-squares line (OLS
+    * breaks down under a single corrupted day; Theil-Sen tolerates 29%
+    * contamination). Slopes are exact integer milli-cents/day via the
+    * documented FLOOR(a·scale/b) double (both engines floor the same
+    * IEEE value); intercept arithmetic stays in BIGINT.
+    *
+    * Scale: the pair frame is days×(days−1)/2 — TIME-domain bounded
+    * (~2.9M rows for a 7-year span) and independent of row count, so it
+    * is cells², not data². The median comes from q153's value-domain
+    * binary-search selection (log₂(range) conditional-count aggregates
+    * over the checkpointed pair frame — no global sort at any size);
+    * the intercept median reuses the same helper on the ~|days| cell
+    * frame. Oracle ranks with ROW_NUMBER at oracle scale. */
+  val q197TheilSen: Q = Q(
+    "q197_theil_sen",
+    """WITH cells AS (
+      |  SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1
+      |), slopes AS (
+      |  SELECT CAST(FLOOR((b.rev - a.rev) * 1000.0 / (b.d - a.d)) AS BIGINT) AS sl
+      |  FROM cells a JOIN cells b ON a.d < b.d
+      |), ns AS (SELECT COUNT(*) AS n FROM slopes),
+      |ranked AS (SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) - 1 AS rk FROM slopes),
+      |med AS (SELECT sl FROM ranked JOIN ns ON rk = (n - 1) // 2),
+      |ics AS (
+      |  SELECT rev * 1000 - med.sl * d AS ic FROM cells CROSS JOIN med
+      |), ni AS (SELECT COUNT(*) AS n FROM ics),
+      |iranked AS (SELECT ic, ROW_NUMBER() OVER (ORDER BY ic) - 1 AS rk FROM ics)
+      |SELECT med.sl AS slope_milli, i.ic AS intercept_milli,
+      |  CAST(ns.n AS BIGINT) AS n_pairs, CAST(ni.n AS BIGINT) AS n_days
+      |FROM med, ns, ni, iranked i WHERE i.rk = (ni.n - 1) // 2""") { (s, d) =>
+    import s.implicits._
+    // kth-smallest (0-based) by value-domain binary search — q153's move
+    def kth(df: DataFrame, c: String, k: Long): Long = {
+      val h = df.agg(min(col(c)), max(col(c))).head()
+      var lo = h.getLong(0); var hi = h.getLong(1)
+      while (lo < hi) {
+        val mid = Math.floorDiv(lo + hi, 2) // value domain may span negatives
+        val cnt = df.agg(sum(when(col(c) <= mid, 1L).otherwise(0L))).head().getLong(0)
+        if (cnt > k) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val cells = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("d"))
+      .agg(sum(dec(col("o_totalprice")) * 100).cast("long").as("rev"))
+      .localCheckpoint()
+    val a = cells.select(col("d").as("da"), col("rev").as("ra"))
+    val b = cells.select(col("d").as("db"), col("rev").as("rb"))
+    val slopes = a.join(b, col("da") < col("db"))
+      .select(floor((col("rb") - col("ra")) * lit(1000.0) / (col("db") - col("da")))
+        .cast("long").as("sl"))
+      .localCheckpoint()
+    val nPairs = slopes.count()
+    val slope = kth(slopes, "sl", (nPairs - 1) / 2)
+    val ics = cells.select((col("rev") * 1000L - lit(slope) * col("d")).as("ic"))
+      .localCheckpoint()
+    val nDays = ics.count()
+    val intercept = kth(ics, "ic", (nDays - 1) / 2)
+    Seq((slope, intercept, nPairs, nDays))
+      .toDF("slope_milli", "intercept_milli", "n_pairs", "n_days")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
     q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
     q180GiniConcentration, q182Unpivot, q185RfmSegments, q193GridRadiusJoin,
-    q194FdAudit, q195EditDistanceJoin, q196Skyline)
+    q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen)
 }

@@ -363,5 +363,86 @@ object Graph {
     lab
   }
 
-  val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp)
+  /** q198 — multi-source BFS: exact shortest-hop distance (≤ 3) from a
+    * seed set to every reachable host on the q128 directed link graph —
+    * the "distance to a trusted seed" feature behind TrustRank-style
+    * spam demotion and crawl prioritization (seeds here: hid % 7 = 0,
+    * a deterministic fixture stand-in for a curated whitelist).
+    * Each round relaxes the frontier through the edge list and folds
+    * with MIN — d_{i+1}(v) = min(d_i(v), 1 + min over in-edges) — so a
+    * node keeps its earliest discovery; 3 rounds are statically
+    * unrolled into the plan (no driver loop over data), and the oracle
+    * replays them as chained CTEs.
+    *
+    * Scale: same posture as q128 — the only corpus-cardinality stage is
+    * the link-extraction scan; distances and frontiers are
+    * host-cardinality, every iteration joins edges against a BROADCAST
+    * distance table, and the per-round fold is a host-keyed MIN. Hosts
+    * not reached within 3 hops are absent (inner join), matching the
+    * oracle. */
+  val q198MultiSourceBfs: Q = Q(
+    "q198_multisource_bfs",
+    {
+      def round(prev: String) =
+        s"""SELECT hid, MIN(dist) AS dist FROM (
+           |    SELECT hid, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS hid, p.dist + 1 AS dist
+           |    FROM $prev p JOIN edges e ON e.src = p.hid
+           |  ) GROUP BY hid"""
+      s"""WITH d AS (
+         |  SELECT source, md5(text) AS hx FROM documents
+         |), hosts AS (
+         |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+         |    COUNT(*) AS n_docs
+         |  FROM d GROUP BY source
+         |), nh AS (
+         |  SELECT COUNT(*) AS n FROM hosts
+         |), links AS (
+         |  SELECT h.hid AS src,
+         |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+         |  FROM d
+         |  JOIN hosts h USING (source)
+         |  CROSS JOIN nh
+         |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+         |), edges AS (
+         |  SELECT DISTINCT src, dst FROM links
+         |), d0 AS (
+         |  SELECT hid, CAST(0 AS BIGINT) AS dist FROM hosts WHERE hid % 7 = 0
+         |), d1 AS (
+         |${round("d0")}
+         |), d2 AS (
+         |${round("d1")}
+         |), d3 AS (
+         |${round("d2")}
+         |)
+         |SELECT h.source AS host, r.dist AS hops
+         |FROM hosts h JOIN d3 r USING (hid)
+         |ORDER BY host"""
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh)) // 1-row host count: scale-safe scalar
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    val edges = links.distinct()
+    var dist = hosts.filter(col("hid") % 7 === 0)
+      .select(col("hid"), lit(0L).as("dist"))
+    (1 to 3).foreach { _ =>
+      val relaxed = edges
+        .join(broadcast(dist.select(col("hid").as("src"), col("dist"))), "src")
+        .select(col("dst").as("hid"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed).groupBy("hid").agg(min("dist").as("dist"))
+    }
+    hosts.join(dist, "hid")
+      .select(col("source").as("host"), col("dist").as("hops"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
+    q198MultiSourceBfs)
 }

@@ -52,7 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     "q185_rfm_segments" -> "scalar joins: the 1-row user count and three 1-row tercile-threshold frames broadcast into the bucketing pass",
     "q187_covisitation" -> "corpus-scalar join: the 1-row user count broadcasts into the ≤|items|² lift scoring",
     "q188_conversion_delay" -> "corpus-scalar join: the 1-row viewer total broadcasts into the ≤span-in-hours curve cells",
-    "q189_join_cardinality" -> "scalar-scalar joins: each audit row is built from 1-row stats frames (n, ndv, Σaₖbₖ) cross-joined into one report row")
+    "q189_join_cardinality" -> "scalar-scalar joins: each audit row is built from 1-row stats frames (n, ndv, Σaₖbₖ) cross-joined into one report row",
+    "q197_theil_sen" -> "cells² pair frame: the daily-cell side is TIME-domain-bounded (~2.4k rows whatever the corpus size) and broadcasts; the median extraction is conditional-count aggregates, never a sort",
+    "q198_multisource_bfs" -> "shares q128's link extraction: the 1-row host count broadcasts into the outlink scan; the BFS rounds run on the host-cardinality graph only")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -321,7 +321,13 @@ class ScaleSpec extends SparkSpec {
       "q195_edit_distance_join" -> 3890L,
       // q196: (size, min-cents) partials collapse to the value domain
       // map-side; frontier broadcasts. Measured 1 KiB at sf0.01
-      "q196_skyline" -> 8L)
+      "q196_skyline" -> 8L,
+      // q197: (day, rev) cells + the checkpointed days² slope frame —
+      // time-domain-bounded, independent of row count. Measured 38 KiB
+      "q197_theil_sen" -> 100L,
+      // q198: link-extraction scan partials + host-cardinality
+      // distance folds; frontiers broadcast. Measured 8 KiB at sf0.01
+      "q198_multisource_bfs" -> 24L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1537,11 +1537,127 @@ object Analytics {
       .toDF("slope_milli", "intercept_milli", "n_pairs", "n_days")
   }
 
+  /** q199 — hierarchical subtree rollup WITHOUT recursion: customers
+    * form a synthetic decimal forest (parent(k) = k div 10, roots
+    * 1..9 — the fixture stand-in for an org chart / account hierarchy /
+    * category tree), and each existing node reports its depth, direct
+    * children, subtree node count and subtree balance. The recursive
+    * CTE a warehouse would write doesn't distribute; the scalable
+    * spelling is ANCESTOR EXPLOSION: a fixed-depth hierarchy lets every
+    * row emit its ≤ depth ancestors (k div 10^i) in the scan, and ONE
+    * aggregation keyed on ancestor computes every subtree total
+    * bottom-up-free. Depth is bounded by log₁₀(maxkey) ≤ 12 — data
+    * scale adds rows, not depth.
+    *
+    * Scale: the exchange carries rows×depth fixed-width (ancestor, 1,
+    * cents) partials that combine map-side; no iteration, no
+    * driver-side tree. Balances stay exact BIGINT cents (acctbal may
+    * be negative). */
+  val q199HierarchyRollup: Q = Q(
+    "q199_hierarchy_rollup",
+    """WITH nodes AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer
+      |), anc AS (
+      |  SELECT k // CAST(POWER(10, t.i) AS BIGINT) AS v, k, cents
+      |  FROM nodes CROSS JOIN (SELECT unnest(range(0, 12)) AS i) t
+      |  WHERE k // CAST(POWER(10, t.i) AS BIGINT) >= 1
+      |), sub AS (
+      |  SELECT v, COUNT(*) AS subtree_n, SUM(cents) AS subtree_cents
+      |  FROM anc GROUP BY v
+      |), kids AS (
+      |  SELECT k // 10 AS v, COUNT(*) AS n_children
+      |  FROM nodes WHERE k >= 10 GROUP BY 1
+      |)
+      |SELECT n.k AS node, CAST(length(CAST(n.k AS VARCHAR)) - 1 AS BIGINT) AS depth,
+      |  CAST(COALESCE(kids.n_children, 0) AS BIGINT) AS n_children,
+      |  CAST(sub.subtree_n AS BIGINT) AS subtree_n,
+      |  CAST(sub.subtree_cents AS BIGINT) AS subtree_cents
+      |FROM nodes n
+      |JOIN sub ON sub.v = n.k
+      |LEFT JOIN kids ON kids.v = n.k
+      |ORDER BY node""") { (s, d) =>
+    val nodes = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"),
+      (dec(col("c_acctbal")) * 100).cast("long").as("cents"))
+    val anc = nodes
+      .select(explode(array((0 until 12).map(i =>
+        (col("k") / lit(math.pow(10, i).toLong)).cast("long")): _*)).as("v"),
+        col("cents"))
+      .filter(col("v") >= 1)
+    val sub = anc.groupBy("v")
+      .agg(count(lit(1)).as("subtree_n"), sum("cents").as("subtree_cents"))
+    val kids = nodes.filter(col("k") >= 10)
+      .groupBy((col("k") / 10).cast("long").as("v"))
+      .agg(count(lit(1)).as("n_children"))
+    nodes.select(col("k"))
+      .join(sub, col("k") === sub("v")).drop("v")
+      .join(kids, nodes("k") === kids("v"), "left").drop("v")
+      .select(col("k").as("node"),
+        (length(col("k").cast("string")) - 1).cast("long").as("depth"),
+        coalesce(col("n_children"), lit(0L)).as("n_children"),
+        col("subtree_n"), col("subtree_cents"))
+      .orderBy("node")
+  }
+
+  /** q200 — Benford first-digit audit: the distribution of leading
+    * significant digits of order totals against Benford's law — the
+    * classic forensic-accounting / synthetic-data smell test (organic
+    * multiplicative processes follow log₁₀(1+1/d); fabricated or
+    * uniform-generated values don't, and TPC-H's uniform prices fail
+    * loudly — which is the point of the audit). Expected shares are the
+    * nine Benford ppm constants as LITERALS (no cross-engine log), the
+    * observed share and deviation are integer ppm.
+    *
+    * Scale: one scan → 9 cells; everything after is arithmetic on the
+    * cell row. */
+  val q200BenfordAudit: Q = {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L) // floor(1e6·log10(1+1/d)), d=1..9
+    val benfordSql = benford.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+    Q("q200_benford_audit",
+      s"""WITH obs AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    COUNT(*) AS n
+         |  FROM orders GROUP BY 1
+         |), tot AS (SELECT SUM(n) AS t FROM obs),
+         |exp AS (SELECT * FROM (VALUES $benfordSql) AS e(digit, benford_ppm))
+         |SELECT CAST(e.digit AS BIGINT) AS digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+         |  CAST(FLOOR(CAST(COALESCE(o.n, 0) AS DOUBLE) * 1000000 / tot.t) AS BIGINT)
+         |    AS obs_ppm,
+         |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+         |  CAST(FLOOR(CAST(COALESCE(o.n, 0) AS DOUBLE) * 1000000 / tot.t) AS BIGINT)
+         |    - e.benford_ppm AS dev_ppm
+         |FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+         |ORDER BY digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = Tables.orders(s, d)
+        .select(substring((dec(col("o_totalprice")) * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum("n").as("t"))
+      val exp = benford.zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "benford_ppm")
+      val ppm = floor(coalesce(col("n"), lit(0L)).cast("double") * 1000000d / col("t"))
+        .cast("long")
+      broadcast(exp).join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(tot)) // 1-row total: scale-safe scalar
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          ppm.as("obs_ppm"), col("benford_ppm"),
+          (ppm - col("benford_ppm")).as("dev_ppm"))
+        .orderBy("digit")
+    }
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,
     q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
     q180GiniConcentration, q182Unpivot, q185RfmSegments, q193GridRadiusJoin,
-    q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen)
+    q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen,
+    q199HierarchyRollup, q200BenfordAudit)
 }

@@ -1556,6 +1556,81 @@ object Events {
       .orderBy("hod")
   }
 
+  /** q201 — lead-lag cross-correlation scan: Pearson r between the
+    * hourly `view` series and the hourly `purchase` series at every lag
+    * in −6..+6 hours — the "does browsing lead buying, and by how
+    * long?" diagnostic (argmax lag = the causal delay a marketing model
+    * should use; also the degenerate-fixture detector: flat r across
+    * lags means the two streams are independent). Series are
+    * zero-filled on the common hour spine so missing hours count as 0,
+    * not as gaps. All sums are exact BIGINT; r alone is a milli ratio
+    * whose only non-integer steps are IEEE-exact (sqrt is a correctly-
+    * rounded IEEE-754 operation, unlike log/exp — both engines emit the
+    * identical bits; the FLOOR(a·scale/b) pattern handles the rest).
+    *
+    * Scale: one corpus scan collapses to hour cells map-side;
+    * everything after — the 13-lag explode, the self-join on shifted
+    * hours, the per-lag moment rollup — runs on span-in-hours CELLS
+    * (time-domain bounded, independent of row count). */
+  val q201LeadLag: Q = Q(
+    "q201_lead_lag",
+    """WITH b AS (
+      |  SELECT epoch_us(ts)//1000000//3600 AS h,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+      |), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+      |dense AS (
+      |  SELECT s.h AS h, COALESCE(b.x, 0) AS x, COALESCE(b.y, 0) AS y
+      |  FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
+      |  LEFT JOIN b USING (h)
+      |), lags AS (SELECT unnest(range(-6, 7)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag AS lag, a.x AS x, c.y AS y
+      |  FROM dense a CROSS JOIN lags l
+      |  JOIN dense c ON c.h = a.h + l.lag
+      |), m AS (
+      |  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      |  FROM pairs GROUP BY lag
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(sxy AS BIGINT) AS sxy,
+      |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+      |    ELSE CAST(FLOOR((n*sxy - sx*sy) * 1000.0 /
+      |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+      |       sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT) END AS r_milli
+      |FROM m ORDER BY lag""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy((unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+      .agg(count(when(col("event_type") === "view", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val bounds = b.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val dense = spine.join(b, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // cell table read by both legs of the lag join
+    val shifted = dense
+      .select(explode(sequence(lit(-6L), lit(6L))).as("lag"), col("h"), col("x"))
+      .select(col("lag"), (col("h") + col("lag")).as("h2"), col("x"))
+    val m = shifted
+      .join(dense.select(col("h").as("h2"), col("y")), "h2")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("lag"), col("n").as("n_hours"), col("sxy"),
+        when(vx * vy === 0, lit(null).cast("long"))
+          .otherwise(floor((col("n") * col("sxy") - col("sx") * col("sy")) *
+            lit(1000.0) / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .cast("long")).as("r_milli"))
+      .orderBy("lag")
+  }
+
   val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -1563,5 +1638,5 @@ object Events {
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
-    q188ConversionDelay, q192SeasonalDecomp)
+    q188ConversionDelay, q192SeasonalDecomp, q201LeadLag)
 }

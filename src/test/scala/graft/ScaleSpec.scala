@@ -327,7 +327,16 @@ class ScaleSpec extends SparkSpec {
       "q197_theil_sen" -> 100L,
       // q198: link-extraction scan partials + host-cardinality
       // distance folds; frontiers broadcast. Measured 8 KiB at sf0.01
-      "q198_multisource_bfs" -> 24L)
+      "q198_multisource_bfs" -> 24L,
+      // q199: rows×12 fixed-width (ancestor, cents) partials combine
+      // map-side to node cardinality. Measured 37 KiB at sf0.01
+      "q199_hierarchy_rollup" -> 100L,
+      // q200: one scan → 9 digit cells; the rest is cell arithmetic.
+      // Measured 1 KiB at sf0.01
+      "q200_benford_audit" -> 8L,
+      // q201: hour cells only; the 13-lag join and moment rollup run on
+      // span-in-hours cells. Measured 9 KiB at sf0.01
+      "q201_lead_lag" -> 28L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -487,7 +487,78 @@ object Relational {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[Q] = Seq(
+  /** q203 — referential-integrity (FK orphan) audit: for every foreign-
+    * key edge of the schema plus the events→customer behavioral edge,
+    * count rows, null FKs, orphan rows (FK present but no parent) and
+    * distinct orphan keys — the warehouse health certificate that q159's
+    * single-table contract gate can't see. The eighth edge is a PLANTED
+    * positive control (orderkey%97 rows get their custkey shifted out of
+    * range), proving the detector actually fires — an all-zeros audit
+    * from a detector that can't detect is worthless (q159's planted-
+    * violation precedent).
+    *
+    * Scale: each edge is one left join keyed on the FK + one collapsing
+    * aggregate; parents that are dimension-small broadcast under AQE,
+    * fact-fact edges (lineitem→orders) shuffle on the key — the join IS
+    * the audit, there is no cheaper exact spelling. Eight 1-row frames
+    * union into the report. */
+  val q203FkOrphanAudit: Q = {
+    def edgeSql(label: String, childFrom: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$label' AS edge, COUNT(*) AS n_rows,
+         |  COUNT(CASE WHEN c.fk IS NULL THEN 1 END) AS n_null_fk,
+         |  COUNT(CASE WHEN c.fk IS NOT NULL AND p.$pk IS NULL THEN 1 END)
+         |    AS n_orphan_rows,
+         |  COUNT(DISTINCT CASE WHEN c.fk IS NOT NULL AND p.$pk IS NULL
+         |    THEN c.fk END) AS n_orphan_keys
+         |FROM (SELECT CAST($fk AS BIGINT) AS fk FROM $childFrom) c
+         |LEFT JOIN $parent p ON c.fk = CAST(p.$pk AS BIGINT)""".stripMargin
+    val edges = Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events->customer", "events", "user_id", "customer", "c_custkey"),
+      ("control:planted", "orders",
+        "CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 ELSE o_custkey END",
+        "customer", "c_custkey"))
+    Q("q203_fk_orphan_audit",
+      edges.map { case (l, c, fk, p, pk) => edgeSql(l, c, fk, p, pk) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")) { (s, d) =>
+      def table(name: String): DataFrame = name match {
+        case "lineitem" => Tables.lineitem(s, d)
+        case "orders"   => Tables.orders(s, d)
+        case "customer" => Tables.customer(s, d)
+        case "supplier" => Tables.supplier(s, d)
+        case "part"     => Tables.part(s, d)
+        case "nation"   => Tables.nation(s, d)
+        case "region"   => Tables.region(s, d)
+        case "events"   => Tables.events(s, d)
+      }
+      def audit(label: String, child: DataFrame, fk: Column,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(fk.cast("long").as("fk"))
+          .join(parent.select(col(pk).cast("long").as("pk")), col("fk") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("fk").isNull, 1)).as("n_null_fk"),
+            count(when(col("fk").isNotNull && col("pk").isNull, 1)).as("n_orphan_rows"),
+            countDistinct(when(col("fk").isNotNull && col("pk").isNull, col("fk")))
+              .as("n_orphan_keys"))
+          .select(lit(label).as("edge"), col("n_rows"), col("n_null_fk"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      edges.map { case (label, c, fk, p, pk) =>
+        val fkCol = if (label == "control:planted")
+          when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey"))
+        else col(fk)
+        audit(label, table(c), fkCol, table(p), pk)
+      }.reduce(_ unionByName _).orderBy("edge")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q203FkOrphanAudit,
     q01PricingAgg, q02FilterProject, q03RegionRevenue, q04TopOrders,
     q05DedupAudit, q06UnionLineage, q07TopkPerGroup, q08StringFuncs,
     q09NoticeTypeMap, q10CtypeMap, q11ArrayHof, q12MonthSeq, q13Rollup,

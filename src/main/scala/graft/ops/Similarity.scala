@@ -1391,8 +1391,70 @@ object Similarity {
       .orderBy("query_id")
   }
 
+
+  /** q204 — mutual nearest-neighbor linkage: pairs (a, b) across two
+    * vector populations (even/odd vec_ids — the fixture stand-in for
+    * two languages / two snapshots / two modalities) where each is the
+    * other's cosine argmax. The reciprocal filter is the standard
+    * precision move over one-directional NN (used in bitext mining and
+    * cross-modal alignment: one-directional best matches hub badly;
+    * q116's margin scoring is the soft variant, this is the hard gate).
+    * Ties break to the smaller partner id on both engines (max-struct
+    * fold ↔ ROW_NUMBER ... cos DESC, id ASC).
+    *
+    * Scale: scoring is the brute bipartite baseline (one side
+    * broadcast, corpus streamed once — q32/q54's banded-LSH / IVF
+    * indexes are the sublinear candidate path and compose unchanged);
+    * the mutual gate itself is two map-side argmax FOLDS (max of a
+    * (cos, −id) struct — no per-group sort) plus one id-only equi-join. */
+  val q204MutualNn: Q = Q(
+    "q204_mutual_nn",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), a AS (SELECT vec_id AS a_id, v AS av FROM vecs WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS b_id, v AS bv FROM vecs WHERE vec_id % 2 = 1),
+       |scored AS (
+       |  SELECT a_id, b_id, ${dCosPpm("av", "bv")} AS cos_ppm
+       |  FROM a CROSS JOIN b
+       |), ba AS (
+       |  SELECT a_id, b_id, cos_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id) AS rn
+       |  FROM scored
+       |), bb AS (
+       |  SELECT a_id, b_id,
+       |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT ba.a_id AS a_id, ba.b_id AS b_id, ba.cos_ppm AS cos_ppm
+       |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+       |WHERE ba.rn = 1 AND bb.rn = 1
+       |ORDER BY a_id""") { (s, d) =>
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    val a = vecs.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("v_nrm").as("a_nrm"))
+    val b = vecs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("v_nrm").as("b_nrm"))
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        cosPpmPre(dot(col("av"), col("bv")), col("a_nrm"), col("b_nrm")).as("cos_ppm"))
+      .localCheckpoint() // both argmax folds read the scored pairs once
+    // argmax by (cos, -partner): lexicographic struct max = cos DESC, id ASC
+    val bestB = scored
+      .groupBy("a_id")
+      .agg(max(struct(col("cos_ppm"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("a_id"), (-col("m.nb")).as("b_id"), col("m.cos_ppm").as("cos_ppm"))
+    val bestA = scored
+      .groupBy("b_id")
+      .agg(max(struct(col("cos_ppm"), (-col("a_id")).as("na"))).as("m"))
+      .select((-col("m.na")).as("a_id"), col("b_id"))
+    bestB.join(bestA, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_ppm"))
+      .orderBy("a_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
-    q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality)
+    q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn)
 }

@@ -1053,7 +1053,74 @@ object Text {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q21TokenStats, q22QualityScore, q23LangId,
+  /** q202 — cross-source quantile normalization: map every source's
+    * document-length distribution onto the POOLED distribution by rank
+    * (the batch-effect correction used when mixing corpora whose
+    * quality/length scores aren't comparable — source A's p90 should
+    * mean the same thing as source B's p90 before a shared threshold is
+    * applied). Emitted as a per-(source, value) LOOKUP TABLE: low rank
+    * r of a value within its source maps to pooled position
+    * ceil((2r−1)·N / 2·Nₛ) (the (r−½)/Nₛ quantile, quantile_disc
+    * convention), and the normalized value is the pooled value whose
+    * cumulative rank interval contains that position. All rank
+    * arithmetic is exact integer (`div` ceiling form — no doubles, so
+    * no 2^53 cliff at any N).
+    *
+    * Scale: one scan collapses to (source, value) cells map-side; the
+    * per-source and pooled cumulative windows run over CELLS
+    * (value-domain bounded), and the interval-mapping range join is
+    * cells × broadcast(pooled cells). Per-ROW normalization at 100 TB
+    * is then a broadcast hash join of this table back onto the corpus. */
+  val q202QuantileNorm: Q = Q(
+    "q202_quantile_norm",
+    """WITH cells AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT source, v, cnt,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) - cnt + 1 AS lo_rank,
+      |    SUM(cnt) OVER (PARTITION BY source) AS ns
+      |  FROM cells
+      |), pr AS (
+      |  SELECT v AS pv,
+      |    SUM(pcnt) OVER (ORDER BY v) - pcnt + 1 AS plo,
+      |    SUM(pcnt) OVER (ORDER BY v) AS phi
+      |  FROM (SELECT v, SUM(cnt) AS pcnt FROM cells GROUP BY 1)
+      |), nn AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT sc.source AS source, sc.v AS n_chars, CAST(sc.cnt AS BIGINT) AS n_rows,
+      |  CAST(((2*sc.lo_rank - 1) * nn.n + 2*sc.ns - 1) // (2*sc.ns) AS BIGINT)
+      |    AS target_rank,
+      |  pr.pv AS norm_chars
+      |FROM sc CROSS JOIN nn
+      |JOIN pr ON ((2*sc.lo_rank - 1) * nn.n + 2*sc.ns - 1) // (2*sc.ns)
+      |  BETWEEN pr.plo AND pr.phi
+      |ORDER BY source, n_chars""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // cell table feeds both the per-source and pooled legs
+    val wsrc = Window.partitionBy("source").orderBy("v")
+    val sc = cells
+      .withColumn("lo_rank", sum("cnt").over(wsrc) - col("cnt") + 1)
+      .withColumn("ns", sum("cnt").over(Window.partitionBy("source")))
+    val wp = Window.orderBy("pv") // pooled CELLS, value-domain bounded
+    val pr = cells.groupBy(col("v").as("pv")).agg(sum("cnt").as("pcnt"))
+      .withColumn("phi", sum("pcnt").over(wp))
+      .withColumn("plo", col("phi") - col("pcnt") + 1)
+      .select("pv", "plo", "phi")
+    val nn = cells.agg(sum("cnt").as("n"))
+    val tr = expr("((2*lo_rank - 1) * n + 2*ns - 1) div (2*ns)")
+    sc.crossJoin(broadcast(nn))
+      .withColumn("target_rank", tr)
+      .join(broadcast(pr),
+        col("target_rank") >= col("plo") && col("target_rank") <= col("phi"))
+      .select(col("source"), col("v").as("n_chars"), col("cnt").as("n_rows"),
+        col("target_rank"), col("pv").as("norm_chars"))
+      .orderBy("source", "n_chars")
+  }
+
+  val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,

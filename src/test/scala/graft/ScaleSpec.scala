@@ -336,7 +336,16 @@ class ScaleSpec extends SparkSpec {
       "q200_benford_audit" -> 8L,
       // q201: hour cells only; the 13-lag join and moment rollup run on
       // span-in-hours cells. Measured 9 KiB at sf0.01
-      "q201_lead_lag" -> 28L)
+      "q201_lead_lag" -> 28L,
+      // q202: (source, value) cells collapse map-side; windows + the
+      // interval map run on cells. Measured 26 KiB at sf0.01
+      "q202_quantile_norm" -> 70L,
+      // q203: eight FK left joins + collapsing aggregates — keys only,
+      // dims broadcast under AQE. Measured 2 KiB at sf0.01
+      "q203_fk_orphan_audit" -> 8L,
+      // q204: brute bipartite scoring (one side broadcast) + two
+      // argmax folds on id/cos rows. Measured 155 KiB at sf0.01
+      "q204_mutual_nn" -> 390L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

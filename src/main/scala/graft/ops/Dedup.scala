@@ -955,7 +955,69 @@ object Dedup {
       .orderBy("src_doc", "dst_doc")
   }
 
-  val all: Seq[Q] = Seq(q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
+  /** q205 — sorted-neighborhood blocking (Hernández–Stolfo
+    * merge/purge): the THIRD blocking paradigm in the linkage suite —
+    * q53 blocks on a derived key (misses pairs whose key is corrupted),
+    * q195's deletion index is complete but ED≤1-specific; sorted
+    * neighborhood catches whatever sorts nearby under ANY distance,
+    * with recall tuned by the window w. Candidate pairs = rows within
+    * w=5 positions in the global (name, custkey) sort order, verified
+    * at levenshtein ≤ 2. The definition is inherently sequential
+    * ("slide a window down the sorted file"); the distributed spelling
+    * is: parallel global rank (range partition + partition offsets —
+    * Graph.rankIds, no single-task window), then block adjacency —
+    * each row joins its rank-block and the next (rb−ra ≤ w spans at
+    * most 2 w-blocks), an EQUI-join, then the exact rank-gap filter.
+    *
+    * Scale: the exchange carries (rank, key, name) fixed-width rows;
+    * candidates are ≤ 2w per row regardless of data size; no n²
+    * anywhere. The oracle replays the textbook ROW_NUMBER self-join. */
+  val q205SortedNeighborhood: Q = Q(
+    "q205_sorted_neighborhood",
+    """WITH noisy AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 4 = 0 THEN replace(c_name, '#000', '#')
+      |         ELSE c_name END AS nm
+      |  FROM customer
+      |), ranked AS (
+      |  SELECT k, nm, ROW_NUMBER() OVER (ORDER BY nm, k) - 1 AS rk FROM noisy
+      |)
+      |SELECT a.k AS a_key, b.k AS b_key,
+      |  CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      |FROM ranked a JOIN ranked b
+      |  ON b.rk > a.rk AND b.rk - a.rk <= 5
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |ORDER BY a_key, b_key""") { (s, d) =>
+    val w = 5
+    val noisy = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      when(col("c_custkey") % 4 === 0,
+        regexp_replace(col("c_name"), "#000", "#"))
+        .otherwise(col("c_name")).as("nm"))
+    // composite sort key is unique by construction (name + zero-padded
+    // key) and orders exactly like (nm, k): the '!' separator (0x21)
+    // sorts below every character that appears in a name, so a name
+    // that is a strict prefix of another still ranks first — a
+    // separator above '0' would invert those pairs vs the oracle
+    val ranked = Graph.rankIds(
+      noisy.withColumn("srt", concat(col("nm"), lit("!"),
+        lpad(col("k").cast("string"), 12, "0"))), "srt", "rk")
+      .select(col("k"), col("nm"), col("rk"))
+    val left = ranked.select(col("k").as("a_key"), col("nm").as("a_nm"),
+      col("rk").as("ra"), (col("rk") / w).cast("long").as("blk"))
+    val right = ranked.select(col("k").as("b_key"), col("nm").as("b_nm"),
+        col("rk").as("rb"))
+      .withColumn("blk", explode(array((col("rb") / w).cast("long"),
+        (col("rb") / w).cast("long") - 1)))
+    left.join(right, "blk")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w)
+      .filter(levenshtein(col("a_nm"), col("b_nm")) <= 2)
+      .select(col("a_key"), col("b_key"), (col("rb") - col("ra")).as("rank_gap"),
+        levenshtein(col("a_nm"), col("b_nm")).cast("long").as("dist"))
+      .orderBy("a_key", "b_key")
+  }
+
+  val all: Seq[Q] = Seq(q205SortedNeighborhood, q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
     q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin,

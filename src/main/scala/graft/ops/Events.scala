@@ -1631,7 +1631,87 @@ object Events {
       .orderBy("lag")
   }
 
-  val all: Seq[Q] = Seq(q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
+  /** q207 — peak concurrency by sweep-line: the maximum number of
+    * simultaneously-open sessions per day (capacity planning's
+    * headline number — intervals-overlapping-a-JOIN is q170; this is
+    * the global "how many at once" question that a join can't answer).
+    * Sessions are q37's 30-min-gap rule; each session emits +1 at its
+    * start minute and −1 at the minute after its end, deltas collapse
+    * to minute cells, and concurrency = running sum over the
+    * ZERO-FILLED minute spine (a session spanning a quiet stretch
+    * still counts — the spine, not the deltas, carries the level
+    * between changes). Daily report: peak concurrency + first minute
+    * (UTC minute-of-day) it is reached.
+    *
+    * Scale: one user_id window pass (q37's shuffle) builds sessions;
+    * everything after runs on span-in-minutes CELLS — delta cells,
+    * spine, running sum, daily argmax — time-domain bounded whatever
+    * the event volume. */
+  val q207PeakConcurrency: Q = Q(
+    "q207_peak_concurrency",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts)//1000000 AS sec, ts, event_id FROM events
+      |), lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid, sec
+      |  FROM lagged
+      |), iv AS (
+      |  SELECT MIN(sec) // 60 AS m_start, MAX(sec) // 60 + 1 AS m_end
+      |  FROM sess GROUP BY user_id, sid
+      |), deltas AS (
+      |  SELECT m, SUM(d) AS d FROM (
+      |    SELECT m_start AS m, 1 AS d FROM iv
+      |    UNION ALL SELECT m_end AS m, -1 AS d FROM iv
+      |  ) GROUP BY m
+      |), bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM deltas),
+      |dense AS (
+      |  SELECT s.m AS m, COALESCE(d.d, 0) AS d
+      |  FROM (SELECT unnest(generate_series(lo, hi)) AS m FROM bounds) s
+      |  LEFT JOIN deltas d USING (m)
+      |), conc AS (
+      |  SELECT m, SUM(d) OVER (ORDER BY m) AS c FROM dense
+      |), daily AS (
+      |  SELECT m // 1440 AS day, m, c,
+      |    ROW_NUMBER() OVER (PARTITION BY m // 1440 ORDER BY c DESC, m) AS rn
+      |  FROM conc
+      |)
+      |SELECT CAST(day AS BIGINT) AS day_idx, CAST(c AS BIGINT) AS peak_concurrency,
+      |  CAST(m % 1440 AS BIGINT) AS peak_minute_of_day
+      |FROM daily WHERE rn = 1
+      |ORDER BY day_idx""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("ts"), col("event_id"))
+    val wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = ev
+      .withColumn("prev", lag("sec", 1).over(wl))
+      .withColumn("sid", sum(when(col("prev").isNull ||
+        col("sec") - col("prev") > 1800, 1).otherwise(0)).over(wl))
+    val iv = sess.groupBy("user_id", "sid")
+      .agg(expr("min(sec) div 60").as("m_start"),
+        expr("max(sec) div 60 + 1").as("m_end"))
+    val deltas = iv.select(col("m_start").as("m"), lit(1L).as("d"))
+      .unionByName(iv.select(col("m_end").as("m"), lit(-1L).as("d")))
+      .groupBy("m").agg(sum("d").as("d"))
+    val bounds = deltas.agg(min("m").as("lo"), max("m").as("hi"))
+    val dense = bounds.select(explode(sequence(col("lo"), col("hi"))).as("m"))
+      .join(deltas, Seq("m"), "left")
+      .select(col("m"), coalesce(col("d"), lit(0L)).as("d"))
+    // running sum + daily argmax over span-in-minutes CELLS
+    val conc = dense.withColumn("c", sum("d").over(Window.orderBy("m")))
+    val wd = Window.partitionBy(expr("m div 1440")).orderBy(col("c").desc, col("m"))
+    conc.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(expr("m div 1440").as("day_idx"), col("c").as("peak_concurrency"),
+        (col("m") % 1440).as("peak_minute_of_day"))
+      .orderBy("day_idx")
+  }
+
+  val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
     q106HourlyAnomaly, q111RangeFeatures, q122DecayScore, q145MatchedControls,

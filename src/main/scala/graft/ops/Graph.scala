@@ -38,17 +38,28 @@ object Graph {
     * shuffle via exchange reuse (numPartitions is pinned so AQE cannot
     * re-coalesce the sides differently).
     *
-    * PRECONDITION (keep this helper private): `key` must be globally
-    * distinct and non-null — callers pass groupBy output, which is.
+    * PRECONDITION (keep this helper library-internal): `key` must be
+    * globally distinct and non-null — callers pass groupBy output or a
+    * composite key made unique by construction (q205's name|custkey).
     * With duplicate keys the within-partition order of ties (and hence
     * their ranks) would be arbitrary; nulls would sort first. */
-  private def rankIds(df: DataFrame, key: String, idCol: String): DataFrame = {
+  private[ops] def rankIds(df: DataFrame, key: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint is LOAD-BEARING: `sorted` is read twice (bases +
+    // final join), and without materialization the two subtrees can
+    // canonicalize differently (e.g. column pruning narrows one side's
+    // scan), defeating exchange reuse — each side then re-executes
+    // repartitionByRange, whose boundary SAMPLING is seeded by the RDD
+    // id, yielding two different partitionings and corrupt ranks
+    // (duplicates + gaps; q205 exposed this with a scan-rooted input —
+    // aggregate-rooted inputs like q128's had happened to reuse). One
+    // materialized snapshot makes both passes read identical partitions.
     val sorted = df.repartitionByRange(n, col(key)).sortWithinPartitions(key)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
       .withColumn("_off", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint()
     // ≤ n rows: the cumulative-sum window over _pid is a deliberate
     // single-task pass over partition COUNTS, not data.
     val bases = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))

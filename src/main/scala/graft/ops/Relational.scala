@@ -558,7 +558,83 @@ object Relational {
     }
   }
 
-  val all: Seq[Q] = Seq(q203FkOrphanAudit,
+  /** q206 — percent-of-parent contribution rollup: revenue at every
+    * level of the region → nation drill path, each row carrying its
+    * share of its PARENT level in integer ppm (nation share of its
+    * region, region share of the grand total, total = 1e6) — the BI
+    * "contribution analysis" view that q13's plain rollup doesn't
+    * compute, because each level needs its parent's aggregate joined
+    * back. One ROLLUP pass produces all three levels in a single
+    * shuffle; the parent joins run on the ≤(1+|regions|+|nations|)
+    * CELL table (broadcast), never on rows.
+    *
+    * Ratio is the documented FLOOR(a·1e6/b) double; revenue exact
+    * BIGINT cents. */
+  val q206ShareOfParent: Q = Q(
+    "q206_share_of_parent",
+    """WITH base AS (
+      |  SELECT r_name, n_name,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |), cells AS (
+      |  SELECT r_name, n_name, CAST(SUM(cents) AS BIGINT) AS rev,
+      |    GROUPING(r_name) AS gr, GROUPING(n_name) AS gn
+      |  FROM base GROUP BY ROLLUP (r_name, n_name)
+      |), tot AS (SELECT rev FROM cells WHERE gr = 1),
+      |reg AS (SELECT r_name, rev FROM cells WHERE gr = 0 AND gn = 1)
+      |SELECT
+      |  CASE WHEN gr = 1 THEN 'total' WHEN gn = 1 THEN 'region' ELSE 'nation' END
+      |    AS level,
+      |  COALESCE(c.r_name, '') AS region, COALESCE(c.n_name, '') AS nation,
+      |  c.rev AS rev_cents,
+      |  CAST(FLOOR(CAST(c.rev AS DOUBLE) * 1000000 /
+      |    CASE WHEN gr = 1 THEN c.rev WHEN gn = 1 THEN tot.rev ELSE reg.rev END)
+      |    AS BIGINT) AS share_of_parent_ppm
+      |FROM cells c
+      |CROSS JOIN tot
+      |LEFT JOIN reg ON reg.r_name = c.r_name AND c.gn = 0
+      |ORDER BY level, region, nation""") { (s, d) =>
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    // Column-form rollup, not the String overload: the String form's
+    // UnresolvedAttributes make DetectAmbiguousSelfJoin reject the
+    // grouping() flags over join-sourced columns (q155 precedent)
+    val cells = base.rollup(col("r_name"), col("n_name"))
+      .agg(sum("cents").as("rev"), grouping(col("r_name")).as("gr"),
+        grouping(col("n_name")).as("gn"))
+      .localCheckpoint() // ≤ 1+|regions|+|nations| rows: all joins below are on cells
+    // checkpoint the tiny parent frames too: they derive from `cells`,
+    // and severed lineage is what keeps the parent join from tripping
+    // the ambiguous-self-join check (1 + |regions| rows)
+    val tot = cells.filter(col("gr") === 1).select(col("rev").as("trev"))
+      .localCheckpoint()
+    val reg = cells.filter(col("gr") === 0 && col("gn") === 1)
+      .select(col("r_name").as("p_rname"), col("rev").as("prev"))
+      .localCheckpoint()
+    cells
+      .crossJoin(broadcast(tot)) // 1-row grand total
+      .join(broadcast(reg), col("p_rname") === col("r_name") && col("gn") === 0, "left")
+      .select(
+        when(col("gr") === 1, "total").when(col("gn") === 1, "region")
+          .otherwise("nation").as("level"),
+        coalesce(col("r_name"), lit("")).as("region"),
+        coalesce(col("n_name"), lit("")).as("nation"),
+        col("rev").as("rev_cents"),
+        floor(col("rev").cast("double") * 1000000d /
+          when(col("gr") === 1, col("rev"))
+            .when(col("gn") === 1, col("trev")).otherwise(col("prev")))
+          .cast("long").as("share_of_parent_ppm"))
+      .orderBy("level", "region", "nation")
+  }
+
+  val all: Seq[Q] = Seq(q203FkOrphanAudit, q206ShareOfParent,
     q01PricingAgg, q02FilterProject, q03RegionRevenue, q04TopOrders,
     q05DedupAudit, q06UnionLineage, q07TopkPerGroup, q08StringFuncs,
     q09NoticeTypeMap, q10CtypeMap, q11ArrayHof, q12MonthSeq, q13Rollup,

@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "q198_multisource_bfs" -> "shares q128's link extraction: the 1-row host count broadcasts into the outlink scan; the BFS rounds run on the host-cardinality graph only",
     "q200_benford_audit" -> "corpus-scalar join: the 1-row total broadcasts into the 9-digit-cell report",
     "q202_quantile_norm" -> "cell-table range join: both sides are value-domain-bounded (source,value) cells — the pooled interval table broadcasts; per-row application at scale is an equi-join against this output",
-    "q204_mutual_nn" -> "brute bipartite scoring baseline: one population broadcasts, the other streams once (q32/q54 banded-LSH/IVF are the sublinear candidate path); the mutual gate is two argmax folds + an id equi-join")
+    "q204_mutual_nn" -> "brute bipartite scoring baseline: one population broadcasts, the other streams once (q32/q54 banded-LSH/IVF are the sublinear candidate path); the mutual gate is two argmax folds + an id equi-join",
+    "q206_share_of_parent" -> "scalar join: the 1-row grand-total broadcasts into the ≤(1+|regions|+|nations|)-row cell report")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

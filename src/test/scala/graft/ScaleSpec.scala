@@ -345,7 +345,16 @@ class ScaleSpec extends SparkSpec {
       "q203_fk_orphan_audit" -> 8L,
       // q204: brute bipartite scoring (one side broadcast) + two
       // argmax folds on id/cos rows. Measured 155 KiB at sf0.01
-      "q204_mutual_nn" -> 390L)
+      "q204_mutual_nn" -> 390L,
+      // q205: parallel-rank exchange (fixed-width rows) + 2-block
+      // adjacency join; ≤2w candidates per row. Measured 114 KiB
+      "q205_sorted_neighborhood" -> 290L,
+      // q206: one rollup shuffle; parent joins on the ≤31-row cell
+      // table. Measured 2 KiB at sf0.01
+      "q206_share_of_parent" -> 8L,
+      // q207: q37's user_id window shuffle + minute-cell deltas; the
+      // sweep runs on span-in-minutes cells. Measured 299 KiB at sf0.01
+      "q207_peak_concurrency" -> 750L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

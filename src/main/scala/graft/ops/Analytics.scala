@@ -1652,6 +1652,101 @@ object Analytics {
     }
   }
 
+  /** q208 — equi-depth histogram build: the 16-bucket depth histogram
+    * of lineitem prices that a cost-based optimizer's stats collector
+    * materializes (q189 consumes exactly this kind of stats; equi-WIDTH
+    * histograms mislead on skew — equi-depth puts the resolution where
+    * the rows are). Each distinct value v with cumulative row rank
+    * cum(v) lands wholly in bucket (cum−1)·k div N (values are
+    * indivisible, so boundary-straddling values go to the bucket of
+    * their last rank — the textbook convention); per bucket: row count,
+    * distinct values, lo/hi boundaries.
+    *
+    * Scale: one scan collapses to (value, count) cells map-side; the
+    * cumulative window and bucket math run on VALUE-domain cells; the
+    * N scalar broadcasts. Integer `div` throughout — no 2^53 cliff. */
+  val q208EquiDepthHist: Q = Q(
+    "q208_equidepth_hist",
+    """WITH cells AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS c FROM cells
+      |), nn AS (SELECT SUM(cnt) AS n FROM cells)
+      |SELECT CAST((c - 1) * 16 // nn.n AS BIGINT) AS bucket,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |  MIN(v) AS lo_cents, MAX(v) AS hi_cents
+      |FROM cum CROSS JOIN nn
+      |GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, d)
+      .groupBy((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = cells.withColumn("c", sum("cnt").over(Window.orderBy("v")))
+    val nn = cells.agg(sum("cnt").as("n"))
+    cum.crossJoin(broadcast(nn)) // 1-row total: scale-safe scalar
+      .groupBy(expr("(c - 1) * 16 div n").as("bucket"))
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_values"),
+        min("v").as("lo_cents"), max("v").as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  /** q210 — monetary-unit (dollar-unit) sampling: the audit-sampling
+    * standard where selection probability is proportional to an order's
+    * monetary value — every 1/200th cumulative cent is a sampling
+    * point, and an order is selected iff a point lands inside its
+    * cumulative-cents interval (big-ticket orders can absorb several
+    * points; `n_points` says how many). Deterministic by construction:
+    * fixed key order, integer point grid from the corpus total.
+    *
+    * Scale: the global running sum over orders uses q95's two-level
+    * spelling — orderkey-chunk subtotals (cells) give each chunk its
+    * exact starting offset via a window over CHUNK cells, then the
+    * within-chunk running sum is windowed per chunk in parallel; no
+    * global row sort. The interval scalar is a 1-row broadcast. */
+  val q210MonetaryUnitSample: Q = Q(
+    "q210_monetary_unit_sample",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), tot AS (SELECT SUM(cents) AS t FROM o),
+      |iv AS (SELECT t // 200 AS i FROM tot),
+      |c AS (
+      |  SELECT k, cents, SUM(cents) OVER (ORDER BY k) AS cum FROM o
+      |)
+      |SELECT k AS o_orderkey, cents,
+      |  CAST(cum AS BIGINT) AS cum_cents,
+      |  CAST(cum // iv.i - (cum - cents) // iv.i AS BIGINT) AS n_points,
+      |  CAST(((cum - cents) // iv.i + 1) * iv.i AS BIGINT) AS first_point
+      |FROM c CROSS JOIN iv
+      |WHERE cum // iv.i > (cum - cents) // iv.i
+      |ORDER BY o_orderkey""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val iv = o.agg(sum("cents").as("t")).select(expr("t div 200").as("i"))
+    // two-level global running sum (q95): chunk offsets over CELLS,
+    // then a per-chunk window — orderkey chunks are themselves ordered
+    val chunked = o.withColumn("chunk", expr("k div 4096"))
+    val wChunk = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunked.groupBy("chunk").agg(sum("cents").as("chunk_cents"))
+      .withColumn("base", coalesce(sum("chunk_cents").over(wChunk), lit(0L)))
+      .select("chunk", "base")
+    val wIn = Window.partitionBy("chunk").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked.join(broadcast(offsets), "chunk")
+      .withColumn("cum", col("base") + sum("cents").over(wIn))
+      .crossJoin(broadcast(iv)) // 1-row interval scalar
+      .withColumn("before", col("cum") - col("cents"))
+      .filter(expr("cum div i > before div i"))
+      .select(col("k").as("o_orderkey"), col("cents"), col("cum").as("cum_cents"),
+        expr("cum div i - before div i").as("n_points"),
+        expr("(before div i + 1) * i").as("first_point"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -1659,5 +1754,6 @@ object Analytics {
     q171AudienceOverlap, q175RobustOutliers, q178TrendOls,
     q180GiniConcentration, q182Unpivot, q185RfmSegments, q193GridRadiusJoin,
     q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen,
-    q199HierarchyRollup, q200BenfordAudit)
+    q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
+    q210MonetaryUnitSample)
 }

@@ -454,6 +454,94 @@ object Graph {
       .orderBy("host")
   }
 
+  /** q209 — degree assortativity of the host link graph: the Pearson
+    * correlation between the degrees at the two ends of every
+    * undirected edge (Newman's r) — positive means hubs link to hubs
+    * (social-network shape), negative means hubs link to leaves
+    * (web/spam-farm shape), the one-number structural fingerprint that
+    * complements q160's triangle density. Both edge orientations
+    * contribute, so Σx = Σy and Σx² = Σy² — the Pearson denominator
+    * collapses to ONE factor and r needs no sqrt at all: a pure
+    * integer ratio under the FLOOR-milli pattern.
+    *
+    * Scale: q160's link extraction is the only corpus-cardinality
+    * stage; degrees are node-cardinality (broadcast into the edge
+    * list), and the moment rollup is one collapsing aggregate over
+    * edges. */
+  val q209Assortativity: Q = Q(
+    "q209_assortativity",
+    """WITH d AS (
+      |  SELECT source, md5(text) AS hx FROM documents
+      |), hosts AS (
+      |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+      |    COUNT(*) AS n_docs
+      |  FROM d GROUP BY source
+      |), nh AS (
+      |  SELECT COUNT(*) AS n FROM hosts
+      |), links AS (
+      |  SELECT h.hid AS src,
+      |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+      |  FROM d
+      |  JOIN hosts h USING (source)
+      |  CROSS JOIN nh
+      |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+      |), ue AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM links WHERE src <> dst
+      |), degv AS (
+      |  SELECT v, COUNT(*) AS dg
+      |  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+      |  GROUP BY v
+      |), pts AS (
+      |  SELECT da.dg AS x, db.dg AS y
+      |  FROM ue JOIN degv da ON da.v = ue.a JOIN degv db ON db.v = ue.b
+      |  UNION ALL
+      |  SELECT db.dg AS x, da.dg AS y
+      |  FROM ue JOIN degv da ON da.v = ue.a JOIN degv db ON db.v = ue.b
+      |), m AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+      |  FROM pts
+      |)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  CAST(FLOOR(CAST(sx AS DOUBLE) * 1000 / n) AS BIGINT) AS mean_end_degree_milli,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+      |    ELSE CAST(FLOOR((n*sxy - sx*sx) * 1000.0 / (n*sxx - sx*sx)) AS BIGINT)
+      |  END AS assortativity_milli
+      |FROM m""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh)) // 1-row host count: scale-safe scalar
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // edge table read by the degree agg and both joins
+    val degv = ue.select(col("a").as("v")).unionByName(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val withDeg = ue
+      .join(broadcast(degv.select(col("v").as("a"), col("dg").as("da"))), "a")
+      .join(broadcast(degv.select(col("v").as("b"), col("dg").as("db"))), "b")
+    val pts = withDeg.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(withDeg.select(col("db").as("x"), col("da").as("y")))
+    val m = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    m.select(expr("n div 2").as("n_edges"),
+        floor(col("sx").cast("double") * 1000 / col("n")).cast("long")
+          .as("mean_end_degree_milli"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("long"))
+          .otherwise(floor((col("n") * col("sxy") - col("sx") * col("sx")) *
+            lit(1000.0) / (col("n") * col("sxx") - col("sx") * col("sx")))
+            .cast("long")).as("assortativity_milli"))
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
-    q198MultiSourceBfs)
+    q198MultiSourceBfs, q209Assortativity)
 }

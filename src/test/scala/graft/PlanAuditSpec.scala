@@ -58,7 +58,10 @@ class PlanAuditSpec extends SparkSpec {
     "q200_benford_audit" -> "corpus-scalar join: the 1-row total broadcasts into the 9-digit-cell report",
     "q202_quantile_norm" -> "cell-table range join: both sides are value-domain-bounded (source,value) cells — the pooled interval table broadcasts; per-row application at scale is an equi-join against this output",
     "q204_mutual_nn" -> "brute bipartite scoring baseline: one population broadcasts, the other streams once (q32/q54 banded-LSH/IVF are the sublinear candidate path); the mutual gate is two argmax folds + an id equi-join",
-    "q206_share_of_parent" -> "scalar join: the 1-row grand-total broadcasts into the ≤(1+|regions|+|nations|)-row cell report")
+    "q206_share_of_parent" -> "scalar join: the 1-row grand-total broadcasts into the ≤(1+|regions|+|nations|)-row cell report",
+    "q208_equidepth_hist" -> "corpus-scalar join: the 1-row row-total broadcasts into the value-domain cell bucketing",
+    "q209_assortativity" -> "shares q128's link extraction: the 1-row host count broadcasts into the outlink scan; moments are one collapsing aggregate over edges",
+    "q210_monetary_unit_sample" -> "corpus-scalar join: the 1-row sampling-interval scalar broadcasts into the selection scan")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

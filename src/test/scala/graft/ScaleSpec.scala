@@ -354,7 +354,18 @@ class ScaleSpec extends SparkSpec {
       "q206_share_of_parent" -> 8L,
       // q207: q37's user_id window shuffle + minute-cell deltas; the
       // sweep runs on span-in-minutes cells. Measured 299 KiB at sf0.01
-      "q207_peak_concurrency" -> 750L)
+      "q207_peak_concurrency" -> 750L,
+      // q208: (value, count) cells collapse map-side; cumulative +
+      // bucket math on value-domain cells (prices are near-distinct at
+      // sf0.01, so cells ≈ rows here). Measured 736 KiB at sf0.01
+      "q208_equidepth_hist" -> 1840L,
+      // q209: link-extraction partials; degrees broadcast; one moment
+      // rollup over edges. Measured 4 KiB at sf0.01
+      "q209_assortativity" -> 16L,
+      // q210: chunk subtotals (cells) + per-chunk windows — the q95
+      // two-level running sum; interval scalar broadcast. Measured
+      // 169 KiB at sf0.01
+      "q210_monetary_unit_sample" -> 430L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

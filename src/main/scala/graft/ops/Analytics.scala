@@ -1747,6 +1747,197 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** q213 — priority sampling (Duffield–Lund–Thorup): a weighted
+    * without-replacement sample of orders with per-item Horvitz-
+    * Thompson weight estimates — THE estimator for "sample 100 orders
+    * but keep totals unbiased" (audit sampling's q210 picks ∝ value
+    * with replacement-ish points; priority sampling gives a fixed-size
+    * sample whose Σ ht_weight estimates Σ w with provably near-optimal
+    * variance). Each item draws priority q = w / u (u uniform in
+    * (0,1], md5-derived); the top k by priority are kept; τ = the
+    * (k+1)-th priority; each kept item's estimate is max(w, τ).
+    *
+    * Exactness: u is an integer in [1, 2^20] and the priority is
+    * FLOOR(w·2^20/u) — w·2^20 ≤ ~5·10¹³ stays exact in the double,
+    * IEEE division is correctly rounded in both engines, FLOOR is
+    * identical; ties break by orderkey. Scale: the top-(k+1) cut plans
+    * as TakeOrderedAndProject — per-partition heaps, no global sort —
+    * and the only post-cut work is a window over k+1 = 101 rows. */
+  val q213PrioritySample: Q = Q(
+    "q213_priority_sample",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+      |    1 + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS u
+      |  FROM orders
+      |), p AS (
+      |  SELECT k, w, CAST(FLOOR(CAST(w AS DOUBLE) * 1048576 / u) AS BIGINT) AS pri
+      |  FROM o
+      |), top AS (
+      |  SELECT k, w, pri, ROW_NUMBER() OVER (ORDER BY pri DESC, k) AS rn
+      |  FROM p QUALIFY rn <= 101
+      |), tau AS (
+      |  SELECT pri AS t FROM top WHERE rn = 101
+      |)
+      |SELECT k AS o_orderkey, w AS w_cents, pri AS priority,
+      |  CAST(GREATEST(w, tau.t) AS BIGINT) AS ht_weight
+      |FROM top CROSS JOIN tau
+      |WHERE rn <= 100
+      |ORDER BY priority DESC, o_orderkey""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("w"))
+      .withColumn("u",
+        lit(1L) + conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1048576L)
+      .withColumn("pri",
+        floor(col("w").cast("double") * 1048576L / col("u")).cast("long"))
+    // TakeOrderedAndProject: per-partition top-101 heaps, then one merge
+    val top101 = o.orderBy(col("pri").desc, col("k")).limit(101)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("pri").desc, col("k"))))
+    // the k+1 window runs over exactly 101 rows — single-task by design
+    val tau = top101.filter(col("rn") === 101).select(col("pri").as("t"))
+    top101.filter(col("rn") <= 100)
+      .crossJoin(broadcast(tau)) // 1-row threshold scalar
+      .select(col("k").as("o_orderkey"), col("w").as("w_cents"),
+        col("pri").as("priority"), greatest(col("w"), col("t")).as("ht_weight"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+  }
+
+  /** q214 — portable HLL register sketch: distinct l_partkey per
+    * returnflag estimated from 256 max-rank registers, replayed
+    * bit-for-bit by the oracle — the PORTABLE complement to q50's
+    * engine-native approx_count_distinct (whose HLL internals differ
+    * per engine and are checked only via the error bound). This is the
+    * sketch you'd SHIP: register vectors merge with element-wise MAX
+    * (the groupBy(flag, reg).max(rho) below IS the map-side merge), so
+    * shards/days/engines combine without re-scanning, and any engine
+    * that can floor-divide BIGINTs reproduces the estimate exactly.
+    *
+    * Integer-exact estimate: h = first 32 md5 bits; register = h mod
+    * 256, rank ρ = leading zeros of the remaining 24 bits + 1 (via
+    * 25 − bitlength, bin() strips leading zeros identically in both
+    * engines); Σ 2^{−M_j} is lifted by 2^25 into S = Σ 2^{25−M_j}
+    * (empty registers contribute 2^25), and the raw HLL estimate
+    * α₂₅₆·256²·2²⁵/S becomes N div (S·10⁶) with
+    * N = 718273·2⁴¹ = 1579499030835101696 (α in ppm; fits BIGINT).
+    * No small-range linear-counting correction — raw estimate only,
+    * the err_ppm column against the exact count shows the bias. */
+  val q214HllRegisters: Q = Q(
+    "q214_hll_registers",
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT flag, h % 256 AS reg,
+      |    CASE WHEN h // 256 = 0 THEN 25
+      |         ELSE 25 - length(bin(h // 256)) END AS rho
+      |  FROM b
+      |), m AS (
+      |  SELECT flag, reg, MAX(rho) AS m FROM r GROUP BY flag, reg
+      |), s AS (
+      |  SELECT flag,
+      |    SUM(CAST(1 AS BIGINT) << (25 - m)) + (256 - COUNT(*)) * 33554432 AS sv,
+      |    COUNT(*) AS n_occ
+      |  FROM m GROUP BY flag
+      |), x AS (
+      |  SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS exact_distinct
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT x.flag AS l_returnflag,
+      |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+      |  CAST(1579499030835101696 // (s.sv * 1000000) AS BIGINT) AS hll_estimate,
+      |  CAST((1579499030835101696 // (s.sv * 1000000) - x.exact_distinct) * 1000000
+      |    // x.exact_distinct AS BIGINT) AS err_ppm,
+      |  CAST(s.n_occ AS BIGINT) AS n_registers
+      |FROM x JOIN s ON s.flag = x.flag
+      |ORDER BY l_returnflag""") { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      col("l_partkey"))
+    val b = li.withColumn("h",
+      conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10).cast("long"))
+    val r = b.select(col("flag"), (col("h") % 256).as("reg"),
+      when(expr("h div 256") === 0, lit(25))
+        .otherwise(lit(25) - length(bin(expr("h div 256")))).as("rho"))
+    // register max IS the mergeable sketch state: partial max per
+    // (flag, reg) combines map-side, exactly how shard sketches union
+    val m = r.groupBy("flag", "reg").agg(max("rho").as("m"))
+    val sv = m.groupBy("flag").agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")) +
+        (lit(256L) - count(lit(1))) * 33554432L).as("sv"),
+      count(lit(1)).as("n_occ"))
+    val exact = li.groupBy("flag").agg(countDistinct("l_partkey").as("exact_distinct"))
+    exact.join(sv, "flag")
+      .select(col("flag").as("l_returnflag"), col("exact_distinct"),
+        expr("1579499030835101696 div (sv * 1000000)").as("hll_estimate"),
+        expr("(1579499030835101696 div (sv * 1000000) - exact_distinct) * 1000000 div exact_distinct")
+          .as("err_ppm"),
+        col("n_occ").as("n_registers"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q215 — exact weighted median and weighted p90 (unit price
+    * weighted by quantity — "the price of the median UNIT shipped",
+    * not the median line): the sample-weight generalization of q153,
+    * and the shape every token-weighted corpus statistic takes (median
+    * doc quality weighted by token count, etc.). Same value-domain
+    * binary search: the weighted rank needs no global sort, only
+    * log₂(range) conditional-SUM(weight) aggregates, each a full scan
+    * with a 2-cell result — the 100 TB spelling of "weighted
+    * percentile". Lower weighted median: smallest value v with
+    * cumweight(≤ v) ≥ ⌈W/2⌉ (p90: ≥ ⌈9W/10⌉, integer ceil-div). */
+  val q215WeightedMedian: Q = Q(
+    "q215_weighted_median",
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem
+      |), ww AS (SELECT SUM(w) AS wt FROM v),
+      |ks AS (
+      |  SELECT 'p50_weighted' AS stat, (wt + 1) // 2 AS t FROM ww
+      |  UNION ALL
+      |  SELECT 'p90_weighted' AS stat, (9 * wt + 9) // 10 AS t FROM ww
+      |), s AS (
+      |  SELECT c, SUM(w) OVER (ORDER BY c) AS cw FROM v
+      |)
+      |SELECT stat, CAST(t AS BIGINT) AS target_weight,
+      |  MIN(c) AS value_cents
+      |FROM ks JOIN s ON s.cw >= ks.t
+      |GROUP BY stat, t
+      |ORDER BY stat""") { (s, d) =>
+    import s.implicits._
+    val v = Tables.lineitem(s, d)
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .localCheckpoint()
+    val head = v.agg(sum("w"), min("c"), max("c")).head()
+    val wt = head.getLong(0)
+    val (vmin, vmax) = (head.getLong(1), head.getLong(2))
+    // (stat, target cumulative weight): lower weighted quantile = the
+    // smallest value whose cumulative weight reaches the target
+    val targets = Array(("p50_weighted", (wt + 1) / 2),
+      ("p90_weighted", (9 * wt + 9) / 10))
+    val lo = Array.fill(targets.length)(vmin)
+    val hi = Array.fill(targets.length)(vmax)
+    while (targets.indices.exists(i => lo(i) < hi(i))) {
+      val mids = targets.indices.map(i => (lo(i) + hi(i)) >> 1)
+      val sums = v.agg(
+        sum(when(col("c") <= mids(0), col("w")).otherwise(0L)),
+        sum(when(col("c") <= mids(1), col("w")).otherwise(0L))).head()
+      targets.indices.foreach { i =>
+        if (lo(i) < hi(i)) {
+          if (sums.getLong(i) >= targets(i)._2) hi(i) = mids(i)
+          else lo(i) = mids(i) + 1
+        }
+      }
+    }
+    targets.indices.map(i => (targets(i)._1, targets(i)._2, lo(i)))
+      .toDF("stat", "target_weight", "value_cents")
+      .orderBy("stat")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -1755,5 +1946,6 @@ object Analytics {
     q180GiniConcentration, q182Unpivot, q185RfmSegments, q193GridRadiusJoin,
     q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen,
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
-    q210MonetaryUnitSample)
+    q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
+    q215WeightedMedian)
 }

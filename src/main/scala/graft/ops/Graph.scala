@@ -542,6 +542,224 @@ object Graph {
             .cast("long")).as("assortativity_milli"))
   }
 
+  /** The q128 host link graph, shared by the round-8 graph additions:
+    * hosts = distinct `source` values ranked to dense ids, links = 3
+    * md5-derived directed edges per document (multi-edges kept — callers
+    * dedup as their semantics require). The ONLY corpus-cardinality
+    * stage is the link-extraction scan; hosts and the 1-row count are
+    * broadcast. Identical construction to q128/q160/q198/q209 (kept
+    * inline there — their oracles were written against it first). */
+  private def hostLinkGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh)) // 1-row host count: scale-safe scalar
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    (hosts, links)
+  }
+
+  /** The shared oracle CTE prefix deriving hosts + links (see q128). */
+  private val hostGraphSql: String =
+    """  SELECT source, md5(text) AS hx FROM documents
+      |), hosts AS (
+      |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+      |    COUNT(*) AS n_docs
+      |  FROM d GROUP BY source
+      |), nh AS (
+      |  SELECT COUNT(*) AS n FROM hosts
+      |), links AS (
+      |  SELECT h.hid AS src,
+      |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+      |  FROM d
+      |  JOIN hosts h USING (source)
+      |  CROSS JOIN nh
+      |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t""".stripMargin
+
+  /** q211 — k-core decomposition (k=3) by iterative peeling on the
+    * undirected host graph: repeatedly delete every node with fewer
+    * than k neighbors in the SURVIVING subgraph — the classic density
+    * filter behind spam-farm isolation and community-seed selection
+    * (a node's coreness is a robustness measure its raw degree isn't:
+    * a hub wired only to leaves peels away at k=2). Four peel rounds
+    * are statically unrolled (no driver loop over data); the fixture
+    * graph reaches its fixed point well inside that — the query's
+    * contract is "the round-4 peel survivor set", the distributed
+    * analogue of bounded-iteration peeling, and the oracle replays the
+    * identical four rounds as chained CTEs.
+    *
+    * Scale posture: q128's — the corpus scan that extracts links is
+    * the only big-data stage; the alive set and per-round degree
+    * tables are host-cardinality, so every round is two BROADCAST
+    * semi-joins of the edge list against the alive set plus one
+    * host-keyed count. Edges are localCheckpoint'd once and reused by
+    * all rounds. */
+  val q211KCore: Q = Q(
+    "q211_kcore",
+    {
+      def peel(prev: String, i: Int) =
+        s"""dg$i AS (
+           |  SELECT e.u, COUNT(*) AS dg
+           |  FROM und e
+           |  JOIN $prev pa ON pa.v = e.u
+           |  JOIN $prev pb ON pb.v = e.v
+           |  GROUP BY e.u
+           |), a$i AS (
+           |  SELECT u AS v FROM dg$i WHERE dg >= 3
+           |)"""
+      s"""WITH d AS (
+         |$hostGraphSql
+         |), ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM links WHERE src <> dst
+         |), und AS (
+         |  SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue
+         |), a0 AS (
+         |  SELECT hid AS v FROM hosts
+         |), ${peel("a0", 1)},
+         |${peel("a1", 2)},
+         |${peel("a2", 3)},
+         |${peel("a3", 4)}
+         |SELECT h.source AS host, CAST(dg.dg AS BIGINT) AS core_degree
+         |FROM a4
+         |JOIN (
+         |  SELECT e.u, COUNT(*) AS dg
+         |  FROM und e JOIN a4 pa ON pa.v = e.u JOIN a4 pb ON pb.v = e.v
+         |  GROUP BY e.u
+         |) dg ON dg.u = a4.v
+         |JOIN hosts h ON h.hid = a4.v
+         |ORDER BY host"""
+    }) { (s, d) =>
+    val (hosts, links) = hostLinkGraph(s, d)
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = ue.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // edge table read by every peel round
+    kcoreSurvivors(hosts.select(col("hid").as("v")), und, k = 3, rounds = 4)
+      .join(hosts.select(col("hid").as("v"), col("source")), "v")
+      .select(col("source").as("host"), col("core_degree"))
+      .orderBy("host")
+  }
+
+  /** Bounded k-core peeling: from `nodes` (v) over undirected edges
+    * `und` (u, v — BOTH directions present), delete every node with
+    * fewer than k surviving neighbors, `rounds` times; returns the
+    * survivors with their induced degree (v, core_degree). Alive sets
+    * are node-cardinality → broadcast; `und` is scanned once per round
+    * (callers localCheckpoint it). */
+  private[graft] def kcoreSurvivors(nodes: DataFrame, und: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    def aliveDeg(alive: DataFrame): DataFrame = und
+      .join(broadcast(alive.select(col("v").as("u"))), "u")
+      .join(broadcast(alive), "v")
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    var alive = nodes.select("v")
+    (1 to rounds).foreach { _ =>
+      alive = aliveDeg(alive).filter(col("dg") >= k).select(col("u").as("v"))
+    }
+    aliveDeg(alive).select(col("u").as("v"), col("dg").as("core_degree"))
+  }
+
+  /** q212 — HITS hubs & authorities on the directed host graph
+    * (distinct edges, loops dropped): two mutually-recursive rounds —
+    * a(v) = Σ h(u) over in-edges, h(u) = Σ a(v) over out-edges — the
+    * complement to q128's PageRank (an authority is linked BY good
+    * hubs; a hub links TO good authorities; PageRank conflates the
+    * two). Scores are max-normalized each half-round in integer ppm:
+    * x' = x·10⁶ div max(x) — max-normalization instead of the textbook
+    * L2 keeps every step in exact BIGINT (no sqrt), and the bound is
+    * generous: scores stay ≤ deg_max·10¹², so anything below
+    * deg_max ≈ 10⁶ in-links is overflow-free. Oracle replays the
+    * identical four half-rounds as chained CTEs.
+    *
+    * Scale posture: link extraction is the only corpus-cardinality
+    * stage; score tables are host-cardinality and BROADCAST into the
+    * edge list; per-half-round max is a 1-row scalar (broadcast). */
+  val q212Hits: Q = Q(
+    "q212_hits",
+    s"""WITH d AS (
+       |$hostGraphSql
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM links WHERE src <> dst
+       |), h0 AS (
+       |  SELECT hid, CAST(1000000 AS BIGINT) AS h FROM hosts
+       |), a1r AS (
+       |  SELECT e.dst AS hid, SUM(p.h) AS a
+       |  FROM edges e JOIN h0 p ON p.hid = e.src GROUP BY e.dst
+       |), a1 AS (
+       |  SELECT hid, a * 1000000 // (SELECT MAX(a) FROM a1r) AS a FROM a1r
+       |), h1r AS (
+       |  SELECT e.src AS hid, SUM(p.a) AS h
+       |  FROM edges e JOIN a1 p ON p.hid = e.dst GROUP BY e.src
+       |), h1 AS (
+       |  SELECT hid, h * 1000000 // (SELECT MAX(h) FROM h1r) AS h FROM h1r
+       |), a2r AS (
+       |  SELECT e.dst AS hid, SUM(p.h) AS a
+       |  FROM edges e JOIN h1 p ON p.hid = e.src GROUP BY e.dst
+       |), a2 AS (
+       |  SELECT hid, a * 1000000 // (SELECT MAX(a) FROM a2r) AS a FROM a2r
+       |), h2r AS (
+       |  SELECT e.src AS hid, SUM(p.a) AS h
+       |  FROM edges e JOIN a2 p ON p.hid = e.dst GROUP BY e.src
+       |), h2 AS (
+       |  SELECT hid, h * 1000000 // (SELECT MAX(h) FROM h2r) AS h FROM h2r
+       |)
+       |SELECT hs.source AS host,
+       |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_ppm,
+       |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_ppm
+       |FROM hosts hs
+       |LEFT JOIN a2 ON a2.hid = hs.hid
+       |LEFT JOIN h2 ON h2.hid = hs.hid
+       |ORDER BY auth_ppm DESC, host""".stripMargin) { (s, d) =>
+    val (hosts, links) = hostLinkGraph(s, d)
+    val edges = links.filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // read by all four half-rounds
+    hitsScores(hosts.select("hid"), edges, rounds = 2)
+      .join(hosts.select(col("hid"), col("source")), "hid")
+      .select(col("source").as("host"), col("auth_ppm"), col("hub_ppm"))
+      .orderBy(col("auth_ppm").desc, col("host"))
+  }
+
+  /** Max-normalized integer HITS: from `hosts` (hid) over directed
+    * `edges` (src, dst — distinct, loop-free; callers localCheckpoint),
+    * run `rounds` full rounds of a(v) = Σ h(u), rescale to ppm of max,
+    * h(u) = Σ a(v), rescale — returning (hid, auth_ppm, hub_ppm) with
+    * 0 for hosts no edge reaches. Score tables are node-cardinality →
+    * broadcast into the edge list; the per-half-round max is a 1-row
+    * scalar. */
+  private[graft] def hitsScores(hosts: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    // One max-normalized half-round: fold `score` through the edge list
+    // in direction (from → to), then rescale to ppm of the max.
+    def halfRound(score: DataFrame, from: String, to: String): DataFrame = {
+      val raw = edges
+        .join(broadcast(score.withColumnRenamed("hid", from)), from)
+        .groupBy(col(to).as("hid")).agg(sum("x").as("raw"))
+      val mx = raw.agg(max("raw").as("mx"))
+      raw.crossJoin(broadcast(mx)) // 1-row max: scale-safe scalar
+        .select(col("hid"), expr("raw * 1000000 div mx").as("x"))
+    }
+    var h = hosts.select(col("hid"), lit(1000000L).as("x"))
+    var a: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      a = halfRound(h, "src", "dst")
+      h = halfRound(a, "dst", "src")
+    }
+    hosts.select("hid")
+      .join(a.withColumnRenamed("x", "a"), Seq("hid"), "left")
+      .join(h.withColumnRenamed("x", "h"), Seq("hid"), "left")
+      .select(col("hid"),
+        coalesce(col("a"), lit(0L)).as("auth_ppm"),
+        coalesce(col("h"), lit(0L)).as("hub_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
-    q198MultiSourceBfs, q209Assortativity)
+    q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits)
 }

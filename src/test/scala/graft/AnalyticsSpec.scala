@@ -104,4 +104,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("rendezvous") > 60000L && rows("rendezvous") < 170000L,
       s"rendezvous moved_ppm=${rows("rendezvous")} not ~1/9")
   }
+
+  test("q213: priority sample is unbiased-ish and structurally sound") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q213PrioritySample.fn(spark, sf).collect()
+    assert(rows.length == 100, s"fixed-size sample: ${rows.length}")
+    // HT weight is max(w, tau): never below the item's own weight, and
+    // the priorities come back in strictly ranked order
+    rows.foreach(r => assert(r.getAs[Long]("ht_weight") >= r.getAs[Long]("w_cents")))
+    val pris = rows.map(_.getAs[Long]("priority")).toSeq
+    assert(pris == pris.sorted.reverse, "must be ordered by priority desc")
+    // Duffield-Lund-Thorup is unbiased: Σ ht_weight estimates Σ w with
+    // rsd ≈ 1/sqrt(k-1) ≈ 10% at k=100 — 40% is a determinism-free bound
+    val est = rows.map(_.getAs[Long]("ht_weight")).sum.toDouble
+    val truth = Tables.orders(spark, sf)
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.40,
+      s"HT estimate $est vs true total $truth drifts > 40%")
+  }
+
+  test("q214: portable HLL registers estimate within 30% (rsd 6.5% at m=256)") {
+    // sf0.01, not the suite default: the raw estimate (deliberately no
+    // linear-counting correction — ln() isn't cross-engine exact) needs
+    // n ≳ 2.5m ≈ 640 distincts to be in its accurate regime; sf0.001
+    // has ~200 per flag and overestimates ~1.5x, which is the sketch
+    // behaving as documented, not a bug
+    val rows = ops.Analytics.q214HllRegisters.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Long]("hll_estimate").toDouble
+      assert(r.getAs[Long]("n_registers") <= 256L)
+      assert(math.abs(est - exact) / exact <= 0.30,
+        s"flag=${r.getString(0)} exact=$exact est=$est")
+      // err_ppm column must restate the same deviation
+      assert(r.getAs[Long]("err_ppm") == ((est - exact) * 1000000 / exact).toLong)
+    }
+  }
+
+  test("q215: weighted median/p90 equal a local sort-and-scan replay") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("target_weight"), r.getAs[Long]("value_cents")))
+      .toMap
+    val cw = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val wt = cw.map(_._2).sum
+    def lowerQuantile(target: Long): Long = {
+      var acc = 0L
+      cw.find { case (_, w) => acc += w; acc >= target }.get._1
+    }
+    assert(got("p50_weighted") == (((wt + 1) / 2, lowerQuantile((wt + 1) / 2))))
+    assert(got("p90_weighted") == (((9 * wt + 9) / 10, lowerQuantile((9 * wt + 9) / 10))))
+  }
 }

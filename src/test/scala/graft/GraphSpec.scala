@@ -88,4 +88,58 @@ class GraphSpec extends SparkSpec {
       assert(again == once, "host ranks drifted under a different partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("kcoreSurvivors: a peel CASCADE strips the tail, keeps the clique") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4-clique {0,1,2,3}; 4 hangs off (0,1) plus tail node 5; 5 also
+    // links 6. Degrees: 5→? 5-(4,6)=2 <3 peels round 1; that drops 4 to
+    // deg 2 → peels round 2; 6 peeled round 1 (deg 1). Fixed point =
+    // the clique alone, reached only through the cascade — one pass of
+    // "degree >= 3" would have kept node 4 (initial degree 3).
+    val ue = (for { i <- 0 until 4; j <- (i + 1) until 4 } yield (i.toLong, j.toLong)) ++
+      Seq((0L, 4L), (1L, 4L), (4L, 5L), (5L, 6L))
+    val und = ue.toDF("a", "b").select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.toDF("a", "b").select(col("b").as("u"), col("a").as("v"))).cache()
+    val nodes = (0L to 6L).toDF("v")
+    val got = Graph.kcoreSurvivors(nodes, und, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core must be exactly the clique at induced degree 3, got $got")
+  }
+
+  test("hitsScores equals the integer max-normalized formula replayed by hand") {
+    import spark.implicits._
+    // hub 0 → authorities {1, 2}; hub 3 → {1}; 1 also → 2
+    val es = Seq((0L, 1L), (0L, 2L), (3L, 1L), (1L, 2L))
+    val hosts = (0L to 3L).toDF("hid")
+    val edges = es.toDF("src", "dst")
+
+    def ref(rounds: Int): Map[Long, (Long, Long)] = {
+      var h = Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+      var a = Map.empty[Long, Long]
+      def half(sc: Map[Long, Long], out: Boolean): Map[Long, Long] = {
+        // mirror the join: a node appears iff ≥1 incident edge's other
+        // end carries a score (even if the folded sum floors to 0 ppm)
+        val raw = es.groupBy(e => if (out) e._2 else e._1).flatMap { case (n, in) =>
+          val present = in.flatMap(e => sc.get(if (out) e._1 else e._2))
+          if (present.isEmpty) None else Some(n -> present.sum)
+        }
+        val mx = raw.values.max
+        raw.map { case (n, v) => n -> v * 1000000L / mx }
+      }
+      (1 to rounds).foreach { _ => a = half(h, out = true); h = half(a, out = false) }
+      (0L to 3L).map(n => n -> (a.getOrElse(n, 0L), h.getOrElse(n, 0L))).toMap
+    }
+
+    val got = Graph.hitsScores(hosts, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ref(2), s"got $got vs ${ref(2)}")
+    // qualitative truth: 1 is the top authority (two hubs point at it
+    // including the pure hub 0); 0 is the top hub (it hits both
+    // authorities); 2 collects from 0 and from the mid-node 1
+    assert(got(1L)._1 == 1000000L, "node 1 must be the max authority")
+    assert(got(0L)._2 == 1000000L, "node 0 must be the max hub")
+    assert(got(3L)._1 == 0L, "node 3 has no in-links: zero authority")
+  }
 }

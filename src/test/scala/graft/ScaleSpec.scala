@@ -365,7 +365,23 @@ class ScaleSpec extends SparkSpec {
       // q210: chunk subtotals (cells) + per-chunk windows — the q95
       // two-level running sum; interval scalar broadcast. Measured
       // 169 KiB at sf0.01
-      "q210_monetary_unit_sample" -> 430L)
+      "q210_monetary_unit_sample" -> 430L,
+      // q211: link-extraction partials; alive sets broadcast into the
+      // checkpointed edge list each peel round. Measured 21 KiB at sf0.01
+      "q211_kcore" -> 56L,
+      // q212: link partials + host-cardinality score folds; per-half-
+      // round max is a 1-row scalar. Measured 20 KiB at sf0.01
+      "q212_hits" -> 56L,
+      // q213: ZERO shuffle — the top-(k+1) cut is TakeOrderedAndProject
+      // (per-partition heaps merged on the driver), the k+1 window and
+      // τ broadcast run on 101 rows. Measured 0 KiB at sf0.01
+      "q213_priority_sample" -> 4L,
+      // q214: (flag, reg) register maxes — ≤ 3×256 cells after map-side
+      // combine — plus the exact-distinct partials. Measured 54 KiB
+      "q214_hll_registers" -> 140L,
+      // q215: log₂(range) conditional-SUM scans, each a 2-cell result;
+      // nothing row-cardinality ever shuffles. Measured 1 KiB at sf0.01
+      "q215_weighted_median" -> 8L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1711,6 +1711,163 @@ object Events {
       .orderBy("day_idx")
   }
 
+  /** q216 — linear interpolation over planted series gaps: daily
+    * purchase revenue per event type with day-of-month ≡ 2 (mod 5)
+    * days DELETED (simulated failed extracts), re-estimated as the
+    * exact integer lerp between the surrounding observed days —
+    * v = prev + (next−prev)·(d−d_prev) div (d_next−d_prev). The
+    * imputation complement to q52's carry-forward (LOCF holds the last
+    * level; lerp splits the gap — the right call for volume-like
+    * series where LOCF systematically overshoots trends). Edge days
+    * with no neighbor on one side stay NULL rather than inventing a
+    * value.
+    *
+    * Scale: the daily aggregate collapses map-side to (type, day)
+    * cells; the spine is days × types (CELLS, invariant in row count);
+    * both IGNORE-NULLS windows run per-type over the spine. Integer
+    * cents and integer day arithmetic throughout. */
+  val q216LinearInterp: Q = Q(
+    "q216_linear_interp",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds
+      |), types AS (SELECT DISTINCT event_type FROM ev),
+      |spine AS (SELECT day, event_type FROM days CROSS JOIN types),
+      |obs AS (
+      |  SELECT s.day, s.event_type,
+      |    CASE WHEN EXTRACT(DAY FROM s.day) % 5 = 2 THEN NULL ELSE e.cents END AS cents
+      |  FROM spine s LEFT JOIN ev e ON e.day = s.day AND e.event_type = s.event_type
+      |), nb AS (
+      |  SELECT day, event_type, cents,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    last_value(cents IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+      |    first_value(cents IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM obs
+      |)
+      |SELECT day, event_type, cents AS obs_cents,
+      |  CAST(CASE
+      |    WHEN cents IS NOT NULL THEN cents
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |      pv + (nv - pv) * (day - pd) // (nd - pd)
+      |    ELSE NULL END AS BIGINT) AS filled_cents,
+      |  CASE WHEN cents IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+      |    THEN 1 ELSE 0 END AS interpolated
+      |FROM nb
+      |ORDER BY event_type, day""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(dec(col("value")) * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val spine = days.crossJoin(broadcast(types))
+    val obs = spine.join(ev, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        when(dayofmonth(col("day")) % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("cents")).as("cents"))
+    val wPrev = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last("cents", ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first("cents", ignoreNulls = true).over(wNext))
+      .select(col("day"), col("event_type"), col("cents").as("obs_cents"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + expr("(nv - pv) * datediff(day, pd) div datediff(nd, pd)"))
+          .as("filled_cents"),
+        when(col("cents").isNull && col("pv").isNotNull && col("nv").isNotNull, 1)
+          .otherwise(0).as("interpolated"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q217 — offline policy evaluation by inverse propensity scoring
+    * (IPS): replay logged randomized decisions to estimate what a NEW
+    * decision policy would have earned, without deploying it — the
+    * counterfactual-evaluation op behind every bandit/ranker iteration
+    * on logged interaction data. Logged action = md5(event_id) mod 3
+    * (a uniform logging policy, propensity 1/3 — the randomization a
+    * production logger records); reward = the event's value in cents.
+    * For each candidate policy π, IPS weights matching rows by
+    * 1/p = 3: V̂(π) = 3·Σ_match r / n. Also reported: the
+    * self-normalized (SNIPS) variant Σ_match r / n_match — lower
+    * variance, slight bias — and the match rate (the support π has in
+    * the log; low support = wide confidence bands).
+    *
+    * Three candidate policies in ONE scan (a context rule on user_id,
+    * a constant arm, and a coarser context rule), exploded to (policy,
+    * match, reward) rows that collapse map-side to 3 cells. Integer
+    * milli-cents with FLOOR division on both engines. */
+  val q217IpsPolicyEval: Q = Q(
+    "q217_ips_policy_eval",
+    """WITH log AS (
+      |  SELECT event_id, user_id,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS a,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), pol AS (
+      |  SELECT 'ctx_user_mod3' AS policy, a = user_id % 3 AS matched, r FROM log
+      |  UNION ALL
+      |  SELECT 'const_arm0', a = 0, r FROM log
+      |  UNION ALL
+      |  SELECT 'ctx_user_div7', a = (user_id // 7) % 3, r FROM log
+      |), agg AS (
+      |  SELECT policy, COUNT(*) AS n,
+      |    SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS n_match,
+      |    SUM(CASE WHEN matched THEN r ELSE 0 END) AS sum_r
+      |  FROM pol GROUP BY policy
+      |)
+      |SELECT policy, CAST(n AS BIGINT) AS n, CAST(n_match AS BIGINT) AS n_match,
+      |  CAST(n_match * 1000000 // n AS BIGINT) AS match_ppm,
+      |  CAST(3000 * sum_r // n AS BIGINT) AS ips_value_millicents,
+      |  CAST(CASE WHEN n_match = 0 THEN NULL
+      |    ELSE 1000 * sum_r // n_match END AS BIGINT) AS snips_value_millicents
+      |FROM agg
+      |ORDER BY policy""") { (s, d) =>
+    val log = Tables.events(s, d).select(
+      (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 3).as("a"),
+      col("user_id"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val pol = log.select(explode(array(
+      struct(lit("ctx_user_mod3").as("policy"),
+        (col("a") === col("user_id") % 3).as("matched")),
+      struct(lit("const_arm0").as("policy"), (col("a") === 0).as("matched")),
+      struct(lit("ctx_user_div7").as("policy"),
+        (col("a") === expr("(user_id div 7) % 3")).as("matched")))).as("p"),
+      col("r"))
+      .select(col("p.policy").as("policy"), col("p.matched").as("matched"), col("r"))
+    pol.groupBy("policy")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("matched"), col("r")).otherwise(0L)).as("sum_r"))
+      .select(col("policy"), col("n"), col("n_match"),
+        expr("n_match * 1000000 div n").as("match_ppm"),
+        expr("3000 * sum_r div n").as("ips_value_millicents"),
+        when(col("n_match") === 0, lit(null).cast("long"))
+          .otherwise(expr("1000 * sum_r div n_match")).as("snips_value_millicents"))
+      .orderBy("policy")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -1718,5 +1875,6 @@ object Events {
     q156CusumDrift, q158Scd2Join, q162RollingActive, q164MarkovTransitions,
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
-    q188ConversionDelay, q192SeasonalDecomp, q201LeadLag)
+    q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
+    q217IpsPolicyEval)
 }

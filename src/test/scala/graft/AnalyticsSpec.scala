@@ -143,6 +143,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q216: planted gaps are lerped exactly between their observed neighbors") {
+    val rows = ops.Events.q216LinearInterp.fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDate(0).toLocalDate,
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+    assert(rows.exists(_._5 == 1), "fixture must contain interpolated days")
+    val bySeries = rows.groupBy(_._1)
+    bySeries.values.foreach { series =>
+      val s = series.sortBy(_._2.toEpochDay)
+      s.zipWithIndex.foreach { case ((_, day, obs, filled, interp), i) =>
+        if (obs.isDefined) assert(filled.contains(obs.get), "observed must pass through")
+        else if (interp == 1) {
+          // recompute the lerp from the nearest observed neighbors
+          val prev = s.take(i).reverse.find(_._3.isDefined).get
+          val next = s.drop(i + 1).find(_._3.isDefined).get
+          val (pd, pv) = (prev._2.toEpochDay, prev._3.get)
+          val (nd, nv) = (next._2.toEpochDay, next._3.get)
+          val want = pv + (nv - pv) * (day.toEpochDay - pd) / (nd - pd)
+          assert(filled.contains(want), s"$day: got $filled want $want")
+        } else assert(filled.isEmpty, "no-neighbor edges must stay null")
+      }
+    }
+  }
+
+  test("q217: uniform logging policy gives every candidate ~1/3 support") {
+    val rows = ops.Events.q217IpsPolicyEval.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("match_ppm"), r.getAs[Long]("ips_value_millicents"),
+          r.getAs[Long]("snips_value_millicents"))).toMap
+    assert(rows.size == 3)
+    rows.foreach { case (p, (ppm, ips, snips)) =>
+      // md5 actions are uniform over 3 arms -> every deterministic
+      // policy matches ~333,333 ppm of the log (generous band at sf0.001)
+      assert(ppm > 250000 && ppm < 420000, s"$p support $ppm not ~1/3")
+      // with near-1/3 support, IPS (3·Σr/n) and SNIPS (Σr/n_match)
+      // must land close: their ratio is n/(3·n_match)
+      assert(math.abs(ips - snips).toDouble / snips < 0.35, s"$p ips=$ips snips=$snips")
+    }
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

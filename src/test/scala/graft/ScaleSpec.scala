@@ -381,7 +381,13 @@ class ScaleSpec extends SparkSpec {
       "q214_hll_registers" -> 140L,
       // q215: log₂(range) conditional-SUM scans, each a 2-cell result;
       // nothing row-cardinality ever shuffles. Measured 1 KiB at sf0.01
-      "q215_weighted_median" -> 8L)
+      "q215_weighted_median" -> 8L,
+      // q216: (type, day) cell partials collapse map-side; the spine and
+      // both IGNORE-NULLS windows run on cells. Measured 6 KiB at sf0.01
+      "q216_linear_interp" -> 16L,
+      // q217: three policies × one scan → 3 aggregate cells; ZERO
+      // row-cardinality shuffle. Measured 0 KiB at sf0.01
+      "q217_ips_policy_eval" -> 4L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1878,6 +1878,119 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** q218 — KMV sketch ALGEBRA: estimated union / intersection /
+    * Jaccard for every source pair from per-source k-minimum-values
+    * sketches — the "sketch once, compare everywhere" pattern (q82
+    * builds one sketch per group; this is why you build them: set
+    * arithmetic over 64-int synopses instead of corpus rescans —
+    * cross-source overlap matrices at 100 TB are only feasible this
+    * way). Union sketch = the 64 smallest hashes of the merged
+    * sketches (exact: min-k of a union is computable from the min-ks);
+    * est via the q82 (k−1)·2³²/v_k estimator, complete sketches
+    * (k < 64) short-circuit to their exact size; intersection by
+    * inclusion-exclusion clamped at 0; Jaccard = the fraction of the
+    * union's k-set present in BOTH sketches (the standard KMV overlap
+    * estimator).
+    *
+    * Scale: the corpus is scanned ONCE into per-source sketches
+    * (KmvAgg partials merge map-side); everything pairwise runs on the
+    * exploded ≤ 64·|sources| sketch table — cells, not data. */
+  val q218SketchAlgebra: Q = Q(
+    "q218_sketch_algebra",
+    """WITH tok AS (
+      |  SELECT DISTINCT source, CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) AS h
+      |  FROM (SELECT source, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |        FROM documents)
+      |), r AS (
+      |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      |  FROM tok
+      |), sk AS (
+      |  SELECT source, h FROM r WHERE rk <= 64
+      |), est AS (
+      |  SELECT source, COUNT(*) AS k, MAX(h) AS vk,
+      |    CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      |         WHEN MAX(h) = 0 THEN 0
+      |         ELSE CAST(FLOOR((COUNT(*)-1)*4294967296/MAX(h)) AS BIGINT) END AS est
+      |  FROM sk GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, a.est AS est_a, b.est AS est_b
+      |  FROM est a JOIN est b ON a.source < b.source
+      |), pu AS (
+      |  SELECT p.sa, p.sb, s.h,
+      |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+      |  GROUP BY p.sa, p.sb, s.h
+      |), ur AS (
+      |  SELECT sa, sb, h, in_a, in_b,
+      |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+      |  FROM pu
+      |), u64 AS (
+      |  SELECT sa, sb, COUNT(*) AS ku, MAX(h) AS vku,
+      |    SUM(in_a * in_b) AS shared
+      |  FROM ur WHERE rk <= 64 GROUP BY sa, sb
+      |), alg AS (
+      |  SELECT p.sa, p.sb, p.est_a, p.est_b,
+      |    CASE WHEN u.ku < 64 THEN u.ku
+      |         WHEN u.vku = 0 THEN 0
+      |         ELSE CAST(FLOOR((u.ku-1)*4294967296/u.vku) AS BIGINT) END AS est_u,
+      |    u.ku, u.shared
+      |  FROM pairs p JOIN u64 u ON u.sa = p.sa AND u.sb = p.sb
+      |)
+      |SELECT sa AS source_a, sb AS source_b,
+      |  CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+      |  CAST(est_u AS BIGINT) AS est_union,
+      |  CAST(GREATEST(0, est_a + est_b - est_u) AS BIGINT) AS est_intersect,
+      |  CAST(shared * 1000000 // ku AS BIGINT) AS jaccard_ppm,
+      |  CAST(shared AS BIGINT) AS shared_k
+      |FROM alg
+      |ORDER BY source_a, source_b""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val kmv = udaf(new graft.functions.KmvAgg(64))
+    // one corpus scan → one 64-int synopsis per source (map-side merge)
+    val sk0 = graft.Q.stageBarrier(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("source"), hex32(col("t")).as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("mins"))
+      .localCheckpoint() // sketch table: one row per source, read 3x below
+    val est = sk0.select(col("source"),
+      size(col("mins")).cast("long").as("k"),
+      element_at(col("mins"), size(col("mins"))).as("vk"))
+      .select(col("source"),
+        when(col("k") < 64, col("k"))
+          .when(col("vk") === 0, 0L)
+          .otherwise(floor((col("k") - 1) * 4294967296L / col("vk")).cast("long"))
+          .as("est"))
+    val sk = sk0.select(col("source"), explode(col("mins")).as("h"))
+    val pairs = est.as("a").join(est.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"))
+    // merge both sketches per pair, dedup hashes, keep membership flags
+    val pu = pairs
+      .join(broadcast(sk), col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy("sa", "sb", "h")
+      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))
+    val ur = pu.withColumn("rk",
+      row_number().over(Window.partitionBy("sa", "sb").orderBy("h")))
+    val u64 = ur.filter(col("rk") <= 64)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("ku"), max("h").as("vku"),
+        sum(col("in_a") * col("in_b")).as("shared"))
+    pairs.join(u64, Seq("sa", "sb"))
+      .withColumn("est_u",
+        when(col("ku") < 64, col("ku"))
+          .when(col("vku") === 0, 0L)
+          .otherwise(floor((col("ku") - 1) * 4294967296L / col("vku")).cast("long")))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_u").as("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")).as("est_intersect"),
+        expr("shared * 1000000 div ku").as("jaccard_ppm"),
+        col("shared").as("shared_k"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q215 — exact weighted median and weighted p90 (unit price
     * weighted by quantity — "the price of the median UNIT shipped",
     * not the median line): the sample-weight generalization of q153,
@@ -1947,5 +2060,5 @@ object Analytics {
     q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen,
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
-    q215WeightedMedian)
+    q215WeightedMedian, q218SketchAlgebra)
 }

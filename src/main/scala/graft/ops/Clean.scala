@@ -1766,6 +1766,73 @@ object Clean {
       .orderBy("bucket")
   }
 
+  /** q219 — minimal-span proximity ranking: for each two-term query,
+    * rank documents by how CLOSE the terms co-occur — min |pos(w1) −
+    * pos(w2)| over all occurrence pairs — the positional-index ranking
+    * signal between q105's bag-of-words BM25 (order-blind) and q150's
+    * exact phrase match (adjacency-only): "spark ... join" three words
+    * apart should outrank the document where they're paragraphs apart.
+    * Score = 10⁶ div (1 + span); top 5 docs per query via the
+    * TopKPerGroup operator — per-partition heaps per query key, no
+    * window sort over the full candidate set (a hot query with 10⁷
+    * candidate docs is exactly where partition-then-sort collapses).
+    *
+    * Scale: the posting scan prunes to the query vocabulary BEFORE any
+    * exchange (broadcast isin filter at the scan); the position-pair
+    * join is per-document and bounded by per-doc term frequency; the
+    * per-(query, doc) min collapses map-side. */
+  val q219ProximityRank: Q = Q(
+    "q219_proximity_rank",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(range(0, len(toks))) AS pos
+       |  FROM t
+       |), qs AS (
+       |  SELECT * FROM (VALUES
+       |    ('spark join', 'spark', 'join'),
+       |    ('quantum flux', 'quantum', 'flux'),
+       |    ('table data', 'table', 'data')) AS v(query, w1, w2)
+       |), spans AS (
+       |  SELECT qs.query, a.doc_id, MIN(ABS(a.pos - b.pos)) AS min_span
+       |  FROM qs
+       |  JOIN tok a ON a.term = qs.w1
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.term = qs.w2
+       |  GROUP BY qs.query, a.doc_id
+       |), ranked AS (
+       |  SELECT query, doc_id, min_span,
+       |    CAST(1000000 // (1 + min_span) AS BIGINT) AS score_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY query
+       |      ORDER BY 1000000 // (1 + min_span) DESC, doc_id) AS rn
+       |  FROM spans
+       |)
+       |SELECT query, doc_id, CAST(min_span AS BIGINT) AS min_span, score_ppm
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY query, score_ppm DESC, doc_id""") { (s, d) =>
+    import s.implicits._
+    val qs = Seq(
+      ("spark join", "spark", "join"),
+      ("quantum flux", "quantum", "flux"),
+      ("table data", "table", "data")).toDF("query", "w1", "w2")
+    val vocab = Seq("spark", "join", "quantum", "flux", "table", "data")
+    val tok = docs(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(vocab: _*)) // posting-list prune at the scan
+    val a = tok.join(broadcast(qs), col("term") === col("w1"))
+      .select(col("query"), col("w2"), col("doc_id"), col("pos").as("pa"))
+    val spans = a.join(tok.select(col("doc_id"), col("term"), col("pos").as("pb")),
+        Seq("doc_id"))
+      .filter(col("term") === col("w2"))
+      .groupBy("query", "doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_span"))
+      .withColumn("score_ppm", expr("1000000 div (1 + min_span)"))
+    graft.plans.TopKPerGroup(spans, Seq("query"),
+        Seq(("score_ppm", false), ("doc_id", true)), 5)
+      .select(col("query"), col("doc_id"), col("min_span"), col("score_ppm"))
+      .orderBy(col("query"), col("score_ppm").desc, col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
@@ -1773,5 +1840,5 @@ object Clean {
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
     q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
-    q151PublicSuffix, q154IndexMaintain, q167FeatureHash)
+    q151PublicSuffix, q154IndexMaintain, q167FeatureHash, q219ProximityRank)
 }

@@ -183,6 +183,58 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q218: sketch algebra tracks the exact pairwise set arithmetic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val rows = ops.Analytics.q218SketchAlgebra.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact per-source token-hash sets for the truth
+    val sets = Tables.documents(spark, sf)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("source"), hex32(col("t")).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ea, eb, eu, ei, jac) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      // structural identities of the algebra
+      assert(eu >= math.max(ea, eb) * 7 / 10 && eu <= ea + eb,
+        s"$sa|$sb union $eu out of [max/1.43, sum] vs $ea+$eb")
+      assert(ei <= math.min(ea, eb) * 15 / 10, s"$sa|$sb intersect $ei too big")
+      // estimator accuracy: k=64 -> rsd ~ 13%; allow 35% on union, and
+      // the Jaccard ppm within ±0.2 absolute of exact
+      val (ta, tb) = (sets(sa), sets(sb))
+      val exactU = (ta ++ tb).size.toDouble
+      val exactJ = (ta & tb).size.toDouble / exactU
+      assert(math.abs(eu - exactU) / exactU < 0.35, s"$sa|$sb union $eu vs $exactU")
+      assert(math.abs(jac / 1e6 - exactJ) < 0.20, s"$sa|$sb jacc $jac vs $exactJ")
+    }
+  }
+
+  test("q219: proximity top-5 equals a local positional replay") {
+    val got = ops.Clean.q219ProximityRank.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local truth: tokenize, min |pos(w1)-pos(w2)| per doc, top 5
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty))
+    val queries = Seq(("spark join", "spark", "join"),
+      ("quantum flux", "quantum", "flux"), ("table data", "table", "data"))
+    val want = queries.flatMap { case (q, w1, w2) =>
+      docs.flatMap { case (id, toks) =>
+        val p1 = toks.zipWithIndex.collect { case (t, i) if t == w1 => i }
+        val p2 = toks.zipWithIndex.collect { case (t, i) if t == w2 => i }
+        if (p1.isEmpty || p2.isEmpty) None
+        else {
+          val span = (for (a <- p1; b <- p2) yield math.abs(a - b)).min.toLong
+          Some((q, id, span, 1000000L / (1 + span)))
+        }
+      }.sortBy(t => (-t._4, t._2)).take(5)
+    }.sortBy(t => (t._1, -t._4, t._2))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

@@ -387,7 +387,15 @@ class ScaleSpec extends SparkSpec {
       "q216_linear_interp" -> 16L,
       // q217: three policies × one scan → 3 aggregate cells; ZERO
       // row-cardinality shuffle. Measured 0 KiB at sf0.01
-      "q217_ips_policy_eval" -> 4L)
+      "q217_ips_policy_eval" -> 4L,
+      // q218: one corpus scan → 64-int KMV synopses (map-side merge);
+      // all pairwise algebra on the ≤64·|sources| sketch table.
+      // Measured 326 KiB at sf0.01
+      "q218_sketch_algebra" -> 820L,
+      // q219: postings pruned to the query vocab at the scan; per-doc
+      // position pairs + (query, doc) min partials; TopKPerGroup heaps.
+      // Measured 132 KiB at sf0.01
+      "q219_proximity_rank" -> 340L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

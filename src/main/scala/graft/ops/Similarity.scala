@@ -1453,8 +1453,96 @@ object Similarity {
       .orderBy("a_id")
   }
 
+  /** q220 — distributed PCA top component, float-nondeterminism-free:
+    * the principal direction of the embedding cloud via integer-
+    * quantized covariance + 3 max-normalized power-iteration rounds —
+    * the embedding-drift / dominant-axis diagnostic (a collapsed
+    * embedding run shows one axis eating the spectrum) that normally
+    * can't be oracle-checked because float covariance sums are
+    * shuffle-order-dependent. Quantizing to milli-units first makes
+    * every moment an exact BIGINT (order-free), so both engines derive
+    * the identical matrix and the identical eigenvector.
+    *
+    * Shape at scale: quantize → integer-center (per-dim means, one
+    * d-cell aggregate) → Gram via a vec_id-co-partitioned self-join
+    * (the two sides reuse ONE exchange of fixed-width (vec, dim, c)
+    * rows; map-side partials collapse to d² = 4,096 cells per task) →
+    * covariance = Gram div n → power iteration entirely on the d²-cell
+    * table with d-cell broadcast score vectors (q128's posture). Max-
+    * normalization in ppm instead of L2 keeps the iteration in exact
+    * BIGINT — no sqrt. Overflow headroom: |c| ≤ 2·10³ milli ⇒ cov ≤
+    * 4·10⁶ regardless of n, so Σ_k cov·v ≤ d·4·10⁶·10⁶ ≈ 2.6·10¹⁴. */
+  val q220PcaPower: Q = Q(
+    "q220_pca_power",
+    s"""WITH qd AS (
+       |  SELECT vec_id, unnest(range(0, $Dim)) AS j,
+       |    unnest(list_transform($DVec, x -> CAST(FLOOR(x * 1000) AS BIGINT))) AS q
+       |  FROM embeddings
+       |), mn AS (
+       |  SELECT j, CAST(SUM(q) AS BIGINT) // COUNT(*) AS m FROM qd GROUP BY j
+       |), nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |c AS (
+       |  SELECT qd.vec_id, qd.j, qd.q - mn.m AS c FROM qd JOIN mn USING (j)
+       |), cov AS (
+       |  SELECT a.j AS j, b.j AS k,
+       |    CAST(SUM(a.c * b.c) AS BIGINT) // nn.n AS cov
+       |  FROM c a JOIN c b USING (vec_id) CROSS JOIN nn
+       |  GROUP BY a.j, b.j, nn.n
+       |), v0 AS (
+       |  SELECT j AS k, CAST(1000000 AS BIGINT) AS v FROM mn
+       |), r1 AS (
+       |  SELECT cov.j, CAST(SUM(cov * v) AS BIGINT) AS raw
+       |  FROM cov JOIN v0 ON v0.k = cov.k GROUP BY cov.j
+       |), v1 AS (
+       |  SELECT j AS k, raw * 1000000 // (SELECT MAX(ABS(raw)) FROM r1) AS v FROM r1
+       |), r2 AS (
+       |  SELECT cov.j, CAST(SUM(cov * v) AS BIGINT) AS raw
+       |  FROM cov JOIN v1 ON v1.k = cov.k GROUP BY cov.j
+       |), v2 AS (
+       |  SELECT j AS k, raw * 1000000 // (SELECT MAX(ABS(raw)) FROM r2) AS v FROM r2
+       |), r3 AS (
+       |  SELECT cov.j, CAST(SUM(cov * v) AS BIGINT) AS raw
+       |  FROM cov JOIN v2 ON v2.k = cov.k GROUP BY cov.j
+       |), mx AS (SELECT MAX(ABS(raw)) AS mx FROM r3)
+       |SELECT j AS dim, CAST(raw * 1000000 // mx.mx AS BIGINT) AS loading_ppm,
+       |  CAST(mx.mx AS BIGINT) AS iter3_scale
+       |FROM r3 CROSS JOIN mx
+       |ORDER BY dim""") { (s, d) =>
+    val qd = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"), floor(col("x") * 1000).cast("long").as("q"))
+    val mn = qd.groupBy("j").agg(expr("sum(q) div count(1)").as("m"))
+    val nn = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+    // centered integer components; the Gram self-join's two sides reuse
+    // this one exchange (localCheckpoint pins identical partitions)
+    val c = qd.join(broadcast(mn), "j")
+      .select(col("vec_id"), col("j"), (col("q") - col("m")).as("c"))
+      .localCheckpoint()
+    val cov = c.as("a").join(c.as("b"), "vec_id")
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum(col("a.c") * col("b.c")).as("g"))
+      .crossJoin(broadcast(nn)) // 1-row corpus count: scale-safe scalar
+      .select(col("j"), col("k"), expr("g div n").as("cov"))
+      .localCheckpoint() // d²-cell matrix read by all three rounds
+    var v = mn.select(col("j").as("k"), lit(1000000L).as("v"))
+    var raw: DataFrame = null
+    (1 to 3).foreach { _ =>
+      raw = cov.join(broadcast(v), "k")
+        .groupBy("j").agg(sum(col("cov") * col("v")).as("raw"))
+      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+      v = raw.crossJoin(broadcast(mx))
+        .select(col("j").as("k"), expr("raw * 1000000 div mx").as("v"))
+    }
+    val mx3 = raw.agg(max(abs(col("raw"))).as("mx"))
+    raw.crossJoin(broadcast(mx3))
+      .select(col("j").cast("long").as("dim"), expr("raw * 1000000 div mx").as("loading_ppm"),
+        col("mx").as("iter3_scale"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
-    q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn)
+    q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
+    q220PcaPower)
 }

@@ -235,6 +235,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("q220: PCA power iteration equals an exact local integer replay") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Similarity.q220PcaPower.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).max == 1000000L, "top loading must normalize to 1e6 ppm")
+    // local replay of the identical integer pipeline
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](1).map(x => math.floor(x * 1000).toLong).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toLong
+    val m = Array.tabulate(dim)(j => vecs.map(_(j)).sum / n) // div truncation ok: sums >= 0 here or same rule
+    val c = vecs.map(v => Array.tabulate(dim)(j => v(j) - m(j)))
+    val cov = Array.tabulate(dim, dim)((j, k) => c.map(r => r(j) * r(k)).sum / n)
+    var v = Array.fill(dim)(1000000L)
+    var raw = Array.fill(dim)(0L)
+    (1 to 3).foreach { _ =>
+      raw = Array.tabulate(dim)(j => (0 until dim).map(k => cov(j)(k) * v(k)).sum)
+      val mx = raw.map(math.abs).max
+      v = raw.map(x => x * 1000000L / mx)
+    }
+    val mx3 = raw.map(math.abs).max
+    val want = (0 until dim).map(j => (j.toLong, raw(j) * 1000000L / mx3, mx3))
+    assert(got.toSeq == want, s"got ${got.take(5).toSeq}... want ${want.take(5)}...")
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

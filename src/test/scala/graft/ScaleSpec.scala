@@ -395,7 +395,11 @@ class ScaleSpec extends SparkSpec {
       // q219: postings pruned to the query vocab at the scan; per-doc
       // position pairs + (query, doc) min partials; TopKPerGroup heaps.
       // Measured 132 KiB at sf0.01
-      "q219_proximity_rank" -> 340L)
+      "q219_proximity_rank" -> 340L,
+      // q220: one exchange of fixed-width (vec, dim, c) rows reused by
+      // both Gram sides; d²-cell matrix + d-cell broadcast vectors.
+      // Measured 67 KiB at sf0.01
+      "q220_pca_power" -> 170L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1540,9 +1540,97 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** q221 — Johnson-Lindenstrauss projection + distortion audit:
+    * project the 64-dim embeddings onto 16 md5-derived ±1 directions
+    * and MEASURE what the JL lemma promises — that pairwise squared
+    * distances survive within (1±ε) after rescaling by k — the audit
+    * you run before trusting a cheap projected index (q32's sign-LSH
+    * keeps only the sign bit; this keeps distances). For a ±1 matrix R,
+    * E‖Rx‖² = k‖x‖², so distortion = 10⁶·‖R(a−b)‖² div (k·‖a−b‖²) ppm,
+    * exact in BIGINT over the milli-quantized vectors (order-free —
+    * same trick as q220). Pairs are a deterministic stride sample
+    * (vec_id i ↔ i + 217 mod n — fixed-size evidence per corpus,
+    * sampling is the POINT of an audit). Output: a 10-bucket distortion
+    * histogram + min/max, the accept/reject evidence for k=16.
+    *
+    * Scale: projection is a narrow map (k dot products per row);
+    * pair-making is ONE co-partitioned self-join on the derived pair
+    * key; the histogram collapses map-side to ≤12 cells. */
+  val q221JlDistortion: Q = Q(
+    "q221_jl_distortion",
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform($DVec, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), pr AS (
+       |  SELECT vec_id, qv,
+       |    list_transform(range(0, 16), p ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, $Dim + 1), j ->
+       |          CASE WHEN CAST(concat('0x', substr(md5(concat('jl', p, '_', j - 1)), 1, 2)) AS BIGINT) % 2 = 0
+       |               THEN qv[j] ELSE -qv[j] END)),
+       |        (a, x) -> a + x)) AS pv
+       |  FROM q
+       |), pairs AS (
+       |  SELECT a.qv AS qa, a.pv AS pa, b.qv AS qb, b.pv AS pb
+       |  FROM pr a CROSS JOIN nn
+       |  JOIN pr b ON b.vec_id = (a.vec_id + 217) % nn.n
+       |), dist AS (
+       |  SELECT
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, $Dim + 1), j -> (qa[j]-qb[j])*(qa[j]-qb[j]))),
+       |      (a, x) -> a + x) AS d_orig,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 17), p -> (pa[p]-pb[p])*(pa[p]-pb[p]))),
+       |      (a, x) -> a + x) AS d_proj
+       |  FROM pairs
+       |), ratio AS (
+       |  SELECT CAST(d_proj * 1000000 // (16 * d_orig) AS BIGINT) AS r_ppm
+       |  FROM dist WHERE d_orig > 0
+       |), bucketed AS (
+       |  SELECT LEAST(CAST(r_ppm // 200000 AS BIGINT), 9) AS bucket,
+       |    COUNT(*) AS n_pairs, MIN(r_ppm) AS min_ppm, MAX(r_ppm) AS max_ppm
+       |  FROM ratio GROUP BY 1
+       |)
+       |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  min_ppm, max_ppm
+       |FROM bucketed ORDER BY bucket""") { (s, d) =>
+    val nn = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+    // ±1 sign for (plane p, dim j) from md5 — identical on both engines
+    def sign(p: Int, j: Int): Column =
+      when(conv(substring(md5(lit(s"jl${p}_$j")), 1, 2), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")), x => floor(x * 1000).cast("long")).as("qv"))
+      .withColumn("pv", array((0 until 16).map(p =>
+        aggregate(
+          zip_with(col("qv"),
+            array((0 until Dim).map(j => sign(p, j)): _*),
+            (x, sgn) => x * sgn),
+          lit(0L), (a, x) => a + x)): _*))
+      .crossJoin(broadcast(nn)) // 1-row corpus count: scale-safe scalar
+      .localCheckpoint() // both self-join sides read one snapshot
+    val pairs = q.select(col("qv").as("qa"), col("pv").as("pa"),
+        ((col("vec_id") + 217) % col("n")).as("pk"))
+      .join(q.select(col("vec_id").as("pk"), col("qv").as("qb"), col("pv").as("pb")), "pk")
+    val dist = pairs.select(
+      aggregate(zip_with(col("qa"), col("qb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (a, x) => a + x).as("d_orig"),
+      aggregate(zip_with(col("pa"), col("pb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (a, x) => a + x).as("d_proj"))
+    dist.filter(col("d_orig") > 0)
+      .select(expr("d_proj * 1000000 div (16 * d_orig)").as("r_ppm"))
+      .groupBy(least(expr("r_ppm div 200000"), lit(9L)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min("r_ppm").as("min_ppm"),
+        max("r_ppm").as("max_ppm"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
-    q220PcaPower)
+    q220PcaPower, q221JlDistortion)
 }

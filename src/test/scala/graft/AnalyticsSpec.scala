@@ -261,6 +261,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.take(5).toSeq}... want ${want.take(5)}...")
   }
 
+  test("q221: JL distortion concentrates around 1.0 as the lemma promises") {
+    val rows = ops.Similarity.q221JlDistortion.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    assert(total > 0)
+    // k=16 -> rsd of the squared-distance ratio is sqrt(2/16) ~ 35%;
+    // the bulk (>= 55%) of pairs must land within [0.4, 1.6]x
+    // (buckets 2..7), and bucket bounds must respect the bucket edges
+    val bulk = rows.filter(r => r._1 >= 2 && r._1 <= 7).map(_._2).sum
+    assert(bulk.toDouble / total >= 0.55, s"only $bulk/$total pairs near 1.0x")
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 200000 && (b == 9 || hi < (b + 1) * 200000),
+        s"bucket $b bounds [$lo,$hi] escape its edges")
+    }
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

@@ -399,7 +399,10 @@ class ScaleSpec extends SparkSpec {
       // q220: one exchange of fixed-width (vec, dim, c) rows reused by
       // both Gram sides; d²-cell matrix + d-cell broadcast vectors.
       // Measured 67 KiB at sf0.01
-      "q220_pca_power" -> 170L)
+      "q220_pca_power" -> 170L,
+      // q221: narrow projection map + one co-partitioned stride-pair
+      // self-join; histogram collapses to ≤12 cells. Measured 1 KiB
+      "q221_jl_distortion" -> 8L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

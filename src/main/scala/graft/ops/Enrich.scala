@@ -126,5 +126,101 @@ object Enrich {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink, q55DatetimeKitchen)
+  /** q222 — Fellegi–Sunter probabilistic record linkage: score q53's
+    * blocked candidate pairs by the classic likelihood-ratio weights —
+    * per field, agreement multiplies the score by m/u (how much more
+    * likely a match is to agree than a non-match), disagreement by
+    * (1−m)/(1−u) — turning "name is close AND nation matches BUT
+    * segment differs" into one calibrated number instead of q53's
+    * single edit-distance cut. m/u are estimated from the candidate
+    * set itself against the fixture's ground truth (same custkey), the
+    * supervised shortcut to the EM fit; ratios are clamped to
+    * [1, 10⁶] milli (log-odds capping) so the 3-field product stays in
+    * exact BIGINT with an identical multiply-then-floor-divide order
+    * on both engines — no logs, no doubles.
+    *
+    * Scale: candidates come from the q53 suffix block (never n²); the
+    * m/u estimates are one 1-row aggregate over the checkpointed pair
+    * table, broadcast back; scoring is a narrow map. */
+  val q222FellegiSunter: Q = Q(
+    "q222_fellegi_sunter",
+    """WITH canon AS (
+      |  SELECT c_custkey AS ck, c_name AS canonical, c_nationkey AS cn,
+      |    c_mktsegment AS cs, substring(c_name, length(c_name) - 2, 3) AS blk
+      |  FROM customer
+      |), noisy AS (
+      |  SELECT c_custkey AS nk, replace(c_name, '#000', '#') AS noisy_name,
+      |    c_nationkey AS nn, c_mktsegment AS ns,
+      |    substring(c_name, length(c_name) - 2, 3) AS blk
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |), pairs AS (
+      |  SELECT nk, ck,
+      |    CASE WHEN levenshtein(noisy_name, canonical) <= 3 THEN 1 ELSE 0 END AS a_name,
+      |    CASE WHEN nn = cn THEN 1 ELSE 0 END AS a_nation,
+      |    CASE WHEN ns = cs THEN 1 ELSE 0 END AS a_seg,
+      |    CASE WHEN nk = ck THEN 1 ELSE 0 END AS is_true
+      |  FROM noisy JOIN canon USING (blk)
+      |), mu AS (
+      |  SELECT
+      |    LEAST(GREATEST(SUM(a_name * is_true) * 1000000 // GREATEST(SUM(is_true), 1), 1), 999999) AS m1,
+      |    LEAST(GREATEST(SUM(a_nation * is_true) * 1000000 // GREATEST(SUM(is_true), 1), 1), 999999) AS m2,
+      |    LEAST(GREATEST(SUM(a_seg * is_true) * 1000000 // GREATEST(SUM(is_true), 1), 1), 999999) AS m3,
+      |    LEAST(GREATEST(SUM(a_name * (1 - is_true)) * 1000000 // GREATEST(SUM(1 - is_true), 1), 1), 999999) AS u1,
+      |    LEAST(GREATEST(SUM(a_nation * (1 - is_true)) * 1000000 // GREATEST(SUM(1 - is_true), 1), 1), 999999) AS u2,
+      |    LEAST(GREATEST(SUM(a_seg * (1 - is_true)) * 1000000 // GREATEST(SUM(1 - is_true), 1), 1), 999999) AS u3
+      |  FROM pairs
+      |), w AS (
+      |  SELECT p.*,
+      |    LEAST(CASE WHEN a_name = 1 THEN m1 * 1000 // u1
+      |          ELSE (1000000 - m1) * 1000 // (1000000 - u1) END, 1000000) AS w1,
+      |    LEAST(CASE WHEN a_nation = 1 THEN m2 * 1000 // u2
+      |          ELSE (1000000 - m2) * 1000 // (1000000 - u2) END, 1000000) AS w2,
+      |    LEAST(CASE WHEN a_seg = 1 THEN m3 * 1000 // u3
+      |          ELSE (1000000 - m3) * 1000 // (1000000 - u3) END, 1000000) AS w3
+      |  FROM pairs p CROSS JOIN mu
+      |)
+      |SELECT nk, ck, CAST(a_name AS BIGINT) AS a_name,
+      |  CAST(a_nation AS BIGINT) AS a_nation, CAST(a_seg AS BIGINT) AS a_seg,
+      |  CAST(w1 * w2 // 1000 * w3 // 1000 AS BIGINT) AS score_milli,
+      |  CAST(is_true AS BIGINT) AS is_true,
+      |  CAST(CASE WHEN w1 * w2 // 1000 * w3 // 1000 >= 100000 THEN 1 ELSE 0 END AS BIGINT) AS linked
+      |FROM w
+      |ORDER BY nk, ck""") { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val blk = substring(col("c_name"), -3, 3)
+    val canon = cust.select(col("c_custkey").as("ck"), col("c_name").as("canonical"),
+      col("c_nationkey").as("cn"), col("c_mktsegment").as("cs"), blk.as("blk"))
+    val noisy = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("nk"),
+        regexp_replace(col("c_name"), "#000", "#").as("noisy_name"),
+        col("c_nationkey").as("nn"), col("c_mktsegment").as("ns"), blk.as("blk"))
+    val pairs = noisy.join(canon, "blk")
+      .select(col("nk"), col("ck"),
+        when(levenshtein(col("noisy_name"), col("canonical")) <= 3, 1L).otherwise(0L).as("a_name"),
+        when(col("nn") === col("cn"), 1L).otherwise(0L).as("a_nation"),
+        when(col("ns") === col("cs"), 1L).otherwise(0L).as("a_seg"),
+        when(col("nk") === col("ck"), 1L).otherwise(0L).as("is_true"))
+      .localCheckpoint() // read twice: m/u estimation + scoring
+    val mu = pairs.agg(
+      least(greatest(expr("sum(a_name * is_true) * 1000000 div greatest(sum(is_true), 1)"), lit(1L)), lit(999999L)).as("m1"),
+      least(greatest(expr("sum(a_nation * is_true) * 1000000 div greatest(sum(is_true), 1)"), lit(1L)), lit(999999L)).as("m2"),
+      least(greatest(expr("sum(a_seg * is_true) * 1000000 div greatest(sum(is_true), 1)"), lit(1L)), lit(999999L)).as("m3"),
+      least(greatest(expr("sum(a_name * (1 - is_true)) * 1000000 div greatest(sum(1 - is_true), 1)"), lit(1L)), lit(999999L)).as("u1"),
+      least(greatest(expr("sum(a_nation * (1 - is_true)) * 1000000 div greatest(sum(1 - is_true), 1)"), lit(1L)), lit(999999L)).as("u2"),
+      least(greatest(expr("sum(a_seg * (1 - is_true)) * 1000000 div greatest(sum(1 - is_true), 1)"), lit(1L)), lit(999999L)).as("u3"))
+    pairs.crossJoin(broadcast(mu)) // 1-row m/u estimates: scale-safe scalar
+      .withColumn("w1", least(when(col("a_name") === 1, expr("m1 * 1000 div u1"))
+        .otherwise(expr("(1000000 - m1) * 1000 div (1000000 - u1)")), lit(1000000L)))
+      .withColumn("w2", least(when(col("a_nation") === 1, expr("m2 * 1000 div u2"))
+        .otherwise(expr("(1000000 - m2) * 1000 div (1000000 - u2)")), lit(1000000L)))
+      .withColumn("w3", least(when(col("a_seg") === 1, expr("m3 * 1000 div u3"))
+        .otherwise(expr("(1000000 - m3) * 1000 div (1000000 - u3)")), lit(1000000L)))
+      .select(col("nk"), col("ck"), col("a_name"), col("a_nation"), col("a_seg"),
+        expr("w1 * w2 div 1000 * w3 div 1000").as("score_milli"), col("is_true"),
+        when(expr("w1 * w2 div 1000 * w3 div 1000") >= 100000L, 1L).otherwise(0L).as("linked"))
+      .orderBy("nk", "ck")
+  }
+
+  val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink, q55DatetimeKitchen,
+    q222FellegiSunter)
 }

@@ -277,6 +277,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q222: Fellegi-Sunter links every true pair; FPs only on full agreement") {
+    val rows = ops.Enrich.q222FellegiSunter.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (isTrue, linked) = (r.getAs[Long]("is_true"), r.getAs[Long]("linked"))
+      val agrees = r.getAs[Long]("a_name") + r.getAs[Long]("a_nation") + r.getAs[Long]("a_seg")
+      if (isTrue == 1) assert(linked == 1, s"missed true pair ${r.getAs[Long]("nk")}")
+      // any linked non-match must at least fully agree on all fields —
+      // the only way the likelihood product can cross the threshold here
+      if (isTrue == 0 && linked == 1)
+        assert(agrees == 3, s"non-match linked on partial agreement: $r")
+      // score is monotone in agreement count for fixed m/u
+    }
+    val scores = rows.groupBy(r => (r.getAs[Long]("a_name"), r.getAs[Long]("a_nation"),
+      r.getAs[Long]("a_seg"))).view.mapValues(_.head.getAs[Long]("score_milli"))
+    scores.foreach { case (k, s0) =>
+      scores.foreach { case (k2, s2) =>
+        if (k._1 >= k2._1 && k._2 >= k2._2 && k._3 >= k2._3)
+          assert(s0 >= s2, s"score not monotone: $k=$s0 < $k2=$s2")
+      }
+    }
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

@@ -402,7 +402,11 @@ class ScaleSpec extends SparkSpec {
       "q220_pca_power" -> 170L,
       // q221: narrow projection map + one co-partitioned stride-pair
       // self-join; histogram collapses to ≤12 cells. Measured 1 KiB
-      "q221_jl_distortion" -> 8L)
+      "q221_jl_distortion" -> 8L,
+      // q222: suffix-blocked candidate pairs (never n²) + a 1-row m/u
+      // aggregate broadcast back; scoring is a narrow map. Measured
+      // 11 KiB at sf0.01
+      "q222_fellegi_sunter" -> 32L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -852,9 +852,84 @@ object Scale {
       .orderBy("tbl", "col")
   }
 
+  /** q223 — shuffle-quality audit: PROVE the q96 epoch shuffle actually
+    * shuffled, by measuring what bad shuffles leak — source clustering
+    * (adjacent docs from the same source make a training batch
+    * correlated) and residual input order (adjacent docs with
+    * consecutive ids mean the permutation didn't mix). Per shard:
+    * adjacent same-source pairs in shuffle order as ppm, against the
+    * exact perfect-shuffle expectation Σ n_s(n_s−1)·10⁶ div (n(n−1))
+    * (drawing 2 without replacement), and the consecutive-id pair
+    * count, whose expectation is ~2/n per pair — any visible mass is a
+    * broken permuter. The audit every epoch-order artifact should ship
+    * with: a skipped shuffle is invisible in row counts but glaring
+    * here.
+    *
+    * Scale: rides q96's own (shard, pos) output definition — the lag
+    * runs inside each shard partition exactly like the shuffle's own
+    * position numbering; the source histogram for the expectation is a
+    * |sources|-cell aggregate broadcast back; output is 8 shard cells. */
+  val q223ShuffleQuality: Q = Q(
+    "q223_shuffle_quality",
+    """WITH keyed AS (
+      |  SELECT doc_id, source,
+      |    CAST(concat('0x', substr(md5('ep1_' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS ord
+      |  FROM documents
+      |), ordered AS (
+      |  SELECT doc_id, source, ord % 8 AS shard,
+      |    LAG(source) OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) AS prev_source,
+      |    LAG(doc_id) OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) AS prev_id
+      |  FROM keyed
+      |), pairs AS (
+      |  SELECT shard,
+      |    COUNT(*) AS n_pairs,
+      |    SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END) AS same_source_pairs,
+      |    SUM(CASE WHEN ABS(doc_id - prev_id) = 1 THEN 1 ELSE 0 END) AS consecutive_id_pairs
+      |  FROM ordered WHERE prev_id IS NOT NULL
+      |  GROUP BY shard
+      |), exp AS (
+      |  SELECT CAST(SUM(ns * (ns - 1)) * 1000000 // (SUM(ns) * (SUM(ns) - 1)) AS BIGINT) AS expected_ppm
+      |  FROM (SELECT COUNT(*) AS ns FROM documents GROUP BY source)
+      |)
+      |SELECT CAST(shard AS BIGINT) AS shard, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(same_source_pairs AS BIGINT) AS same_source_pairs,
+      |  CAST(same_source_pairs * 1000000 // n_pairs AS BIGINT) AS same_source_ppm,
+      |  CAST(consecutive_id_pairs AS BIGINT) AS consecutive_id_pairs,
+      |  exp.expected_ppm
+      |FROM pairs CROSS JOIN exp
+      |ORDER BY shard""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.hex32(
+          concat(lit("ep1_"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(8L)))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    val pairs = keyed
+      .withColumn("prev_source", lag("source", 1).over(w))
+      .withColumn("prev_id", lag("doc_id", 1).over(w))
+      .filter(col("prev_id").isNotNull)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("source") === col("prev_source"), 1L).otherwise(0L))
+          .as("same_source_pairs"),
+        sum(when(abs(col("doc_id") - col("prev_id")) === 1, 1L).otherwise(0L))
+          .as("consecutive_id_pairs"))
+    val expected = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(expr("sum(ns * (ns - 1)) * 1000000 div (sum(ns) * (sum(ns) - 1))")
+        .as("expected_ppm"))
+    pairs.crossJoin(broadcast(expected)) // 1-row expectation scalar
+      .select(col("shard").cast("long").as("shard"), col("n_pairs"),
+        col("same_source_pairs"),
+        expr("same_source_pairs * 1000000 div n_pairs").as("same_source_ppm"),
+        col("consecutive_id_pairs"), col("expected_ppm"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
     q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
-    q190IdContinuity, q191TableProfile)
+    q190IdContinuity, q191TableProfile, q223ShuffleQuality)
 }

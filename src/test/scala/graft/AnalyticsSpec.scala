@@ -300,6 +300,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q223: the epoch shuffle shows no source clustering or residual order") {
+    val rows = ops.Scale.q223ShuffleQuality.fn(spark, sf).collect()
+    assert(rows.length == 8)
+    val expected = rows.head.getAs[Long]("expected_ppm")
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val same = rows.map(_.getAs[Long]("same_source_pairs")).sum
+    // aggregated same-source rate must track the perfect-shuffle
+    // expectation (Poisson-ish: ~n·p ± 3√(n·p) at ~25 expected hits)
+    val exp = nPairs * expected / 1000000.0
+    assert(math.abs(same - exp) <= 3 * math.sqrt(exp) + 3,
+      s"same-source $same vs expected $exp — shuffle leaks source clustering")
+    // a real permutation leaves (almost) no consecutive input ids
+    assert(rows.map(_.getAs[Long]("consecutive_id_pairs")).sum <= 3,
+      "residual input order survived the shuffle")
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

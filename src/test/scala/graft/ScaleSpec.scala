@@ -406,7 +406,10 @@ class ScaleSpec extends SparkSpec {
       // q222: suffix-blocked candidate pairs (never n²) + a 1-row m/u
       // aggregate broadcast back; scoring is a narrow map. Measured
       // 11 KiB at sf0.01
-      "q222_fellegi_sunter" -> 32L)
+      "q222_fellegi_sunter" -> 32L,
+      // q223: the q96 shard-window exchange + a |sources|-cell histogram
+      // broadcast back; output is 8 shard cells. Measured 12 KiB
+      "q223_shuffle_quality" -> 32L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1017,9 +1017,81 @@ object Dedup {
       .orderBy("a_key", "b_key")
   }
 
+  /** q224 — winnowing fingerprints (the MOSS algorithm): per document,
+    * keep the MINIMUM shingle hash of every w=4-window over the 5-gram
+    * hash sequence, dedup to the fingerprint set — the document-
+    * fingerprinting scheme with the POSITIONAL guarantee MinHash lacks:
+    * any shared run of ≥ w+k−1 = 8 tokens between two documents is
+    * certain to contribute ≥ 1 shared fingerprint (the shared window's
+    * minimum is the same hash in both), while storing only ~1/w of the
+    * shingles. The cross-doc report joins fingerprints, drops
+    * boilerplate hashes (document frequency > 20 — MOSS's "ignore
+    * common" pass, which also kills the hot-key join at scale), and
+    * keeps pairs sharing ≥ 3 fingerprints with an overlap estimate
+    * against the smaller set.
+    *
+    * Scale: window minima are a NARROW array pass inside the scan
+    * (no explode until fingerprints, already ~1/w of shingles); the
+    * only exchanges carry (doc_id, fp) ints, df-capped before the
+    * self-join. Complements q27 (MinHash estimates global Jaccard;
+    * winnowing localizes shared SPANS) and q84 (exact span dedup needs
+    * the quadratic-ish span join; winnowing is the sublinear screen). */
+  val q224Winnowing: Q = Q(
+    "q224_winnowing",
+    s"""WITH $DCorpus, hs AS (
+       |  SELECT doc_id,
+       |    list_transform($DSh, s -> $DHex32) AS h
+       |  FROM (SELECT doc_id, toks FROM corpus WHERE len(toks) >= 8)
+       |), fp AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(0, len(h) - 3), i -> list_min(h[i+1:i+4])))) AS f
+       |  FROM hs WHERE len(h) >= 4
+       |), df AS (
+       |  SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 20
+       |), rare AS (
+       |  SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
+       |), nfp AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+       |  FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= 3
+       |)
+       |SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+       |  CAST(shared_fps * 1000000 // LEAST(na.n, nb.n) AS BIGINT) AS overlap_ppm
+       |FROM pairs
+       |JOIN nfp na ON na.doc_id = doc_a
+       |JOIN nfp nb ON nb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val hs = corpus(s, d)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        transform(shingles(col("toks"), 5), sh => hex32(sh)).as("h"))
+      .filter(size(col("h")) >= 4)
+    val fp = hs.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(0), size(col("h")) - 4),
+        i => array_min(slice(col("h"), i + 1, lit(4)))))).as("f"))
+    val df = fp.groupBy("f").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= 20).select("f")
+    val rare = fp.join(df, Seq("f"), "left_semi").localCheckpoint()
+    val nfp = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+    pairs
+      .join(nfp.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nfp.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        expr("shared_fps * 1000000 div least(na, nb)").as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(q205SortedNeighborhood, q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
     q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin,
-    q168ContainmentJoin)
+    q168ContainmentJoin, q224Winnowing)
 }

@@ -158,4 +158,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
+
+  test("q224: winnowing finds every planted exact copy at 100% overlap") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Dedup.q224Winnowing.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows.nonEmpty)
+    // every %7 base doc long enough to fingerprint gets an exact copy at
+    // +2,000,000 — identical token stream ⇒ identical fingerprint set ⇒
+    // the pair MUST be reported at exactly 1e6 ppm (the MOSS guarantee
+    // on shared runs, at its degenerate full-document case)
+    val longDocs = ops.Dedup.corpus(spark, sf)
+      .filter(col("doc_id") < 1000000L && col("doc_id") % 7 === 0)
+      .filter(size(col("toks")) >= 16)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(longDocs.nonEmpty)
+    longDocs.foreach { d =>
+      val got = rows.get((d, d + 2000000L))
+      assert(got.contains(1000000L), s"exact pair ($d, ${d + 2000000L}): $got")
+    }
+    // near copies (first token dropped) still share all interior runs
+    val nearHits = rows.keys.count { case (a, b) => b - a == 1000000L }
+    assert(nearHits > 0, "no near-duplicate pair surfaced")
+  }
 }

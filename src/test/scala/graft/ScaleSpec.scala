@@ -409,7 +409,11 @@ class ScaleSpec extends SparkSpec {
       "q222_fellegi_sunter" -> 32L,
       // q223: the q96 shard-window exchange + a |sources|-cell histogram
       // broadcast back; output is 8 shard cells. Measured 12 KiB
-      "q223_shuffle_quality" -> 32L)
+      "q223_shuffle_quality" -> 32L,
+      // q224: (doc_id, fp) int rows only — window minima stay a narrow
+      // array pass in the scan, ~1/w of shingles survive, df-capped
+      // before the self-join. Measured 576 KiB at sf0.01
+      "q224_winnowing" -> 1440L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -61,7 +61,14 @@ class PlanAuditSpec extends SparkSpec {
     "q206_share_of_parent" -> "scalar join: the 1-row grand-total broadcasts into the ≤(1+|regions|+|nations|)-row cell report",
     "q208_equidepth_hist" -> "corpus-scalar join: the 1-row row-total broadcasts into the value-domain cell bucketing",
     "q209_assortativity" -> "shares q128's link extraction: the 1-row host count broadcasts into the outlink scan; moments are one collapsing aggregate over edges",
-    "q210_monetary_unit_sample" -> "corpus-scalar join: the 1-row sampling-interval scalar broadcasts into the selection scan")
+    "q210_monetary_unit_sample" -> "corpus-scalar join: the 1-row sampling-interval scalar broadcasts into the selection scan",
+    "q212_hits" -> "shares q128's link extraction (1-row host count broadcast); score tables are host-cardinality broadcasts into the edge list and each half-round max is a 1-row scalar",
+    "q213_priority_sample" -> "scalar join: the 1-row τ = (k+1)-th priority broadcasts into the k-row kept sample's Horvitz-Thompson estimates",
+    "q216_linear_interp" -> "calendar-spine cross: the generated day sequence broadcasts against the |types|-row key set (q52's shape); interpolation windows run on (type, day) cells",
+    "q218_sketch_algebra" -> "sketch-pair cross: both sides are the |sources|-row 64-int KMV synopsis table — pairwise algebra never rescans the corpus",
+    "q220_pca_power" -> "power-iteration scalar joins: the d-cell eigenvector estimate and 1-row max broadcast into the d²-cell Gram matrix each round",
+    "q222_fellegi_sunter" -> "scalar join: the 1-row m/u probability estimates broadcast into the suffix-blocked (never n²) candidate scoring",
+    "q223_shuffle_quality" -> "scalar joins: the 1-row corpus total and |sources|-cell perfect-shuffle expectation broadcast into the ≤shards·sources-cell audit")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

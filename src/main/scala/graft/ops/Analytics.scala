@@ -2051,6 +2051,146 @@ object Analytics {
       .orderBy("stat")
   }
 
+  /** q225 — leave-one-out target encoding: replace the categorical
+    * `c_mktsegment` with the mean customer revenue of OTHER customers
+    * in the same segment — the standard supervised categorical encoder,
+    * in the one spelling that does not leak the row's own label into
+    * its feature (plain mean-encoding memorizes rare categories; LOO
+    * is what the fitted pipeline must compute). Encoding is exact:
+    * revenue in BIGINT cents, enc = (seg_sum − own)·1000 div (n−1)
+    * millicents, NULL for singleton segments (no "other" evidence).
+    * Customers with no orders count at 0 — absence of history is
+    * evidence, not a gap.
+    *
+    * Scale: one custkey-partitioned revenue aggregate (the only
+    * corpus shuffle), a ≤|segments|-cell stats table that BROADCASTS
+    * into the encode scan, and a deterministic key-stride sample at
+    * the export edge so the checked output stays bounded. At 100 TB
+    * the segment sums exceed BIGINT·1000 around 9·10¹⁵ cents — lift
+    * the numerator to DECIMAL(38,0) there; the shape is unchanged. */
+  val q225TargetEncode: Q = Q(
+    "q225_target_encode",
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+      |  FROM orders GROUP BY o_custkey
+      |), c AS (
+      |  SELECT c_custkey, c_mktsegment, COALESCE(rev, 0) AS rev
+      |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey
+      |), seg AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n, SUM(rev) AS s FROM c GROUP BY 1
+      |)
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |  CAST(c.rev AS BIGINT) AS revenue_cents,
+      |  CAST(seg.n AS BIGINT) AS segment_n,
+      |  CAST(CASE WHEN seg.n > 1 THEN (seg.s - c.rev) * 1000 // (seg.n - 1)
+      |    END AS BIGINT) AS loo_enc_millicents
+      |FROM c JOIN seg USING (c_mktsegment)
+      |WHERE c_custkey % 50 = 1
+      |ORDER BY c_custkey""") { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("rev"), lit(0L)).as("rev"))
+    val seg = c.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("rev").as("s"))
+    c.join(broadcast(seg), "c_mktsegment") // ≤|segments| cells: scale-safe
+      .filter(col("c_custkey") % 50 === 1)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("rev").as("revenue_cents"), col("n").as("segment_n"),
+        when(col("n") > 1, expr("(s - rev) * 1000 div (n - 1)"))
+          .otherwise(lit(null).cast("long")).as("loo_enc_millicents"))
+      .orderBy("c_custkey")
+  }
+
+  /** q226 — histogram split finder for a decision stump: the inner
+    * loop of every gradient-boosted-tree fit (LightGBM/XGBoost hist
+    * mode) as one declarative pass — bin `o_totalprice` into 64
+    * equi-width bins, collapse to per-bin (n, n_pos) cells map-side,
+    * cumulate over CELLS, and score every split boundary by the exact
+    * two-class separation criterion (posL·nR − posR·nL)² / (nL·nR)
+    * (Gini gain up to the constant n factor — same argmax). The
+    * squared numerator needs ~2⁷⁰ at sf0.1, so the score is computed
+    * in DECIMAL(38,0)/HUGEINT on both engines and floored to milli;
+    * best split = (score DESC, bin ASC) rank 1 — ties deterministic.
+    * Label: order priority URGENT vs not.
+    *
+    * Scale: ONE corpus scan that collapses to ≤64 cells map-side
+    * (the 1-row min/max scalar broadcasts into the binning — the same
+    * two-pass shape as q208's equi-depth build); cumulation, scoring,
+    * and the rank-1 pick all run on cells. This is exactly the
+    * shape distributed GBDT libraries use at any scale. */
+  val q226StumpSplit: Q = Q(
+    "q226_stump_split",
+    """WITH pts AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders
+      |), mm AS (
+      |  SELECT MIN(v) AS lo, MAX(v) AS hi FROM pts
+      |), cells AS (
+      |  SELECT CAST((v - lo) * 64 // (hi - lo + 1) AS BIGINT) AS bin,
+      |    COUNT(*) AS n, SUM(y) AS pos
+      |  FROM pts CROSS JOIN mm GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, lo, hi,
+      |    SUM(n) OVER w AS n_left, SUM(pos) OVER w AS pos_left,
+      |    SUM(n) OVER () AS n_tot, SUM(pos) OVER () AS pos_tot
+      |  FROM cells CROSS JOIN mm
+      |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), diffd AS (
+      |  SELECT bin, lo, hi, n_left, pos_left,
+      |    CAST(pos_left * (n_tot - n_left)
+      |       - (pos_tot - pos_left) * n_left AS HUGEINT) AS diff,
+      |    CAST(n_left AS HUGEINT) * (n_tot - n_left) AS den
+      |  FROM cum WHERE n_left > 0 AND n_tot - n_left > 0
+      |), scored AS (
+      |  SELECT bin,
+      |    CAST(lo + (bin + 1) * (hi - lo + 1) // 64 AS BIGINT) AS threshold_cents,
+      |    CAST(n_left AS BIGINT) AS n_left, CAST(pos_left AS BIGINT) AS pos_left,
+      |    CAST(diff * diff * 1000 // den AS BIGINT) AS score_milli
+      |  FROM diffd
+      |)
+      |SELECT bin, threshold_cents, n_left, pos_left, score_milli,
+      |  (ROW_NUMBER() OVER (ORDER BY score_milli DESC, bin) = 1) AS is_best
+      |FROM scored
+      |ORDER BY bin""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, d).select(
+      (dec(col("o_totalprice")) * 100).cast("long").as("v"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+    val mm = pts.agg(min("v").as("lo"), max("v").as("hi"))
+    val cells = pts.crossJoin(broadcast(mm)) // 1-row min/max scalar
+      .groupBy(expr("(v - lo) * 64 div (hi - lo + 1)").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells.crossJoin(broadcast(mm))
+      .select(col("bin"), col("lo"), col("hi"),
+        sum("n").over(wCum).as("n_left"), sum("pos").over(wCum).as("pos_left"),
+        sum("n").over(wAll).as("n_tot"), sum("pos").over(wAll).as("pos_tot"))
+    val scored = cum
+      .filter(col("n_left") > 0 && col("n_tot") - col("n_left") > 0)
+      // BIGINT products first (≤ ~2.25e10, exact), DECIMAL(38,0) only
+      // for the square — mirrors the oracle's HUGEINT lift exactly
+      .withColumn("diff", expr(
+        "CAST(pos_left * (n_tot - n_left) - (pos_tot - pos_left) * n_left AS DECIMAL(38,0))"))
+      .withColumn("den", expr("CAST(n_left AS DECIMAL(38,0)) * (n_tot - n_left)"))
+      .select(col("bin"),
+        expr("lo + (bin + 1) * (hi - lo + 1) div 64").as("threshold_cents"),
+        col("n_left"), col("pos_left"),
+        expr("CAST(diff * diff * 1000 div den AS BIGINT)").as("score_milli"))
+    scored.withColumn("is_best",
+        row_number().over(Window.orderBy(col("score_milli").desc, col("bin"))) === 1)
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2060,5 +2200,5 @@ object Analytics {
     q194FdAudit, q195EditDistanceJoin, q196Skyline, q197TheilSen,
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
-    q215WeightedMedian, q218SketchAlgebra)
+    q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit)
 }

@@ -1868,6 +1868,91 @@ object Events {
       .orderBy("policy")
   }
 
+  /** q228 — doubly-robust off-policy evaluation: q217's IPS estimator
+    * plus an outcome-model baseline m̂(x,a) — V_DR = mean over logs of
+    * [ m̂(x,π(x)) + 𝟙{a=π(x)}/p · (r − m̂(x,a)) ]. DR is unbiased if
+    * EITHER the propensity (exact 1/3 here) or the outcome model is
+    * right, and its variance is far below IPS when m̂ explains reward —
+    * the estimator production ranker evaluations actually ship. m̂ is
+    * the per-(context, arm) mean reward from the log itself (context
+    * x = user_id % 3 — 9 cells, exact floor-milli). The DR sum can go
+    * negative on the correction term, and Spark's `div` truncates
+    * where DuckDB's `//` floors — the mean is computed as
+    * ((Σ + n·C) div n) − C with C = 10⁹ so the numerator is positive
+    * by construction and both engines floor identically.
+    *
+    * Scale: one corpus scan builds the log; the 9-cell m̂ table
+    * broadcasts into two equi-joins (hash, not nested-loop); the
+    * 3-policy expansion is an in-row explode; the rollup collapses to
+    * 3 cells map-side. Nothing after the scan is corpus-cardinality. */
+  val q228DoublyRobust: Q = Q(
+    "q228_doubly_robust",
+    """WITH log AS (
+      |  SELECT user_id, user_id % 3 AS x,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS a,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), mhat AS (
+      |  SELECT x, a, 1000 * SUM(r) // COUNT(*) AS mu FROM log GROUP BY x, a
+      |), pol AS (
+      |  SELECT x, a, r, 'ctx_user_mod3' AS policy, x AS pi FROM log
+      |  UNION ALL
+      |  SELECT x, a, r, 'const_arm0', 0 FROM log
+      |  UNION ALL
+      |  SELECT x, a, r, 'ctx_user_div7', (user_id // 7) % 3 FROM log
+      |), scored AS (
+      |  SELECT p.policy, p.a = p.pi AS matched, p.r,
+      |    ml.mu AS mu_log, mp.mu AS mu_pi
+      |  FROM pol p
+      |  JOIN mhat ml ON ml.x = p.x AND ml.a = p.a
+      |  JOIN mhat mp ON mp.x = p.x AND mp.a = p.pi
+      |), agg AS (
+      |  SELECT policy, COUNT(*) AS n,
+      |    SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS n_match,
+      |    SUM(mu_pi) AS sum_dm,
+      |    SUM(mu_pi + CASE WHEN matched THEN 3 * (1000 * r - mu_log) ELSE 0 END) AS sum_dr
+      |  FROM scored GROUP BY policy
+      |)
+      |SELECT policy, CAST(n AS BIGINT) AS n, CAST(n_match AS BIGINT) AS n_match,
+      |  CAST(n_match * 1000000 // n AS BIGINT) AS match_ppm,
+      |  CAST(sum_dm // n AS BIGINT) AS dm_value_millicents,
+      |  CAST((sum_dr + n * 1000000000) // n - 1000000000 AS BIGINT) AS dr_value_millicents
+      |FROM agg
+      |ORDER BY policy""") { (s, d) =>
+    val log = Tables.events(s, d).select(
+      col("user_id"), (col("user_id") % 3).as("x"),
+      (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 3).as("a"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val mhat = log.groupBy("x", "a")
+      .agg(expr("1000 * sum(r) div count(1)").as("mu"))
+    val pol = log.select(col("x"), col("a"), col("r"), explode(array(
+        struct(lit("ctx_user_mod3").as("policy"), col("x").as("pi")),
+        struct(lit("const_arm0").as("policy"), lit(0L).as("pi")),
+        struct(lit("ctx_user_div7").as("policy"),
+          expr("(user_id div 7) % 3").as("pi")))).as("p"))
+      .select(col("x"), col("a"), col("r"),
+        col("p.policy").as("policy"), col("p.pi").as("pi"))
+    pol
+      .join(broadcast(mhat.select(col("x"), col("a"), col("mu").as("mu_log"))),
+        Seq("x", "a")) // 9-cell outcome model: broadcast hash join
+      .join(broadcast(mhat.select(col("x"), col("a").as("pi"), col("mu").as("mu_pi"))),
+        Seq("x", "pi"))
+      .groupBy("policy")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("pi"), 1L).otherwise(0L)).as("n_match"),
+        sum("mu_pi").as("sum_dm"),
+        sum(col("mu_pi") + when(col("a") === col("pi"),
+          lit(3L) * (lit(1000L) * col("r") - col("mu_log"))).otherwise(0L))
+          .as("sum_dr"))
+      .select(col("policy"), col("n"), col("n_match"),
+        expr("n_match * 1000000 div n").as("match_ppm"),
+        expr("sum_dm div n").as("dm_value_millicents"),
+        expr("(sum_dr + n * 1000000000) div n - 1000000000")
+          .as("dr_value_millicents"))
+      .orderBy("policy")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -1876,5 +1961,5 @@ object Events {
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
-    q217IpsPolicyEval)
+    q217IpsPolicyEval, q228DoublyRobust)
 }

@@ -760,6 +760,140 @@ object Graph {
         coalesce(col("h"), lit(0L)).as("hub_ppm"))
   }
 
+  /** q227 — Newman modularity of the q173 labeling: the one-number
+    * answer to "did label propagation find real structure, or noise?"
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over communities — internal-edge mass
+    * against the degree-preserving random expectation. Computed in
+    * exact integers: Q·4m² = Σ_c (4m·e_c − d_c²) (all BIGINT through
+    * sf1; the final ppm ratio lifts to DECIMAL(38,0)/HUGEINT because
+    * (Σ+4m²)·10⁶ crosses 2⁶³ first — the 100 TB path is the same lift
+    * one level earlier). The ppm division shifts by +4m² before the
+    * floor-div so the numerator stays positive — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they only
+    * agree on non-negative numerators (Q itself may be negative).
+    * Oracle replays the identical 3 LPA rounds and the modularity
+    * arithmetic as chained CTEs.
+    *
+    * Scale: q173's posture end-to-end — the corpus scan that derives
+    * links is the only big-data stage; labels are node-cardinality and
+    * stay in co-partitioned equi-joins (never broadcast); e_c/d_c are
+    * community-cardinality cells; the summary is one 1-row fold. */
+  val q227Modularity: Q = Q(
+    "q227_modularity",
+    {
+      def round(i: Int) = {
+        val prev = s"l${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.u AS id, p.lab, COUNT(*) AS c
+           |  FROM und e JOIN $prev p ON p.id = e.v GROUP BY e.u, p.lab
+           |), b$i AS (
+           |  SELECT id, lab,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+           |  FROM c$i
+           |), l$i AS (
+           |  SELECT p.id, COALESCE(b.lab, p.lab) AS lab
+           |  FROM $prev p
+           |  LEFT JOIN (SELECT id, lab FROM b$i WHERE rn = 1) b ON b.id = p.id
+           |)"""
+      }
+      s"""WITH nd AS (
+         |  SELECT COUNT(*) AS n FROM documents
+         |), links AS (
+         |  SELECT doc_id AS src,
+         |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+         |  FROM documents
+         |  CROSS JOIN nd
+         |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
+         |), ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM links WHERE src <> dst
+         |), und AS (
+         |  SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue
+         |), l0 AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |m AS (
+         |  SELECT COUNT(*) AS m FROM ue
+         |), deg AS (
+         |  SELECT u AS v, COUNT(*) AS dg FROM und GROUP BY u
+         |), ein AS (
+         |  SELECT la.lab AS community, COUNT(*) AS e_in
+         |  FROM ue
+         |  JOIN l3 la ON la.id = ue.a
+         |  JOIN l3 lb ON lb.id = ue.b
+         |  WHERE la.lab = lb.lab GROUP BY 1
+         |), dsum AS (
+         |  SELECT l.lab AS community, SUM(COALESCE(d.dg, 0)) AS d_c,
+         |    COUNT(*) AS n_nodes
+         |  FROM l3 l LEFT JOIN deg d ON d.v = l.id GROUP BY 1
+         |), contrib AS (
+         |  SELECT ds.community, ds.n_nodes, COALESCE(e.e_in, 0) AS e_in,
+         |    4 * m.m * COALESCE(e.e_in, 0) - ds.d_c * ds.d_c AS c
+         |  FROM dsum ds LEFT JOIN ein e USING (community) CROSS JOIN m
+         |)
+         |SELECT CAST((SELECT COUNT(*) FROM l3) AS BIGINT) AS n_nodes,
+         |  CAST(m.m AS BIGINT) AS n_edges,
+         |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST(MAX(n_nodes) AS BIGINT) AS max_community_n,
+         |  CAST(SUM(e_in) * 1000000 // m.m AS BIGINT) AS internal_edge_ppm,
+         |  CAST((CAST(SUM(c) AS HUGEINT) + CAST(4 AS HUGEINT) * m.m * m.m) * 1000000
+         |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT) AS modularity_ppm
+         |FROM contrib CROSS JOIN m
+         |GROUP BY m.m"""
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val links = docs
+      .crossJoin(broadcast(nd)) // 1-row count: the only broadcast here
+      .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
+        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // read by und, m, and the ein label joins
+    val und = ue.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // read by every LPA round and the degree agg
+    val lab = labelPropagate(
+        docs.select(col("doc_id").as("id"), col("doc_id").as("lab")), und, rounds = 3)
+      .localCheckpoint() // node-cardinality; read by ein (twice) and dsum
+    val m = ue.agg(count(lit(1)).as("m"))
+    val deg = und.groupBy(col("u").as("v")).agg(count(lit(1)).as("dg"))
+    val ein = ue
+      .join(lab.select(col("id").as("a"), col("lab").as("la")), "a")
+      .join(lab.select(col("id").as("b"), col("lab").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val dsum = lab
+      .join(deg.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .groupBy(col("lab").as("community"))
+      .agg(sum(coalesce(col("dg"), lit(0L))).as("d_c"), count(lit(1)).as("n_nodes"))
+    val contrib = dsum
+      .join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m)) // 1-row edge count: scale-safe scalar
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("d_c") * col("d_c")).as("c"),
+        col("m"))
+    val nNodes = lab.agg(count(lit(1)).as("n_nodes_tot"))
+    contrib.groupBy("m")
+      .agg(count(lit(1)).as("n_communities"),
+        max("n_nodes").as("max_community_n"),
+        sum("e_in").as("sum_ein"), sum("c").as("sum_c"))
+      .crossJoin(broadcast(nNodes)) // 1-row node count
+      .select(col("n_nodes_tot").as("n_nodes"), col("m").as("n_edges"),
+        col("n_communities"), col("max_community_n"),
+        expr("sum_ein * 1000000 div m").as("internal_edge_ppm"),
+        expr("""CAST((CAST(sum_c AS DECIMAL(38,0)) + CAST(4 AS DECIMAL(38,0)) * m * m)
+          * 1000000 div (CAST(4 AS DECIMAL(38,0)) * m * m) - 1000000 AS BIGINT)""")
+          .as("modularity_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
-    q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits)
+    q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits,
+    q227Modularity)
 }

@@ -333,4 +333,86 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("p50_weighted") == (((wt + 1) / 2, lowerQuantile((wt + 1) / 2))))
     assert(got("p90_weighted") == (((9 * wt + 9) / 10, lowerQuantile((9 * wt + 9) / 10))))
   }
+
+  test("q225: LOO encoding equals the hand-recomputed leave-one-out means") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q225TargetEncode.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // full (unsampled) truth recomputed locally
+    val rev = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byuSeg = cust.map { case (k, s) => (k, s, rev.getOrElse(k, 0L)) }
+    val segStats = byuSeg.groupBy(_._2).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    rows.foreach { r =>
+      val (k, seg) = (r.getAs[Long]("c_custkey"), r.getString(1))
+      val own = r.getAs[Long]("revenue_cents")
+      val (n, s) = segStats(seg)
+      assert(k % 50 == 1, "stride sample contract")
+      assert(own == rev.getOrElse(k, 0L))
+      assert(r.getAs[Long]("segment_n") == n)
+      if (n > 1)
+        // LOO: the row's own label must NOT be in its feature
+        assert(r.getAs[Long]("loo_enc_millicents") ==
+          Math.floorDiv((s - own) * 1000, n - 1))
+      else assert(r.isNullAt(r.fieldIndex("loo_enc_millicents")))
+    }
+  }
+
+  test("q226: stump scores equal the exact local split search; one best split") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q226StumpSplit.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 63)
+    // local exact replay in BigInt
+    val pts = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (pts.map(_._1).min, pts.map(_._1).max)
+    val cells = pts.groupBy { case (v, _) => (v - lo) * 64 / (hi - lo + 1) }.view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val nTot = pts.length.toLong
+    val posTot = pts.map(_._2).sum
+    var (nL, posL) = (0L, 0L)
+    val want = (0L to 63L).flatMap { b =>
+      val (n, p) = cells.getOrElse(b, (0L, 0L))
+      nL += n; posL += p
+      if (nL > 0 && nTot - nL > 0) {
+        val diff = BigInt(posL) * (nTot - nL) - BigInt(posTot - posL) * nL
+        Some(b -> (nL, posL, (diff * diff * 1000 / (BigInt(nL) * (nTot - nL))).toLong))
+      } else None
+    }.toMap
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val (wn, wp, ws) = want(b)
+      assert(r.getAs[Long]("n_left") == wn && r.getAs[Long]("pos_left") == wp)
+      assert(r.getAs[Long]("score_milli") == ws, s"bin $b")
+    }
+    // exactly one winner, and it is the (score DESC, bin ASC) argmax
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    val argmax = want.toSeq.sortBy { case (b, (_, _, s)) => (-s, b) }.head._1
+    assert(best.head.getAs[Long]("bin") == argmax)
+  }
+
+  test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
+    val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),
+        r.getAs[Long]("dm_value_millicents"), r.getAs[Long]("dr_value_millicents"))).toMap
+    val ips = ops.Events.q217IpsPolicyEval.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("ips_value_millicents")).toMap
+    assert(dr.size == 3)
+    dr.foreach { case (p, (ppm, dm, drv)) =>
+      assert(ppm > 250000 && ppm < 420000, s"$p support $ppm not ~1/3")
+      // reward is arm-independent in the fixture, so all three unbiased
+      // estimators target the same value; DR corrects DM toward IPS
+      assert(math.abs(drv - ips(p)).toDouble / ips(p) < 0.30,
+        s"$p dr=$drv ips=${ips(p)}")
+      assert(math.abs(dm - drv).toDouble / drv < 0.30, s"$p dm=$dm dr=$drv")
+    }
+  }
 }

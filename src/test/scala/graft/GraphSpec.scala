@@ -142,4 +142,23 @@ class GraphSpec extends SparkSpec {
     assert(got(0L)._2 == 1000000L, "node 0 must be the max hub")
     assert(got(3L)._1 == 0L, "node 3 has no in-links: zero authority")
   }
+
+  test("q227: modularity summary is consistent with the q173 labeling") {
+    val mod = Graph.q227Modularity.fn(spark, sf).collect()
+    assert(mod.length == 1)
+    val r = mod.head
+    val (nNodes, nEdges) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    val q = r.getAs[Long]("modularity_ppm")
+    val internal = r.getAs[Long]("internal_edge_ppm")
+    assert(nNodes > 0 && nEdges > 0)
+    // Q ∈ [-0.5, 1); internal-edge share is a proper fraction
+    assert(q >= -500000L && q < 1000000L, s"modularity_ppm $q out of range")
+    assert(internal >= 0L && internal <= 1000000L)
+    // the labeling q227 scores IS q173's: community count and the
+    // largest community must agree exactly
+    val lpa = Graph.q173LabelProp.fn(spark, sf).collect()
+    assert(r.getAs[Long]("n_communities") == lpa.length.toLong)
+    assert(r.getAs[Long]("max_community_n") ==
+      lpa.map(_.getAs[Long]("n_docs")).max)
+  }
 }

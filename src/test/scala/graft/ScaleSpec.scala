@@ -410,6 +410,18 @@ class ScaleSpec extends SparkSpec {
       // q223: the q96 shard-window exchange + a |sources|-cell histogram
       // broadcast back; output is 8 shard cells. Measured 12 KiB
       "q223_shuffle_quality" -> 32L,
+      // q225: the custkey revenue agg is the only corpus shuffle; the
+      // ≤|segments| stats table broadcasts into the encode scan
+      "q225_target_encode" -> 90L,
+      // q226: one scan collapses to ≤64 (bin, n, pos) cells map-side;
+      // cumulation + scoring + rank-1 run on cells
+      "q226_stump_split" -> 12L,
+      // q227: q173's edge/label tables (node/edge-cardinality ids) —
+      // community cells and the 1-row summary after
+      "q227_modularity" -> 640L,
+      // q228: 9-cell outcome model + 3 policy cells — the corpus scan
+      // collapses map-side
+      "q228_doubly_robust" -> 8L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

@@ -1833,6 +1833,70 @@ object Clean {
       .orderBy(col("query"), col("score_ppm").desc, col("doc_id"))
   }
 
+  /** q231 — n-gram novelty against a reference slice: for every
+    * non-reference source, what fraction of its distinct 5-gram mass
+    * does NOT appear anywhere in the reference corpus (sources with
+    * numeric suffix % 4 = 0 — the stand-in for "the CommonCrawl we
+    * already have")? This is the acquisition-value / memorization-audit
+    * number: a new source whose novelty is ~0 is already covered, and
+    * generated text scored against the training corpus reads LOW
+    * novelty when the model is regurgitating. Distinct semantics from
+    * q72/q83 (decontamination finds WHICH docs overlap a benchmark;
+    * novelty measures aggregate NEW-gram share per slice) — same gram
+    * machinery, different question.
+    *
+    * Scale: the fused native shingle-hash expression keeps gram
+    * extraction inside the scan; the reference's distinct-hash table
+    * and the per-doc gram table meet in ONE hash-keyed co-partitioned
+    * left join (ints only — no text shuffles); everything after
+    * collapses to ≤|sources| cells. A bloom prefilter (q83's mechanism)
+    * drops in front of the join unchanged when the reference is 10¹²
+    * grams. */
+  val q231NgramNovelty: Q = Q(
+    "q231_ngram_novelty",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $DToks AS toks FROM documents
+       |), g AS (
+       |  SELECT source,
+       |    unnest(list_distinct(list_transform(${Dedup.DSh}, s -> ${Dedup.DHex32}))) AS h
+       |  FROM base
+       |), ref AS (
+       |  SELECT DISTINCT h FROM g WHERE CAST(substring(source, 4) AS INT) % 4 = 0
+       |), nov AS (
+       |  SELECT g.source, COUNT(*) AS n_grams,
+       |    SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS novel_grams
+       |  FROM g LEFT JOIN ref r ON r.h = g.h
+       |  WHERE CAST(substring(g.source, 4) AS INT) % 4 <> 0
+       |  GROUP BY 1
+       |), nd AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents
+       |  WHERE CAST(substring(source, 4) AS INT) % 4 <> 0 GROUP BY 1
+       |)
+       |SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |  CAST(nov.n_grams AS BIGINT) AS n_grams,
+       |  CAST(nov.novel_grams AS BIGINT) AS novel_grams,
+       |  ${dRatio("nov.novel_grams", "nov.n_grams", 1000000L)} AS novelty_ppm
+       |FROM nd JOIN nov ON nov.source = nd.source
+       |ORDER BY nd.source""") { (s, d) =>
+    val isRef = expr("CAST(substring(source, 4) AS INT) % 4 = 0")
+    val g = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(tokenShingleHashes(tokens(col("text"))))).as("h"))
+      .localCheckpoint() // gram table read by the ref side and the probe side
+    val ref = g.filter(isRef).select("h").distinct()
+    val nov = g.filter(!isRef)
+      .join(ref.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
+    val nd = Tables.documents(s, d).filter(!isRef)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nd.join(nov, "source")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("novel_grams"),
+        ratioScaled(col("novel_grams"), col("n_grams"), 1000000L).as("novelty_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
@@ -1840,5 +1904,6 @@ object Clean {
     q91QualityClassifier, q92UrlCanon, q95TokenBudget, q105Bm25, q110Dsir,
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
     q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
-    q151PublicSuffix, q154IndexMaintain, q167FeatureHash, q219ProximityRank)
+    q151PublicSuffix, q154IndexMaintain, q167FeatureHash, q219ProximityRank,
+    q231NgramNovelty)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -221,6 +222,123 @@ object Enrich {
       .orderBy("nk", "ck")
   }
 
+  /** q230 — blocking-quality audit: the measurement that justifies
+    * q53/q205/q222's choice of blocking key. For three candidate
+    * schemes over the noisy↔canonical linkage (q53's name-suffix-3, a
+    * name-prefix-4, and name-length) it reports the two numbers every
+    * blocking decision trades off: REDUCTION RATIO (how much of the
+    * n·m pair space the blocks prune) and PAIR COMPLETENESS (how many
+    * TRUE matches stay co-blocked — truth here is identity: the noisy
+    * record derives from its own custkey). prefix-4 collapses to one
+    * block (zero reduction, perfect completeness); name-length loses
+    * every true pair whose padding strip changed the length — the
+    * classic cheap-key failure; suffix-3 is why q53 uses it.
+    *
+    * Scale: NO pair materialization anywhere — candidate counts are
+    * Σ n_noisy·n_canon over per-block COUNT cells (two map-side
+    * collapses + one block-keyed cell join per scheme), and pair
+    * completeness needs no join at all: both keys of a true pair are
+    * computable from the same row, so it's a one-scan predicate count.
+    * Everything after the scans runs on block-cardinality cells. */
+  val q230BlockingQuality: Q = Q(
+    "q230_blocking_quality",
+    """WITH noisy AS (
+      |  SELECT c_custkey AS nk, replace(c_name, '#000', '#') AS nname,
+      |    c_name AS cname
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |), canon AS (
+      |  SELECT c_custkey AS ck, c_name AS cname FROM customer
+      |), schemes AS (
+      |  SELECT 'suffix3' AS scheme, substring(nname, length(nname) - 2, 3) AS nblk,
+      |    substring(cname, length(cname) - 2, 3) AS cblk_true FROM noisy
+      |  UNION ALL
+      |  SELECT 'prefix4', substring(nname, 1, 4), substring(cname, 1, 4) FROM noisy
+      |  UNION ALL
+      |  SELECT 'length', CAST(length(nname) AS VARCHAR),
+      |    CAST(length(cname) AS VARCHAR) FROM noisy
+      |), cschemes AS (
+      |  SELECT 'suffix3' AS scheme, substring(cname, length(cname) - 2, 3) AS blk FROM canon
+      |  UNION ALL
+      |  SELECT 'prefix4', substring(cname, 1, 4) FROM canon
+      |  UNION ALL
+      |  SELECT 'length', CAST(length(cname) AS VARCHAR) FROM canon
+      |), nb AS (
+      |  SELECT scheme, nblk AS blk, COUNT(*) AS n_n FROM schemes GROUP BY 1, 2
+      |), cb AS (
+      |  SELECT scheme, blk, COUNT(*) AS n_c FROM cschemes GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT nb.scheme, SUM(nb.n_n * cb.n_c) AS cand_pairs,
+      |    COUNT(*) AS n_blocks
+      |  FROM nb JOIN cb ON cb.scheme = nb.scheme AND cb.blk = nb.blk
+      |  GROUP BY 1
+      |), truth AS (
+      |  SELECT scheme, COUNT(*) AS n_true,
+      |    SUM(CASE WHEN nblk = cblk_true THEN 1 ELSE 0 END) AS n_coblocked
+      |  FROM schemes GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT COUNT(*) FROM noisy) * (SELECT COUNT(*) FROM canon) AS all_pairs
+      |)
+      |SELECT t.scheme, CAST(COALESCE(c.n_blocks, 0) AS BIGINT) AS n_blocks,
+      |  CAST(COALESCE(c.cand_pairs, 0) AS BIGINT) AS cand_pairs,
+      |  CAST((tot.all_pairs - COALESCE(c.cand_pairs, 0)) * 1000000 // tot.all_pairs AS BIGINT)
+      |    AS reduction_ratio_ppm,
+      |  CAST(t.n_coblocked * 1000000 // t.n_true AS BIGINT) AS pair_completeness_ppm
+      |-- LEFT join: a scheme whose blocks never overlap (the 'length'
+      |-- failure this audit exists to expose) must appear with 0, not vanish
+      |FROM truth t LEFT JOIN cand c ON c.scheme = t.scheme CROSS JOIN tot
+      |ORDER BY t.scheme""") { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val noisy = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("nk"),
+        regexp_replace(col("c_name"), "#000", "#").as("nname"),
+        col("c_name").as("cname"))
+    val canon = cust.select(col("c_custkey").as("ck"), col("c_name").as("cname"))
+    def keyed(src: DataFrame, nameCol: String, out: String): DataFrame =
+      src.select(explode(array(
+        struct(lit("suffix3").as("scheme"),
+          substring(col(nameCol), -3, 3).as(out)),
+        struct(lit("prefix4").as("scheme"),
+          substring(col(nameCol), 1, 4).as(out)),
+        struct(lit("length").as("scheme"),
+          length(col(nameCol)).cast("string").as(out)))).as("k"))
+        .select(col("k.scheme").as("scheme"), col(s"k.$out").as(out))
+    // candidate mass: per-block count cells, never pairs
+    val nb = keyed(noisy, "nname", "blk")
+      .groupBy("scheme", "blk").agg(count(lit(1)).as("n_n"))
+    val cb = keyed(canon, "cname", "blk")
+      .groupBy("scheme", "blk").agg(count(lit(1)).as("n_c"))
+    val cand = nb.join(cb, Seq("scheme", "blk"))
+      .groupBy("scheme")
+      .agg(sum(col("n_n") * col("n_c")).as("cand_pairs"),
+        count(lit(1)).as("n_blocks"))
+    // truth co-blocking: both keys computable from one row — no join
+    val truth = noisy.select(explode(array(
+        struct(lit("suffix3").as("scheme"),
+          (substring(col("nname"), -3, 3) === substring(col("cname"), -3, 3)).as("cob")),
+        struct(lit("prefix4").as("scheme"),
+          (substring(col("nname"), 1, 4) === substring(col("cname"), 1, 4)).as("cob")),
+        struct(lit("length").as("scheme"),
+          (length(col("nname")) === length(col("cname"))).as("cob")))).as("k"))
+      .select(col("k.scheme").as("scheme"), col("k.cob").as("cob"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("cob"), 1L).otherwise(0L)).as("n_coblocked"))
+    val tot = noisy.agg(count(lit(1)).as("n_noisy"))
+      .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_canon"))))
+      .select((col("n_noisy") * col("n_canon")).as("all_pairs"))
+    // LEFT join: a scheme whose blocks never overlap (the 'length'
+    // failure this audit exists to expose) must appear with 0, not vanish
+    truth.join(cand, Seq("scheme"), "left")
+      .crossJoin(broadcast(tot)) // 1-row pair-space scalar
+      .select(col("scheme"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        expr("(all_pairs - coalesce(cand_pairs, 0)) * 1000000 div all_pairs")
+          .as("reduction_ratio_ppm"),
+        expr("n_coblocked * 1000000 div n_true").as("pair_completeness_ppm"))
+      .orderBy("scheme")
+  }
+
   val all: Seq[Q] = Seq(q52GapFill, q53FuzzyLink, q55DatetimeKitchen,
-    q222FellegiSunter)
+    q222FellegiSunter, q230BlockingQuality)
 }

@@ -927,9 +927,80 @@ object Scale {
       .orderBy("shard")
   }
 
+  /** q229 — Merkle-style dataset manifest: a two-level content digest
+    * per shard — row hash → sorted-fold bucket digest → sorted-fold
+    * shard root → one dataset root — the integrity record a
+    * reproducible-training-data release needs (re-run the build, compare
+    * 9 hex strings; a single flipped byte anywhere changes its bucket,
+    * its shard root, and the dataset root — and the UNCHANGED shard
+    * roots localize where the drift is). Hashing is md5 end to end
+    * (cross-engine identical); every fold sorts its children first, so
+    * the digest is ingestion-order-free — the property that makes it
+    * comparable across engines, partitionings, and re-runs.
+    *
+    * Scale: the row-hash scan collapses map-side into (shard, bucket)
+    * groups; each fold's collect is bounded by its fan-in (n/128 rows
+    * per bucket here — at 100 TB raise the bucket count so the fan-in
+    * stays bounded; the tree depth grows logarithmically, the shape is
+    * unchanged). The shard/global levels run on ≤128 digest cells. */
+  val q229MerkleManifest: Q = Q(
+    "q229_merkle_manifest",
+    """WITH rows_h AS (
+      |  SELECT md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang, source,
+      |      CAST(n_chars AS VARCHAR), text)) AS h
+      |  FROM documents
+      |), keyed AS (
+      |  SELECT h,
+      |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 8 AS shard,
+      |    CAST(concat('0x', substr(h, 3, 2)) AS BIGINT) % 16 AS bucket
+      |  FROM rows_h
+      |), lvl1 AS (
+      |  SELECT shard, bucket, md5(string_agg(h, '' ORDER BY h)) AS d1,
+      |    COUNT(*) AS n
+      |  FROM keyed GROUP BY shard, bucket
+      |), lvl2 AS (
+      |  SELECT shard, md5(string_agg(d1, '' ORDER BY d1)) AS merkle_root,
+      |    SUM(n) AS n_rows, COUNT(*) AS n_buckets
+      |  FROM lvl1 GROUP BY shard
+      |)
+      |SELECT CAST(shard AS BIGINT) AS shard, merkle_root,
+      |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_buckets AS BIGINT) AS n_buckets
+      |FROM lvl2
+      |UNION ALL
+      |SELECT -1, md5(string_agg(merkle_root, '' ORDER BY shard)),
+      |  CAST(SUM(n_rows) AS BIGINT), CAST(SUM(n_buckets) AS BIGINT)
+      |FROM lvl2
+      |ORDER BY shard""") { (s, d) =>
+    val rowsH = Tables.documents(s, d).select(
+      md5(concat_ws("\u001f", col("doc_id").cast("string"), col("lang"),
+        col("source"), col("n_chars").cast("string"), col("text"))).as("h"))
+    val keyed = rowsH.select(col("h"),
+      (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 8).as("shard"),
+      (conv(substring(col("h"), 3, 2), 16, 10).cast("long") % 16).as("bucket"))
+    val lvl1 = keyed.groupBy("shard", "bucket")
+      .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("d1"),
+        count(lit(1)).as("n"))
+    val lvl2 = lvl1.groupBy("shard")
+      .agg(md5(concat_ws("", array_sort(collect_list(col("d1"))))).as("merkle_root"),
+        sum("n").as("n_rows"), count(lit(1)).as("n_buckets"))
+      .localCheckpoint() // 8 rows; read by the per-shard output AND the root fold
+    val global = lvl2
+      .select(struct(col("shard"), col("merkle_root")).as("sr"),
+        col("n_rows"), col("n_buckets"))
+      .agg(md5(concat_ws("", transform(array_sort(collect_list(col("sr"))),
+          x => x.getField("merkle_root")))).as("merkle_root"),
+        sum("n_rows").as("n_rows"), sum("n_buckets").as("n_buckets"))
+      .select(lit(-1L).as("shard"), col("merkle_root"), col("n_rows"),
+        col("n_buckets"))
+    lvl2.select(col("shard"), col("merkle_root"), col("n_rows"), col("n_buckets"))
+      .unionByName(global)
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
     q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
-    q190IdContinuity, q191TableProfile, q223ShuffleQuality)
+    q190IdContinuity, q191TableProfile, q223ShuffleQuality,
+    q229MerkleManifest)
 }

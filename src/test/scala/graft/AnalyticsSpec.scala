@@ -399,6 +399,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(best.head.getAs[Long]("bin") == argmax)
   }
 
+  test("q229: manifest equals a local MessageDigest replay; root binds shards") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Scale.q229MerkleManifest.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getString(1), r.getAs[Long]("n_rows"), r.getAs[Long]("n_buckets"))).toMap
+    assert(rows.contains(-1L))
+    // local replay of the whole tree with java MD5 over the same bytes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hs = Tables.documents(spark, sf).collect().map { r =>
+      md5hex(Seq(r.getAs[Long]("doc_id").toString, r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars").toString,
+        r.getAs[String]("text")).mkString("\u001f"))
+    }
+    val byShard = hs.groupBy(h => java.lang.Long.parseLong(h.take(2), 16) % 8)
+    val shardRoots = byShard.view.mapValues { sh =>
+      val buckets = sh.groupBy(h => java.lang.Long.parseLong(h.slice(2, 4), 16) % 16)
+      val d1s = buckets.values.map(b => md5hex(b.sorted.mkString(""))).toSeq
+      (md5hex(d1s.sorted.mkString("")), sh.length.toLong, buckets.size.toLong)
+    }.toMap
+    shardRoots.foreach { case (s, want) => assert(rows(s) == want, s"shard $s") }
+    val globalRoot = md5hex(
+      shardRoots.toSeq.sortBy(_._1).map(_._2._1).mkString(""))
+    assert(rows(-1L) == ((globalRoot, hs.length.toLong,
+      shardRoots.values.map(_._3).sum)))
+  }
+
+  test("q230: blocking audit exposes the length-key failure; suffix3 wins") {
+    val rows = ops.Enrich.q230BlockingQuality.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("cand_pairs"), r.getAs[Long]("reduction_ratio_ppm"),
+        r.getAs[Long]("pair_completeness_ppm"))).toMap
+    assert(rows.size == 3)
+    // prefix4: every name starts "Cust" -> one block, zero reduction,
+    // perfect completeness
+    val (pb, _, prr, ppc) = rows("prefix4")
+    assert(pb == 1L && prr == 0L && ppc == 1000000L)
+    // length: the padding strip changes every noisy length -> the true
+    // pair is NEVER co-blocked and no candidate survives — the audit
+    // must SHOW this row, not drop it
+    val (_, lcand, lrr, lpc) = rows("length")
+    assert(lcand == 0L && lrr == 1000000L && lpc == 0L)
+    // suffix3 (q53's key): completeness intact, real reduction
+    val (_, scand, srr, spc) = rows("suffix3")
+    assert(spc == 1000000L && srr > 900000L && scand > 0L)
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

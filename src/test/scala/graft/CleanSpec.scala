@@ -192,4 +192,29 @@ class CleanSpec extends SparkSpec {
     assert(planted.filter(col("clean_fp") =!= col("raw_fp")).isEmpty)
     assert(planted.count() > 0)
   }
+
+  test("q231: novelty equals the exact local gram-set replay; ref slice absent") {
+    import graft.functions.TextFunctions._
+    val rows = ops.Clean.q231NgramNovelty.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("novel_grams"), r.getAs[Long]("novelty_ppm"))).toMap
+    // reference sources (suffix % 4 == 0) must not be scored
+    assert(rows.keys.forall(s => s.drop(3).toInt % 4 != 0))
+    assert(rows.nonEmpty)
+    // local replay: per-doc distinct gram hashes via the same fused expr,
+    // then set arithmetic in plain Scala
+    val grams = Tables.documents(spark, sf)
+      .select(col("source"),
+        array_distinct(tokenShingleHashes(tokens(col("text")))).as("hs"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val ref = grams.filter(_._1.drop(3).toInt % 4 == 0).flatMap(_._2).toSet
+    val bySrc = grams.filter(_._1.drop(3).toInt % 4 != 0).groupBy(_._1)
+    bySrc.foreach { case (src, docs) =>
+      val all = docs.flatMap(_._2) // per-doc distinct, pooled WITH multiplicity
+      val novel = all.count(h => !ref.contains(h)).toLong
+      val (nd, ng, nv, ppm) = rows(src)
+      assert(nd == docs.length.toLong && ng == all.length.toLong && nv == novel)
+      assert(ppm == (if (ng == 0) 0L else math.floorDiv(novel * 1000000L, ng)))
+    }
+  }
 }

@@ -422,6 +422,15 @@ class ScaleSpec extends SparkSpec {
       // q228: 9-cell outcome model + 3 policy cells — the corpus scan
       // collapses map-side
       "q228_doubly_robust" -> 8L,
+      // q229: row hashes collapse map-side into (shard, bucket) folds;
+      // the shard/global levels run on ≤128 digest cells
+      "q229_merkle_manifest" -> 120L,
+      // q230: per-scheme block COUNT cells only — candidate mass is
+      // Σ n_n·n_c over cells, pairs never materialize
+      "q230_blocking_quality" -> 60L,
+      // q231: int gram hashes only (fused shingle expr inside the scan);
+      // one h-keyed left join, ≤|sources| output cells
+      "q231_ngram_novelty" -> 180L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

@@ -997,10 +997,97 @@ object Scale {
       .orderBy("shard")
   }
 
+  /** q233 — purged time-series split with embargo: train = everything
+    * before (test_start − 1 day), test = the last 7 days, and the
+    * embargo day between them is EXCLUDED from both — the temporal CV
+    * protocol that blocks look-ahead leakage through lagged/windowed
+    * features (an unpurged boundary leaks every feature whose window
+    * spans it; q120 audits content leakage, this audits TIME leakage).
+    * The report is one row: per-slice counts and integer-micros
+    * boundaries, the measured embargo gap (must be ≥ the embargo), and
+    * the train∩test USER overlap — the entity leakage a temporal purge
+    * deliberately does NOT remove, reported so the modeler sees it.
+    *
+    * Scale: one scan collapses map-side to the 1-row max-ts scalar,
+    * one more to per-slice cells; the user-overlap is two distinct
+    * user sets (user-cardinality, co-partitioned on user_id) meeting
+    * in ONE equi semi-join — no row-level pair work anywhere. */
+  val q233PurgedSplit: Q = Q(
+    "q233_purged_split",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |), b AS (
+      |  SELECT (MAX(us) // 86400000000 - 6) * 86400000000 AS test_start_us
+      |  FROM e
+      |), tagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us >= test_start_us THEN 'test'
+      |         WHEN us >= test_start_us - 86400000000 THEN 'embargo'
+      |         ELSE 'train' END AS split
+      |  FROM e CROSS JOIN b
+      |), stats AS (
+      |  SELECT
+      |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS train_n,
+      |    SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS embargo_n,
+      |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS test_n,
+      |    MAX(CASE WHEN split = 'train' THEN us END) AS train_max_us,
+      |    MIN(CASE WHEN split = 'test' THEN us END) AS test_min_us
+      |  FROM tagged
+      |), ov AS (
+      |  SELECT COUNT(*) AS shared_users,
+      |    (SELECT COUNT(DISTINCT user_id) FROM tagged WHERE split = 'test') AS test_users
+      |  FROM (
+      |    SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+      |    INTERSECT
+      |    SELECT DISTINCT user_id FROM tagged WHERE split = 'test'
+      |  )
+      |)
+      |SELECT CAST(train_n AS BIGINT) AS train_n,
+      |  CAST(embargo_n AS BIGINT) AS embargo_n,
+      |  CAST(test_n AS BIGINT) AS test_n,
+      |  CAST(train_max_us AS BIGINT) AS train_max_us,
+      |  CAST(test_min_us AS BIGINT) AS test_min_us,
+      |  CAST(test_min_us - train_max_us AS BIGINT) AS gap_us,
+      |  CAST(shared_users AS BIGINT) AS shared_users,
+      |  CAST(shared_users * 1000000 // test_users AS BIGINT) AS shared_user_ppm
+      |FROM stats CROSS JOIN ov""") { (s, d) =>
+    val DayUs = 86400000000L
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    // integer div (a `/` would round-trip through DOUBLE): day-floor
+    // the max ts, back 6 days — test covers the last 7 calendar days
+    val b = e.agg(expr("(max(us) div 86400000000 - 6) * 86400000000")
+      .as("test_start_us"))
+    val tagged = e.crossJoin(broadcast(b)) // 1-row boundary scalar
+      .select(col("user_id"), col("us"),
+        when(col("us") >= col("test_start_us"), "test")
+          .when(col("us") >= col("test_start_us") - DayUs, "embargo")
+          .otherwise("train").as("split"))
+      .localCheckpoint() // read by the stats fold and both overlap sides
+    val stats = tagged.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_n"),
+      sum(when(col("split") === "embargo", 1L).otherwise(0L)).as("embargo_n"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_n"),
+      max(when(col("split") === "train", col("us"))).as("train_max_us"),
+      min(when(col("split") === "test", col("us"))).as("test_min_us"))
+    val trainU = tagged.filter(col("split") === "train").select("user_id").distinct()
+    val testU = tagged.filter(col("split") === "test").select("user_id").distinct()
+      .localCheckpoint() // read by the overlap join and the denominator
+    val ov = trainU.join(testU, "user_id")
+      .agg(count(lit(1)).as("shared_users"))
+      .crossJoin(broadcast(testU.agg(count(lit(1)).as("test_users"))))
+    stats.crossJoin(broadcast(ov)) // 1-row audit scalars
+      .select(col("train_n"), col("embargo_n"), col("test_n"),
+        col("train_max_us"), col("test_min_us"),
+        (col("test_min_us") - col("train_max_us")).as("gap_us"),
+        col("shared_users"),
+        expr("shared_users * 1000000 div test_users").as("shared_user_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
     q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
     q190IdContinuity, q191TableProfile, q223ShuffleQuality,
-    q229MerkleManifest)
+    q229MerkleManifest, q233PurgedSplit)
 }

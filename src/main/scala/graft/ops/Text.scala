@@ -1120,10 +1120,77 @@ object Text {
       .orderBy("source", "n_chars")
   }
 
+  /** q232 — Viterbi unigram segmentation (SentencePiece inference):
+    * for each word, the maximum-score split into pieces of length ≤ 4
+    * under a deterministic unigram vocabulary — piece p "exists" iff
+    * hex32(p) % 5 ≠ 0 (single characters always exist, so every word
+    * is segmentable) and scores 1000·len(p)² + hex32(p) % 997. This is
+    * the DP inner loop of the unigram tokenizer (BPE's q113/q123
+    * greedy-merge counterpart): Viterbi best[i] = max over k ≤ 4 of
+    * best[i−k] + score(w[i−k..i]). The max-sum optimum is unique as a
+    * VALUE whatever the tie structure, so only best_score is emitted —
+    * engine-identical with no tie-break protocol. The invalid-piece
+    * branch scores −10⁹, provably never selected (k = 1 is always
+    * valid and keeps every prefix ≥ 0). Oracle replays the DP as a
+    * bounded recursive path search (parts ≤ 4 over ≤ 12 chars).
+    *
+    * Scale: the DP is a NARROW in-row expression (O(4·L) hash probes
+    * inside whole-stage codegen — at 100 TB it runs over the full
+    * token stream in the tokenizer-apply stage with zero shuffle);
+    * here it runs once per DISTINCT word (vocab cardinality — add a
+    * hash sample if the vocab ever outgrows the output budget). */
+  val q232UnigramViterbi: Q = Q(
+    "q232_unigram_viterbi",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT DISTINCT unnest($DToks) AS t FROM documents
+       |), sampled AS (
+       |  SELECT DISTINCT substr(t, 1, 12) AS w FROM toks
+       |), paths AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS sc FROM sampled
+       |  UNION ALL
+       |  SELECT p.w, p.pos + ks.k,
+       |    p.sc + 1000 * ks.k * ks.k
+       |      + CAST(concat('0x', substr(md5(substr(p.w, p.pos + 1, ks.k)), 1, 8)) AS BIGINT) % 997
+       |  FROM paths p
+       |  CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks
+       |  WHERE p.pos + ks.k <= length(p.w)
+       |    AND (ks.k = 1 OR
+       |      CAST(concat('0x', substr(md5(substr(p.w, p.pos + 1, ks.k)), 1, 8)) AS BIGINT) % 5 <> 0)
+       |)
+       |SELECT w, CAST(length(w) AS BIGINT) AS len, MAX(sc) AS best_score
+       |FROM paths WHERE pos = length(w)
+       |GROUP BY w
+       |ORDER BY w""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val sampled = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .distinct()
+      .select(substring(col("t"), 1, 12).as("w"))
+      .distinct()
+    // Viterbi over positions: acc[j+1] = best score of the first j chars
+    // (1-based array); hex32 spelled inline so the whole DP is one
+    // codegen'd expression
+    val h32 = (x: String) => s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)"
+    sampled.select(col("w"),
+        length(col("w")).cast("long").as("len"),
+        expr(s"""element_at(
+          aggregate(
+            sequence(1, length(w)),
+            array(CAST(0 AS BIGINT)),
+            (acc, i) -> array_append(acc,
+              array_max(transform(sequence(1, least(i, 4)), k ->
+                element_at(acc, i - k + 1) + CASE
+                  WHEN k = 1 OR ${h32("substring(w, i - k + 1, k)")} % 5 <> 0
+                  THEN 1000 * k * k + ${h32("substring(w, i - k + 1, k)")} % 997
+                  ELSE CAST(-1000000000 AS BIGINT) END)))),
+          length(w) + 1)""").as("best_score"))
+      .orderBy("w")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
-    q174BpeFertility, q183Chi2Tokens, q184AucRanksum)
+    q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi)
 }

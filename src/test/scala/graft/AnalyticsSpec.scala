@@ -447,6 +447,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(spc == 1000000L && srr > 900000L && scand > 0L)
   }
 
+  test("q233: purged split holds the embargo and accounts for every event") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Scale.q233PurgedSplit.fn(spark, sf).collect().head
+    val total = Tables.events(spark, sf).count()
+    val DayUs = 86400000000L
+    assert(r.getAs[Long]("train_n") + r.getAs[Long]("embargo_n") +
+      r.getAs[Long]("test_n") == total, "every event lands in exactly one slice")
+    assert(r.getAs[Long]("train_n") > 0 && r.getAs[Long]("test_n") > 0)
+    // the measured gap must cover the 1-day embargo
+    assert(r.getAs[Long]("gap_us") >= DayUs,
+      s"embargo violated: gap ${r.getAs[Long]("gap_us")}")
+    // boundary recomputed from the raw max ts
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val testStart = (maxUs / DayUs - 6) * DayUs
+    assert(r.getAs[Long]("test_min_us") >= testStart)
+    assert(r.getAs[Long]("train_max_us") < testStart - DayUs)
+    // the fixture's users span the whole window: the entity overlap the
+    // temporal purge does NOT remove must be visible, not hidden
+    assert(r.getAs[Long]("shared_users") > 0)
+    assert(r.getAs[Long]("shared_user_ppm") > 0 &&
+      r.getAs[Long]("shared_user_ppm") <= 1000000L)
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

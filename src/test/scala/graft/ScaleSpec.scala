@@ -431,6 +431,11 @@ class ScaleSpec extends SparkSpec {
       // q231: int gram hashes only (fused shingle expr inside the scan);
       // one h-keyed left join, ≤|sources| output cells
       "q231_ngram_novelty" -> 180L,
+      // q232: the DP is an in-row expression; only the distinct-token
+      // agg shuffles (vocab cardinality)
+      "q232_unigram_viterbi" -> 20L,
+      // q233: 1-row boundary + 3 split cells + user-distinct sets
+      "q233_purged_split" -> 30L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

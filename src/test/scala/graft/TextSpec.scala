@@ -112,4 +112,31 @@ class TextSpec extends SparkSpec {
     assert(totalAfter == train(1).getLong(3),
       s"encode total $totalAfter != training round-2 count ${train(1).getLong(3)}")
   }
+
+  test("q232: Viterbi best equals brute-force over every segmentation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def exists(p: String): Boolean = p.length == 1 || h32(p) % 5 != 0
+    def score(p: String): Long = 1000L * p.length * p.length + h32(p) % 997
+    // brute force: best over ALL compositions into existing pieces ≤ 4
+    def brute(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(4, w.length)).collect {
+        case k if exists(w.take(k)) => score(w.take(k)) + brute(w.drop(k))
+      }.max // nonempty: k = 1 always exists
+    val rows = ops.Text.q232UnigramViterbi.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      assert(r.getAs[Long]("len") == w.length.toLong)
+      assert(r.getAs[Long]("best_score") == brute(w), s"word '$w'")
+    }
+    // and the word list is exactly the capped distinct vocabulary
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("t")).distinct()
+      .collect().map(_.getString(0).take(12)).distinct.sorted
+    assert(rows.map(_.getString(0)).toSeq == vocab.toSeq)
+  }
 }

@@ -1628,9 +1628,94 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** q234 — greedy k-center coreset (Gonzalez): pick 5 maximally-
+    * spread embeddings — seed at the smallest vec_id, then 4 rounds of
+    * "add the point farthest from every selected center" — the
+    * 2-approximation diversity-selection primitive behind coreset data
+    * pruning and diverse few-shot pools (q98's k-means centers MEAN a
+    * cluster; k-center centers COVER the space — its covering radius
+    * is the quantity with the guarantee). Distances are exact integer
+    * L2² over milli-quantized vectors (q220's trick), argmax ties
+    * break to the smallest vec_id via max(struct(dmin, −vec_id)), and
+    * each round reports the covering radius BEFORE the new center
+    * joins (the radius the selection just improved). Oracle replays
+    * the 4 rounds as chained CTEs.
+    *
+    * Scale: each round is ONE corpus scan (dist² to the single new
+    * broadcast center, fold into the running min — the classic
+    * streaming form of Gonzalez) plus a 1-row argmax; the running
+    * dmin column is localCheckpoint'd so round r+1 doesn't replay
+    * round r. k rounds = k scans, no pairwise anything. */
+  val q234KCenterCoreset: Q = Q(
+    "q234_kcenter_coreset",
+    {
+      val dist2 = (a: String, b: String) =>
+        s"CAST(list_sum(list_transform(range(1, $Dim + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
+      def round(i: Int) =
+        s"""c$i AS (
+           |  SELECT vec_id AS cid, dmin AS radius, qv AS cqv
+           |  FROM d${i - 1} ORDER BY dmin DESC, vec_id LIMIT 1
+           |), d$i AS (
+           |  SELECT d.vec_id, d.qv,
+           |    LEAST(d.dmin, ${dist2("d.qv", "c.cqv")}) AS dmin
+           |  FROM d${i - 1} d CROSS JOIN c$i c
+           |)"""
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform($DVec, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS cid, qv AS cqv FROM q ORDER BY vec_id LIMIT 1
+         |), d0 AS (
+         |  SELECT q.vec_id, q.qv, ${dist2("q.qv", "c.cqv")} AS dmin
+         |  FROM q CROSS JOIN c0 c
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round, cid AS center_id,
+         |    CAST(NULL AS BIGINT) AS radius_sq FROM c0
+         |  UNION ALL SELECT 1, cid, radius FROM c1
+         |  UNION ALL SELECT 2, cid, radius FROM c2
+         |  UNION ALL SELECT 3, cid, radius FROM c3
+         |  UNION ALL SELECT 4, cid, radius FROM c4
+         |)
+         |ORDER BY round"""
+    }) { (s, d) =>
+    val dist2 = "CAST(aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(FLOOR(x * 1000) AS BIGINT))")
+          .as("qv"))
+      .localCheckpoint() // corpus quant table: read once per round
+    val c0 = q.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+    var dmin = q.crossJoin(broadcast(c0)) // 1-row center: scale-safe
+      .select(col("vec_id"), col("qv"), expr(dist2).as("dmin"))
+      .localCheckpoint()
+    var out = c0.select(lit(0L).as("round"), col("cid").as("center_id"),
+      lit(null).cast("long").as("radius_sq"))
+    (1 to 4).foreach { i =>
+      // argmax dmin, ties to the smallest vec_id — 1-row scalar
+      val pick = dmin.agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.dmin").as("radius"), (-col("m.nid")).as("cid"))
+      val center = q.join(broadcast(pick), col("vec_id") === col("cid"))
+        .select(col("cid"), col("radius"), col("qv").as("cqv"))
+      dmin = dmin.crossJoin(broadcast(center.select("cqv")))
+        .select(col("vec_id"), col("qv"),
+          least(col("dmin"), expr(dist2)).as("dmin"))
+        .localCheckpoint() // cut the per-round lineage
+      out = out.unionByName(center.select(lit(i.toLong).as("round"),
+        col("cid").as("center_id"), col("radius").as("radius_sq")))
+    }
+    out.orderBy("round")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
-    q220PcaPower, q221JlDistortion)
+    q220PcaPower, q221JlDistortion, q234KCenterCoreset)
 }

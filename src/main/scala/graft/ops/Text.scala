@@ -1187,10 +1187,74 @@ object Text {
       .orderBy("w")
   }
 
+  /** q236 — interpolated Kneser-Ney bigram table, D = 3/4: the
+    * production smoothing (q101's add-k is the baseline it beats) —
+    * P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁) + D·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/N.
+    * The continuation distribution (how many CONTEXTS a word follows,
+    * not how often) is KN's insight; D = 3/4 makes every term a
+    * quarter-integer, so the whole probability is the exact rational
+    * [N·(4c − 3) + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c(w₁)·N) and the ppm
+    * emit is one integer floor-div — NO floats anywhere (the usual
+    * reason a smoothed LM can't be oracle-checked). Output: the
+    * observed-bigram probability table + per-row backoff share.
+    *
+    * Scale: one corpus scan explodes to bigrams and collapses to
+    * vocab²-bounded count cells map-side; the three marginal tables
+    * (context totals, fan-out, continuation counts) are vocab-bounded
+    * and BROADCAST back into the cell table; 1-row N joins last. The
+    * same plan at 100 TB: cells are the vocab, not the corpus. */
+  val q236KneserNey: Q = Q(
+    "q236_kneser_ney",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $DToks AS ts FROM documents
+       |), bg AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+       |), c AS (
+       |  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+       |), cw1 AS (
+       |  SELECT w1, SUM(c) AS cw1, COUNT(*) AS fanout FROM c GROUP BY w1
+       |), cont AS (
+       |  SELECT w2, COUNT(*) AS cont FROM c GROUP BY w2
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM c
+       |)
+       |SELECT c.w1, c.w2, CAST(c.c AS BIGINT) AS c,
+       |  CAST((nn.n * (4 * c.c - 3) + 3 * cw1.fanout * cont.cont) * 1000000
+       |    // (4 * cw1.cw1 * nn.n) AS BIGINT) AS p_kn_ppm,
+       |  CAST(3 * cw1.fanout * cont.cont * 1000000
+       |    // (4 * cw1.cw1 * nn.n) AS BIGINT) AS backoff_ppm
+       |FROM c
+       |JOIN cw1 USING (w1)
+       |JOIN cont USING (w2)
+       |CROSS JOIN nn
+       |ORDER BY c.w1, c.w2""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val bg = Tables.documents(s, d)
+      .select(tokens(col("text")).as("ts"))
+      .select(posexplode(col("ts")).as(Seq("i", "w1")), col("ts"))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("w1"), expr("ts[i + 1]").as("w2"))
+    val c = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab²-bounded cells: read by 3 marginals + output
+    val cw1 = c.groupBy("w1").agg(sum("c").as("cw1"), count(lit(1)).as("fanout"))
+    val cont = c.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val nn = c.agg(count(lit(1)).as("n"))
+    c.join(broadcast(cw1), "w1") // vocab-bounded marginals
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(nn)) // 1-row distinct-bigram count
+      .select(col("w1"), col("w2"), col("c"),
+        expr("(n * (4 * c - 3) + 3 * fanout * cont) * 1000000 div (4 * cw1 * n)")
+          .as("p_kn_ppm"),
+        expr("3 * fanout * cont * 1000000 div (4 * cw1 * n)").as("backoff_ppm"))
+      .orderBy("w1", "w2")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
-    q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi)
+    q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
+    q236KneserNey)
 }

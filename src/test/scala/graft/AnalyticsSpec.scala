@@ -471,6 +471,35 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("shared_user_ppm") <= 1000000L)
   }
 
+  test("q235: tau-b equals the exact local pair count") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Analytics.q235KendallTau.fn(spark, sf).collect().head
+    // local truth: per-nation (rev, aov) cells, then pair arithmetic
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(1) / x.getLong(2)))
+    val pairs = for {
+      a <- cells; b <- cells if a._1 < b._1
+    } yield (a._2 - b._2, a._3 - b._3)
+    val conc = pairs.count { case (dx, dy) => dx * dy > 0 }.toLong
+    val disc = pairs.count { case (dx, dy) => dx * dy < 0 }.toLong
+    val tx = pairs.count { case (dx, dy) => dx == 0 && dy != 0 }.toLong
+    val ty = pairs.count { case (dx, dy) => dy == 0 && dx != 0 }.toLong
+    val tb = pairs.count { case (dx, dy) => dx == 0 && dy == 0 }.toLong
+    val n0 = pairs.length.toLong
+    assert(r.getAs[Long]("n_pairs") == n0 && r.getAs[Long]("concordant") == conc &&
+      r.getAs[Long]("discordant") == disc && r.getAs[Long]("ties_x") == tx &&
+      r.getAs[Long]("ties_y") == ty && r.getAs[Long]("ties_both") == tb)
+    val tau = math.floor((conc - disc) * 1000.0 /
+      math.sqrt((n0 - tx - tb).toDouble * (n0 - ty - tb))).toLong
+    assert(r.getAs[Long]("tau_b_milli") == tau)
+    assert(tau >= -1000L && tau <= 1000L)
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

@@ -68,7 +68,14 @@ class PlanAuditSpec extends SparkSpec {
     "q218_sketch_algebra" -> "sketch-pair cross: both sides are the |sources|-row 64-int KMV synopsis table — pairwise algebra never rescans the corpus",
     "q220_pca_power" -> "power-iteration scalar joins: the d-cell eigenvector estimate and 1-row max broadcast into the d²-cell Gram matrix each round",
     "q222_fellegi_sunter" -> "scalar join: the 1-row m/u probability estimates broadcast into the suffix-blocked (never n²) candidate scoring",
-    "q223_shuffle_quality" -> "scalar joins: the 1-row corpus total and |sources|-cell perfect-shuffle expectation broadcast into the ≤shards·sources-cell audit")
+    "q223_shuffle_quality" -> "scalar joins: the 1-row corpus total and |sources|-cell perfect-shuffle expectation broadcast into the ≤shards·sources-cell audit",
+    "q226_stump_split" -> "scalar join: the 1-row min/max broadcasts into the 64-bin histogram pass (q208's two-pass shape)",
+    "q227_modularity" -> "scalar joins: the 1-row edge count and node count broadcast into the community-cell fold; labels stay in co-partitioned equi-joins",
+    "q230_blocking_quality" -> "scalar join: the 1-row pair-space total broadcasts into the 3-scheme report; candidate mass is computed on block COUNT cells",
+    "q233_purged_split" -> "scalar joins: the 1-row day boundary broadcasts into the tagging scan; the 1-row overlap/stats frames cross into the single report row",
+    "q234_kcenter_coreset" -> "per-round scalar joins: each round broadcasts ONE new center vector (and its 1-row argmax) into the corpus distance scan — the streaming Gonzalez shape",
+    "q235_kendall_tau" -> "cell-pair join: both sides are the ≤|nations| metric-cell table; the n_name< predicate is item-bounded by construction",
+    "q236_kneser_ney" -> "corpus-scalar join: the 1-row distinct-bigram count broadcasts into the vocab²-bounded probability cells (q75's idf shape)")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

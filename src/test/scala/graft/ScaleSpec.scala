@@ -436,6 +436,13 @@ class ScaleSpec extends SparkSpec {
       "q232_unigram_viterbi" -> 20L,
       // q233: 1-row boundary + 3 split cells + user-distinct sets
       "q233_purged_split" -> 30L,
+      // q234: per-round corpus scans fold into a running min column;
+      // only 1-row argmax scalars move (measured 0)
+      "q234_kcenter_coreset" -> 4L,
+      // q235: ≤|nations| metric cells; the pair space never leaves them
+      "q235_kendall_tau" -> 6L,
+      // q236: vocab²-bounded bigram cells + vocab-bounded marginals
+      "q236_kneser_ney" -> 200L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

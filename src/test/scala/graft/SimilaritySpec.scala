@@ -68,4 +68,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(_.getAs[Int]("resplit") == 1))
     assert(out.exists(_.getAs[Int]("resplit") == 0))
   }
+
+  test("q234: greedy k-center equals the exact integer Gonzalez replay") {
+    val rows = ops.Similarity.q234KCenterCoreset.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("center_id"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(rows.length == 5 && rows.map(_._1).toSeq == (0L to 4L))
+    // local replay on milli-quantized vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1000).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var centers = List(vecs.head._1)
+    var dmin = vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }.toMap
+    val byId = vecs.toMap
+    (1 to 4).foreach { i =>
+      val (cid, radius) = dmin.toSeq.maxBy { case (id, dm) => (dm, -id) }
+      assert(rows(i)._2 == cid && rows(i)._3.contains(radius), s"round $i")
+      centers ::= cid
+      dmin = dmin.map { case (id, dm) => id -> math.min(dm, d2(byId(id), byId(cid))) }
+    }
+    assert(rows(0)._2 == vecs.head._1 && rows(0)._3.isEmpty)
+    // covering radii never increase as centers are added
+    val radii = rows.drop(1).map(_._3.get)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
 }

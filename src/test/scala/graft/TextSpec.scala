@@ -113,6 +113,37 @@ class TextSpec extends SparkSpec {
       s"encode total $totalAfter != training round-2 count ${train(1).getLong(3)}")
   }
 
+  test("q236: KN table equals the exact rational replay; mass is proper") {
+    val rows = ops.Text.q236KneserNey.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("c"), r.getAs[Long]("p_kn_ppm"), r.getAs[Long]("backoff_ppm")))
+      .toMap
+    assert(rows.nonEmpty)
+    // local bigram counts with the same tokenization
+    val bgs = Tables.documents(spark, sf)
+      .select(tokens(col("text")).as("ts")).collect()
+      .flatMap(_.getSeq[String](0).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+    val c = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw1 = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val fan = c.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cont = c.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n = c.size.toLong
+    assert(rows.keySet == c.keySet)
+    rows.foreach { case ((w1, w2), (cc, p, bo)) =>
+      assert(cc == c((w1, w2)))
+      val den = 4L * cw1(w1) * n
+      assert(p == Math.floorDiv((n * (4 * cc - 3) + 3 * fan(w1) * cont(w2)) * 1000000L, den))
+      assert(bo == Math.floorDiv(3 * fan(w1) * cont(w2) * 1000000L, den))
+      assert(bo > 0 && bo < p, "interpolation: backoff present, never dominant at c>=1")
+    }
+    // observed mass per context stays a proper distribution
+    rows.toSeq.groupBy(_._1._1).foreach { case (w1, xs) =>
+      val mass = xs.map(_._2._2).sum
+      assert(mass <= 1000000L, s"context '$w1' observed mass $mass > 1")
+    }
+  }
+
   test("q232: Viterbi best equals brute-force over every segmentation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -2265,6 +2265,122 @@ object Analytics {
           .cast("long").as("tau_b_milli"))
   }
 
+  /** q238 — l-diversity audit: q152/q155 guard GROUP SIZE (k-anonymity),
+    * but a size-10 group whose sensitive attribute is HOMOGENEOUS still
+    * leaks it to anyone who can place a person in the group — l-diversity
+    * counts DISTINCT sensitive values per quasi-identifier group. QI =
+    * (nation, order month), sensitive = order priority; output is the
+    * histogram over l (groups and rows at each diversity level) — l = 1
+    * rows are the attack surface the release gate must drive to zero.
+    *
+    * Scale: ONE rollup — groupBy(QI) with count + count_distinct(sens)
+    * collapses the corpus to QI-group cells map-side; the l histogram
+    * is a second ≤|sens|-cell aggregate over those cells. */
+  val q238LDiversity: Q = Q(
+    "q238_l_diversity",
+    """WITH g AS (
+      |  SELECT n_name, date_trunc('month', o_orderdate) AS m,
+      |    COUNT(*) AS n_rows, COUNT(DISTINCT o_orderpriority) AS l
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(l AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      |FROM g GROUP BY l
+      |ORDER BY l""") { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderpriority")).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"))
+      .orderBy("l")
+  }
+
+  /** q239 — exact Shapley feature attribution: for every (segment,
+    * priority, year) feature cell, the Shapley value of each feature
+    * toward the conditional-mean order value — the game-theoretic
+    * "which feature moves the price" attribution, computed EXACTLY
+    * (SHAP libraries approximate by sampling coalitions; with 3
+    * features the 2³ coalition means are 8 cell tables and the
+    * permutation sum is closed-form). Values are emitted ×6 in milli
+    * (φ·6 = 2(v_X−v_∅) + (v_XY−v_Y) + (v_XZ−v_Z) + 2(v_XYZ−v_YZ)) so
+    * there is NO division at all — pure ±BIGINT on floored coalition
+    * means, hence the efficiency identity Σφ·6 = 6(v_full − v_∅)
+    * holds EXACTLY and ships as an oracle-checked column.
+    *
+    * Scale: 8 coalition aggregates, every one a map-side collapse to
+    * its coalition's cells (≤ |A|·|B|·|C| for the largest); the 7
+    * non-empty tables join the full-cell table on their coalition keys
+    * (broadcast — cell-cardinality), the 1-row v_∅ joins last. No
+    * per-row Shapley anywhere: rows only feed the 8 aggregates. */
+  val q239ShapleyExact: Q = Q(
+    "q239_shapley_exact",
+    """WITH base AS (
+      |  SELECT c_mktsegment AS a, o_orderpriority AS b,
+      |    CAST(year(o_orderdate) AS BIGINT) AS c,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), m0 AS (SELECT 1000 * SUM(v) // COUNT(*) AS m FROM base),
+      |ma AS (SELECT a, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY a),
+      |mb AS (SELECT b, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY b),
+      |mc AS (SELECT c, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY c),
+      |mab AS (SELECT a, b, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY a, b),
+      |mac AS (SELECT a, c, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY a, c),
+      |mbc AS (SELECT b, c, 1000 * SUM(v) // COUNT(*) AS m FROM base GROUP BY b, c),
+      |mabc AS (
+      |  SELECT a, b, c, COUNT(*) AS n, 1000 * SUM(v) // COUNT(*) AS m
+      |  FROM base GROUP BY a, b, c
+      |)
+      |SELECT f.a AS segment, f.b AS priority, f.c AS year,
+      |  CAST(f.n AS BIGINT) AS n,
+      |  CAST(2*(ma.m - m0.m) + (mab.m - mb.m) + (mac.m - mc.m) + 2*(f.m - mbc.m)
+      |    AS BIGINT) AS phi_a6_milli,
+      |  CAST(2*(mb.m - m0.m) + (mab.m - ma.m) + (mbc.m - mc.m) + 2*(f.m - mac.m)
+      |    AS BIGINT) AS phi_b6_milli,
+      |  CAST(2*(mc.m - m0.m) + (mac.m - ma.m) + (mbc.m - mb.m) + 2*(f.m - mab.m)
+      |    AS BIGINT) AS phi_c6_milli,
+      |  CAST(6 * (f.m - m0.m) AS BIGINT) AS efficiency6_milli
+      |FROM mabc f
+      |JOIN ma USING (a) JOIN mb USING (b) JOIN mc USING (c)
+      |JOIN mab USING (a, b) JOIN mac USING (a, c) JOIN mbc USING (b, c)
+      |CROSS JOIN m0
+      |ORDER BY segment, priority, year""") { (s, d) =>
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("a"), col("o_orderpriority").as("b"),
+        year(col("o_orderdate")).cast("long").as("c"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+      .localCheckpoint() // read by all 8 coalition aggregates
+    def mean(keys: String*): DataFrame = {
+      val g = if (keys.isEmpty) base.groupBy() else base.groupBy(keys.map(col): _*)
+      g.agg(expr("1000 * sum(v) div count(1)").as(s"m_${keys.mkString("")}"))
+    }
+    val f = base.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n"), expr("1000 * sum(v) div count(1)").as("m_abc"))
+    f.join(broadcast(mean("a")), "a")
+      .join(broadcast(mean("b")), "b")
+      .join(broadcast(mean("c")), "c")
+      .join(broadcast(mean("a", "b")), Seq("a", "b"))
+      .join(broadcast(mean("a", "c")), Seq("a", "c"))
+      .join(broadcast(mean("b", "c")), Seq("b", "c"))
+      .crossJoin(broadcast(mean())) // 1-row v_∅
+      .select(col("a").as("segment"), col("b").as("priority"),
+        col("c").as("year"), col("n"),
+        expr("2*(m_a - m_) + (m_ab - m_b) + (m_ac - m_c) + 2*(m_abc - m_bc)")
+          .as("phi_a6_milli"),
+        expr("2*(m_b - m_) + (m_ab - m_a) + (m_bc - m_c) + 2*(m_abc - m_ac)")
+          .as("phi_b6_milli"),
+        expr("2*(m_c - m_) + (m_ac - m_a) + (m_bc - m_b) + 2*(m_abc - m_ab)")
+          .as("phi_c6_milli"),
+        expr("6 * (m_abc - m_)").as("efficiency6_milli"))
+      .orderBy("segment", "priority", "year")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2275,5 +2391,5 @@ object Analytics {
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
-    q235KendallTau)
+    q235KendallTau, q238LDiversity, q239ShapleyExact)
 }

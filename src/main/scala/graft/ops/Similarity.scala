@@ -1713,9 +1713,103 @@ object Similarity {
     out.orderBy("round")
   }
 
+  /** q237 — MMR diversity re-rank (maximal marginal relevance): from
+    * the query's top-8 cosine candidates, greedily select 4 maximizing
+    * relevance MINUS similarity-to-already-selected — the re-rank that
+    * turns "8 near-duplicates of the best hit" into a diverse result
+    * page (and, in data curation, a diverse exemplar pool). λ = 1/2,
+    * so argmax(λ·rel − (1−λ)·maxsim) ≡ argmax(rel − maxsim) in exact
+    * ppm integers; ties break to the smaller vec_id. Round 1 is pure
+    * relevance (nothing selected yet → maxsim NULL).
+    *
+    * Scale: the ONLY corpus-cardinality stage is q31's scored scan,
+    * cut to k=8 by TakeOrdered (per-partition heaps, no global sort);
+    * the candidate-pair similarity table is k² = 64 CELLS and every
+    * greedy round is cell-table joins plus a 1-row argmax. At 100 TB
+    * the top-k comes from the ANN index (q32/q54) instead — the MMR
+    * stage is k-bounded either way. */
+  val q237MmrRerank: Q = Q(
+    "q237_mmr_rerank",
+    {
+      // selected set after round i = s1 ∪ … ∪ si
+      def sel(i: Int) = (1 to i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      def round(i: Int) =
+        s"""r$i AS (
+           |  SELECT c.vec_id, c.rel, MAX(p.sim) AS maxsim
+           |  FROM cand c
+           |  JOIN pair p ON p.cid = c.vec_id AND p.bid IN (${sel(i - 1)})
+           |  WHERE c.vec_id NOT IN (${sel(i - 1)})
+           |  GROUP BY c.vec_id, c.rel
+           |), s$i AS (
+           |  SELECT vec_id, rel, maxsim FROM r$i
+           |  ORDER BY rel - maxsim DESC, vec_id LIMIT 1
+           |)"""
+      s"""WITH vecs AS (
+         |  SELECT vec_id, $DVec AS v FROM embeddings
+         |), q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, v, ${dCosPpm("qv", "v")} AS rel
+         |  FROM vecs CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 8
+         |), pair AS (
+         |  SELECT a.vec_id AS cid, b.vec_id AS bid, ${dCosPpm("a.v", "b.v")} AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+         |), s1 AS (
+         |  SELECT vec_id, rel, CAST(NULL AS BIGINT) AS maxsim FROM cand
+         |  ORDER BY rel DESC, vec_id LIMIT 1
+         |), ${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, vec_id, rel AS relevance_ppm,
+         |    maxsim AS maxsim_ppm, rel AS mmr_ppm FROM s1
+         |  UNION ALL SELECT 2, vec_id, rel, maxsim, rel - maxsim FROM s2
+         |  UNION ALL SELECT 3, vec_id, rel, maxsim, rel - maxsim FROM s3
+         |  UNION ALL SELECT 4, vec_id, rel, maxsim, rel - maxsim FROM s4
+         |)
+         |ORDER BY round"""
+    }) { (s, d) =>
+    val vecs = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val cand = vecs.crossJoin(broadcast(q)) // 1-row query vector
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("v_nrm"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(8) // TakeOrdered heap cut
+      .localCheckpoint() // 8 candidate rows: pair table + every round read it
+    val pair = cand.as("a")
+      .join(broadcast(cand.select(col("vec_id").as("bid"), col("v").as("bv"),
+        col("v_nrm").as("b_nrm"))), col("vec_id") =!= col("bid"))
+      .select(col("vec_id").as("cid"), col("bid"),
+        cosPpmPre(dot(col("v"), col("bv")), col("v_nrm"), col("b_nrm")).as("sim"))
+      .localCheckpoint() // k² = 64 similarity cells
+    def pick(df: DataFrame, scoreCol: Column): DataFrame =
+      df.agg(max(struct(scoreCol.as("sc"), (-col("vec_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("vec_id"))
+    var s1 = cand.join(broadcast(pick(cand, col("rel"))), "vec_id")
+      .select(lit(1L).as("round"), col("vec_id"), col("rel").as("relevance_ppm"),
+        lit(null).cast("long").as("maxsim_ppm"), col("rel").as("mmr_ppm"))
+    var out = s1
+    var selected = s1.select("vec_id")
+    (2 to 4).foreach { i =>
+      val rem = cand.join(broadcast(selected), Seq("vec_id"), "left_anti")
+        .join(pair.join(broadcast(selected.withColumnRenamed("vec_id", "bid")), "bid")
+          .groupBy(col("cid").as("vec_id")).agg(max("sim").as("maxsim")), "vec_id")
+      val si = rem.join(broadcast(pick(rem, col("rel") - col("maxsim"))), "vec_id")
+        .select(lit(i.toLong).as("round"), col("vec_id"),
+          col("rel").as("relevance_ppm"), col("maxsim").as("maxsim_ppm"),
+          (col("rel") - col("maxsim")).as("mmr_ppm"))
+      out = out.unionByName(si)
+      selected = selected.unionByName(si.select("vec_id")).localCheckpoint()
+    }
+    out.orderBy("round")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
-    q220PcaPower, q221JlDistortion, q234KCenterCoreset)
+    q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank)
 }

@@ -500,6 +500,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(tau >= -1000L && tau <= 1000L)
   }
 
+  test("q238: l histogram equals the local QI-group replay; accounts all rows") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q238LDiversity.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("l") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"))).toMap
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderpriority"))
+      .collect().map(r => ((r.getString(0), r.get(1)), r.getString(2)))
+    val want = base.groupBy(_._1).values
+      .map(g => (g.map(_._2).distinct.length.toLong, g.length.toLong))
+      .groupBy(_._1).map { case (l, gs) => l -> (gs.size.toLong, gs.map(_._2).sum) }
+    assert(rows == want)
+    assert(rows.values.map(_._2).sum == base.length.toLong, "every row accounted")
+    // the sensitive attr has 5 values: l can never exceed it
+    assert(rows.keys.forall(l => l >= 1 && l <= 5))
+  }
+
+  test("q239: Shapley efficiency is exact; cells replay from raw rows") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q239ShapleyExact.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // efficiency identity holds EXACTLY on every cell (it is closed-form
+    // on the floored coalition means, not an approximation)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("phi_a6_milli") + r.getAs[Long]("phi_b6_milli") +
+        r.getAs[Long]("phi_c6_milli") == r.getAs[Long]("efficiency6_milli"))
+    }
+    // full local replay of the coalition means and the permutation sum
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def m(f: ((String, String, Long, Long)) => Any): Map[Any, Long] =
+      base.groupBy(f).map { case (k, g) =>
+        k -> Math.floorDiv(1000L * g.map(_._4).sum, g.length) }
+    val m0 = Math.floorDiv(1000L * base.map(_._4).sum, base.length)
+    val (mA, mB, mC) = (m(_._1), m(_._2), m(_._3))
+    val (mAB, mAC, mBC) = (m(x => (x._1, x._2)), m(x => (x._1, x._3)), m(x => (x._2, x._3)))
+    val mABC = m(x => (x._1, x._2, x._3))
+    rows.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getAs[Long]("year"))
+      val phiA = 2 * (mA(a) - m0) + (mAB((a, b)) - mB(b)) + (mAC((a, c)) - mC(c)) +
+        2 * (mABC((a, b, c)) - mBC((b, c)))
+      assert(r.getAs[Long]("phi_a6_milli") == phiA, s"cell ($a,$b,$c)")
+    }
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

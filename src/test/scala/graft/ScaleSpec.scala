@@ -443,6 +443,15 @@ class ScaleSpec extends SparkSpec {
       "q235_kendall_tau" -> 6L,
       // q236: vocab²-bounded bigram cells + vocab-bounded marginals
       "q236_kneser_ney" -> 200L,
+      // q237: q31's scored scan cut to k=8 by TakeOrdered; rounds run
+      // on k² cells + 1-row argmax scalars
+      "q237_mmr_rerank" -> 30L,
+      // q238: (QI, sens) distinct cells for the count_distinct, then
+      // ≤|sens| histogram cells
+      "q238_l_diversity" -> 550L,
+      // q239: 8 coalition-cell aggregates (largest |A||B||C|), joins on
+      // broadcast cell tables
+      "q239_shapley_exact" -> 120L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

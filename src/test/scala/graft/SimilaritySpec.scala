@@ -69,6 +69,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(_.getAs[Int]("resplit") == 0))
   }
 
+  test("q237: MMR greedy equals the local replay; diversity actually bites") {
+    val rows = ops.Similarity.q237MmrRerank.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("relevance_ppm"), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("mmr_ppm")))
+    assert(rows.map(_._1).toSeq == (1L to 4L))
+    assert(rows.map(_._2).distinct.length == 4, "selected ids are distinct")
+    // local replay with the same left-fold double dot + floor-ppm cosine
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotl(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val (na, nb) = (math.sqrt(dotl(va, va)), math.sqrt(dotl(vb, vb)))
+      if (na == 0.0 || nb == 0.0) 0L
+      else math.floor(dotl(va, vb) / (na * nb) * 1000000L).toLong
+    }
+    val cand = vecs.keys.filter(_ != 0L).map(id => id -> cos(0L, id)).toSeq
+      .sortBy { case (id, rel) => (-rel, id) }.take(8)
+    var selected = List(cand.head._1)
+    assert(rows(0)._2 == cand.head._1 && rows(0)._4.isEmpty)
+    (1 to 3).foreach { i =>
+      val pickFrom = cand.filterNot(c => selected.contains(c._1))
+        .map { case (id, rel) =>
+          (id, rel, selected.map(sid => cos(id, sid)).max) }
+      val best = pickFrom.maxBy { case (id, rel, ms) => (rel - ms, -id) }
+      assert(rows(i)._2 == best._1 && rows(i)._3 == best._2 &&
+        rows(i)._4.contains(best._3) && rows(i)._5 == best._2 - best._3, s"round ${i + 1}")
+      selected ::= best._1
+    }
+    // the penalty term was real: every later round carries a maxsim
+    assert(rows.drop(1).forall(_._4.isDefined))
+  }
+
   test("q234: greedy k-center equals the exact integer Gonzalez replay") {
     val rows = ops.Similarity.q234KCenterCoreset.fn(spark, sf).collect()
       .map(r => (r.getAs[Long]("round"), r.getAs[Long]("center_id"),

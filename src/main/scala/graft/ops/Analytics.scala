@@ -2381,6 +2381,81 @@ object Analytics {
       .orderBy("segment", "priority", "year")
   }
 
+  /** q242 — exact 10% two-sided trimmed mean WITHOUT a global sort:
+    * the robust location estimate (q175 flags outliers; this gives the
+    * outlier-proof mean itself) of order value over a column that at
+    * 100 TB cannot be sorted. The k = ⌊n/10⌋ boundary VALUES come from
+    * q153's value-domain binary search (two targets, k+1-th and
+    * (n−k)-th, advanced in the same conditional-count pass; O(1)
+    * driver scalars per round — the documented q153 exception); the
+    * trimmed sum then needs ONE more scan: Σ of values strictly inside
+    * the boundaries plus exact tie corrections at each boundary
+    * (cnt≤(v_lo) − k copies of v_lo, (n−k) − cnt<(v_hi) copies of
+    * v_hi — value-range filtering alone miscounts under ties). The
+    * degenerate all-ties case (v_lo = v_hi) collapses to (n−2k)·v_lo.
+    * Oracle replays via ROW_NUMBER (the sort this query avoids).
+    *
+    * Scale: ~log₂(range) + 1 full scans, each a map-side conditional
+    * COUNT/SUM partial; no sort, no skew sensitivity, O(1) driver
+    * state. */
+  val q242TrimmedMean: Q = Q(
+    "q242_trimmed_mean",
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |), r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n
+      |  FROM v
+      |), kept AS (
+      |  SELECT c, n, n // 10 AS k FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+      |)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+      |  CAST(MAX(k) AS BIGINT) AS k_each_side,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(MIN(c) AS BIGINT) AS v_lo_cents,
+      |  CAST(MAX(c) AS BIGINT) AS v_hi_cents,
+      |  CAST(SUM(c) AS BIGINT) AS kept_sum_cents,
+      |  CAST(SUM(c) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+      |FROM kept""") { (s, d) =>
+    val v = Tables.orders(s, d)
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      .localCheckpoint() // narrow 1-col projection: every search round scans it
+    val n = v.count()
+    val k = n / 10
+    // value-domain binary search for the (k+1)-th and (n-k)-th smallest
+    // (q153's pattern: O(1) driver scalars per round, no sort)
+    val bounds = v.agg(min("c"), max("c")).head()
+    val lo = Array(bounds.getLong(0), bounds.getLong(0))
+    val hi = Array(bounds.getLong(1), bounds.getLong(1))
+    val targets = Array(k + 1, n - k) // rank = least v with cnt_le(v) >= rank
+    while (targets.indices.exists(i => lo(i) < hi(i))) {
+      val mids = targets.indices.map(i => lo(i) + (hi(i) - lo(i)) / 2)
+      val counts = v.agg(
+        sum(when(col("c") <= mids(0), 1L).otherwise(0L)),
+        sum(when(col("c") <= mids(1), 1L).otherwise(0L))).head()
+      targets.indices.foreach { i =>
+        if (lo(i) < hi(i)) {
+          if (counts.getLong(i) >= targets(i)) hi(i) = mids(i)
+          else lo(i) = mids(i) + 1
+        }
+      }
+    }
+    val (vLo, vHi) = (lo(0), lo(1))
+    // one final scan: inside-sum + exact tie corrections at the bounds
+    v.agg(
+        sum(when(col("c") > vLo && col("c") < vHi, col("c")).otherwise(0L)).as("mid_sum"),
+        sum(when(col("c") <= vLo, 1L).otherwise(0L)).as("cnt_le_lo"),
+        sum(when(col("c") < vHi, 1L).otherwise(0L)).as("cnt_lt_hi"))
+      .select(lit(n).as("n_total"), lit(k).as("k_each_side"),
+        lit(n - 2 * k).as("n_kept"), lit(vLo).as("v_lo_cents"),
+        lit(vHi).as("v_hi_cents"),
+        (if (vLo == vHi) lit((n - 2 * k) * vLo)
+         else col("mid_sum") + (col("cnt_le_lo") - k) * vLo
+           + (lit(n - k) - col("cnt_lt_hi")) * vHi).as("kept_sum_cents"))
+      .withColumn("trimmed_mean_cents",
+        expr(s"kept_sum_cents div ${n - 2 * k}"))
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2391,5 +2466,5 @@ object Analytics {
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
-    q235KendallTau, q238LDiversity, q239ShapleyExact)
+    q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean)
 }

@@ -1953,6 +1953,138 @@ object Events {
       .orderBy("policy")
   }
 
+  /** q240 — rolling-origin forecast backtest: evaluate two zero-cost
+    * baselines — naive (yesterday's value) and seasonal-naive (the
+    * value 7 days earlier) — on the daily revenue series with each
+    * day forecast ONLY from its past (the rolling origin every honest
+    * time-series eval needs; a random split would let the model peek
+    * ahead). Per model: forecast count, exact MAE in cents, and the
+    * signed bias via the (Σ + n·C) div n − C shift (errors go both
+    * ways, Spark div truncates, DuckDB // floors — q228's rule). The
+    * pair is the canonical sanity bar: any real forecaster must beat
+    * seasonal-naive on MAE before it ships.
+    *
+    * Scale: the corpus collapses to day cells map-side; the zero-fill
+    * spine and the two lag windows run over span-in-days CELLS; the
+    * rollup is 2 rows. */
+  val q240RollingBacktest: Q = Q(
+    "q240_rolling_backtest",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      |  FROM events GROUP BY 1
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series((SELECT MIN(d) FROM daily),
+      |    (SELECT MAX(d) FROM daily), INTERVAL 1 DAY)) AS DATE) AS d
+      |), series AS (
+      |  SELECT s.d, COALESCE(daily.v, 0) AS v FROM spine s
+      |  LEFT JOIN daily ON daily.d = s.d
+      |), lagged AS (
+      |  SELECT d, v,
+      |    lag(v, 1) OVER (ORDER BY d) AS f_naive,
+      |    lag(v, 7) OVER (ORDER BY d) AS f_seasonal
+      |  FROM series
+      |), err AS (
+      |  SELECT 'naive' AS model, v - f_naive AS e FROM lagged WHERE f_naive IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'seasonal_naive', v - f_seasonal FROM lagged WHERE f_seasonal IS NOT NULL
+      |)
+      |SELECT model, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+      |  CAST(SUM(ABS(e)) // COUNT(*) AS BIGINT) AS mae_cents,
+      |  CAST((SUM(e) + COUNT(*) * 1000000000) // COUNT(*) - 1000000000 AS BIGINT)
+      |    AS bias_cents
+      |FROM err GROUP BY model
+      |ORDER BY model""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dd"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("v"))
+    val mm = daily.agg(min("dd").as("lo"), max("dd").as("hi"))
+    val spine = mm.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("d"))
+    val series = spine.join(daily, col("d") === col("dd"), "left")
+      .select(col("d"), coalesce(col("v"), lit(0L)).as("v"))
+    val w = Window.orderBy("d")
+    val lagged = series
+      .withColumn("f_naive", lag("v", 1).over(w))
+      .withColumn("f_seasonal", lag("v", 7).over(w))
+    val err = lagged.filter(col("f_naive").isNotNull)
+      .select(lit("naive").as("model"), (col("v") - col("f_naive")).as("e"))
+      .unionByName(lagged.filter(col("f_seasonal").isNotNull)
+        .select(lit("seasonal_naive").as("model"),
+          (col("v") - col("f_seasonal")).as("e")))
+    err.groupBy("model")
+      .agg(count(lit(1)).as("n_forecasts"),
+        expr("sum(abs(e)) div count(1)").as("mae_cents"),
+        expr("(sum(e) + count(1) * 1000000000) div count(1) - 1000000000")
+          .as("bias_cents"))
+      .orderBy("model")
+  }
+
+  /** q241 — difference-in-differences: the textbook causal estimate
+    * from observational pre/post data — treated group (user_id odd as
+    * the fixture's stand-in for a rollout cohort) vs control, before
+    * vs after the midpoint "launch": DiD = (postT − preT) − (postC −
+    * preC) on per-cell mean event value, which cancels both the group
+    * baseline difference and the common time trend. All four cell
+    * means are exact floor-milli; the DiD itself is pure ± (no
+    * division on a possibly-negative value). One row: the 4 cells
+    * (n + mean) and the estimate.
+    *
+    * Scale: one scan → 1-row min/max boundary scalar (broadcast), one
+    * more scan → 4 (group, period) cells map-side. Nothing else. */
+  val q241DiffInDiff: Q = Q(
+    "q241_diff_in_diff",
+    """WITH e AS (
+      |  SELECT user_id % 2 AS treated, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), b AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+      |), cells AS (
+      |  SELECT treated, CASE WHEN us >= mid THEN 1 ELSE 0 END AS post,
+      |    COUNT(*) AS n, CAST(1000 * SUM(r) // COUNT(*) AS BIGINT) AS mean_milli
+      |  FROM e CROSS JOIN b GROUP BY 1, 2
+      |)
+      |SELECT
+      |  MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_pre_treated,
+      |  MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END) AS pre_treated_milli,
+      |  MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_post_treated,
+      |  MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END) AS post_treated_milli,
+      |  MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_pre_control,
+      |  MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END) AS pre_control_milli,
+      |  MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_post_control,
+      |  MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END) AS post_control_milli,
+      |  CAST((MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+      |      - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END))
+      |    - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+      |      - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END))
+      |    AS BIGINT) AS did_milli
+      |FROM cells""") { (s, d) =>
+    val e = Tables.events(s, d).select(
+      (col("user_id") % 2).as("treated"),
+      unix_micros(col("ts")).as("us"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val b = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(b)) // 1-row midpoint scalar
+      .groupBy(col("treated"), when(col("us") >= col("mid"), 1).otherwise(0).as("post"))
+      .agg(count(lit(1)).as("n"), expr("1000 * sum(r) div count(1)").as("mean_milli"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treated") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(1, 0, "n").as("n_pre_treated"),
+        cell(1, 0, "mean_milli").as("pre_treated_milli"),
+        cell(1, 1, "n").as("n_post_treated"),
+        cell(1, 1, "mean_milli").as("post_treated_milli"),
+        cell(0, 0, "n").as("n_pre_control"),
+        cell(0, 0, "mean_milli").as("pre_control_milli"),
+        cell(0, 1, "n").as("n_post_control"),
+        cell(0, 1, "mean_milli").as("post_control_milli"))
+      .withColumn("did_milli",
+        (col("post_treated_milli") - col("pre_treated_milli"))
+          - (col("post_control_milli") - col("pre_control_milli")))
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -1961,5 +2093,5 @@ object Events {
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
-    q217IpsPolicyEval, q228DoublyRobust)
+    q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff)
 }

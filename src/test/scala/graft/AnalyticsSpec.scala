@@ -552,6 +552,69 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q240: backtest errors equal the local lag replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Events.q240RollingBacktest.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_forecasts"),
+        r.getAs[Long]("mae_cents"), r.getAs[Long]("bias_cents"))).toMap
+    assert(rows.keySet == Set("naive", "seasonal_naive"))
+    // local replay: daily sums on the zero-filled spine, lag errors
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("v"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val days = {
+      val (lo, hi) = (daily.keys.min, daily.keys.max)
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toVector
+    }
+    val v = days.map(d => daily.getOrElse(d, 0L))
+    def check(model: String, lagN: Int): Unit = {
+      val es = (lagN until v.length).map(i => v(i) - v(i - lagN))
+      val (n, mae) = (es.length.toLong, es.map(math.abs).sum / es.length)
+      val bias = Math.floorDiv(es.sum, es.length.toLong)
+      assert(rows(model) == ((n, mae, bias)), s"$model")
+    }
+    check("naive", 1); check("seasonal_naive", 7)
+  }
+
+  test("q241: DiD equals the 4-cell replay and cancels the common trend") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Events.q241DiffInDiff.fn(spark, sf).collect().head
+    val e = Tables.events(spark, sf)
+      .select((col("user_id") % 2).as("t"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (e.map(_._2).min + e.map(_._2).max) / 2
+    def cell(t: Long, post: Boolean): (Long, Long) = {
+      val g = e.filter(x => x._1 == t && (x._2 >= mid) == post)
+      (g.length.toLong, Math.floorDiv(1000L * g.map(_._3).sum, g.length))
+    }
+    val ((n11, m11), (n10, m10)) = (cell(1, post = true), cell(1, post = false))
+    val ((n01, m01), (n00, m00)) = (cell(0, post = true), cell(0, post = false))
+    assert(r.getAs[Long]("n_post_treated") == n11 && r.getAs[Long]("post_treated_milli") == m11)
+    assert(r.getAs[Long]("n_pre_treated") == n10 && r.getAs[Long]("pre_treated_milli") == m10)
+    assert(r.getAs[Long]("n_post_control") == n01 && r.getAs[Long]("post_control_milli") == m01)
+    assert(r.getAs[Long]("n_pre_control") == n00 && r.getAs[Long]("pre_control_milli") == m00)
+    assert(r.getAs[Long]("did_milli") == (m11 - m10) - (m01 - m00))
+  }
+
+  test("q242: trimmed mean equals the sorted local replay, ties included") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Analytics.q242TrimmedMean.fn(spark, sf).collect().head
+    val cs = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length.toLong
+    val k = n / 10
+    val kept = cs.slice(k.toInt, (n - k).toInt)
+    assert(r.getAs[Long]("n_total") == n && r.getAs[Long]("k_each_side") == k)
+    assert(r.getAs[Long]("n_kept") == kept.length.toLong)
+    assert(r.getAs[Long]("v_lo_cents") == kept.head &&
+      r.getAs[Long]("v_hi_cents") == kept.last)
+    assert(r.getAs[Long]("kept_sum_cents") == kept.sum)
+    assert(r.getAs[Long]("trimmed_mean_cents") == kept.sum / kept.length)
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

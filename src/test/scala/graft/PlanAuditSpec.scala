@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     "q234_kcenter_coreset" -> "per-round scalar joins: each round broadcasts ONE new center vector (and its 1-row argmax) into the corpus distance scan — the streaming Gonzalez shape",
     "q235_kendall_tau" -> "cell-pair join: both sides are the ≤|nations| metric-cell table; the n_name< predicate is item-bounded by construction",
     "q236_kneser_ney" -> "corpus-scalar join: the 1-row distinct-bigram count broadcasts into the vocab²-bounded probability cells (q75's idf shape)",
-    "q239_shapley_exact" -> "scalar join: the 1-row empty-coalition mean broadcasts into the cell-bounded Shapley table; the 7 coalition tables join by equi keys")
+    "q239_shapley_exact" -> "scalar join: the 1-row empty-coalition mean broadcasts into the cell-bounded Shapley table; the 7 coalition tables join by equi keys",
+    "q241_diff_in_diff" -> "scalar join: the 1-row midpoint boundary broadcasts into the 4-cell (group, period) collapse")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -452,6 +452,13 @@ class ScaleSpec extends SparkSpec {
       // q239: 8 coalition-cell aggregates (largest |A||B||C|), joins on
       // broadcast cell tables
       "q239_shapley_exact" -> 120L,
+      // q240: day cells + 2 model rows; lag windows run on cells
+      "q240_rolling_backtest" -> 8L,
+      // q241: 1-row midpoint + 4 (group, period) cells (measured 0)
+      "q241_diff_in_diff" -> 4L,
+      // q242: conditional-count partials only — the whole point is
+      // that nothing resembling a sort ever shuffles
+      "q242_trimmed_mean" -> 8L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

@@ -1897,6 +1897,96 @@ object Clean {
       .orderBy("source")
   }
 
+  /** q243 — pseudo-relevance feedback (RM3-lite): run the q105 BM25
+    * query, treat its top-3 docs as relevant, mine them for the 5
+    * strongest expansion terms (Σtf within the feedback docs, minus
+    * the seed terms, minus stoplike terms in more than 77% of docs —
+    * past ~3/4 document frequency a term carries no discrimination), and re-score
+    * the corpus with the expanded 8-term query — the classic two-pass
+    * retrieval loop that lifts recall when the seed query is
+    * under-specified. Expansion weights are exact integer Σtf; the
+    * re-score is the house BM25 (doubles folded in sorted-term order,
+    * floored to milli at the edge — both engines bit-identical).
+    *
+    * Scale: pass 1 is q105's plan; the feedback-doc and expansion-term
+    * tables are 3 and 5 rows (broadcast); pass 2 is the SAME
+    * tf/df-join shape with an 8-row term filter instead of 3. Nothing
+    * new shuffles — PRF costs one more pass of the same plan. */
+  val q243PrfExpansion: Q = Q(
+    "q243_prf_expansion",
+    s"""WITH $DBm25Chain,
+       |fb AS (
+       |  SELECT doc_id FROM agg
+       |  ORDER BY CAST(FLOOR(score * 1000) AS BIGINT) DESC, doc_id LIMIT 3
+       |), exp AS (
+       |  SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w
+       |  FROM tf JOIN fb USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       |  WHERE tf.term NOT IN ('spark', 'join', 'window')
+       |    AND df.df * 100 <= 77 * stats.n_docs
+       |  GROUP BY tf.term ORDER BY w DESC, term LIMIT 5
+       |), qt AS (
+       |  SELECT term FROM exp
+       |  UNION ALL SELECT unnest(['spark', 'join', 'window'])
+       |), s2 AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |    ((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * n_tok / avgdl))) AS sc
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       |), agg2 AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
+       |      (a, e) -> a + e) AS score
+       |  FROM s2 GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(FLOOR(score * 1000) AS BIGINT) AS score_milli,
+       |  doc_id IN (SELECT doc_id FROM fb) AS in_feedback
+       |FROM agg2
+       |ORDER BY score_milli DESC, doc_id LIMIT 10""") { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by pass 1 (via bm25Scored), exp, and pass 2
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("double")./(count(lit(1))).as("avgdl"))
+    val fb = bm25Scored(s, d)
+      .orderBy(floor(col("score") * 1000).cast("long").desc, col("doc_id"))
+      .limit(3).select("doc_id")
+      .localCheckpoint() // 3 feedback docs
+    val exp = tf.join(broadcast(fb), "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .filter(!col("term").isin("spark", "join", "window") &&
+        col("df") * 100 <= lit(77) * col("n_docs"))
+      .groupBy("term").agg(sum("tf").as("w"))
+      .orderBy(col("w").desc, col("term")).limit(5)
+    val seed = {
+      import s.implicits._
+      Seq("spark", "join", "window").toDF("term")
+    }
+    val qt = exp.select("term").unionByName(seed)
+    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfc = (col("tf").cast("double") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tok") / col("avgdl")))
+    tf.join(broadcast(qt), "term") // 8-row expanded term set
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), (idf * tfc).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(transform(sort_array(collect_list(struct(col("term"), col("sc")))),
+          _.getField("sc")), lit(0.0), (a, e) => a + e).as("score"))
+      .join(broadcast(fb.withColumn("in_fb", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_terms"),
+        floor(col("score") * 1000).cast("long").as("score_milli"),
+        coalesce(col("in_fb"), lit(false)).as("in_feedback"))
+      .orderBy(col("score_milli").desc, col("doc_id")).limit(10)
+  }
+
   val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
@@ -1905,5 +1995,5 @@ object Clean {
     q114Unimax, q118BestfitPack, q133BoilerplateStrip, q136BlocklistScan,
     q140TrainingBuild, q148InvertedIndex, q150PhraseQuery,
     q151PublicSuffix, q154IndexMaintain, q167FeatureHash, q219ProximityRank,
-    q231NgramNovelty)
+    q231NgramNovelty, q243PrfExpansion)
 }

@@ -2085,6 +2085,51 @@ object Events {
           - (col("post_control_milli") - col("pre_control_milli")))
   }
 
+  /** q245 — empirical-Bayes rate shrinkage: per-user purchase rate
+    * pulled toward the global rate by K = 20 pseudo-observations —
+    * shrunk_ppm = (purchases·10⁶ + K·global_ppm) div (n + K) — the
+    * estimator every CTR/conversion feature needs (a 2/2 user is not
+    * a 100% converter; a 0/1 user is not a 0% one; low-n estimates
+    * drown in the prior, high-n estimates keep their data). Exact
+    * integers: the global rate is floored to ppm ONCE (broadcast) and
+    * reused, so both engines shrink toward the identical prior. The
+    * audit column |raw − shrunk| makes the shrinkage magnitude
+    * visible per row.
+    *
+    * Scale: one user-keyed aggregate (the only corpus shuffle), a
+    * 1-row global-rate scalar broadcast into the per-user map, and a
+    * deterministic key-stride sample at the export edge. */
+  val q245ShrunkRates: Q = Q(
+    "q245_shrunk_rates",
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events GROUP BY user_id
+      |), g AS (
+      |  SELECT CAST(SUM(p) * 1000000 // SUM(n) AS BIGINT) AS global_ppm FROM u
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
+      |  CAST(p * 1000000 // n AS BIGINT) AS raw_ppm,
+      |  CAST((p * 1000000 + 20 * global_ppm) // (n + 20) AS BIGINT) AS shrunk_ppm,
+      |  CAST(ABS(p * 1000000 // n - (p * 1000000 + 20 * global_ppm) // (n + 20))
+      |    AS BIGINT) AS shrink_ppm
+      |FROM u CROSS JOIN g
+      |WHERE user_id % 17 = 0
+      |ORDER BY user_id""") { (s, d) =>
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val g = u.agg(expr("sum(p) * 1000000 div sum(n)").as("global_ppm"))
+    u.crossJoin(broadcast(g)) // 1-row global prior
+      .filter(col("user_id") % 17 === 0)
+      .select(col("user_id"), col("n"), col("p"),
+        expr("p * 1000000 div n").as("raw_ppm"),
+        expr("(p * 1000000 + 20 * global_ppm) div (n + 20)").as("shrunk_ppm"),
+        expr("abs(p * 1000000 div n - (p * 1000000 + 20 * global_ppm) div (n + 20))")
+          .as("shrink_ppm"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2093,5 +2138,6 @@ object Events {
     q165Attribution, q170IntervalOverlap, q176SessionPaths, q177AbReport,
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
-    q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff)
+    q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
+    q245ShrunkRates)
 }

@@ -893,7 +893,106 @@ object Graph {
           .as("modularity_ppm"))
   }
 
+  /** q244 — local clustering coefficient on the document graph: per
+    * node, C(v) = 2·T(v)·10⁶ div (deg·(deg−1)) — how close a node's
+    * neighborhood is to a clique. q160 counts triangles (on the
+    * near-complete host graph, where every coefficient saturates);
+    * this runs on q173's sparse doc graph (mean degree ~4) where the
+    * coefficient actually separates tight communities from bridge
+    * nodes — the per-node density feature community detectors and
+    * spam classifiers consume. Nodes with deg < 2 have no defined
+    * coefficient and are excluded (matching the estimator, not
+    * padding zeros).
+    *
+    * Scale: q160's degree-ordered orientation bounds the wedge join
+    * by the max ORIENTED degree (√m-ish), triangles credit all three
+    * corners via one explode+count, and the coefficient is a
+    * node-cell map. Everything after link extraction is edge/node
+    * cardinality. */
+  val q244ClusteringCoeff: Q = Q(
+    "q244_clustering_coeff",
+    """WITH nd AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), links AS (
+      |  SELECT doc_id AS src,
+      |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+      |  FROM documents
+      |  CROSS JOIN nd
+      |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
+      |), ue AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM links WHERE src <> dst
+      |), degv AS (
+      |  SELECT v, COUNT(*) AS dg
+      |  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+      |  GROUP BY v
+      |), rk AS (
+      |  SELECT v, dg * 1000000000 + v AS r FROM degv
+      |), o AS (
+      |  SELECT CASE WHEN ra.r < rb.r THEN a ELSE b END AS src,
+      |    CASE WHEN ra.r < rb.r THEN b ELSE a END AS dst,
+      |    GREATEST(ra.r, rb.r) AS dst_r
+      |  FROM ue JOIN rk ra ON ra.v = a JOIN rk rb ON rb.v = b
+      |), w AS (
+      |  SELECT x.src AS u, x.dst AS v1, y.dst AS v2
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dst_r < y.dst_r
+      |), tri AS (
+      |  SELECT u, v1, v2
+      |  FROM w JOIN o z ON z.src = w.v1 AND z.dst = w.v2
+      |), credit AS (
+      |  SELECT v, COUNT(*) AS t
+      |  FROM (SELECT u AS v FROM tri UNION ALL SELECT v1 FROM tri
+      |        UNION ALL SELECT v2 FROM tri)
+      |  GROUP BY v
+      |)
+      |SELECT degv.v AS node_id, CAST(degv.dg AS BIGINT) AS degree,
+      |  CAST(COALESCE(credit.t, 0) AS BIGINT) AS n_triangles,
+      |  CAST(2 * COALESCE(credit.t, 0) * 1000000 // (degv.dg * (degv.dg - 1))
+      |    AS BIGINT) AS clustering_ppm
+      |FROM degv LEFT JOIN credit ON credit.v = degv.v
+      |WHERE degv.dg >= 2
+      |ORDER BY node_id""") { (s, d) =>
+    val docsT = Tables.documents(s, d)
+    val nd = docsT.agg(count(lit(1)).as("n"))
+    val links = docsT
+      .crossJoin(broadcast(nd)) // 1-row count: the only broadcast scalar
+      .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
+        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees + orientation
+    val degv = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+      .localCheckpoint() // node cells: orientation rank + final coefficient
+    val rk = degv.select(col("v"), (col("dg") * 1000000000L + col("v")).as("r"))
+    val o = ue
+      .join(rk.select(col("v").as("a"), col("r").as("ra")), "a")
+      .join(rk.select(col("v").as("b"), col("r").as("rb")), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ra"), col("rb")).as("dst_r"))
+      .localCheckpoint() // both wedge legs + the closing-edge probe
+    val w = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && col("x.dst_r") < col("y.dst_r"))
+      .select(col("x.dst").as("v1"), col("y.dst").as("v2"), col("x.src").as("u"))
+    val tri = w.join(o.select(col("src").as("v1"), col("dst").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val credit = tri.select(col("u").as("v"))
+      .unionAll(tri.select(col("v1").as("v")))
+      .unionAll(tri.select(col("v2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    degv.filter(col("dg") >= 2)
+      .join(credit, Seq("v"), "left")
+      .select(col("v").as("node_id"), col("dg").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        expr("2 * coalesce(t, 0) * 1000000 div (dg * (dg - 1))").as("clustering_ppm"))
+      .orderBy("node_id")
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
     q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits,
-    q227Modularity)
+    q227Modularity, q244ClusteringCoeff)
 }

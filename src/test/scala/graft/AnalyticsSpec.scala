@@ -615,6 +615,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("trimmed_mean_cents") == kept.sum / kept.length)
   }
 
+  test("q245: shrinkage replays exactly and always lands between raw and prior") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Events.q245ShrunkRates.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val u = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val globalPpm = Math.floorDiv(u.values.map(_._2).sum * 1000000L,
+      u.values.map(_._1).sum)
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      assert(uid % 17 == 0)
+      val (n, p) = u(uid)
+      val raw = Math.floorDiv(p * 1000000L, n)
+      val shrunk = Math.floorDiv(p * 1000000L + 20 * globalPpm, n + 20)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("p") == p)
+      assert(r.getAs[Long]("raw_ppm") == raw && r.getAs[Long]("shrunk_ppm") == shrunk)
+      assert(r.getAs[Long]("shrink_ppm") == math.abs(raw - shrunk))
+      // shrunk always lies between the raw estimate and the prior
+      assert((shrunk >= math.min(raw, globalPpm) - 1) &&
+        (shrunk <= math.max(raw, globalPpm) + 1))
+    }
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

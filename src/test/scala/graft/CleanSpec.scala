@@ -193,6 +193,23 @@ class CleanSpec extends SparkSpec {
     assert(planted.count() > 0)
   }
 
+  test("q243: PRF expansion widens the match set beyond the seed query") {
+    val rows = ops.Clean.q243PrfExpansion.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 10)
+    // deterministic ranking contract
+    val scores = rows.map(_.getAs[Long]("score_milli")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // expansion fired: with 8 query terms, some doc matches more than the
+    // 3 seed terms could ever give
+    assert(rows.map(_.getAs[Long]("n_terms")).max > 3,
+      "no doc matched an expansion term — PRF was a no-op")
+    assert(rows.map(_.getAs[Long]("n_terms")).max <= 8)
+    // feedback docs score high under the expanded query too: at least one
+    // of the 3 survives in the top-10
+    assert(rows.exists(_.getAs[Boolean]("in_feedback")))
+  }
+
   test("q231: novelty equals the exact local gram-set replay; ref slice absent") {
     import graft.functions.TextFunctions._
     val rows = ops.Clean.q231NgramNovelty.fn(spark, sf).collect()

@@ -143,6 +143,37 @@ class GraphSpec extends SparkSpec {
     assert(got(3L)._1 == 0L, "node 3 has no in-links: zero authority")
   }
 
+  test("q244: clustering coefficients equal the brute-force triangle replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.q244ClusteringCoeff.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("node_id") -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_ppm"))).toMap
+    assert(rows.nonEmpty)
+    // rebuild the doc graph locally (q173's construction)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("hx")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    val edges = docs.flatMap { case (id, hx) =>
+      (0 until 2).map { j =>
+        val dst = java.lang.Long.parseLong(hx.slice(2 * j, 2 * j + 2), 16) * 7919 % n
+        (math.min(id, dst), math.max(id, dst))
+      }
+    }.filter(e => e._1 != e._2).distinct
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (v, nb) =>
+      val dg = nb.size.toLong
+      if (dg >= 2) {
+        val pairs = nb.toSeq.combinations(2)
+        val t = pairs.count(p => adj(p(0)).contains(p(1))).toLong
+        val want = (dg, t, Math.floorDiv(2 * t * 1000000L, dg * (dg - 1)))
+        assert(rows(v) == want, s"node $v")
+      } else assert(!rows.contains(v), s"deg<2 node $v must be excluded")
+    }
+    assert(rows.keySet == adj.filter(_._2.size >= 2).keySet)
+  }
+
   test("q227: modularity summary is consistent with the q173 labeling") {
     val mod = Graph.q227Modularity.fn(spark, sf).collect()
     assert(mod.length == 1)

@@ -459,6 +459,13 @@ class ScaleSpec extends SparkSpec {
       // q242: conditional-count partials only — the whole point is
       // that nothing resembling a sort ever shuffles
       "q242_trimmed_mean" -> 8L,
+      // q243: two passes of the q105 tf/df cell shape (the (doc, term)
+      // cell table shuffles once per pass)
+      "q243_prf_expansion" -> 4000L,
+      // q244: doc-graph edges + oriented wedges (degree-bounded)
+      "q244_clustering_coeff" -> 500L,
+      // q245: one user-keyed aggregate + 1-row prior
+      "q245_shrunk_rates" -> 20L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

@@ -1084,10 +1084,59 @@ object Scale {
         expr("shared_users * 1000000 div test_users").as("shared_user_ppm"))
   }
 
+  /** q246 — bloom-pruned shuffle join: the runtime-filter pattern for
+    * a selective fact⋈dim join that is too big to broadcast but whose
+    * dim side matches only a sliver of the fact. The dim's join keys
+    * fold into a bloom filter (`df.stat.bloomFilter` — a treeAggregate
+    * of OR-able bitsets, partition-order independent); the fact side
+    * runs a NARROW mightContain prefilter BEFORE its shuffle, so only
+    * true matches (+ ~fpp noise) ever hit the exchange — at 100 TB
+    * this is the difference between shuffling the corpus and shuffling
+    * the answer. The final equi-join removes the false positives, so
+    * the result is EXACTLY the plain join (the oracle computes the
+    * plain join — the technique must be semantically invisible, q51's
+    * salting rule). ScaleSpec's gauge enforces the pruned shuffle.
+    *
+    * Per-order revenue of customers in the AUTOMOBILE segment with
+    * balance > 9000 — a dim selecting ~3% of customers. */
+  val q246BloomPruneJoin: Q = Q(
+    "q246_bloom_prune_join",
+    """WITH dim AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+      |)
+      |SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""") { (s, d) =>
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+      .localCheckpoint() // read by the bloom build AND the exact join
+    // bloom on the dim keys: a few-KB bitset, fpp only adds a sliver of
+    // extra rows that the exact join below removes
+    // same justified idiom as q83's decontamination probe (the bloom
+    // bitset rides the closure; Spark broadcasts it with the task)
+    val bloom = dim.stat.bloomFilter("c_custkey", 10000L, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    val prunedFact = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .filter(mightContain(col("o_custkey")))
+    // hash-partitionable sides are now answer-sized; the equi-join and
+    // the aggregate see only survivors
+    prunedFact.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(q51SaltedSkewJoin, q60RangeJoin, q87ShardAssign,
     q96EpochShuffle, q131VersionDiff, q135FileSkipping, q138IncrView,
     q139TargetedDelete, q143SkewAudit, q144SchemaEvolution,
     q146StratifiedSplit, q186RendezvousRebalance, q189JoinCardinality,
     q190IdContinuity, q191TableProfile, q223ShuffleQuality,
-    q229MerkleManifest, q233PurgedSplit)
+    q229MerkleManifest, q233PurgedSplit, q246BloomPruneJoin)
 }

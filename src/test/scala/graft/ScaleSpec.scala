@@ -40,6 +40,22 @@ class ScaleSpec extends SparkSpec {
     assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
   }
 
+  test("bloom-pruned join equals the plain join (the filter is invisible)") {
+    import org.apache.spark.sql.functions._
+    val pruned = ops.Scale.q246BloomPruneJoin.fn(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val want = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+  }
+
   test("salted skew join equals its unsalted relational answer") {
     val salted = ops.Scale.q51SaltedSkewJoin.fn(spark, sf)
     // unsalted reference computed directly
@@ -466,6 +482,10 @@ class ScaleSpec extends SparkSpec {
       "q244_clustering_coeff" -> 500L,
       // q245: one user-keyed aggregate + 1-row prior
       "q245_shrunk_rates" -> 20L,
+      // q246: the bloom prefilter runs BEFORE the exchange — only the
+      // ~3%-selectivity survivors (+ fpp noise) ever shuffle; the
+      // ceiling is the teeth of the technique
+      "q246_bloom_prune_join" -> 24L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

@@ -1505,16 +1505,40 @@ object Analytics {
       |  CAST(ns.n AS BIGINT) AS n_pairs, CAST(ni.n AS BIGINT) AS n_days
       |FROM med, ns, ni, iranked i WHERE i.rk = (ni.n - 1) // 2""") { (s, d) =>
     import s.implicits._
-    // kth-smallest (0-based) by value-domain binary search — q153's move
+    // kth-smallest (0-based) by HISTOGRAM selection: each pass buckets
+    // the open value range into ≤ 2¹⁶ cells with ONE aggregate and
+    // narrows to the bucket holding rank k — log₆₅₅₃₆(range) ≈ 2-3
+    // passes where the bit-wise binary search (q153's shape) needs
+    // log₂(range) ≈ 40. Driver state is O(buckets), not O(data) —
+    // the same documented exception as q153's scalars. Exact: integer
+    // bucket math, final pass groups by the value itself.
     def kth(df: DataFrame, c: String, k: Long): Long = {
       val h = df.agg(min(col(c)), max(col(c))).head()
       var lo = h.getLong(0); var hi = h.getLong(1)
-      while (lo < hi) {
-        val mid = Math.floorDiv(lo + hi, 2) // value domain may span negatives
-        val cnt = df.agg(sum(when(col(c) <= mid, 1L).otherwise(0L))).head().getLong(0)
-        if (cnt > k) hi = mid else lo = mid + 1
+      var kk = k
+      def cellPick(cells: Array[(Long, Long)]): (Long, Long) = {
+        // (first cell where the running count passes kk, rank within it)
+        var rem = kk
+        cells.find { case (_, n) => if (rem < n) true else { rem -= n; false } }
+          .map { case (cell, _) => (cell, rem) }
+          .getOrElse(sys.error("rank out of range — counts drifted"))
       }
-      lo
+      while (hi - lo >= 65536L) {
+        val width = (hi - lo) / 65536L + 1L
+        val counts = df.filter(col(c) >= lo && col(c) <= hi)
+          .groupBy(expr(s"($c - $lo) div $width").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val (b, rem) = cellPick(counts)
+        kk = rem
+        val newLo = lo + b * width
+        hi = math.min(hi, newLo + width - 1)
+        lo = newLo
+      }
+      val exact = df.filter(col(c) >= lo && col(c) <= hi)
+        .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      cellPick(exact)._1
     }
     val cells = Tables.orders(s, d)
       .groupBy(datediff(col("o_orderdate").cast("date"),

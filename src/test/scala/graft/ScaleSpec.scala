@@ -339,8 +339,11 @@ class ScaleSpec extends SparkSpec {
       // map-side; frontier broadcasts. Measured 1 KiB at sf0.01
       "q196_skyline" -> 8L,
       // q197: (day, rev) cells + the checkpointed days² slope frame —
-      // time-domain-bounded, independent of row count. Measured 38 KiB
-      "q197_theil_sen" -> 100L,
+      // time-domain-bounded, independent of row count. The histogram
+      // selection adds ≤2¹⁶ bucket-count cells per pass (measured 524
+      // KiB, invariant across sf0.01/sf0.1 — it bought a 2.6x wall win
+      // over the bit-wise search's ~40 full-frame passes)
+      "q197_theil_sen" -> 1100L,
       // q198: link-extraction scan partials + host-cardinality
       // distance folds; frontiers broadcast. Measured 8 KiB at sf0.01
       "q198_multisource_bfs" -> 24L,

@@ -2130,6 +2130,84 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q247 — permutation test for the A/B mean difference: is the
+    * observed arm gap larger than chance? The label-shuffle test makes
+    * NO distributional assumption (q177's t-stat needs
+    * approximate normality; this is the referee's fallback when it
+    * doesn't hold): re-assign users to pseudo-arms under B = 16
+    * md5-derived permutations AT THE USER LEVEL (the unit of
+    * randomization — permuting rows would break within-user
+    * correlation and overstate significance), recompute the mean gap
+    * under each, and report p = (#{|gap_b| ≥ |gap_obs|} + 1)/(B + 1)
+    * (the add-one estimator — never exactly zero, as a sampled
+    * permutation p-value must be). All means exact floor-milli; gaps
+    * pure ±.
+    *
+    * Scale: ONE corpus scan explodes each row ×(B+1) and collapses
+    * map-side to 2(B+1) (permutation, arm) cells; everything after is
+    * cell arithmetic. B scales the scan's output width, never its
+    * row count. */
+  val q247PermutationTest: Q = Q(
+    "q247_permutation_test",
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), tagged AS (
+      |  SELECT b.b,
+      |    CASE WHEN b.b = 0 THEN user_id % 2
+      |         ELSE CAST(concat('0x', substr(md5('perm_' || CAST(b.b AS VARCHAR)
+      |           || '_' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+      |    END AS arm, r
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 17)) AS b) b
+      |), cells AS (
+      |  SELECT b, arm, CAST(1000 * SUM(r) // COUNT(*) AS BIGINT) AS mean_milli
+      |  FROM tagged GROUP BY b, arm
+      |), gaps AS (
+      |  SELECT a1.b, a1.mean_milli - a0.mean_milli AS gap
+      |  FROM cells a1 JOIN cells a0 ON a0.b = a1.b AND a0.arm = 0
+      |  WHERE a1.arm = 1
+      |), obs AS (SELECT gap FROM gaps WHERE b = 0)
+      |SELECT CAST(obs.gap AS BIGINT) AS observed_gap_milli,
+      |  CAST(SUM(CASE WHEN g.b > 0 AND ABS(g.gap) >= ABS(obs.gap) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_extreme,
+      |  CAST(16 AS BIGINT) AS n_perms,
+      |  CAST((SUM(CASE WHEN g.b > 0 AND ABS(g.gap) >= ABS(obs.gap) THEN 1 ELSE 0 END) + 1)
+      |    * 1000000 // 17 AS BIGINT) AS p_ppm,
+      |  CAST(MIN(CASE WHEN g.b > 0 THEN g.gap END) AS BIGINT) AS min_perm_gap_milli,
+      |  CAST(MAX(CASE WHEN g.b > 0 THEN g.gap END) AS BIGINT) AS max_perm_gap_milli
+      |FROM gaps g CROSS JOIN obs
+      |GROUP BY obs.gap""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val tagged = e.select(col("user_id"), col("r"),
+        explode(sequence(lit(0), lit(16))).as("b"))
+      .select(col("b"),
+        when(col("b") === 0, col("user_id") % 2)
+          .otherwise(conv(substring(md5(
+            concat(lit("perm_"), col("b").cast("string"), lit("_"),
+              col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2).as("arm"),
+        col("r"))
+    val cells = tagged.groupBy("b", "arm")
+      .agg(expr("CAST(1000 * sum(r) div count(1) AS BIGINT)").as("mean_milli"))
+    val gaps = cells.filter(col("arm") === 1)
+      .join(cells.filter(col("arm") === 0)
+        .select(col("b"), col("mean_milli").as("m0")), "b")
+      .select(col("b"), (col("mean_milli") - col("m0")).as("gap"))
+      .localCheckpoint() // 17 cells: read by obs and the fold
+    val obs = gaps.filter(col("b") === 0).select(col("gap").as("obs_gap"))
+    gaps.crossJoin(broadcast(obs)) // 1-row observed gap
+      .groupBy("obs_gap")
+      .agg(sum(when(col("b") > 0 && abs(col("gap")) >= abs(col("obs_gap")), 1L)
+          .otherwise(0L)).as("n_extreme"),
+        min(when(col("b") > 0, col("gap"))).as("min_perm_gap_milli"),
+        max(when(col("b") > 0, col("gap"))).as("max_perm_gap_milli"))
+      .select(col("obs_gap").as("observed_gap_milli"), col("n_extreme"),
+        lit(16L).as("n_perms"),
+        expr("(n_extreme + 1) * 1000000 div 17").as("p_ppm"),
+        col("min_perm_gap_milli"), col("max_perm_gap_milli"))
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2139,5 +2217,5 @@ object Events {
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
-    q245ShrunkRates)
+    q245ShrunkRates, q247PermutationTest)
 }

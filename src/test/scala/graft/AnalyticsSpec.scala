@@ -640,6 +640,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q247: permutation gaps replay exactly; user_id%2 is unremarkable") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Events.q247PermutationTest.fn(spark, sf).collect().head
+    // local replay of every permutation's gap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def gap(assign: Long => Long): Long = {
+      val by = rows.groupBy(x => assign(x._1))
+      def m(a: Long) = Math.floorDiv(1000L * by(a).map(_._2).sum, by(a).length)
+      m(1) - m(0)
+    }
+    val obs = gap(_ % 2)
+    val perms = (1 to 16).map(b =>
+      gap(u => java.lang.Long.parseLong(md5hex(s"perm_${b}_$u").take(8), 16) % 2))
+    val nExtreme = perms.count(g => math.abs(g) >= math.abs(obs)).toLong
+    assert(r.getAs[Long]("observed_gap_milli") == obs)
+    assert(r.getAs[Long]("n_extreme") == nExtreme)
+    assert(r.getAs[Long]("p_ppm") == Math.floorDiv((nExtreme + 1) * 1000000L, 17))
+    assert(r.getAs[Long]("min_perm_gap_milli") == perms.min)
+    assert(r.getAs[Long]("max_perm_gap_milli") == perms.max)
+    // user_id%2 is not a real treatment: the test must NOT call it
+    // significant (p above the 5% line the add-one floor guarantees)
+    assert(r.getAs[Long]("p_ppm") >= 58823L)
+  }
+
   test("q228: DR, DM and IPS agree for the uniform log; ~1/3 support") {
     val dr = ops.Events.q228DoublyRobust.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("match_ppm"),

@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "q239_shapley_exact" -> "scalar join: the 1-row empty-coalition mean broadcasts into the cell-bounded Shapley table; the 7 coalition tables join by equi keys",
     "q241_diff_in_diff" -> "scalar join: the 1-row midpoint boundary broadcasts into the 4-cell (group, period) collapse",
     "q243_prf_expansion" -> "corpus-scalar joins: q105's 1-row (n_docs, avgdl) stats broadcast into both scoring passes; feedback docs and expansion terms are 3- and 5-row broadcasts",
-    "q245_shrunk_rates" -> "corpus-scalar join: the 1-row global-rate prior broadcasts into the per-user shrinkage map")
+    "q245_shrunk_rates" -> "corpus-scalar join: the 1-row global-rate prior broadcasts into the per-user shrinkage map",
+    "q247_permutation_test" -> "scalar join: the 1-row observed gap broadcasts into the 17-cell permutation fold")
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

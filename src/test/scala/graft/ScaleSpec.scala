@@ -489,6 +489,8 @@ class ScaleSpec extends SparkSpec {
       // ~3%-selectivity survivors (+ fpp noise) ever shuffle; the
       // ceiling is the teeth of the technique
       "q246_bloom_prune_join" -> 24L,
+      // q247: the ×17 explode collapses map-side to 34 (perm, arm) cells
+      "q247_permutation_test" -> 10L,
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01

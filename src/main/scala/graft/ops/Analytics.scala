@@ -2168,8 +2168,8 @@ object Analytics {
       |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |), diffd AS (
       |  SELECT bin, lo, hi, n_left, pos_left,
-      |    CAST(pos_left * (n_tot - n_left)
-      |       - (pos_tot - pos_left) * n_left AS HUGEINT) AS diff,
+      |    CAST(pos_left AS HUGEINT) * (n_tot - n_left)
+      |       - CAST(pos_tot - pos_left AS HUGEINT) * n_left AS diff,
       |    CAST(n_left AS HUGEINT) * (n_tot - n_left) AS den
       |  FROM cum WHERE n_left > 0 AND n_tot - n_left > 0
       |), scored AS (
@@ -2201,10 +2201,11 @@ object Analytics {
         sum("n").over(wAll).as("n_tot"), sum("pos").over(wAll).as("pos_tot"))
     val scored = cum
       .filter(col("n_left") > 0 && col("n_tot") - col("n_left") > 0)
-      // BIGINT products first (≤ ~2.25e10, exact), DECIMAL(38,0) only
-      // for the square — mirrors the oracle's HUGEINT lift exactly
+      // one operand lifted to DECIMAL(38,0)/HUGEINT BEFORE the multiply:
+      // the products would wrap BIGINT around n ~ 6e9 rows if computed
+      // 64-bit first — the lift makes the criterion exact at any scale
       .withColumn("diff", expr(
-        "CAST(pos_left * (n_tot - n_left) - (pos_tot - pos_left) * n_left AS DECIMAL(38,0))"))
+        "CAST(pos_left AS DECIMAL(38,0)) * (n_tot - n_left) - CAST(pos_tot - pos_left AS DECIMAL(38,0)) * n_left"))
       .withColumn("den", expr("CAST(n_left AS DECIMAL(38,0)) * (n_tot - n_left)"))
       .select(col("bin"),
         expr("lo + (bin + 1) * (hi - lo + 1) div 64").as("threshold_cents"),
@@ -2259,7 +2260,7 @@ object Analytics {
       |  CAST(ties_x AS BIGINT) AS ties_x, CAST(ties_y AS BIGINT) AS ties_y,
       |  CAST(ties_both AS BIGINT) AS ties_both,
       |  CAST(FLOOR((concordant - discordant) * 1000.0 /
-      |    sqrt(CAST((n0 - ties_x - ties_both) AS DOUBLE) * (n0 - ties_y - ties_both)))
+      |    sqrt(NULLIF(CAST((n0 - ties_x - ties_both) AS DOUBLE) * (n0 - ties_y - ties_both), 0)))
       |    AS BIGINT) AS tau_b_milli
       |FROM agg""") { (s, d) =>
     val cells = Tables.orders(s, d)
@@ -2283,9 +2284,12 @@ object Analytics {
         sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L)).as("ties_both"))
       .select(col("n0").as("n_pairs"), col("concordant"), col("discordant"),
         col("ties_x"), col("ties_y"), col("ties_both"),
+        // NULLIF guards the all-ties degenerate case (one metric ties
+        // across every pair → tie-adjusted count 0): NULL tau_b, not a
+        // divide-by-zero Inf, on both engines
         floor((col("concordant") - col("discordant")) * lit(1000.0) /
-          sqrt((col("n0") - col("ties_x") - col("ties_both")).cast("double") *
-            (col("n0") - col("ties_y") - col("ties_both"))))
+          sqrt(nullif((col("n0") - col("ties_x") - col("ties_both")).cast("double") *
+            (col("n0") - col("ties_y") - col("ties_both")), lit(0.0))))
           .cast("long").as("tau_b_milli"))
   }
 

@@ -1884,7 +1884,12 @@ object Events {
     * Scale: one corpus scan builds the log; the 9-cell m̂ table
     * broadcasts into two equi-joins (hash, not nested-loop); the
     * 3-policy expansion is an in-row explode; the rollup collapses to
-    * 3 cells map-side. Nothing after the scan is corpus-cardinality. */
+    * 3 cells map-side. Nothing after the scan is corpus-cardinality.
+    *
+    * Totality: the estimator never drops rows — a target-policy arm
+    * with zero logged (x, pi) observations falls back to the
+    * per-context marginal mean via LEFT JOIN + COALESCE (both
+    * engines), so sparse-support logs shrink no denominator. */
   val q228DoublyRobust: Q = Q(
     "q228_doubly_robust",
     """WITH log AS (
@@ -1900,12 +1905,15 @@ object Events {
       |  SELECT x, a, r, 'const_arm0', 0 FROM log
       |  UNION ALL
       |  SELECT x, a, r, 'ctx_user_div7', (user_id // 7) % 3 FROM log
+      |), xmarg AS (
+      |  SELECT x, 1000 * SUM(r) // COUNT(*) AS mu_x FROM log GROUP BY x
       |), scored AS (
       |  SELECT p.policy, p.a = p.pi AS matched, p.r,
-      |    ml.mu AS mu_log, mp.mu AS mu_pi
+      |    ml.mu AS mu_log, COALESCE(mp.mu, xm.mu_x) AS mu_pi
       |  FROM pol p
       |  JOIN mhat ml ON ml.x = p.x AND ml.a = p.a
-      |  JOIN mhat mp ON mp.x = p.x AND mp.a = p.pi
+      |  LEFT JOIN mhat mp ON mp.x = p.x AND mp.a = p.pi
+      |  JOIN xmarg xm ON xm.x = p.x
       |), agg AS (
       |  SELECT policy, COUNT(*) AS n,
       |    SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS n_match,
@@ -1933,11 +1941,19 @@ object Events {
           expr("(user_id div 7) % 3").as("pi")))).as("p"))
       .select(col("x"), col("a"), col("r"),
         col("p.policy").as("policy"), col("p.pi").as("pi"))
+    // context-marginal fallback: the (x, a) join is total by construction
+    // (the cell keys COME from the log), but a target policy can point at
+    // an (x, pi) arm with zero logged observations — a LEFT join with the
+    // per-context marginal mean keeps the direct-model term total instead
+    // of silently dropping rows and shrinking per-policy denominators
+    val xmarg = log.groupBy("x").agg(expr("1000 * sum(r) div count(1)").as("mu_x"))
     pol
       .join(broadcast(mhat.select(col("x"), col("a"), col("mu").as("mu_log"))),
         Seq("x", "a")) // 9-cell outcome model: broadcast hash join
-      .join(broadcast(mhat.select(col("x"), col("a").as("pi"), col("mu").as("mu_pi"))),
-        Seq("x", "pi"))
+      .join(broadcast(mhat.select(col("x"), col("a").as("pi"), col("mu").as("mu_pi0"))),
+        Seq("x", "pi"), "left")
+      .join(broadcast(xmarg), Seq("x")) // ≤3-cell context marginal
+      .withColumn("mu_pi", coalesce(col("mu_pi0"), col("mu_x")))
       .groupBy("policy")
       .agg(count(lit(1)).as("n"),
         sum(when(col("a") === col("pi"), 1L).otherwise(0L)).as("n_match"),

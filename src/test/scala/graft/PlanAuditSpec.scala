@@ -80,21 +80,67 @@ class PlanAuditSpec extends SparkSpec {
     "q241_diff_in_diff" -> "scalar join: the 1-row midpoint boundary broadcasts into the 4-cell (group, period) collapse",
     "q243_prf_expansion" -> "corpus-scalar joins: q105's 1-row (n_docs, avgdl) stats broadcast into both scoring passes; feedback docs and expansion terms are 3- and 5-row broadcasts",
     "q245_shrunk_rates" -> "corpus-scalar join: the 1-row global-rate prior broadcasts into the per-user shrinkage map",
-    "q247_permutation_test" -> "scalar join: the 1-row observed gap broadcasts into the 17-cell permutation fold")
+    "q247_permutation_test" -> "scalar join: the 1-row observed gap broadcasts into the 17-cell permutation fold",
+    "q237_mmr_rerank" -> "scalar + k-bounded joins behind eager checkpoints: the 1-row query vector broadcasts into the relevance scan; the k²=64 pair table and per-round picks are k-bounded broadcasts",
+    // the next 8 were invisible until the audit learned to see through
+    // eager localCheckpoints (round 9); each is a by-construction-small
+    // broadcast executed during the build
+    "q99_hard_negatives" -> "checkpoint-hidden: the k query vectors broadcast into the scoring scan (q31's shape); corpus streams once",
+    "q109_semdedup" -> "checkpoint-hidden: the ≤k anchor/centroid rows broadcast into the candidate scan; the pair space is cluster-bounded (Σn_c²)",
+    "q134_ivf_append" -> "checkpoint-hidden: the k-row centroid codebook broadcasts into each assignTo pass (q54's shape) on base, append, and probe legs",
+    "q221_jl_distortion" -> "checkpoint-hidden: the 1-row corpus-count scalar broadcasts before the sampled self-join snapshot",
+    "q160_triangle_count" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds' id densification; wedges run on degree-oriented equi-joins",
+    "q173_label_prop" -> "checkpoint-hidden: the 1-row node/edge-count scalars broadcast into rankIds and the modular label fold; LPA rounds are equi-joins",
+    "q211_kcore" -> "checkpoint-hidden: the 1-row host-count scalar broadcasts into the edge build; peel rounds are degree equi-joins",
+    "q244_clustering_coeff" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds; wedge legs and the closing-edge probe are equi-joins")
+
+  /** Plans executed EAGERLY while a query builds (localCheckpoint
+    * materialization) never appear in the final executedPlan — without
+    * this capture a checkpoint could hide a cartesian from the audit.
+    * QueryExecutionListener events arrive on the async listener bus, so
+    * each query's capture is drained with a quiet-window poll. */
+  private def drainCaptured(buf: java.util.concurrent.ConcurrentLinkedQueue[String]): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var quiet = 0
+    var waited = 0
+    while (quiet < 2 && waited < 2000) {
+      var got = false
+      var s = buf.poll()
+      while (s != null) { out += s; got = true; s = buf.poll() }
+      quiet = if (got) 0 else quiet + 1
+      Thread.sleep(25); waited += 25
+    }
+    out.toList
+  }
 
   test("no query plans a cartesian product or an unbounded nested-loop join") {
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan =
-        try q.fn(spark, sf).queryExecution.executedPlan.toString
-        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
-      val cartesian = plan.contains("CartesianProduct")
-      val nlj = plan.contains("BroadcastNestedLoopJoin") &&
-        !nestedLoopAllowed.contains(q.name)
-      if (cartesian || nlj)
-        Some(s"${q.name}: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
-      else None
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+    spark.listenerManager.register(listener)
+    try {
+      val offenders = SparkEntry.registry.flatMap { q =>
+        captured.clear()
+        val finalPlan =
+          try q.fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+        // final plan + every plan the build executed eagerly (checkpoints)
+        val plans = finalPlan :: drainCaptured(captured)
+        val cartesian = plans.exists(_.contains("CartesianProduct"))
+        val nlj = plans.exists(_.contains("BroadcastNestedLoopJoin")) &&
+          !nestedLoopAllowed.contains(q.name)
+        if (cartesian || nlj)
+          Some(s"${q.name}: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}" +
+            s" (in ${plans.size} plan(s) incl. checkpoint-hidden)")
+        else None
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("no query falls back to a non-codegen RDD scan of collected rows") {

@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   * sets decorrelate, so near-dup rates stay realistic) and rotates each
   * embedding vector by i positions (norm and component distribution
   * preserved; pairwise cosine between copies decorrelates).
+  *
+  * `runMain graft.ScaleUp [srcDir] [destDir] [factor] [mutate]`
+  *
+  * MUTATE mode (4th arg, round-8 VERDICT item 1) targets the EXACT
+  * set-similarity family (q163 prefix join, q168 containment): the
+  * default permutation decorrelates w-shingles but keeps each copy's
+  * token SET identical, and hash-sorting every copy-i document into one
+  * global token order converts plain unigram overlap into spurious
+  * shingle overlap — both inflate exact-pair counts toward Σcluster²
+  * (~256x). Mutate mode instead keeps the ORIGINAL token order and
+  * rewrites every 8th token (position residue shifted per copy) to a
+  * copy-tagged spelling — ~12.5% mutation with ZERO variance, giving a
+  * worst-case cross-copy shingle Jaccard of 0.5 (< the 0.6/0.8
+  * thresholds) for every copy pair and doc length; see the inline
+  * derivation. Within-copy near-dup structure (the real clusters) is
+  * untouched — planted variants derive from the copy's own text at
+  * query time — so true pairs grow 16x with the data, not 256x.
   */
 object ScaleUp {
   private val Stride = 1L << 32
@@ -42,6 +59,7 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(16)
+    val mutate = args.lift(3).contains("mutate")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -99,13 +117,38 @@ object ScaleUp {
       s"derived events.ts must load as TIMESTAMP, got $tsType")
 
     // documents: remap doc_id; copy>0 permutes tokens deterministically
-    // (hash-of-(token, copy) sort order; ties broken by the token)
+    // (hash-of-(token, copy) sort order; ties broken by the token) —
+    // or, in mutate mode, keeps the order and mutates ~10% of tokens
+    // per copy (drop 1/20, copy-tag 1/20, force-tag position copy%len)
+    // Deterministic EVENLY-SPACED replacement, not Bernoulli hashing:
+    // both hash designs measured failed the 0.6-Jaccard bar —
+    //  * per-(token,copy) hashes collapse on small vocabularies (a copy
+    //    whose type draw mutates no common type is a verbatim clone;
+    //    measured J=0.91 cross-copy pairs);
+    //  * per-occurrence hashes leave a heavy lucky tail (P[Binom(99,
+    //    0.1) ≤ 6] ≈ 0.13 → ~10k cross-copy pairs still above 0.6).
+    // Replacing position i whenever (i + copy) % 8 = 0 mutates exactly
+    // every 8th token (12.5%, zero variance): each copy keeps 3/8 of
+    // its 5-shingles clean, two copies share at most 2/8 (adjacent
+    // mutation residues), so cross-copy J ≤ 2/(3+3-2) = 0.5 < 0.6 and
+    // containment ≤ (2/8)/(3/8) = 0.67 < 0.8 for EVERY copy pair and
+    // doc length — a bound, not an expectation. Same-residue copies
+    // (i ≡ j mod 8) disagree on every replaced token (the tag carries
+    // the copy index), giving J = 3/13 there. Deterministic drops were
+    // rejected: same-residue copies would drop identical positions and
+    // leave identical texts. The forced tag at position copy%len keeps
+    // even 1-shingle micro-docs distinct across copies.
+    val mutatedText =
+      "array_join(transform(split(text, ' '), (t, i) -> " +
+        "CASE WHEN i = CAST(copy % size(split(text, ' ')) AS INT) THEN concat(t, '~', copy) " +
+        "WHEN pmod(i + copy, 8) = 0 THEN concat(t, '~', copy) " +
+        "ELSE t END), ' ')"
+    val permutedText =
+      "array_join(transform(array_sort(transform(split(text, ' '), " +
+        "t -> struct(xxhash64(t, copy) as h, t as t))), s -> s.t), ' ')"
     val docs = remapBy(DocStride)("doc_id")(spark.read.parquet(s"$src/documents.parquet"))
-      .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
-        array_join(expr(
-          "transform(array_sort(transform(split(text, ' '), " +
-            "t -> struct(xxhash64(t, copy) as h, t as t))), s -> s.t)"),
-          " ")))
+      .withColumn("text", when(col("copy") === 0, col("text"))
+        .otherwise(expr(if (mutate) mutatedText else permutedText)))
       .withColumn("n_chars", length(col("text")))
     write("documents", docs)
 

@@ -1342,10 +1342,15 @@ object Analytics {
     * algorithm): every noisy string joins every canonical string at
     * Levenshtein distance ≤ 1, with GUARANTEED recall — unlike q53's
     * heuristic suffix blocking, which misses pairs whose block key was
-    * itself corrupted. Strings are deterministic 4-char base-26 spellings
+    * itself corrupted. Strings are deterministic 8-char base-26 spellings
     * of c_custkey (alphabet-substring encoding — identical on both
     * engines); the noisy side plants one deletion (k%3=0), one
-    * substitution (k%3=1) or nothing (k%3=2) at position k%4.
+    * substitution (k%3=1) or nothing (k%3=2) at position k%8. Eight
+    * chars make the spelling KEY-INJECTIVE up to 26⁸ ≈ 2.1e11 — the
+    * ×16 scale-up's 2³²-stride key universes stay collision-free, so
+    * true pairs grow 16× with the data instead of the quadratic
+    * chance-pair blowup a saturated 4-char space (26⁴ = 457k names for
+    * 240k keys at sf1) would measure.
     *
     * Index: each side emits (variant, pos) = the string itself tagged
     * −1 plus each delete-one-char variant tagged by position. Two
@@ -1362,9 +1367,13 @@ object Analytics {
     * shape with the recall hole closed. */
   val q195EditDistanceJoin: Q = {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    // 4-char base-26 spelling, most-significant digit first (SQL text)
+    // 8-char base-26 spelling, most-significant digit first (SQL text)
     val nameSql =
-      s"""substr('$alpha', (k // 17576) % 26 + 1, 1) ||
+      s"""substr('$alpha', (k // 8031810176) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 308915776) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 11881376) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 456976) % 26 + 1, 1) ||
+         |    substr('$alpha', (k // 17576) % 26 + 1, 1) ||
          |    substr('$alpha', (k // 676) % 26 + 1, 1) ||
          |    substr('$alpha', (k // 26) % 26 + 1, 1) ||
          |    substr('$alpha', k % 26 + 1, 1)""".stripMargin
@@ -1375,9 +1384,9 @@ object Analytics {
          |), noisy AS (
          |  SELECT ck AS nk,
          |    CASE ck % 3
-         |      WHEN 0 THEN substr(canonical, 1, ck % 4) || substr(canonical, ck % 4 + 2, 10)
-         |      WHEN 1 THEN substr(canonical, 1, ck % 4) ||
-         |        substr('$alpha', (ck * 17) % 26 + 1, 1) || substr(canonical, ck % 4 + 2, 10)
+         |      WHEN 0 THEN substr(canonical, 1, ck % 8) || substr(canonical, ck % 8 + 2, 16)
+         |      WHEN 1 THEN substr(canonical, 1, ck % 8) ||
+         |        substr('$alpha', (ck * 17) % 26 + 1, 1) || substr(canonical, ck % 8 + 2, 16)
          |      ELSE canonical END AS noisy_name
          |  FROM canon
          |)
@@ -1387,8 +1396,12 @@ object Analytics {
          |WHERE levenshtein(noisy_name, canonical) <= 1
          |ORDER BY nk, ck""".stripMargin) { (s, d) =>
       val k = col("c_custkey").cast("long")
-      // 4-char base-26 spelling (mirror of nameSql; Spark spells // as div)
+      // 8-char base-26 spelling (mirror of nameSql; Spark spells // as div)
       val canonical = concat(
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 8031810176) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 308915776) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 11881376) % 26 + 1, 1)"),
+        expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 456976) % 26 + 1, 1)"),
         expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 17576) % 26 + 1, 1)"),
         expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 676) % 26 + 1, 1)"),
         expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 26) % 26 + 1, 1)"),
@@ -1397,12 +1410,12 @@ object Analytics {
         .select(k.as("ck"), canonical.as("canonical"))
       val noisy = canon.select(col("ck").as("nk"),
         when(col("ck") % 3 === 0,
-          concat(expr("substr(canonical, 1, CAST(ck % 4 AS INT))"),
-            expr("substr(canonical, CAST(ck % 4 AS INT) + 2, 10)")))
+          concat(expr("substr(canonical, 1, CAST(ck % 8 AS INT))"),
+            expr("substr(canonical, CAST(ck % 8 AS INT) + 2, 16)")))
           .when(col("ck") % 3 === 1,
-            concat(expr("substr(canonical, 1, CAST(ck % 4 AS INT))"),
+            concat(expr("substr(canonical, 1, CAST(ck % 8 AS INT))"),
               expr(s"substr('$alpha', CAST((ck * 17) % 26 AS INT) + 1, 1)"),
-              expr("substr(canonical, CAST(ck % 4 AS INT) + 2, 10)")))
+              expr("substr(canonical, CAST(ck % 8 AS INT) + 2, 16)")))
           .otherwise(col("canonical")).as("noisy_name"))
       // (variant, pos) index: the string tagged -1 + delete-one variants
       def variants(strCol: String): Column = expr(

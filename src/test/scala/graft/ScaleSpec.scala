@@ -332,8 +332,10 @@ class ScaleSpec extends SparkSpec {
       // X-level rollup after. Measured 634 KiB at sf0.01
       "q194_fd_audit" -> 1590L,
       // q195: O(n·(L+1)) short variant rows + true-match-bounded
-      // candidates — never the n² cross join. Measured 1554 KiB at
-      // sf0.01 (the 52k true pairs dominate; variant index is 97 KiB)
+      // candidates — never the n² cross join. Measured 1328 KiB at
+      // sf0.01 with the 8-char key-injective spelling (40.5k true
+      // pairs dominate; the 9-variant index is ~2x the 4-char one but
+      // chance pairs vanished)
       "q195_edit_distance_join" -> 3890L,
       // q196: (size, min-cents) partials collapse to the value domain
       // map-side; frontier broadcasts. Measured 1 KiB at sf0.01

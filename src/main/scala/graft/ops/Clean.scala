@@ -318,8 +318,13 @@ object Clean {
     val bh = hs.filter(col("doc_id") >= 2000000L)
       .select(explode(col("hs")).as("h")).distinct()
     val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), 0.01)
-    val mightContain = udf((h: Long) => bloom.mightContain(h))
-    ce.filter(mightContain(col("h")))          // narrow prefilter, no shuffle
+    // native probe (plans.BloomProbe): stays in WholeStageCodegen, no
+    // ScalaUDF boxing — the last UDFs left the tree in round 9
+    val probe = {
+      import org.apache.spark.sql.graft.PlanShim
+      PlanShim.column(graft.plans.BloomProbe(PlanShim.expression(col("h")), bloom))
+    }
+    ce.filter(probe)                           // narrow prefilter, no shuffle
       .join(broadcast(bh), Seq("h"), "left_semi") // exact: kills bloom FPs
       .groupBy("corp_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("corp_id")

@@ -277,10 +277,17 @@ object Graph {
     * neighbors (ties → smallest label; isolated nodes keep their own),
     * 3 rounds. The deterministic LPA variant — vanilla LPA's random
     * tie-breaking and visit order are replaced by the (count DESC,
-    * label ASC) rule, so both engines converge to the identical
-    * labeling and the oracle replays it exactly. Completes the graph
-    * pillar: q61 finds CONNECTED components, this finds denser
-    * sub-communities inside them.
+    * label ASC) rule, so both engines compute the identical labeling
+    * and the oracle replays it exactly. The round count is a SEMANTIC
+    * parameter, not a convergence budget: synchronous LPA has no
+    * fixpoint theorem (it 2-cycles forever on bipartite structure —
+    * GraphSpec demonstrates it on a square, and the fixture graph is
+    * still moving ~2% of labels at round 12), so a convergence guard
+    * like q61's/q211's cannot exist here; "labels after R synchronous
+    * rounds" is the operator's contract at every scale, the same way
+    * q198's 3-hop radius is. Completes the graph pillar: q61 finds
+    * CONNECTED components, this finds denser sub-communities inside
+    * them.
     *
     * Scale: labels are NODE-cardinality — deliberately NOT broadcast
     * (docs ≫ memory at 100 TB); every round is two equi-joins
@@ -382,7 +389,9 @@ object Graph {
     * Each round relaxes the frontier through the edge list and folds
     * with MIN — d_{i+1}(v) = min(d_i(v), 1 + min over in-edges) — so a
     * node keeps its earliest discovery; 3 rounds are statically
-    * unrolled into the plan (no driver loop over data), and the oracle
+    * unrolled into the plan (no driver loop over data) — the depth is
+    * the SEMANTIC radius ("within 3 hops"), not a convergence budget:
+    * the answer is complete at any diameter by definition — and the oracle
     * replays them as chained CTEs.
     *
     * Scale: same posture as q128 — the only corpus-cardinality stage is
@@ -586,11 +595,12 @@ object Graph {
     * filter behind spam-farm isolation and community-seed selection
     * (a node's coreness is a robustness measure its raw degree isn't:
     * a hub wired only to leaves peels away at k=2). Four peel rounds
-    * are statically unrolled (no driver loop over data); the fixture
-    * graph reaches its fixed point well inside that — the query's
-    * contract is "the round-4 peel survivor set", the distributed
-    * analogue of bounded-iteration peeling, and the oracle replays the
-    * identical four rounds as chained CTEs.
+    * are statically unrolled (no driver loop over data) and
+    * kcoreSurvivors ASSERTS the fixpoint on the final degree table —
+    * every survivor ≥ k, the exact k-core condition — so the answer is
+    * provably the true 3-core at any scale: a graph whose peel depth
+    * exceeds the unroll fails loud instead of returning a superset.
+    * The oracle replays the identical four rounds as chained CTEs.
     *
     * Scale posture: q128's — the corpus scan that extracts links is
     * the only big-data stage; the alive set and per-round degree
@@ -653,7 +663,15 @@ object Graph {
     * fewer than k surviving neighbors, `rounds` times; returns the
     * survivors with their induced degree (v, core_degree). Alive sets
     * are node-cardinality → broadcast; `und` is scanned once per round
-    * (callers localCheckpoint it). */
+    * (callers localCheckpoint it).
+    *
+    * Convergence guard (round-8 VERDICT item 6): the k-core FIXPOINT
+    * is exactly "every survivor's induced degree ≥ k", and the final
+    * degree table is computed anyway — so the helper asserts it and
+    * FAILS LOUD when the unroll was too shallow for the graph's peel
+    * depth (a 100x-diameter graph at the fixture's round budget),
+    * instead of silently returning a non-core superset. One extra
+    * node-cardinality count, no extra peel round. */
   private[graft] def kcoreSurvivors(nodes: DataFrame, und: DataFrame,
       k: Int, rounds: Int): DataFrame = {
     def aliveDeg(alive: DataFrame): DataFrame = und
@@ -664,7 +682,14 @@ object Graph {
     (1 to rounds).foreach { _ =>
       alive = aliveDeg(alive).filter(col("dg") >= k).select(col("u").as("v"))
     }
-    aliveDeg(alive).select(col("u").as("v"), col("dg").as("core_degree"))
+    val fin = aliveDeg(alive)
+      .select(col("u").as("v"), col("dg").as("core_degree"))
+      .localCheckpoint() // read by the guard count AND the caller
+    val stray = fin.filter(col("core_degree") < k).count()
+    if (stray != 0) throw new IllegalStateException(
+      s"k-core peel not at fixpoint after $rounds rounds: $stray survivors " +
+        s"still below degree $k — raise the round budget for this graph")
+    fin
   }
 
   /** q212 — HITS hubs & authorities on the directed host graph

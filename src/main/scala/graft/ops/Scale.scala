@@ -1116,15 +1116,18 @@ object Scale {
       .select(col("c_custkey"), col("c_name"))
       .localCheckpoint() // read by the bloom build AND the exact join
     // bloom on the dim keys: a few-KB bitset, fpp only adds a sliver of
-    // extra rows that the exact join below removes
-    // same justified idiom as q83's decontamination probe (the bloom
-    // bitset rides the closure; Spark broadcasts it with the task)
+    // extra rows that the exact join below removes; probed through the
+    // native plans.BloomProbe expression (WholeStageCodegen, no UDF —
+    // the bitset rides the expression exactly as it rode the closure)
     val bloom = dim.stat.bloomFilter("c_custkey", 10000L, 0.01)
-    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    val probe = {
+      import org.apache.spark.sql.graft.PlanShim
+      PlanShim.column(graft.plans.BloomProbe(PlanShim.expression(col("o_custkey")), bloom))
+    }
     val prunedFact = Tables.orders(s, d)
       .select(col("o_custkey"),
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-      .filter(mightContain(col("o_custkey")))
+      .filter(probe)
     // hash-partitionable sides are now answer-sized; the equi-join and
     // the aggregate see only survivors
     prunedFact.join(dim, col("o_custkey") === col("c_custkey"))

@@ -192,4 +192,78 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("max_community_n") ==
       lpa.map(_.getAs[Long]("n_docs")).max)
   }
+
+  // ---- round-9 convergence guards (round-8 VERDICT item 6) ----------
+
+  test("kcoreSurvivors asserts the fixpoint: shallow unroll fails loud, converged peel passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // path 0-1-2 at k=2: round 0 is NOT a fixpoint (endpoints have
+    // degree 1), so a zero-round 'unroll' must throw instead of
+    // returning the whole path as a fake 2-core
+    val nodes = Seq(0L, 1L, 2L).toDF("v")
+    val und = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("u", "v")
+      .localCheckpoint()
+    val e = intercept[IllegalStateException] {
+      ops.Graph.kcoreSurvivors(nodes, und, k = 2, rounds = 0).collect()
+    }
+    assert(e.getMessage.contains("not at fixpoint"))
+    // two peels reach the (empty) fixpoint: endpoints go in round 1,
+    // the stranded middle in round 2 — the guard passes
+    assert(ops.Graph.kcoreSurvivors(nodes, und, k = 2, rounds = 2).isEmpty)
+    // a real core survives the guard intact: 4-clique at k=3
+    val cNodes = (0L to 3L).toDF("v")
+    val cUnd = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+      .toDF("u", "v").localCheckpoint()
+    val core = ops.Graph.kcoreSurvivors(cNodes, cUnd, k = 3, rounds = 1).collect()
+    assert(core.length == 4 && core.forall(_.getAs[Long]("core_degree") == 3L))
+  }
+
+  test("connectedComponents pointer-jumps a 1000-node chain in O(log d) rounds; a too-small cap throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a chain is the worst diameter case: plain propagation needs ~1000
+    // rounds; pointer jumping must land inside 16 (≈ log2 growth) —
+    // direct evidence for the q61 scaladoc's O(log diameter) claim
+    val n = 1000
+    val nodes = spark.range(n).select(col("id"))
+    val fwd = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val comps = ops.Dedup.connectedComponents(nodes, edges, maxRounds = 16)
+    assert(comps.select("comp").distinct().count() == 1L)
+    assert(comps.agg(max("comp")).head().getLong(0) == 0L)
+    // the cap is a guard, not a hope: 2 rounds cannot close a
+    // 1000-diameter chain and must throw, never emit partial labels
+    assertThrows[IllegalStateException] {
+      ops.Dedup.connectedComponents(nodes, edges, maxRounds = 2)
+    }
+  }
+
+  test("labelPropagate rounds are a semantic parameter: synchronous LPA 2-cycles forever on bipartite structure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the square 0-1-2-3-0 (bipartite {0,2}/{1,3}): every node's two
+    // neighbors share the OTHER side's labels, so synchronous updates
+    // swap the sides' labels each round — the textbook LPA oscillation.
+    // This is WHY q173 (unlike q61's monotone min-label CC or q211's
+    // monotone peel) cannot carry a convergence guard: there is no
+    // fixpoint to assert. The round count is part of the SEMANTICS
+    // (both engines replay the identical rounds), like q198's 3-hop
+    // radius. Measured on the sf0.001 doc-graph fixture: labels still
+    // moving at round 12 (500→106 declining), no fixpoint in sight.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val ue = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("a", "b")
+    val und = ue.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val init = nodes.select(col("id"), col("id").as("lab"))
+    def labAt(r: Int): Map[Long, Long] =
+      ops.Graph.labelPropagate(init, und, rounds = r).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val (l1, l2, l3) = (labAt(1), labAt(2), labAt(3))
+    assert(l1 != l2, "square should not be stable after one round")
+    assert(l1 == l3, "synchronous LPA must 2-cycle on the square")
+  }
 }

@@ -315,4 +315,33 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_multi_count") && l.trim.startsWith("*(")),
       s"not codegen'd:\n$plan")
   }
+
+  test("BloomProbe: zero false negatives, null-safe, in codegen, and no UDF is left in the tree") {
+    import org.apache.spark.sql.graft.PlanShim
+    val keys = spark.range(1000).select((col("id") * 7).as("k"))
+    val bloom = keys.stat.bloomFilter("k", 1000L, 0.01)
+    def probe(c: org.apache.spark.sql.Column) =
+      PlanShim.column(graft.plans.BloomProbe(PlanShim.expression(c), bloom))
+    // bloom guarantee: every true member passes (false negatives impossible)
+    val members = keys.filter(!probe(col("k")))
+    assert(members.isEmpty, "bloom dropped a true member")
+    // null in -> null out (nullSafeEval / nullSafeCodeGen)
+    val n = spark.range(1)
+      .select(probe(lit(null).cast("long")).as("p")).head()
+    assert(n.isNullAt(0))
+    // the probe compiles into a whole-stage codegen span
+    val plan = keys.filter(probe(col("k"))).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_bloom_probe") && l.contains("*(")),
+      s"not codegen'd:\n$plan")
+    // round-8 VERDICT item 5 pin: the two bloom call sites were the last
+    // UDFs in the tree — their plans must show the native probe and no
+    // ScalaUDF/BatchEval node, now or ever again
+    for (q <- SparkEntry.registry.filter(q =>
+        Set("q83_bloom_decontam", "q246_bloom_prune_join")(q.name))) {
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("graft_bloom_probe"), s"${q.name}: native probe missing")
+      assert(!p.contains("UDF"), s"${q.name}: a UDF crept back into the plan")
+    }
+  }
 }

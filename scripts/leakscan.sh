@@ -13,6 +13,11 @@ cd "$(dirname "$0")/.."
 
 TREE="$(git rev-parse HEAD 2>/dev/null || echo unknown)"
 DIRTY="$(git status --porcelain 2>/dev/null | wc -l | tr -d ' ')"
+# content hash of the EXACT bytes scanned (not just the commit pointer —
+# a dirty tree would otherwise make "tree" misleading): sha256 over the
+# per-file sha256s of every scanned path, in sorted order
+CONTENT="$(find src build.sbt project -type f ! -path '*/target/*' 2>/dev/null \
+  | sort | xargs sha256sum 2>/dev/null | sha256sum | cut -d' ' -f1)"
 
 scan() { # scan <label> <regex> — prints JSON array of "file:line" hits
   local label="$1" re="$2"
@@ -33,6 +38,7 @@ scan() { # scan <label> <regex> — prints JSON array of "file:line" hits
   echo '{'
   echo "  \"tree\": \"$TREE\","
   echo "  \"dirty_files\": $DIRTY,"
+  echo "  \"scanned_content_sha256\": \"$CONTENT\","
   echo '  "hits": {'
   scan "internal-host"   '[a-z0-9-]+\.(corp|internal|intranet)\.'; echo ','
   scan "cloud-bucket"    's3://|gs://|abfss://|wasbs://'; echo ','

@@ -2497,6 +2497,93 @@ object Analytics {
         expr(s"kept_sum_cents div ${n - 2 * k}"))
   }
 
+  /** q251 — isotonic regression (PAVA) calibration: the best
+    * NONDECREASING fit of the URGENT-order rate over 32 equi-width
+    * price bins — the monotone-calibration step every score→rate
+    * mapping ships through (a quality score whose observed keep-rate
+    * wiggles non-monotonically is noise; isotonic regression is the
+    * standard distribution-free fix, and the same operator calibrates
+    * classifier probabilities). Pool-adjacent-violators runs as a
+    * typed Aggregator (functions.PavaAgg, the KmvAgg bounded-state
+    * pattern): inputs are the ≤32 pre-collapsed (bin, Σy, n) cells —
+    * the corpus never reaches the stack — and the merge rule
+    * cross-multiplies BIGINT means (s_prev·c_cur > s_cur·c_prev), no
+    * floats, strict violations only, so the DuckDB oracle replays the
+    * IDENTICAL merge sequence with a recursive step machine (one push
+    * or one merge per recursion step, ≤ 2·cells steps) and the block
+    * boundaries match bit-for-bit. Fitted value = floor-milli pooled
+    * mean, divided ONCE in the output so both engines floor the same
+    * rationals.
+    *
+    * Scale: q226's two-pass histogram shape — one corpus scan collapses
+    * to ≤32 cells map-side (1-row min/max broadcast, allowlisted); the
+    * PAVA stack runs on CELLS (bounded by the bin domain at any corpus
+    * size); output is block-cardinality. */
+  val q251IsotonicFit: Q = Q(
+    "q251_isotonic_fit",
+    """WITH RECURSIVE pts AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders
+      |), mm AS (
+      |  SELECT MIN(v) AS lo, MAX(v) AS hi FROM pts
+      |), cells AS (
+      |  SELECT CAST((v - lo) * 32 // (hi - lo + 1) AS BIGINT) AS bin,
+      |    CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pts CROSS JOIN mm GROUP BY 1
+      |), ord AS (
+      |  SELECT bin, s, c, ROW_NUMBER() OVER (ORDER BY bin) AS rn FROM cells
+      |), nn AS (SELECT COUNT(*) AS n FROM ord
+      |), f(step, i, st) AS (
+      |  SELECT 0, CAST(0 AS BIGINT),
+      |    CAST([] AS STRUCT(xlo BIGINT, xhi BIGINT, nc BIGINT, s BIGINT, c BIGINT)[])
+      |  UNION ALL
+      |  SELECT step + 1,
+      |    CASE WHEN viol THEN i ELSE i + 1 END,
+      |    CASE WHEN viol THEN list_append(st[1:len(st)-2],
+      |        {'xlo': st[-2].xlo, 'xhi': st[-1].xhi, 'nc': st[-2].nc + st[-1].nc,
+      |         's': st[-2].s + st[-1].s, 'c': st[-2].c + st[-1].c})
+      |      ELSE list_append(st,
+      |        {'xlo': (SELECT bin FROM ord WHERE rn = i + 1),
+      |         'xhi': (SELECT bin FROM ord WHERE rn = i + 1), 'nc': CAST(1 AS BIGINT),
+      |         's': (SELECT s FROM ord WHERE rn = i + 1),
+      |         'c': (SELECT c FROM ord WHERE rn = i + 1)}) END
+      |  FROM (SELECT step, i, st,
+      |      len(st) >= 2 AND st[-2].s * st[-1].c > st[-1].s * st[-2].c AS viol
+      |    FROM f)
+      |  WHERE viol OR i < (SELECT n FROM nn)
+      |), fin AS (
+      |  SELECT st FROM f ORDER BY step DESC LIMIT 1
+      |), ex AS (
+      |  SELECT unnest(list_transform(range(1, len(st) + 1),
+      |    bi -> {'bi': bi, 'b': st[bi]})) AS r
+      |  FROM fin
+      |)
+      |SELECT CAST(r.bi AS BIGINT) AS block_idx,
+      |  r.b.xlo AS bin_lo, r.b.xhi AS bin_hi, r.b.nc AS n_bins,
+      |  r.b.s AS n_urgent, r.b.c AS n_orders,
+      |  CAST(r.b.s * 1000 // r.b.c AS BIGINT) AS fitted_milli
+      |FROM ex
+      |ORDER BY block_idx""") { (s, d) =>
+    val pts = Tables.orders(s, d).select(
+      (dec(col("o_totalprice")) * 100).cast("long").as("v"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+    val mm = pts.agg(min("v").as("lo"), max("v").as("hi"))
+    val cells = pts.crossJoin(broadcast(mm)) // 1-row min/max scalar
+      .groupBy(expr("(v - lo) * 32 div (hi - lo + 1)").as("bin"))
+      .agg(sum("y").as("s"), count(lit(1)).as("c"))
+    val pava = udaf(new graft.functions.PavaAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
+    cells.agg(pava(col("bin"), col("s"), col("c")).as("blocks"))
+      .select(posexplode(col("blocks")).as(Seq("pos", "b")))
+      .select((col("pos") + 1).cast("long").as("block_idx"),
+        col("b._1").as("bin_lo"), col("b._2").as("bin_hi"),
+        col("b._3").as("n_bins"), col("b._4").as("n_urgent"),
+        col("b._5").as("n_orders"),
+        expr("b._4 * 1000 div b._5").as("fitted_milli"))
+      .orderBy("block_idx")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2507,5 +2594,6 @@ object Analytics {
     q199HierarchyRollup, q200BenfordAudit, q208EquiDepthHist,
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
-    q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean)
+    q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean,
+    q251IsotonicFit)
 }

@@ -2224,6 +2224,94 @@ object Events {
         col("min_perm_gap_milli"), col("max_perm_gap_milli"))
   }
 
+  /** q249 — Kaplan-Meier survival estimator with right-censoring, over
+    * user activity STREAKS: how many consecutive active days does an
+    * engagement streak survive? Subjects are maximal runs of
+    * consecutive active (user, day)s (gaps-and-islands: day −
+    * row_number is the island key); a streak DIES when a silent day
+    * breaks it, and a streak still running on the last observed day is
+    * CENSORED — counting it as churned is the classic bias KM exists
+    * to remove. KM: at each duration t with d_t deaths among n_t
+    * still-at-risk streaks, S ← S·(n_t−d_t)/n_t — spelled as an exact
+    * integer-ppm FOLD over ordered duration cells (d_t=0 cells are
+    * identity steps by construction). Spark folds with the aggregate()
+    * HOF over the sorted cell array; DuckDB replays the identical fold
+    * as a recursive CTE — per-step floor-div, so both engines produce
+    * the same ppm sequence (the q228 rule family).
+    *
+    * Scale: ONE corpus scan collapses to distinct (user, day) cells
+    * map-side; the island window is co-partitioned per user; everything
+    * after lives on duration CELLS (≤ span in days, invariant to corpus
+    * volume): the reverse-cumulative at-risk window, the fold, and the
+    * report. The 1-row observation-end scalar broadcasts (allowlisted). */
+  val q249KaplanMeier: Q = Q(
+    "q249_kaplan_meier",
+    """WITH RECURSIVE days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), mx AS (
+      |  SELECT MAX(day) AS mxd FROM days
+      |), isl AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days
+      |), streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS t,
+      |    CASE WHEN MAX(day) < (SELECT mxd FROM mx) THEN 1 ELSE 0 END AS ev
+      |  FROM isl GROUP BY user_id, grp
+      |), cells AS (
+      |  SELECT t, COUNT(*) AS cnt, SUM(ev) AS d FROM streaks GROUP BY t
+      |), atrisk AS (
+      |  SELECT t, d,
+      |    SUM(cnt) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+      |  FROM cells
+      |), f(rn, s) AS (
+      |  SELECT 0, CAST(1000000 AS BIGINT)
+      |  UNION ALL
+      |  SELECT c.rn, CAST(f.s * (c.n - c.d) // c.n AS BIGINT)
+      |  FROM f JOIN atrisk c ON c.rn = f.rn + 1
+      |)
+      |SELECT CAST(c.t AS BIGINT) AS day, CAST(c.n AS BIGINT) AS n_risk,
+      |  CAST(c.d AS BIGINT) AS n_events, CAST(f.s AS BIGINT) AS survival_ppm
+      |FROM f JOIN atrisk c USING (rn)
+      |WHERE c.d > 0
+      |ORDER BY day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val mx = days.agg(max("day").as("mxd"))
+    val wIsl = Window.partitionBy("user_id").orderBy("day")
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(wIsl))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("t"), max("day").as("lastd"))
+      .crossJoin(broadcast(mx)) // 1-row observation end
+      .select(col("t"),
+        when(col("lastd") < col("mxd"), 1L).otherwise(0L).as("ev"))
+    val cells = streaks.groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("ev").as("d"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atrisk = cells // span-in-days cells: the single-partition window is bounded
+      .select(col("t"), col("d"), sum("cnt").over(wRisk).as("n"))
+    atrisk.agg(sort_array(collect_list(struct(col("t"), col("n"), col("d")))).as("cs"))
+      .select(explode(expr(
+        """aggregate(cs,
+          |  struct(CAST(1000000 AS BIGINT) AS s,
+          |    CAST(array() AS ARRAY<STRUCT<t: BIGINT, n: BIGINT, d: BIGINT, s: BIGINT>>) AS rows),
+          |  (acc, x) -> struct(
+          |    acc.s * (x.n - x.d) div x.n AS s,
+          |    array_append(acc.rows, struct(x.t AS t, x.n AS n, x.d AS d,
+          |      acc.s * (x.n - x.d) div x.n AS s)) AS rows),
+          |  acc -> acc.rows)""".stripMargin)).as("r"))
+      .filter(col("r.d") > 0)
+      .select(col("r.t").as("day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), col("r.s").as("survival_ppm"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2233,5 +2321,5 @@ object Events {
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
-    q245ShrunkRates, q247PermutationTest)
+    q245ShrunkRates, q247PermutationTest, q249KaplanMeier)
 }

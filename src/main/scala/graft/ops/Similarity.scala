@@ -1807,9 +1807,73 @@ object Similarity {
     out.orderBy("round")
   }
 
+  /** q250 — MRR@10 retrieval eval: for each of the 20 query vectors,
+    * rank the corpus by exact cosine (ties → vec_id), find the first
+    * same-label neighbor inside the top 10, and score 1/rank — the
+    * reciprocal-rank leg of the eval triad (q104 recall@k, q125 RRF
+    * fusion, this). Integer-exact: rr_ppm = 10⁶ div rank; a query with
+    * no in-label neighbor in its top 10 scores 0 with a NULL rank, so
+    * the mean over queries (the headline MRR) is reconstructable
+    * without float division. 1/rank is the metric that rewards putting
+    * ONE right answer first — recall@k can't distinguish rank 1 from
+    * rank 10.
+    *
+    * Scale: q31's brute-scoring shape — the 20 query vectors broadcast,
+    * the corpus streams once through the fused graft_dot with
+    * precomputed norms; the per-query rank window partitions on
+    * query_id (20 bounded partitions); q32/q54's LSH/IVF compose as the
+    * sublinear candidate path when the corpus outgrows one scan. */
+  val q250MrrEval: Q = Q(
+    "q250_mrr_eval",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, $DVec AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM vecs WHERE vec_id < 20
+       |), ranked AS (
+       |  SELECT query_id, qlabel, vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), firstrel AS (
+       |  SELECT query_id, MIN(rank) AS r FROM ranked
+       |  WHERE rank <= 10 AND label = qlabel GROUP BY query_id
+       |)
+       |SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+       |  CAST(f.r AS BIGINT) AS first_rel_rank,
+       |  CAST(COALESCE(1000000 // f.r, 0) AS BIGINT) AS rr_ppm
+       |FROM qs q LEFT JOIN firstrel f USING (query_id)
+       |ORDER BY query_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")), "v")
+    val qs = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("vec_id"))
+    val ranked = vecs.crossJoin(broadcast(qs)) // 20 query vectors broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"))
+      .withColumn("rank", row_number().over(w))
+    val firstrel = ranked
+      .filter(col("rank") <= 10 && col("label") === col("qlabel"))
+      .groupBy("query_id").agg(min("rank").as("r"))
+    qs.select(col("query_id"), col("qlabel").cast("long").as("label"))
+      .join(firstrel, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
+        col("r").cast("long").as("first_rel_rank"),
+        coalesce(expr("1000000 div r"), lit(0L)).as("rr_ppm"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
-    q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank)
+    q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank,
+    q250MrrEval)
+
+
 }

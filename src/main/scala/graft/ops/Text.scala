@@ -1250,11 +1250,109 @@ object Text {
       .orderBy("w1", "w2")
   }
 
+  /** q248 — ROUGE-N overlap eval (Lin 2004, the summarization/eval
+    * standard): clipped n-gram precision/recall/F1 of each candidate
+    * doc against its group's reference doc (groups of 5 by doc_id;
+    * the %5==0 member is the reference — the "model output vs gold"
+    * pairing every generation-eval pipeline runs at corpus scale).
+    * Clipping is the multiset min — Σ min(count_cand(g), count_ref(g))
+    * — so repeating a reference gram can't inflate the score. Unigram
+    * and bigram legs run in ONE pass over a shared (doc, n, gram-hash,
+    * count) cell table; all scores exact integer ppm, F1 = 2PR/(P+R)
+    * with a zero guard. Bigrams follow the shingles(k=2) short-doc
+    * contract (a <2-token doc yields one all-token shingle).
+    *
+    * Scale: gram counts collapse map-side per doc; the overlap join is
+    * an equi-join on (ref_id, n, hash) carrying 8-byte hashes + counts
+    * — never gram text, never a pair blowup (each candidate meets ONE
+    * reference). The totals join is doc-cardinality. */
+  val q248RougeOverlap: Q = Q(
+    "q248_rouge_overlap",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), grams AS (
+       |  SELECT doc_id, 1 AS n, unnest(list_transform(toks, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS h
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, 2, unnest(list_transform(
+       |    list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(toks[i:i+1], ' ')),
+       |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)))
+       |  FROM toks
+       |), cells AS (
+       |  SELECT doc_id, n, h, COUNT(*) AS c FROM grams GROUP BY doc_id, n, h
+       |), tot AS (
+       |  SELECT doc_id, n, SUM(c) AS t FROM cells GROUP BY doc_id, n
+       |), ov AS (
+       |  SELECT c.doc_id, c.n, SUM(LEAST(c.c, r.c)) AS ov
+       |  FROM cells c
+       |  JOIN cells r ON r.doc_id = c.doc_id - c.doc_id % 5
+       |    AND r.n = c.n AND r.h = c.h
+       |  WHERE c.doc_id % 5 <> 0
+       |  GROUP BY c.doc_id, c.n
+       |), scored AS (
+       |  SELECT c.doc_id, c.n,
+       |    COALESCE(o.ov, 0) * 1000000 // r.t AS r_ppm,
+       |    COALESCE(o.ov, 0) * 1000000 // c.t AS p_ppm
+       |  FROM tot c
+       |  JOIN tot r ON r.doc_id = c.doc_id - c.doc_id % 5 AND r.n = c.n
+       |  LEFT JOIN ov o ON o.doc_id = c.doc_id AND o.n = c.n
+       |  WHERE c.doc_id % 5 <> 0
+       |)
+       |SELECT u.doc_id,
+       |  CAST(u.p_ppm AS BIGINT) AS rouge1_p_ppm, CAST(u.r_ppm AS BIGINT) AS rouge1_r_ppm,
+       |  CAST(CASE WHEN u.p_ppm + u.r_ppm = 0 THEN 0
+       |    ELSE 2 * u.p_ppm * u.r_ppm // (u.p_ppm + u.r_ppm) END AS BIGINT) AS rouge1_f1_ppm,
+       |  CAST(b.p_ppm AS BIGINT) AS rouge2_p_ppm, CAST(b.r_ppm AS BIGINT) AS rouge2_r_ppm,
+       |  CAST(CASE WHEN b.p_ppm + b.r_ppm = 0 THEN 0
+       |    ELSE 2 * b.p_ppm * b.r_ppm // (b.p_ppm + b.r_ppm) END AS BIGINT) AS rouge2_f1_ppm
+       |FROM scored u JOIN scored b ON b.doc_id = u.doc_id AND b.n = 2
+       |WHERE u.n = 1
+       |ORDER BY u.doc_id""") { (s, d) =>
+    import graft.functions.TextFunctions._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"), lit(1).as("n"),
+        explode(transform(col("toks"), t => hex32(t))).as("h"))
+      .unionAll(toks.select(col("doc_id"), lit(2).as("n"),
+        explode(transform(shingles(col("toks"), 2), g => hex32(g))).as("h")))
+    val cells = grams.groupBy("doc_id", "n", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the overlap join (both sides) + totals
+    val tot = cells.groupBy("doc_id", "n").agg(sum("c").as("t"))
+    val ov = cells.filter(col("doc_id") % 5 =!= 0)
+      .join(cells.select(col("doc_id").as("rid"), col("n").as("rn"),
+          col("h").as("rh"), col("c").as("rc")),
+        col("rid") === col("doc_id") - col("doc_id") % 5 &&
+          col("rn") === col("n") && col("rh") === col("h"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(least(col("c"), col("rc"))).as("ov"))
+    val scored = tot.filter(col("doc_id") % 5 =!= 0)
+      .join(tot.select(col("doc_id").as("rid"), col("n").as("rn"),
+          col("t").as("rt")),
+        col("rid") === col("doc_id") - col("doc_id") % 5 && col("rn") === col("n"))
+      .join(ov, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+        expr("coalesce(ov, 0) * 1000000 div rt").as("r_ppm"),
+        expr("coalesce(ov, 0) * 1000000 div t").as("p_ppm"))
+    scored.filter(col("n") === 1)
+      .select(col("doc_id"), col("p_ppm").as("u_p"), col("r_ppm").as("u_r"))
+      .join(scored.filter(col("n") === 2)
+        .select(col("doc_id"), col("p_ppm").as("b_p"), col("r_ppm").as("b_r")),
+        "doc_id")
+      .select(col("doc_id"),
+        col("u_p").as("rouge1_p_ppm"), col("u_r").as("rouge1_r_ppm"),
+        when(col("u_p") + col("u_r") === 0, 0L)
+          .otherwise(expr("2 * u_p * u_r div (u_p + u_r)")).as("rouge1_f1_ppm"),
+        col("b_p").as("rouge2_p_ppm"), col("b_r").as("rouge2_r_ppm"),
+        when(col("b_p") + col("b_r") === 0, 0L)
+          .otherwise(expr("2 * b_p * b_r div (b_p + b_r)")).as("rouge2_f1_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
     q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
-    q236KneserNey)
+    q236KneserNey, q248RougeOverlap)
 }

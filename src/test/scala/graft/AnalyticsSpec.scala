@@ -685,4 +685,76 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(dm - drv).toDouble / drv < 0.30, s"$p dm=$dm dr=$drv")
     }
   }
+
+  test("q249: KM curve equals the local streak replay; survival is a monotone ppm product") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Events.q249KaplanMeier.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local truth: streaks from distinct (user, day), islands by day - idx
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxd = days.map(_._2).max
+    val streaks = days.groupBy(_._1).values.flatMap { ud =>
+      val ds = ud.map(_._2).sorted
+      ds.zipWithIndex.groupBy { case (d, i) => d - i }.values.map { isl =>
+        (isl.length.toLong, if (isl.map(_._1).max < mxd) 1L else 0L)
+      }
+    }.toSeq
+    val cells = streaks.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    // at-risk = reverse cumulative; fold s <- s * (n - d) div n
+    var s = 1000000L
+    val expected = cells.map { case (t, cnt, d) =>
+      val n = cells.filter(_._1 >= t).map(_._2).sum
+      s = s * (n - d) / n
+      (t, n, d, s)
+    }.filter(_._3 > 0)
+    assert(rows.toSeq == expected, s"got ${rows.toSeq}\nexp $expected")
+    // survival never increases and both outcome kinds exist in the fixture
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.reverse.toSeq)
+    assert(rows.map(_._3).sum > 0 && streaks.exists(_._2 == 0L),
+      "fixture must contain both deaths and censored streaks")
+  }
+
+  test("q251: PAVA equals an independent stack replay; fit is monotone; PavaAgg edge rules hold") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q251IsotonicFit.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // independent local PAVA over the same 32-bin cells
+    val pts = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = pts.map(_._1).min
+    val hi = pts.map(_._1).max
+    val cells = pts.groupBy(p => (p._1 - lo) * 32 / (hi - lo + 1))
+      .map { case (b, xs) => (b, xs.map(_._2).sum, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    for ((x, sy, c) <- cells) {
+      st += ((x, x, 1L, sy, c))
+      while (st.length >= 2 &&
+          st(st.length - 2)._4 * st.last._5 > st.last._4 * st(st.length - 2)._5) {
+        val c2 = st.remove(st.length - 1); val p = st.remove(st.length - 1)
+        st += ((p._1, c2._2, p._3 + c2._3, p._4 + c2._4, p._5 + c2._5))
+      }
+    }
+    val expected = st.zipWithIndex.map { case ((xl, xh, nc, sy, c), i) =>
+      (i + 1L, xl, xh, nc, sy, c, sy * 1000 / c)
+    }.toSeq
+    assert(rows.toSeq == expected)
+    // the fit is nondecreasing and blocks tile the bin range
+    assert(rows.map(_._7).toSeq == rows.map(_._7).sorted.toSeq)
+    assert(rows.sliding(2).forall(w => w.length < 2 || w(1)._2 > w(0)._3))
+    // PavaAgg contract edges: equal means never merge; strict decrease pools
+    val agg = new graft.functions.PavaAgg
+    assert(agg.finish(Array((0L, 1L, 10L), (1L, 1L, 10L))).length == 2)
+    assert(agg.finish(Array((0L, 5L, 10L), (1L, 3L, 10L), (2L, 1L, 10L))).toSeq ==
+      Seq((0L, 2L, 3L, 9L, 30L)))
+    // unsorted buffer input sorts by x before pooling
+    assert(agg.finish(Array((2L, 9L, 10L), (0L, 1L, 10L), (1L, 5L, 10L))).length == 3)
+  }
 }

@@ -92,7 +92,10 @@ class PlanAuditSpec extends SparkSpec {
     "q160_triangle_count" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds' id densification; wedges run on degree-oriented equi-joins",
     "q173_label_prop" -> "checkpoint-hidden: the 1-row node/edge-count scalars broadcast into rankIds and the modular label fold; LPA rounds are equi-joins",
     "q211_kcore" -> "checkpoint-hidden: the 1-row host-count scalar broadcasts into the edge build; peel rounds are degree equi-joins",
-    "q244_clustering_coeff" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds; wedge legs and the closing-edge probe are equi-joins")
+    "q244_clustering_coeff" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds; wedge legs and the closing-edge probe are equi-joins",
+    "q249_kaplan_meier" -> "scalar join: the 1-row observation-end day broadcasts into the duration-cell censoring tag",
+    "q250_mrr_eval" -> "brute scoring baseline: the 20 query vectors broadcast; corpus streams once (q31's shape; q32/q54 are the sublinear candidate path)",
+    "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

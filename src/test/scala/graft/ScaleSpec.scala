@@ -496,7 +496,19 @@ class ScaleSpec extends SparkSpec {
       // q224: (doc_id, fp) int rows only — window minima stay a narrow
       // array pass in the scan, ~1/w of shingles survive, df-capped
       // before the self-join. Measured 576 KiB at sf0.01
-      "q224_winnowing" -> 1440L)
+      "q224_winnowing" -> 1440L,
+      // q248: (doc, n, gram-hash, count) cells, clipped-overlap equi-join
+      // on (ref, n, h) — hashes+counts only. Measured 530 KiB at sf0.01
+      "q248_rouge_overlap" -> 1350L,
+      // q249: distinct (user, day) cells, then duration cells; the fold
+      // is one 1-row array. Measured 63 KiB at sf0.01
+      "q249_kaplan_meier" -> 160L,
+      // q250: 20 broadcast queries x corpus scored in the scan; only the
+      // 20-partition rank window exchanges. Measured 5 KiB at sf0.01
+      "q250_mrr_eval" -> 15L,
+      // q251: <=32 histogram cells into the PAVA aggregator; blocks out.
+      // Measured 2 KiB at sf0.01
+      "q251_isotonic_fit" -> 8L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -133,4 +133,34 @@ class SimilaritySpec extends SparkSpec {
     val radii = rows.drop(1).map(_._3.get)
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
   }
+
+  test("q250: MRR ranks equal the local brute replay; rr_ppm = 1e6 div rank") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Similarity.q250MrrEval.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cosPpm(a: Seq[Double], b: Seq[Double]): Long = {
+      val (na, nb) = (math.sqrt(dot(a, a)), math.sqrt(dot(b, b)))
+      if (na == 0.0 || nb == 0.0) 0L
+      else math.floor(dot(a, b) / (na * nb) * 1000000L).toLong
+    }
+    assert(rows.length == 20)
+    for ((qid, qlabel, rank, rr) <- rows) {
+      val q = vecs.find(_._1 == qid).get
+      assert(qlabel == q._2)
+      val ranked = vecs.filter(_._1 != qid)
+        .map(v => (cosPpm(q._3, v._3), v._1, v._2))
+        .sortBy { case (c, id, _) => (-c, id) }
+      val firstRel = ranked.take(10).zipWithIndex
+        .collectFirst { case ((_, _, l), i) if l == qlabel => i + 1L }
+      assert(rank == firstRel, s"q$qid")
+      assert(rr == firstRel.map(1000000L / _).getOrElse(0L), s"q$qid")
+    }
+  }
 }

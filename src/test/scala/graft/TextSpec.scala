@@ -170,4 +170,37 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getString(0).take(12)).distinct.sorted
     assert(rows.map(_.getString(0)).toSeq == vocab.toSeq)
   }
+
+  test("q248: ROUGE-1/2 equal the local clipped-multiset replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.q248RougeOverlap.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // bigram shingles follow the shingles(k=2) short-doc contract
+    def bigrams(ts: Seq[String]): Seq[String] =
+      if (ts.length < 2) Seq(ts.mkString(" "))
+      else ts.sliding(2).map(_.mkString(" ")).toSeq
+    def counts(gs: Seq[String]): Map[String, Long] =
+      gs.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    def pr(c: Map[String, Long], r: Map[String, Long]): (Long, Long) = {
+      val ov = c.map { case (g, n) => math.min(n, r.getOrElse(g, 0L)) }.sum
+      (ov * 1000000L / c.values.sum, ov * 1000000L / r.values.sum)
+    }
+    def f1(p: Long, r: Long): Long = if (p + r == 0) 0L else 2 * p * r / (p + r)
+    var checked = 0
+    for ((id, text) <- docs if id % 5 != 0; ref <- docs.get(id - id % 5)) {
+      val (u, b) = (toks(text), toks(ref))
+      val (p1, r1) = pr(counts(u), counts(b))
+      val (p2, r2) = pr(counts(bigrams(u)), counts(bigrams(b)))
+      assert(rows(id) == ((p1, r1, f1(p1, r1), p2, r2, f1(p2, r2))), s"doc $id")
+      checked += 1
+    }
+    assert(checked == rows.size && checked > 0)
+    // the reference itself is not scored; self-identical docs score 1e6
+    assert(!rows.contains(0L))
+  }
 }

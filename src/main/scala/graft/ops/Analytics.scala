@@ -2497,6 +2497,152 @@ object Analytics {
         expr(s"kept_sum_cents div ${n - 2 * k}"))
   }
 
+  /** q252 — DBSCAN density clustering at join scale: grid-bucketed
+    * neighbor candidates (q193's cell = radius contract: every
+    * qualifying pair meets in exactly one (home, probe-neighbor) cell
+    * join — 9n candidate rows, never n²), core points = ≥3 neighbors
+    * within 1° (exact integer µdeg², no transcendentals), clusters =
+    * connected components of the core-core adjacency via the SAME
+    * convergence-guarded pointer-jumping helper as q61 (fails loud if
+    * the cap is too shallow — never silently split clusters), border
+    * points adopt the MIN cluster label among their core neighbors
+    * (deterministic tie-break), the rest is noise. Cluster label = min
+    * core key in the component, so labels are stable across engines,
+    * partitionings, and runs.
+    *
+    * Points are the decile-1 customer sample on q193's synthetic
+    * plane; half are PLANTED into 20 blobs keyed by k div 20 (±0.3°
+    * jitter — blob diameter 0.85° < the 1° radius, so each blob's
+    * members are pairwise-adjacent and provably one component), and
+    * the k%120=11 members sit as SATELLITES ~1.15° off their blob's
+    * center, where the blob fringe may or may not reach them — the
+    * deterministic probe that exercises both the border and the noise
+    * role (sf0.01: 31 cores in 9 clusters, 5 borders, 114 noise).
+    * Scattered positions keep km = k mod 10⁶ inside the quadratic mix
+    * so coordinates stay BIGINT-exact on both engines at any key
+    * stride (the ×16 tree's 2³² offsets would overflow k²).
+    *
+    * Scale: candidates shuffle on cell keys only (ids + 2 coords);
+    * degree/core/border are one aggregation each; CC runs on the
+    * core-subgraph (bounded by true cluster structure). The oracle
+    * replays the full reach with a recursive CTE — Σ component² rows,
+    * which is exactly why the ENGINE side uses O(log d) label rounds
+    * instead. */
+  val q252Dbscan: Q = Q(
+    "q252_dbscan",
+    """WITH RECURSIVE p AS (
+      |  SELECT k,
+      |    CASE WHEN k % 4 = 3 AND k % 120 = 11
+      |      THEN (c * 7 + 3) % 58 * 1000000 + 1000000 + 1150000
+      |        + (km * km * 47 + km * 281) % 100001 - 50000
+      |      WHEN k % 4 = 3 THEN (c * 7 + 3) % 58 * 1000000 + 1000000
+      |        + (km * km * 41 + km * 271) % 600001 - 300000
+      |      ELSE (km * km * 31 + km * 7919) % 60000001 END AS y,
+      |    CASE WHEN k % 4 = 3 AND k % 120 = 11
+      |      THEN (c * 13 + 5) % 118 * 1000000 + 1000000
+      |        + (km * km * 53 + km * 283) % 200001 - 100000
+      |      WHEN k % 4 = 3 THEN (c * 13 + 5) % 118 * 1000000 + 1000000
+      |        + (km * km * 43 + km * 277) % 600001 - 300000
+      |      ELSE (km * km * 37 + km * 104729) % 120000001 END AS x
+      |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+      |          CAST(c_custkey AS BIGINT) % 1000000 AS km,
+      |          (CAST(c_custkey AS BIGINT) // 20) % 20 AS c
+      |        FROM customer WHERE c_custkey % 10 = 1)
+      |), nb AS (
+      |  SELECT a.k AS ak, b.k AS bk
+      |  FROM p a JOIN p b ON a.k <> b.k
+      |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1000000000000
+      |), deg AS (
+      |  SELECT ak AS k, COUNT(*) AS nn FROM nb GROUP BY ak
+      |), core AS (
+      |  SELECT k FROM deg WHERE nn >= 3
+      |), ce AS (
+      |  SELECT n.ak, n.bk FROM nb n
+      |  JOIN core ca ON ca.k = n.ak JOIN core cb ON cb.k = n.bk
+      |), reach(src, dst) AS (
+      |  SELECT k, k FROM core
+      |  UNION
+      |  SELECT r.src, e.bk FROM reach r JOIN ce e ON e.ak = r.dst
+      |), comp AS (
+      |  SELECT src AS k, MIN(dst) AS cluster FROM reach GROUP BY src
+      |), border AS (
+      |  SELECT n.ak AS k, MIN(c.cluster) AS cluster
+      |  FROM nb n JOIN comp c ON c.k = n.bk
+      |  WHERE n.ak NOT IN (SELECT k FROM core)
+      |  GROUP BY n.ak
+      |)
+      |SELECT p.k,
+      |  CASE WHEN comp.k IS NOT NULL THEN 'core'
+      |       WHEN border.k IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CAST(COALESCE(comp.cluster, border.cluster) AS BIGINT) AS cluster
+      |FROM p
+      |LEFT JOIN comp ON comp.k = p.k
+      |LEFT JOIN border ON border.k = p.k
+      |ORDER BY p.k""") { (s, d) =>
+    val cellSz = 1000000L
+    val k = col("k")
+    val km = col("km") // k mod 1e6: keeps km² exact on both engines at any key stride
+    val c = col("c")
+    val p = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey").cast("long").as("k"),
+        (col("c_custkey").cast("long") % 1000000L).as("km"),
+        (expr("CAST(c_custkey AS BIGINT) div 20") % 20L).as("c"))
+      .select(k,
+        when(k % 4 === 3 && k % 120 === 11,
+          (c * 7L + 3L) % 58 * 1000000L + 1000000L + 1150000L
+            + (km * km * 47L + km * 281L) % 100001L - 50000L)
+          .when(k % 4 === 3, (c * 7L + 3L) % 58 * 1000000L + 1000000L
+            + (km * km * 41L + km * 271L) % 600001L - 300000L)
+          .otherwise((km * km * 31L + km * 7919L) % 60000001L).as("y"),
+        when(k % 4 === 3 && k % 120 === 11,
+          (c * 13L + 5L) % 118 * 1000000L + 1000000L
+            + (km * km * 53L + km * 283L) % 200001L - 100000L)
+          .when(k % 4 === 3, (c * 13L + 5L) % 118 * 1000000L + 1000000L
+            + (km * km * 43L + km * 277L) % 600001L - 300000L)
+          .otherwise((km * km * 37L + km * 104729L) % 120000001L).as("x"))
+      .localCheckpoint() // home + probe + report all read one snapshot
+    val home = p.select(col("k").as("ak"), col("x").as("ax"), col("y").as("ay"),
+      floor(col("x") / cellSz).cast("long").as("cx"),
+      floor(col("y") / cellSz).cast("long").as("cy"))
+    val offs = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj")))): _*)
+    val probe = p.select(col("k").as("bk"), col("x").as("bx"), col("y").as("by"),
+        floor(col("x") / cellSz).cast("long").as("hx"),
+        floor(col("y") / cellSz).cast("long").as("hy"))
+      .withColumn("o", explode(offs))
+      .select(col("bk"), col("bx"), col("by"),
+        (col("hx") + col("o.di")).as("cx"), (col("hy") + col("o.dj")).as("cy"))
+    val dsq = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val nb = home.join(probe, Seq("cx", "cy"))
+      .filter(col("ak") =!= col("bk") && dsq <= 1000000000000L)
+      .select(col("ak"), col("bk"))
+      .localCheckpoint() // degree + core edges + border all read it
+    val core = nb.groupBy(col("ak").as("k")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 3).select("k")
+    val ce = nb
+      .join(core.select(col("k").as("ak")), "ak")
+      .join(core.select(col("k").as("bk")), "bk")
+      .select(col("ak").as("a"), col("bk").as("b"))
+      .localCheckpoint() // read every CC round
+    val comp = Dedup.connectedComponents(core.select(col("k").as("id")), ce)
+      .select(col("id").as("k"), col("comp").as("cluster"))
+    val border = nb.join(comp.select(col("k").as("bk"), col("cluster")), "bk")
+      .join(comp.select(col("k").as("ak")), Seq("ak"), "left_anti")
+      .groupBy(col("ak").as("k")).agg(min("cluster").as("bcluster"))
+    p.select("k")
+      .join(comp.withColumnRenamed("cluster", "ccluster"), Seq("k"), "left")
+      .join(border, Seq("k"), "left")
+      .select(col("k"),
+        when(col("ccluster").isNotNull, "core")
+          .when(col("bcluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("ccluster"), col("bcluster")).as("cluster"))
+      .orderBy("k")
+  }
+
   /** q251 — isotonic regression (PAVA) calibration: the best
     * NONDECREASING fit of the URGENT-order rate over 32 equi-width
     * price bins — the monotone-calibration step every score→rate
@@ -2595,5 +2741,5 @@ object Analytics {
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
     q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean,
-    q251IsotonicFit)
+    q251IsotonicFit, q252Dbscan)
 }

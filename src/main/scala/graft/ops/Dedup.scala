@@ -341,7 +341,14 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var rounds = 0
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // sum(comp) over an EMPTY node set is NULL — an empty graph is a
+    // (trivially converged) fixpoint, not a crash (q252's core set can
+    // be empty at tiny scale factors)
+    def compSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = compSum(labels)
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, col("a") === col("id"))
@@ -356,7 +363,7 @@ object Dedup {
           col("l.comp") === col("p.pid"))
         .select(col("l.id").as("id"), least(col("l.comp"), col("pcomp")).as("comp"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+      val nextSum = compSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

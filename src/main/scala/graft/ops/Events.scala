@@ -2224,6 +2224,205 @@ object Events {
         col("min_perm_gap_milli"), col("max_perm_gap_milli"))
   }
 
+  /** q253 — Benjamini-Hochberg FDR control over a FAMILY of A/B tests:
+    * q247 runs ONE user-level permutation test; real experiment
+    * readouts run one per segment and then must correct for multiple
+    * testing — reporting every p < α across m segments inflates false
+    * discoveries by ~m·α. Per event_type, the same B=40 md5-derived
+    * user-level pseudo-assignments (b=0 is the real user_id%2 split)
+    * give an add-one permutation p in ppm; BH then sorts the m
+    * hypotheses by (p, type), and rejects ranks 1..r* where r* is the
+    * LARGEST rank with p·m ≤ rank·α (α = 20%) — the step-up rule, in
+    * exact integer arithmetic (cross-multiplied, no division at all).
+    * The null fixture's verdicts are whatever the deterministic hashes
+    * give — the point is the CONTROL arithmetic, hash-verified.
+    *
+    * Scale: ONE corpus scan explodes ×(B+1) in-row and collapses
+    * map-side to (type, b, arm) cells — ≤ |types|·41·2 rows; the gap
+    * table, p fold, ranking window, and step-up rule all run on
+    * hypothesis-cardinality CELLS. */
+  val q253BhFdr: Q = Q(
+    "q253_bh_fdr",
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), tagged AS (
+      |  SELECT event_type, b.b,
+      |    CASE WHEN b.b = 0 THEN user_id % 2
+      |         ELSE CAST(concat('0x', substr(md5('perm_' || CAST(b.b AS VARCHAR)
+      |           || '_' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+      |    END AS arm, r
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 41)) AS b) b
+      |), cells AS (
+      |  SELECT event_type, b, arm, CAST(1000 * SUM(r) // COUNT(*) AS BIGINT) AS mean_milli
+      |  FROM tagged GROUP BY event_type, b, arm
+      |), gaps AS (
+      |  SELECT a1.event_type, a1.b, a1.mean_milli - a0.mean_milli AS gap
+      |  FROM cells a1 JOIN cells a0
+      |    ON a0.event_type = a1.event_type AND a0.b = a1.b AND a0.arm = 0
+      |  WHERE a1.arm = 1
+      |), obs AS (
+      |  SELECT event_type, gap AS ogap FROM gaps WHERE b = 0
+      |), pv AS (
+      |  SELECT g.event_type, o.ogap AS observed_gap_milli,
+      |    SUM(CASE WHEN g.b > 0 AND ABS(g.gap) >= ABS(o.ogap) THEN 1 ELSE 0 END) AS n_extreme
+      |  FROM gaps g JOIN obs o USING (event_type)
+      |  GROUP BY g.event_type, o.ogap
+      |), scored AS (
+      |  SELECT event_type, CAST(observed_gap_milli AS BIGINT) AS observed_gap_milli,
+      |    CAST(n_extreme AS BIGINT) AS n_extreme,
+      |    CAST((n_extreme + 1) * 1000000 // 41 AS BIGINT) AS p_ppm
+      |  FROM pv
+      |), rankd AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY p_ppm, event_type) AS bh_rank,
+      |    COUNT(*) OVER () AS m
+      |  FROM scored
+      |), cut AS (
+      |  SELECT MAX(CASE WHEN p_ppm * m <= bh_rank * 200000 THEN bh_rank ELSE 0 END) AS rmax
+      |  FROM rankd
+      |)
+      |SELECT r.event_type, r.observed_gap_milli, r.n_extreme, r.p_ppm,
+      |  CAST(r.bh_rank AS BIGINT) AS bh_rank, CAST(r.m AS BIGINT) AS m_tests,
+      |  r.bh_rank <= c.rmax AS rejected
+      |FROM rankd r CROSS JOIN cut c
+      |ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val tagged = e.select(col("event_type"), col("r"),
+        explode(sequence(lit(0), lit(40))).as("b"),
+        col("user_id"))
+      .select(col("event_type"), col("b"),
+        when(col("b") === 0, col("user_id") % 2)
+          .otherwise(conv(substring(md5(
+            concat(lit("perm_"), col("b").cast("string"), lit("_"),
+              col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2).as("arm"),
+        col("r"))
+    val cells = tagged.groupBy("event_type", "b", "arm")
+      .agg(expr("CAST(1000 * sum(r) div count(1) AS BIGINT)").as("mean_milli"))
+    val gaps = cells.filter(col("arm") === 1)
+      .join(cells.filter(col("arm") === 0)
+        .select(col("event_type"), col("b"), col("mean_milli").as("m0")),
+        Seq("event_type", "b"))
+      .select(col("event_type"), col("b"),
+        (col("mean_milli") - col("m0")).as("gap"))
+      .localCheckpoint() // |types|·41 cells: read by obs and the fold
+    val obs = gaps.filter(col("b") === 0)
+      .select(col("event_type"), col("gap").as("ogap"))
+    val scored = gaps.join(obs, "event_type")
+      .groupBy(col("event_type"), col("ogap"))
+      .agg(sum(when(col("b") > 0 && abs(col("gap")) >= abs(col("ogap")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("event_type"), col("ogap").as("observed_gap_milli"),
+        col("n_extreme"),
+        expr("(n_extreme + 1) * 1000000 div 41").as("p_ppm"))
+    // hypothesis-cardinality cells: the single-partition windows are bounded
+    val rankd = scored
+      .withColumn("bh_rank",
+        row_number().over(Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    rankd
+      .withColumn("rmax", max(when(col("p_ppm") * col("m") <= col("bh_rank") * 200000L,
+          col("bh_rank")).otherwise(0L))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("observed_gap_milli"), col("n_extreme"),
+        col("p_ppm"), col("bh_rank"), col("m").as("m_tests"),
+        (col("bh_rank") <= col("rmax")).as("rejected"))
+      .orderBy("event_type")
+  }
+
+  /** q254 — split-conformal prediction intervals, group-conditional
+    * (Mondrian): the distribution-free coverage guarantee every "the
+    * model predicts X ± ?" readout needs. Disjoint md5-bucket splits
+    * (train 60% / calibration 20% / test 20% — deterministic, no RNG);
+    * the point predictor is the per-type train mean (any predictor
+    * works — the guarantee doesn't depend on it); per type, the
+    * conformal quantile q̂ is the ⌈(n_cal+1)(1−α)⌉-th SMALLEST
+    * calibration nonconformity |v − pred| (α = 10%, ceil spelled
+    * (9·(n+1)+9) div 10 — exact integer, the finite-sample +1 is what
+    * makes coverage ≥ 1−α a THEOREM, not an asymptotic); test coverage
+    * = share of |v − pred| ≤ q̂. Per-type calibration makes the
+    * guarantee hold within every segment, not just marginally.
+    *
+    * Scale: one scan tags each row's split from a hash (no shuffle);
+    * train means and counts collapse to |types| cells; the order
+    * statistic is ONE row_number window partitioned by type over the
+    * calibration slice (parallel across types); the coverage pass is a
+    * second collapsing aggregate. Nothing is corpus-cardinality after
+    * the windows. */
+  val q254ConformalInterval: Q = Q(
+    "q254_conformal_interval",
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(concat('0x', substr(md5('conf_' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt
+      |  FROM events
+      |), pred AS (
+      |  SELECT event_type, COUNT(*) AS n_train,
+      |    CAST(1000 * SUM(v) // COUNT(*) AS BIGINT) AS pred_milli
+      |  FROM e WHERE bkt < 6 GROUP BY event_type
+      |), cal AS (
+      |  SELECT e.event_type, ABS(1000 * e.v - p.pred_milli) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_type
+      |      ORDER BY ABS(1000 * e.v - p.pred_milli), e.v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY e.event_type) AS n_cal
+      |  FROM e JOIN pred p USING (event_type)
+      |  WHERE e.bkt IN (6, 7)
+      |), qhat AS (
+      |  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+      |    CAST(score AS BIGINT) AS q_hat_milli
+      |  FROM cal WHERE rn = (9 * (n_cal + 1) + 9) // 10
+      |), test AS (
+      |  SELECT e.event_type, COUNT(*) AS n_test,
+      |    SUM(CASE WHEN ABS(1000 * e.v - p.pred_milli) <= q.q_hat_milli
+      |      THEN 1 ELSE 0 END) AS n_covered
+      |  FROM e JOIN pred p USING (event_type) JOIN qhat q USING (event_type)
+      |  WHERE e.bkt >= 8 GROUP BY e.event_type
+      |)
+      |SELECT p.event_type, CAST(p.n_train AS BIGINT) AS n_train,
+      |  q.n_cal, CAST(t.n_test AS BIGINT) AS n_test,
+      |  p.pred_milli, q.q_hat_milli,
+      |  CAST(t.n_covered AS BIGINT) AS n_covered,
+      |  CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+      |FROM pred p JOIN qhat q USING (event_type) JOIN test t USING (event_type)
+      |ORDER BY p.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.hex32
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(hex32(concat(lit("conf_"), col("event_id").cast("string"))), lit(10L)).as("bkt"))
+      .localCheckpoint() // train/cal/test legs read one snapshot
+    val pred = e.filter(col("bkt") < 6).groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"),
+        expr("CAST(1000 * sum(v) div count(1) AS BIGINT)").as("pred_milli"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(abs(lit(1000L) * col("v") - col("pred_milli")), col("v"))
+    val wN = Window.partitionBy("event_type")
+    val cal = e.filter(col("bkt").isin(6L, 7L))
+      .join(broadcast(pred.select(col("event_type"), col("pred_milli"))), "event_type")
+      .select(col("event_type"),
+        abs(lit(1000L) * col("v") - col("pred_milli")).as("score"),
+        row_number().over(wRank).cast("long").as("rn"),
+        count(lit(1)).over(wN).as("n_cal"))
+    val qhat = cal
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("event_type"), col("n_cal"), col("score").as("q_hat_milli"))
+    val test = e.filter(col("bkt") >= 8)
+      .join(broadcast(pred.select(col("event_type"), col("pred_milli"))), "event_type")
+      .join(broadcast(qhat.select(col("event_type"), col("q_hat_milli"))), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(lit(1000L) * col("v") - col("pred_milli")) <= col("q_hat_milli"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    pred.join(qhat, "event_type").join(test, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_cal"), col("n_test"),
+        col("pred_milli"), col("q_hat_milli"), col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
   /** q249 — Kaplan-Meier survival estimator with right-censoring, over
     * user activity STREAKS: how many consecutive active days does an
     * engagement streak survive? Subjects are maximal runs of
@@ -2321,5 +2520,5 @@ object Events {
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
-    q245ShrunkRates, q247PermutationTest, q249KaplanMeier)
+    q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval)
 }

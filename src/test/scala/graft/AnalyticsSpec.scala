@@ -757,4 +757,122 @@ class AnalyticsSpec extends SparkSpec {
     // unsorted buffer input sorts by x before pooling
     assert(agg.finish(Array((2L, 9L, 10L), (0L, 1L, 10L), (1L, 5L, 10L))).length == 3)
   }
+
+  test("q252: DBSCAN roles and clusters equal the local all-pairs + union-find replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Analytics.q252Dbscan.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    // local truth: same positions, brute all-pairs, textbook DBSCAN
+    def pos(k: Long): (Long, Long) = {
+      val km = k % 1000000L
+      val c = (k / 20) % 20
+      if (k % 4 == 3 && k % 120 == 11)
+        ((c * 13 + 5) % 118 * 1000000L + 1000000L + (km * km * 53 + km * 283) % 200001L - 100000L,
+          (c * 7 + 3) % 58 * 1000000L + 1000000L + 1150000L + (km * km * 47 + km * 281) % 100001L - 50000L)
+      else if (k % 4 == 3)
+        ((c * 13 + 5) % 118 * 1000000L + 1000000L + (km * km * 43 + km * 277) % 600001L - 300000L,
+          (c * 7 + 3) % 58 * 1000000L + 1000000L + (km * km * 41 + km * 271) % 600001L - 300000L)
+      else ((km * km * 37 + km * 104729) % 120000001L, (km * km * 31 + km * 7919) % 60000001L)
+    }
+    val ks = Tables.customer(spark, sf).filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0)).sorted
+    val pts = ks.map(k => k -> pos(k)).toMap
+    def near(a: Long, b: Long): Boolean = {
+      val ((ax, ay), (bx, by)) = (pts(a), pts(b))
+      a != b && (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 1000000000000L
+    }
+    val core = ks.filter(a => ks.count(near(a, _)) >= 3).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.map(k => k -> k).toSeq: _*)
+    def find(k: Long): Long = { var x = k; while (parent(x) != x) x = parent(x); x }
+    for (a <- core; b <- core if a < b && near(a, b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = core.map(k => k -> core.filter(c => find(c) == find(k)).min).toMap
+    val expected = ks.map { k =>
+      if (core(k)) (k, "core", Some(comp(k)))
+      else {
+        val cn = ks.filter(b => core(b) && near(k, b))
+        if (cn.nonEmpty) (k, "border", Some(cn.map(comp).min)) else (k, "noise", None)
+      }
+    }.toSeq
+    assert(rows.toSeq == expected)
+    // every cluster label is the min key of its own members
+    val byCluster = rows.filter(_._2 == "core").groupBy(_._3.get)
+    assert(byCluster.forall { case (label, members) => members.map(_._1).min == label })
+  }
+
+  test("q253: BH step-up equals the local replay; rejected set is a prefix of the p-ranking") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Events.q253BhFdr.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("r"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(b: Int, user: Long): Long =
+      if (b == 0) user % 2
+      else {
+        val h = md.digest(s"perm_${b}_$user".getBytes("UTF-8"))
+        java.lang.Long.parseLong(h.take(4).map(x => f"$x%02x").mkString, 16) % 2
+      }
+    val types = evs.map(_._1).distinct.sorted
+    val pv = types.map { t =>
+      val rowsT = evs.filter(_._1 == t)
+      def gap(b: Int): Long = {
+        def mean(a: Long) = {
+          val xs = rowsT.filter(x => arm(b, x._2) == a).map(_._3)
+          1000 * xs.sum / xs.length
+        }
+        mean(1) - mean(0)
+      }
+      val og = gap(0)
+      val ne = (1 to 40).count(b => math.abs(gap(b)) >= math.abs(og)).toLong
+      (t, og, ne, (ne + 1) * 1000000L / 41)
+    }
+    val ranked = pv.sortBy(x => (x._4, x._1)).zipWithIndex
+      .map { case ((t, og, ne, p), i) => (t, og, ne, p, i + 1L) }
+    val m = types.length.toLong
+    val rmax = ranked.filter(x => x._4 * m <= x._5 * 200000L).map(_._5)
+      .foldLeft(0L)(math.max)
+    val expected = ranked.map { case (t, og, ne, p, rk) =>
+      (t, og, ne, p, rk, m, rk <= rmax)
+    }.sortBy(_._1)
+    assert(rows.toSeq == expected.toSeq)
+    // rejections, if any, are exactly the prefix of the p-ranking
+    val rejRanks = rows.filter(_._7).map(_._5).sorted
+    assert(rejRanks.toSeq == (1L to rejRanks.length).toSeq)
+  }
+
+  test("q254: conformal q-hat is the exact order statistic and test coverage replays") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.hex32
+    val rows = ops.Events.q254ConformalInterval.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        pmod(hex32(concat(lit("conf_"), col("event_id").cast("string"))), lit(10L)).as("bkt"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    for ((t, nTrain, nCal, nTest, pred, qhat, nCov, covPpm) <- rows) {
+      val (tr, ca, te) = (evs.filter(x => x._1 == t && x._3 < 6),
+        evs.filter(x => x._1 == t && (x._3 == 6 || x._3 == 7)),
+        evs.filter(x => x._1 == t && x._3 >= 8))
+      assert((nTrain, nCal, nTest) == ((tr.length.toLong, ca.length.toLong, te.length.toLong)))
+      val predL = 1000 * tr.map(_._2).sum / tr.length
+      assert(pred == predL)
+      val scores = ca.map(x => math.abs(1000 * x._2 - predL)).sorted
+      val kth = (9 * (ca.length + 1) + 9) / 10
+      assert(qhat == scores(kth - 1), s"$t qhat")
+      val cov = te.count(x => math.abs(1000 * x._2 - predL) <= qhat).toLong
+      assert(nCov == cov && covPpm == cov * 1000000L / te.length)
+      // distribution-free guarantee sanity: coverage near the 90% target
+      assert(covPpm > 800000L && covPpm <= 1000000L, s"$t coverage $covPpm")
+    }
+    assert(rows.nonEmpty)
+  }
 }

@@ -95,7 +95,8 @@ class PlanAuditSpec extends SparkSpec {
     "q244_clustering_coeff" -> "checkpoint-hidden: the 1-row node-count scalar broadcasts into rankIds; wedge legs and the closing-edge probe are equi-joins",
     "q249_kaplan_meier" -> "scalar join: the 1-row observation-end day broadcasts into the duration-cell censoring tag",
     "q250_mrr_eval" -> "brute scoring baseline: the 20 query vectors broadcast; corpus streams once (q31's shape; q32/q54 are the sublinear candidate path)",
-    "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells")
+    "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",
+    "q252_dbscan" -> "checkpoint-hidden: the CC rounds' scalar folds run behind the core-edge checkpoint; candidates are the 9-cell grid equi-join, never n²")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

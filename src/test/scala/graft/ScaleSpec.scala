@@ -508,7 +508,16 @@ class ScaleSpec extends SparkSpec {
       "q250_mrr_eval" -> 15L,
       // q251: <=32 histogram cells into the PAVA aggregator; blocks out.
       // Measured 2 KiB at sf0.01
-      "q251_isotonic_fit" -> 8L)
+      "q251_isotonic_fit" -> 8L,
+      // q252: 9n grid candidates keyed by cell (ids + coords), CC rounds
+      // on the core subgraph only. Measured 34 KiB at sf0.01
+      "q252_dbscan" -> 90L,
+      // q253: x41 explode collapses map-side to |types|*41*2 cells; BH
+      // runs on hypothesis cells. Measured 18 KiB at sf0.01
+      "q253_bh_fdr" -> 45L,
+      // q254: train means are |types| cells; the calibration rank window
+      // is the only row-level exchange. Measured 33 KiB at sf0.01
+      "q254_conformal_interval" -> 90L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

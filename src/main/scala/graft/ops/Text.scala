@@ -1348,11 +1348,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q255 — character error rate (CER) eval: exact Levenshtein distance
+    * of each candidate doc against its group's reference (q248's
+    * pairing), normalized by reference length in ppm — the ASR/OCR/
+    * transcription eval standard, and the exact-metric complement to
+    * q195 (which INDEXES for ED≤1 joins; this SCORES known pairs at
+    * unbounded distance) and q248 (set overlap vs sequence edits: CER
+    * punishes reorderings ROUGE forgives). Both engines ship the same
+    * classic DP levenshtein (q195's cross-engine precedent), so the
+    * distances are integer-identical.
+    *
+    * Scale: the pairing is an id equi-join (each candidate meets ONE
+    * reference); the O(len²) DP runs inside the scan per pair — CPU,
+    * not shuffle. For unbounded-length fields the production recipe is
+    * length-banding + chunking before the DP; the ≤k-distance JOIN
+    * problem stays q195's deletion index. */
+  val q255CerEval: Q = Q(
+    "q255_cer_eval",
+    """SELECT c.doc_id,
+      |  CAST(levenshtein(c.text, r.text) AS BIGINT) AS edit_dist,
+      |  CAST(length(r.text) AS BIGINT) AS ref_chars,
+      |  CAST(levenshtein(c.text, r.text) * 1000000 // length(r.text) AS BIGINT) AS cer_ppm
+      |FROM documents c
+      |JOIN documents r ON r.doc_id = c.doc_id - c.doc_id % 5
+      |WHERE c.doc_id % 5 <> 0
+      |ORDER BY c.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .join(docs.select((col("doc_id")).as("rid"), col("text").as("rtext")),
+        col("rid") === col("doc_id") - col("doc_id") % 5)
+      .select(col("doc_id"),
+        levenshtein(col("text"), col("rtext")).cast("long").as("edit_dist"),
+        length(col("rtext")).cast("long").as("ref_chars"),
+        expr("CAST(levenshtein(text, rtext) AS BIGINT) * 1000000 div length(rtext)")
+          .as("cer_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
     q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
-    q236KneserNey, q248RougeOverlap)
+    q236KneserNey, q248RougeOverlap, q255CerEval)
 }

@@ -517,7 +517,10 @@ class ScaleSpec extends SparkSpec {
       "q253_bh_fdr" -> 45L,
       // q254: train means are |types| cells; the calibration rank window
       // is the only row-level exchange. Measured 33 KiB at sf0.01
-      "q254_conformal_interval" -> 90L)
+      "q254_conformal_interval" -> 90L,
+      // q255: one id equi-join per candidate; the DP is in-scan CPU,
+      // not exchange. Measured 9 KiB at sf0.01
+      "q255_cer_eval" -> 25L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -203,4 +203,32 @@ class TextSpec extends SparkSpec {
     // the reference itself is not scored; self-identical docs score 1e6
     assert(!rows.contains(0L))
   }
+
+  test("q255: CER equals a local Wagner-Fischer replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.q255CerEval.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    var checked = 0
+    for ((id, text) <- docs if id % 5 != 0; ref <- docs.get(id - id % 5)) {
+      val d = lev(text, ref)
+      assert(rows(id) == ((d, ref.length.toLong, d * 1000000L / ref.length)), s"doc $id")
+      checked += 1
+    }
+    assert(checked == rows.size && checked > 0)
+  }
 }

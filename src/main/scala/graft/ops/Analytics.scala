@@ -2730,6 +2730,239 @@ object Analytics {
       .orderBy("block_idx")
   }
 
+  /** q262 — cumulative gains / lift by score bin: bucket customers by
+    * the model score (account balance, the fixture's stand-in), walk
+    * bins best-first, and report per-bin response rate plus cumulative
+    * capture and lift — the gains-chart/decile-lift readout every
+    * targeting model ships with (q184 AUC summarizes ranking quality in
+    * one number; this is the operating-curve view that answers "mail
+    * the top 20%, get what share of buyers?"). Outcome = has an URGENT
+    * order. Lift is a SINGLE exact division — cum_pos·N·10⁶ //
+    * (cum_n·P) — never a ratio of two floored rates. 20 fixed
+    * equal-width bins over the pinned TPC-H balance domain
+    * [−999.99, 9999.99], so bin ids are stable across partitions,
+    * scales, and engines (q251's fixed-bin choice; q208's equi-depth
+    * build composes when the domain isn't pinned).
+    *
+    * Scale: one outcome semi-join (distinct URGENT custkeys) + one scan
+    * collapsing to ≤20 (bin, n, pos) cells map-side; the cumulative
+    * window and both ratios run on cells. BIGINT exact through sf100
+    * (cum_pos·N·10⁶ ≲ 10¹⁸ at 1.5e6 customers); DECIMAL(38,0) is the
+    * documented lift beyond. */
+  val q262GainsLift: Q = Q(
+    "q262_gains_lift",
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), c AS (
+      |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal,
+      |    CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |  FROM customer LEFT JOIN pos p ON p.o_custkey = c_custkey
+      |), b AS (
+      |  SELECT LEAST(19, GREATEST(0, (bal + 99999) // 55000)) AS bin,
+      |    COUNT(*) AS n, SUM(y) AS npos
+      |  FROM c GROUP BY 1
+      |), w AS (
+      |  SELECT bin, n, npos,
+      |    SUM(n) OVER (ORDER BY bin DESC) AS cn,
+      |    SUM(npos) OVER (ORDER BY bin DESC) AS cp,
+      |    SUM(n) OVER () AS tn, SUM(npos) OVER () AS tp
+      |  FROM b
+      |)
+      |SELECT CAST(bin AS BIGINT) AS score_bin,
+      |  CAST(n AS BIGINT) AS n_customers, CAST(npos AS BIGINT) AS n_pos,
+      |  CAST(npos * 1000000 // n AS BIGINT) AS rate_ppm,
+      |  CAST(cn AS BIGINT) AS cum_customers, CAST(cp AS BIGINT) AS cum_pos,
+      |  CAST(CASE WHEN tp = 0 THEN NULL ELSE cp * 1000000 // tp END AS BIGINT) AS capture_ppm,
+      |  CAST(CASE WHEN tp = 0 THEN NULL
+      |    ELSE cp * tn * 1000000 // (cn * tp) END AS BIGINT) AS cum_lift_ppm
+      |FROM w
+      |ORDER BY score_bin DESC""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val c = Tables.customer(s, d)
+      .join(broadcast(pos), col("o_custkey") === col("c_custkey"), "left")
+      .select((dec(col("c_acctbal")) * 100).cast("long").as("bal"),
+        when(col("o_custkey").isNull, 0L).otherwise(1L).as("y"))
+    val b = c.groupBy(least(lit(19L), greatest(lit(0L),
+        expr("(bal + 99999) div 55000"))).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.select(col("bin").as("score_bin"),
+        col("n").as("n_customers"), col("npos").as("n_pos"),
+        expr("npos * 1000000 div n").as("rate_ppm"),
+        sum("n").over(wCum).as("cum_customers"),
+        sum("npos").over(wCum).as("cum_pos"),
+        sum("n").over(wAll).as("tn"), sum("npos").over(wAll).as("tp"))
+      .select(col("score_bin"), col("n_customers"), col("n_pos"), col("rate_ppm"),
+        col("cum_customers"), col("cum_pos"),
+        when(col("tp") === 0, lit(null).cast("long"))
+          .otherwise(expr("cum_pos * 1000000 div tp")).as("capture_ppm"),
+        when(col("tp") === 0, lit(null).cast("long"))
+          .otherwise(expr("cum_pos * tn * 1000000 div (cum_customers * tp)"))
+          .as("cum_lift_ppm"))
+      .orderBy(col("score_bin").desc)
+  }
+
+  /** q263 — Herfindahl–Hirschman market concentration, per region:
+    * Σ(supplier revenue share)² in exact ppm plus the inverse
+    * "effective competitor count" — the antitrust/marketplace
+    * concentration statistic (q180's Gini measures INEQUALITY of the
+    * distribution; HHI measures CONCENTRATION mass — a market of 2
+    * equal giants is perfectly equal yet maximally concentrated, and
+    * production health dashboards want both). hhi_ppm = (Σrev_s²)·10⁶
+    * // (Σrev)² with the squares lifted to DECIMAL(38,0)/HUGEINT
+    * BEFORE the multiply (q226's rule — per-supplier revenue² crosses
+    * 2⁶³ around $10⁸, i.e. already at sf10).
+    *
+    * Scale: lineitem collapses to (supplier) revenue cells map-side
+    * after a broadcast supplier→nation→region dim chain; the square
+    * fold and both ratios run on |regions| cells. */
+  val q263HhiConcentration: Q = Q(
+    "q263_hhi_concentration",
+    """WITH rev AS (
+      |  SELECT r_name, l_suppkey,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, l_suppkey
+      |), agg AS (
+      |  SELECT r_name, COUNT(*) AS n_suppliers, SUM(rev) AS tot,
+      |    SUM(CAST(rev AS HUGEINT) * rev) AS sumsq,
+      |    MAX(rev) AS top_rev
+      |  FROM rev GROUP BY r_name
+      |)
+      |SELECT r_name,
+      |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |  CAST(tot AS BIGINT) AS total_rev_cents,
+      |  CAST(sumsq * 1000000 // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_ppm,
+      |  CAST(top_rev * 1000000 // tot AS BIGINT) AS top_share_ppm,
+      |  CAST(CAST(tot AS HUGEINT) * tot * 1000 // sumsq AS BIGINT) AS eff_competitors_milli
+      |FROM agg
+      |ORDER BY r_name""") { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "l_suppkey")
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev"))
+    rev.groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"), sum("rev").as("tot"),
+        // lifted BEFORE the multiply: supplier-revenue² wraps BIGINT
+        // around $10⁸ per supplier (sf10); the lift is exact at any SF
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("sumsq"),
+        max("rev").as("top_rev"))
+      .select(col("r_name"),
+        col("n_suppliers"), col("tot").as("total_rev_cents"),
+        expr("CAST(sumsq * 1000000 div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("top_rev * 1000000 div tot").as("top_share_ppm"),
+        expr("CAST(CAST(tot AS DECIMAL(38,0)) * tot * 1000 div sumsq AS BIGINT)")
+          .as("eff_competitors_milli"))
+      .orderBy("r_name")
+  }
+
+  /** q266 — t-closeness audit: completes the release-gate trio — q152/
+    * q155 bound group SIZE (k-anonymity), q238 bounds sensitive-value
+    * VARIETY (l-diversity), but a group can pass both while its
+    * sensitive DISTRIBUTION still leaks (9 low + 1 urgent in a
+    * nation-month where the population is 50/50 tells an attacker
+    * plenty). t-closeness bounds the Earth-Mover's Distance between
+    * each QI group's sensitive distribution and the global one. The
+    * sensitive attribute (order priority) is ORDINAL, so EMD has the
+    * exact closed form (1/(m−1))·Σᵢ|CumPg(i) − CumP(i)| over the m=5
+    * ordered levels — computed as one exact integer per group:
+    * Σᵢ|cumcᵢ·N − cumCᵢ·n_g| · 10⁶ // (4·n_g·N), no float ever forms.
+    * A dense 5-level spine per group makes absent levels exact zeros
+    * instead of skipped terms.
+    *
+    * Scale: the corpus collapses to (QI, level) cells map-side; the
+    * spine is groups×5, the global distribution is 5 cells broadcast,
+    * and the cumulative windows partition per group over exactly 5
+    * rows. BIGINT exact through sf100 (n_g·N·10⁶ ≲ 10¹⁸);
+    * DECIMAL(38,0) is the documented lift beyond. */
+  val q266TCloseness: Q = Q(
+    "q266_t_closeness",
+    """WITH base AS (
+      |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS p
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), cells AS (
+      |  SELECT n_name, m, p, COUNT(*) AS c FROM base GROUP BY n_name, m, p
+      |), grp AS (
+      |  SELECT n_name, m, SUM(c) AS ng FROM cells GROUP BY n_name, m
+      |), spine AS (
+      |  SELECT g.n_name, g.m, g.ng, pr.p
+      |  FROM grp g CROSS JOIN (SELECT unnest(range(1, 6)) AS p) pr
+      |), dense AS (
+      |  SELECT s.n_name, s.m, s.ng, s.p, COALESCE(c.c, 0) AS c
+      |  FROM spine s LEFT JOIN cells c
+      |    ON c.n_name = s.n_name AND c.m = s.m AND c.p = s.p
+      |), gdist AS (
+      |  SELECT p, SUM(c) AS gc FROM dense GROUP BY p
+      |), gtot AS (
+      |  SELECT SUM(gc) AS n FROM gdist
+      |), gcum AS (
+      |  SELECT p, SUM(gc) OVER (ORDER BY p) AS cum_g FROM gdist
+      |), cum AS (
+      |  SELECT n_name, m, ng, p,
+      |    SUM(c) OVER (PARTITION BY n_name, m ORDER BY p) AS cum_c
+      |  FROM dense
+      |), emd AS (
+      |  SELECT c.n_name, c.m, c.ng,
+      |    SUM(CASE WHEN c.p < 5
+      |      THEN ABS(c.cum_c * t.n - g.cum_g * c.ng) ELSE 0 END) AS num
+      |  FROM cum c JOIN gcum g USING (p) CROSS JOIN gtot t
+      |  GROUP BY c.n_name, c.m, c.ng
+      |)
+      |SELECT e.n_name, e.m AS month, CAST(e.ng AS BIGINT) AS n_rows,
+      |  CAST(e.num * 1000000 // (4 * e.ng * t.n) AS BIGINT) AS emd_ppm,
+      |  e.num * 1000000 // (4 * e.ng * t.n) > 200000 AS t_breach
+      |FROM emd e CROSS JOIN gtot t
+      |ORDER BY e.n_name, e.m""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+    val cells = base.groupBy("n_name", "m", "p").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // (QI, level) cells: spine join + global dist read it
+    val grp = cells.groupBy("n_name", "m").agg(sum("c").as("ng"))
+    val spine = grp.crossJoin(broadcast(
+      s.range(1, 6).select(col("id").as("p")))) // 5-row level spine
+    val dense = spine.join(cells, Seq("n_name", "m", "p"), "left")
+      .select(col("n_name"), col("m"), col("ng"), col("p"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint() // groups×5 cells: global dist + cum both read it
+    val glob = dense.groupBy("p").agg(sum("c").as("gc"))
+    val gtot = glob.agg(sum("gc").as("n"))
+    val gcum = glob.select(col("p"), sum("gc").over(
+      Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .as("cum_g"))
+    val cum = dense.withColumn("cum_c", sum("c").over(
+      Window.partitionBy("n_name", "m").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(gcum), "p").crossJoin(broadcast(gtot)) // 5-cell + 1-row
+      .groupBy("n_name", "m", "ng")
+      .agg(sum(when(col("p") < 5,
+        abs(col("cum_c") * col("n") - col("cum_g") * col("ng")))
+        .otherwise(0L)).as("num"))
+      .crossJoin(broadcast(gtot))
+      .select(col("n_name"), col("m").as("month"), col("ng").as("n_rows"),
+        expr("num * 1000000 div (4 * ng * n)").as("emd_ppm"),
+        (expr("num * 1000000 div (4 * ng * n)") > 200000L).as("t_breach"))
+      .orderBy("n_name", "month")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2741,5 +2974,6 @@ object Analytics {
     q210MonetaryUnitSample, q213PrioritySample, q214HllRegisters,
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
     q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean,
-    q251IsotonicFit, q252Dbscan)
+    q251IsotonicFit, q252Dbscan, q262GainsLift, q263HhiConcentration,
+    q266TCloseness)
 }

@@ -2511,6 +2511,217 @@ object Events {
       .orderBy("day")
   }
 
+  /** q264 — pinball-loss quantile eval: fit the τ=0.9 quantile per
+    * event type on a deterministic md5 train split (80%), score it on
+    * the held-out 20% with the pinball (quantile) loss — THE proper
+    * scoring rule for quantile predictions, the eval q254's conformal
+    * intervals and q57's percentile fits report against. The train
+    * order statistic is the exact ⌈0.9·n⌉-th smallest (row_number per
+    * type, ceil spelled (9n+9) div 10); the loss is exact integer:
+    * τ(v−p) when v ≥ p else (1−τ)(p−v), with τ = 9/10 kept as the
+    * 9·(v−p)-or-1·(p−v) numerator and ONE final division — mean loss
+    * in milli-cents = Σ·100 div n_test. Empirical coverage ships next
+    * to it (the two numbers disagreeing is how a miscalibrated
+    * quantile shows up).
+    *
+    * Scale: one scan tags the split from a hash (no shuffle); the rank
+    * window partitions per type (parallel across types) over the train
+    * slice; the test pass collapses to |types| cells map-side against
+    * the broadcast quantile table. */
+  val q264PinballEval: Q = Q(
+    "q264_pinball_eval",
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(concat('0x', substr(md5('pin_' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt
+      |  FROM events
+      |), tr AS (
+      |  SELECT event_type, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_type) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_train
+      |  FROM e WHERE bkt < 8
+      |), q AS (
+      |  SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+      |    CAST(v AS BIGINT) AS q90_cents
+      |  FROM tr WHERE rn = (9 * n_train + 9) // 10
+      |), t AS (
+      |  SELECT e.event_type, COUNT(*) AS n_test,
+      |    SUM(CASE WHEN e.v >= q.q90_cents THEN 9 * (e.v - q.q90_cents)
+      |        ELSE q.q90_cents - e.v END) AS loss_num,
+      |    SUM(CASE WHEN e.v <= q.q90_cents THEN 1 ELSE 0 END) AS n_covered
+      |  FROM e JOIN q USING (event_type)
+      |  WHERE e.bkt >= 8 GROUP BY e.event_type
+      |)
+      |SELECT q.event_type, q.n_train, CAST(t.n_test AS BIGINT) AS n_test,
+      |  q.q90_cents,
+      |  CAST(t.loss_num * 100 // t.n_test AS BIGINT) AS mean_pinball_milli,
+      |  CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+      |FROM q JOIN t USING (event_type)
+      |ORDER BY q.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.hex32
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(hex32(concat(lit("pin_"), col("event_id").cast("string"))), lit(10L)).as("bkt"))
+      .localCheckpoint() // train + test legs read one snapshot
+    val tr = e.filter(col("bkt") < 8)
+      .select(col("event_type"), col("v"),
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("v"), col("event_type"))).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n_train"))
+    val q = tr.filter(col("rn") === expr("(9 * n_train + 9) div 10"))
+      .select(col("event_type"), col("n_train"), col("v").as("q90_cents"))
+    val t = e.filter(col("bkt") >= 8)
+      .join(broadcast(q.select(col("event_type"), col("q90_cents"))), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("v") >= col("q90_cents"), lit(9L) * (col("v") - col("q90_cents")))
+          .otherwise(col("q90_cents") - col("v"))).as("loss_num"),
+        sum(when(col("v") <= col("q90_cents"), 1L).otherwise(0L)).as("n_covered"))
+    q.join(t, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_test"), col("q90_cents"),
+        expr("loss_num * 100 div n_test").as("mean_pinball_milli"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** q265 — Bradley–Terry pairwise strength (Zermelo 1929; the model
+    * behind Elo and behind every LLM-arena leaderboard): event types
+    * are the "players", each user who engaged with both of a pair
+    * casts one comparison — the type with the strictly higher
+    * per-user mean value wins (exact cross-multiplied compare,
+    * su_a·n_b vs su_b·n_a — no division; ties abstain). Strengths come
+    * from 3 unrolled MM iterations (Hunter 2004): sᵢ ← Wᵢ·10¹² //
+    * Σⱼ(nᵢⱼ·10¹² // (sᵢ+sⱼ)), renormalized to mean 10⁶ each round —
+    * every step an exact integer floor-div replayed identically by
+    * both engines, so the fixed point is hash-stable. Strengths clamp
+    * to ≥1 micro (a never-winning player's MLE is 0, which would zero
+    * a later round's sᵢ+sⱼ denominator — the clamp keeps the map total
+    * and is 10⁻⁶ of the init scale). 3 rounds is the
+    * pinned budget (the MM map is a contraction on the fixture's
+    * connected comparison graph; the round count ships in the schema
+    * via the column name, not a hidden convergence loop).
+    *
+    * Scale: the (user, type) mean table is one corpus rollup; the
+    * comparison join is user-co-partitioned with ≤|types|² fanout per
+    * user; everything after lives on the ≤|types|² wins matrix and
+    * |types| strength cells (broadcast per round). */
+  val q265BradleyTerry: Q = Q(
+    "q265_bradley_terry",
+    """WITH ut AS (
+      |  SELECT user_id, event_type,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS su,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY user_id, event_type
+      |), comp AS (
+      |  SELECT a.event_type AS wt, b.event_type AS lt
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type
+      |  WHERE a.su * b.n > b.su * a.n
+      |), w AS (
+      |  SELECT wt, lt, COUNT(*) AS wins FROM comp GROUP BY wt, lt
+      |), types AS (
+      |  SELECT DISTINCT event_type FROM ut
+      |), pairs AS (
+      |  SELECT t1.event_type AS i, t2.event_type AS j,
+      |    COALESCE(wij.wins, 0) AS w_ij,
+      |    COALESCE(wij.wins, 0) + COALESCE(wji.wins, 0) AS n_ij
+      |  FROM types t1 JOIN types t2 ON t1.event_type <> t2.event_type
+      |  LEFT JOIN w wij ON wij.wt = t1.event_type AND wij.lt = t2.event_type
+      |  LEFT JOIN w wji ON wji.wt = t2.event_type AND wji.lt = t1.event_type
+      |), s0 AS (
+      |  SELECT event_type AS i, CAST(1000000 AS BIGINT) AS s FROM types
+      |), r1 AS (
+      |  SELECT p.i, GREATEST(SUM(p.w_ij) * 1000000000000 //
+      |    SUM(p.n_ij * 1000000000000 // (si.s + sj.s)), 1) AS s
+      |  FROM pairs p JOIN s0 si ON si.i = p.i JOIN s0 sj ON sj.i = p.j
+      |  GROUP BY p.i HAVING SUM(p.n_ij) > 0
+      |), n1 AS (
+      |  SELECT i, GREATEST(s * (SELECT COUNT(*) * 1000000 FROM r1) // (SELECT SUM(s) FROM r1), 1) AS s FROM r1
+      |), r2 AS (
+      |  SELECT p.i, GREATEST(SUM(p.w_ij) * 1000000000000 //
+      |    SUM(p.n_ij * 1000000000000 // (si.s + sj.s)), 1) AS s
+      |  FROM pairs p JOIN n1 si ON si.i = p.i JOIN n1 sj ON sj.i = p.j
+      |  GROUP BY p.i HAVING SUM(p.n_ij) > 0
+      |), n2 AS (
+      |  SELECT i, GREATEST(s * (SELECT COUNT(*) * 1000000 FROM r2) // (SELECT SUM(s) FROM r2), 1) AS s FROM r2
+      |), r3 AS (
+      |  SELECT p.i, GREATEST(SUM(p.w_ij) * 1000000000000 //
+      |    SUM(p.n_ij * 1000000000000 // (si.s + sj.s)), 1) AS s
+      |  FROM pairs p JOIN n2 si ON si.i = p.i JOIN n2 sj ON sj.i = p.j
+      |  GROUP BY p.i HAVING SUM(p.n_ij) > 0
+      |), n3 AS (
+      |  SELECT i, GREATEST(s * (SELECT COUNT(*) * 1000000 FROM r3) // (SELECT SUM(s) FROM r3), 1) AS s FROM r3
+      |), tot AS (
+      |  SELECT wt AS i, SUM(wins) AS wins FROM w GROUP BY wt
+      |), losses AS (
+      |  SELECT lt AS i, SUM(wins) AS losses FROM w GROUP BY lt
+      |)
+      |SELECT n3.i AS event_type,
+      |  CAST(COALESCE(tot.wins, 0) AS BIGINT) AS wins,
+      |  CAST(COALESCE(losses.losses, 0) AS BIGINT) AS losses,
+      |  CAST(n3.s AS BIGINT) AS strength_micro,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n3.s DESC, n3.i) AS BIGINT) AS bt_rank
+      |FROM n3
+      |LEFT JOIN tot ON tot.i = n3.i
+      |LEFT JOIN losses ON losses.i = n3.i
+      |ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ut = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("su"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // both comparison legs read it
+    val comp = ut
+      .join(ut.select(col("user_id"), col("event_type").as("lt"),
+          col("su").as("bsu"), col("n").as("bn")),
+        Seq("user_id"))
+      .filter(col("event_type") =!= col("lt") &&
+        col("su") * col("bn") > col("bsu") * col("n"))
+    val w = comp.groupBy(col("event_type").as("wt"), col("lt"))
+      .agg(count(lit(1)).as("wins"))
+      .localCheckpoint() // ≤|types|² cells: pairs + win/loss totals read it
+    val types = ut.select(col("event_type")).distinct()
+      .localCheckpoint() // |types| rows
+    val pairs = types.select(col("event_type").as("i"))
+      .join(types.select(col("event_type").as("j")), col("i") =!= col("j"))
+      .join(w.select(col("wt"), col("lt"), col("wins").as("wij")),
+        col("wt") === col("i") && col("lt") === col("j"), "left")
+      .join(w.select(col("wt").as("wt2"), col("lt").as("lt2"), col("wins").as("wji")),
+        col("wt2") === col("j") && col("lt2") === col("i"), "left")
+      .select(col("i"), col("j"),
+        coalesce(col("wij"), lit(0L)).as("w_ij"),
+        (coalesce(col("wij"), lit(0L)) + coalesce(col("wji"), lit(0L))).as("n_ij"))
+      .localCheckpoint() // |types|² cells: every MM round reads it
+    var strength = types.select(col("event_type").as("i"), lit(1000000L).as("s"))
+    (1 to 3).foreach { _ =>
+      val raw = pairs
+        .join(broadcast(strength.select(col("i"), col("s").as("si"))), "i")
+        .join(broadcast(strength.select(col("i").as("j"), col("s").as("sj"))), "j")
+        .groupBy("i")
+        .agg(sum("w_ij").as("wsum"),
+          sum(expr("n_ij * 1000000000000 div (si + sj)")).as("den"),
+          sum("n_ij").as("nsum"))
+        .filter(col("nsum") > 0)
+        .select(col("i"), greatest(expr("wsum * 1000000000000 div den"), lit(1L)).as("s"))
+      val norm = raw.agg(count(lit(1)).as("cnt"), sum("s").as("ssum"))
+      strength = raw.crossJoin(broadcast(norm)) // 1-row normalizer
+        .select(col("i"), greatest(expr("s * (cnt * 1000000) div ssum"), lit(1L)).as("s"))
+        .localCheckpoint() // |types| strength cells feed the next round
+    }
+    val tot = w.groupBy(col("wt").as("i")).agg(sum("wins").as("wins"))
+    val losses = w.groupBy(col("lt").as("i")).agg(sum("wins").as("losses"))
+    strength
+      .join(tot, Seq("i"), "left")
+      .join(losses, Seq("i"), "left")
+      .select(col("i").as("event_type"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"),
+        col("s").as("strength_micro"))
+      .withColumn("bt_rank", row_number().over(
+        Window.orderBy(col("strength_micro").desc, col("event_type"))).cast("long"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2520,5 +2731,6 @@ object Events {
     q179LandingBounce, q181BoundarySessions, q187Covisitation,
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
-    q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval)
+    q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval,
+    q264PinballEval, q265BradleyTerry)
 }

@@ -1868,12 +1868,185 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q257 — NDCG@10 retrieval eval: graded-position quality of the
+    * top-10 cosine ranking per query (binary relevance = same label),
+    * completing the eval triad's position-sensitive leg (q104 recall@k
+    * — did it show up; q250 MRR — where was the FIRST hit; this — how
+    * good is the WHOLE ranked page). The 1/log₂(1+r) discount is the
+    * one transcendental in the metric, so it ships as a PINNED integer
+    * table in micro units (rank 1..10 and its prefix sums — the exact
+    * floor of 10⁶/log₂(1+r), constants identical in both engines);
+    * DCG/IDCG are then exact integer sums, ndcg_ppm an exact floor
+    * division. IDCG truncates the ideal list at min(R, 10) where R is
+    * the query's corpus-wide relevant count — the standard
+    * normalization, so a rare-label query isn't penalized for having
+    * fewer than 10 possible hits.
+    *
+    * Scale: q250's shape verbatim — 20 broadcast query vectors, one
+    * corpus scan through the fused graft_dot, a 20-partition rank
+    * window; the label-count table is |labels| cells broadcast back.
+    * LSH/IVF (q32/q54) compose as the sublinear candidate path. */
+  val q257NdcgEval: Q = Q(
+    "q257_ndcg_eval",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, $DVec AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM vecs WHERE vec_id < 20
+       |), ranked AS (
+       |  SELECT query_id, qlabel, label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), dcg AS (
+       |  SELECT query_id,
+       |    SUM(CASE WHEN label = qlabel THEN
+       |      [1000000,630929,500000,430676,386852,356207,333333,315464,301029,289064][rank]
+       |      ELSE 0 END) AS dcg_micro,
+       |    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_rel_at10
+       |  FROM ranked WHERE rank <= 10 GROUP BY query_id
+       |), rel AS (
+       |  SELECT label, COUNT(*) AS cnt FROM vecs GROUP BY label
+       |)
+       |SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+       |  CAST(r.cnt - 1 AS BIGINT) AS n_rel_corpus,
+       |  CAST(d.n_rel_at10 AS BIGINT) AS n_rel_at10,
+       |  CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+       |  CAST(CASE WHEN r.cnt - 1 = 0 THEN NULL ELSE
+       |    [1000000,1630929,2130929,2561605,2948457,3304664,3637997,3953461,4254490,4543554][LEAST(r.cnt - 1, 10)]
+       |    END AS BIGINT) AS idcg_micro,
+       |  CAST(CASE WHEN r.cnt - 1 = 0 THEN NULL ELSE
+       |    d.dcg_micro * 1000000 //
+       |    [1000000,1630929,2130929,2561605,2948457,3304664,3637997,3953461,4254490,4543554][LEAST(r.cnt - 1, 10)]
+       |    END AS BIGINT) AS ndcg_ppm
+       |FROM qs q
+       |JOIN rel r ON r.label = q.qlabel
+       |JOIN dcg d ON d.query_id = q.query_id
+       |ORDER BY q.query_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val discArr = array(Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L).map(lit): _*)
+    val preArr = array(Seq(1000000L, 1630929L, 2130929L, 2561605L, 2948457L,
+      3304664L, 3637997L, 3953461L, 4254490L, 4543554L).map(lit): _*)
+    val vecs = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")), "v")
+    val qs = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("vec_id"))
+    val ranked = vecs.crossJoin(broadcast(qs)) // 20 query vectors broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"),
+        col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+    val dcg = ranked.filter(col("rank") <= 10)
+      .groupBy("query_id")
+      .agg(sum(when(col("label") === col("qlabel"),
+          element_at(discArr, col("rank"))).otherwise(0L)).as("dcg_micro"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_rel_at10"))
+    val rel = vecs.groupBy("label").agg(count(lit(1)).as("cnt"))
+    qs.select(col("query_id"), col("qlabel"))
+      .join(broadcast(rel), col("label") === col("qlabel"))
+      .join(dcg, "query_id")
+      .select(col("query_id"), col("qlabel").cast("long").as("label"),
+        (col("cnt") - 1).as("n_rel_corpus"), col("n_rel_at10"), col("dcg_micro"),
+        when(col("cnt") - 1 === 0, lit(null).cast("long"))
+          .otherwise(element_at(preArr, least(col("cnt") - 1, lit(10L)).cast("int")))
+          .as("idcg_micro"))
+      .withColumn("ndcg_ppm", expr("dcg_micro * 1000000 div idcg_micro"))
+      .orderBy("query_id")
+  }
+
+  /** q258 — MAP@10 retrieval eval (mean-average-precision's per-query
+    * leg): AP = (Σ_{relevant hits at rank r} P@r) / min(R, 10) over the
+    * top-10 cosine ranking — the area-under-PR-curve companion to
+    * q257's position-discounted view (AP rewards ALL hits early, NDCG
+    * discounts smoothly; production eval reports both). P@r in exact
+    * floor-ppm via a running-hit window; the final AP division floors
+    * once more (both engines, same order — deterministic). A query
+    * with no relevant corpus doc yields NULL, not a zero that poisons
+    * the mean.
+    *
+    * Scale: identical to q250/q257 — broadcast queries, one scored
+    * scan, 20-partition rank window; the running-count window runs on
+    * 10 rows per query. */
+  val q258MapEval: Q = Q(
+    "q258_map_eval",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, $DVec AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM vecs WHERE vec_id < 20
+       |), ranked AS (
+       |  SELECT query_id, qlabel, label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), hits AS (
+       |  SELECT query_id, rank,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS is_rel,
+       |    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank) AS cum
+       |  FROM ranked WHERE rank <= 10
+       |), ap AS (
+       |  SELECT query_id,
+       |    SUM(CASE WHEN is_rel = 1 THEN cum * 1000000 // rank ELSE 0 END) AS sum_prec_ppm,
+       |    SUM(is_rel) AS n_rel_at10
+       |  FROM hits GROUP BY query_id
+       |), rel AS (
+       |  SELECT label, COUNT(*) AS cnt FROM vecs GROUP BY label
+       |)
+       |SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+       |  CAST(r.cnt - 1 AS BIGINT) AS n_rel_corpus,
+       |  CAST(a.n_rel_at10 AS BIGINT) AS n_rel_at10,
+       |  CAST(CASE WHEN r.cnt - 1 = 0 THEN NULL
+       |    ELSE a.sum_prec_ppm // LEAST(r.cnt - 1, 10) END AS BIGINT) AS ap_ppm
+       |FROM qs q
+       |JOIN rel r ON r.label = q.qlabel
+       |JOIN ap a ON a.query_id = q.query_id
+       |ORDER BY q.query_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")), "v")
+    val qs = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("vec_id"))
+    val ranked = vecs.crossJoin(broadcast(qs)) // 20 query vectors broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"),
+        col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+    val wCum = Window.partitionBy("query_id").orderBy("rank")
+    val hits = ranked.filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("is_rel"))
+      .withColumn("cum", sum("is_rel").over(wCum))
+    val ap = hits.groupBy("query_id")
+      .agg(sum(when(col("is_rel") === 1, expr("cum * 1000000 div rank"))
+        .otherwise(0L)).as("sum_prec_ppm"),
+        sum("is_rel").as("n_rel_at10"))
+    val rel = vecs.groupBy("label").agg(count(lit(1)).as("cnt"))
+    qs.select(col("query_id"), col("qlabel"))
+      .join(broadcast(rel), col("label") === col("qlabel"))
+      .join(ap, "query_id")
+      .select(col("query_id"), col("qlabel").cast("long").as("label"),
+        (col("cnt") - 1).as("n_rel_corpus"), col("n_rel_at10"),
+        when(col("cnt") - 1 === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_prec_ppm div least(cnt - 1, 10)")).as("ap_ppm"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
     q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank,
-    q250MrrEval)
+    q250MrrEval, q257NdcgEval, q258MapEval)
 
 
 }

@@ -1385,11 +1385,323 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q256 — BLEU-2 generation eval (Papineni 2002, exp-free): clipped
+    * unigram/bigram precision of each candidate against its group's
+    * reference (q248's %5 pairing — precision is BLEU's half of the
+    * ROUGE recall/precision duality), a brevity penalty, and their
+    * combination. Log-free exactness choices, both documented: the
+    * geometric mean √(p₁·p₂) uses isqrt = floor(IEEE sqrt) on an
+    * exact-integer product ≤ 10¹² (< 2⁵², correctly rounded →
+    * deterministic on both engines — the q153/q176 precedent), and the
+    * brevity penalty is the linear lower bound min(1, c/r) of
+    * exp(1−r/c) (exact where BLEU's BP is exact — c ≥ r — and a
+    * monotone under-penalty below; no transcendental ever evaluates).
+    *
+    * Scale: q248's cell shape verbatim — per-doc gram counts collapse
+    * map-side, the clip join ships (ref, n, hash) + counts only, and
+    * every downstream join is doc-cardinality. */
+  val q256BleuEval: Q = Q(
+    "q256_bleu_eval",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $DToks AS toks FROM documents
+       |), grams AS (
+       |  SELECT doc_id, 1 AS n, unnest(list_transform(toks, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS h
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, 2, unnest(list_transform(
+       |    list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(toks[i:i+1], ' ')),
+       |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)))
+       |  FROM toks
+       |), cells AS (
+       |  SELECT doc_id, n, h, COUNT(*) AS c FROM grams GROUP BY doc_id, n, h
+       |), tot AS (
+       |  SELECT doc_id, n, SUM(c) AS t FROM cells GROUP BY doc_id, n
+       |), ov AS (
+       |  SELECT c.doc_id, c.n, SUM(LEAST(c.c, r.c)) AS ov
+       |  FROM cells c
+       |  JOIN cells r ON r.doc_id = c.doc_id - c.doc_id % 5
+       |    AND r.n = c.n AND r.h = c.h
+       |  WHERE c.doc_id % 5 <> 0
+       |  GROUP BY c.doc_id, c.n
+       |), prec AS (
+       |  SELECT t.doc_id, t.n, COALESCE(o.ov, 0) * 1000000 // t.t AS p_ppm
+       |  FROM tot t
+       |  LEFT JOIN ov o ON o.doc_id = t.doc_id AND o.n = t.n
+       |  WHERE t.doc_id % 5 <> 0
+       |), lens AS (
+       |  SELECT c.doc_id, c.t AS c_len, r.t AS r_len
+       |  FROM tot c
+       |  JOIN tot r ON r.doc_id = c.doc_id - c.doc_id % 5 AND r.n = 1
+       |  WHERE c.n = 1 AND c.doc_id % 5 <> 0
+       |)
+       |SELECT l.doc_id,
+       |  CAST(l.c_len AS BIGINT) AS cand_tokens,
+       |  CAST(l.r_len AS BIGINT) AS ref_tokens,
+       |  CAST(u.p_ppm AS BIGINT) AS p1_ppm,
+       |  CAST(b.p_ppm AS BIGINT) AS p2_ppm,
+       |  CAST(LEAST(1000000, l.c_len * 1000000 // l.r_len) AS BIGINT) AS bp_ppm,
+       |  CAST(LEAST(1000000, l.c_len * 1000000 // l.r_len)
+       |    * CAST(FLOOR(SQRT(CAST(u.p_ppm * b.p_ppm AS DOUBLE))) AS BIGINT)
+       |    // 1000000 AS BIGINT) AS bleu2_ppm
+       |FROM lens l
+       |JOIN prec u ON u.doc_id = l.doc_id AND u.n = 1
+       |JOIN prec b ON b.doc_id = l.doc_id AND b.n = 2
+       |ORDER BY l.doc_id""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"), lit(1).as("n"),
+        explode(transform(col("toks"), t => hex32(t))).as("h"))
+      .unionAll(toks.select(col("doc_id"), lit(2).as("n"),
+        explode(transform(shingles(col("toks"), 2), g => hex32(g))).as("h")))
+    val cells = grams.groupBy("doc_id", "n", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by both clip-join sides + totals
+    val tot = cells.groupBy("doc_id", "n").agg(sum("c").as("t"))
+      .localCheckpoint() // read by prec + both lens legs
+    val ov = cells.filter(col("doc_id") % 5 =!= 0)
+      .join(cells.select(col("doc_id").as("rid"), col("n").as("rn"),
+          col("h").as("rh"), col("c").as("rc")),
+        col("rid") === col("doc_id") - col("doc_id") % 5 &&
+          col("rn") === col("n") && col("rh") === col("h"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(least(col("c"), col("rc"))).as("ov"))
+    val prec = tot.filter(col("doc_id") % 5 =!= 0)
+      .join(ov, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+        expr("coalesce(ov, 0) * 1000000 div t").as("p_ppm"))
+    val lens = tot.filter(col("n") === 1 && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("t").as("c_len"))
+      .join(tot.filter(col("n") === 1)
+          .select(col("doc_id").as("rid"), col("t").as("r_len")),
+        col("rid") === col("doc_id") - col("doc_id") % 5)
+    lens
+      .join(prec.filter(col("n") === 1).select(col("doc_id"), col("p_ppm").as("p1_ppm")), "doc_id")
+      .join(prec.filter(col("n") === 2).select(col("doc_id"), col("p_ppm").as("p2_ppm")), "doc_id")
+      .select(col("doc_id"),
+        col("c_len").as("cand_tokens"), col("r_len").as("ref_tokens"),
+        col("p1_ppm"), col("p2_ppm"),
+        least(lit(1000000L), expr("c_len * 1000000 div r_len")).as("bp_ppm"),
+        expr("""least(1000000, c_len * 1000000 div r_len)
+          * cast(floor(sqrt(cast(p1_ppm * p2_ppm as double))) as bigint)
+          div 1000000""").as("bleu2_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** q259 — Cohen's kappa, per source: chance-corrected agreement of
+    * the q23 langId annotator against the gold `lang` label — the
+    * inter-annotator-agreement statistic every labeling/curation
+    * pipeline reports (q107 ships the raw confusion matrix; kappa is
+    * its one-number chance correction). Exact rational arithmetic via
+    * cross-multiplication: κ = (N·Σₖnₖₖ − Σₖaₖbₖ)/(N² − Σₖaₖbₖ) with
+    * row/col marginals aₖ/bₖ — no pₒ/pₑ float ever forms. κ can be
+    * legitimately negative (worse than chance) and Spark's `div`
+    * truncates where DuckDB's `//` floors, so the division is spelled
+    * sign-split (both operands nonnegative in each branch — the q227
+    * hazard, handled the explicit way). A single-category degenerate
+    * source (N² = Σaₖbₖ) yields NULL, not a divide-by-zero.
+    *
+    * Scale: one scan votes per doc, collapses map-side to ≤|sources|·25
+    * (gold, pred) cells; marginals, the pₑ join, and the kappa fold all
+    * run on those cells. */
+  val q259CohensKappa: Q = Q(
+    "q259_cohens_kappa",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang, source,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT source, lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM v
+       |), cells AS (
+       |  SELECT source, lang, lang_pred, COUNT(*) AS c
+       |  FROM p GROUP BY source, lang, lang_pred
+       |), nd AS (
+       |  SELECT source, SUM(c) AS n,
+       |    SUM(CASE WHEN lang = lang_pred THEN c ELSE 0 END) AS diag
+       |  FROM cells GROUP BY source
+       |), rowm AS (
+       |  SELECT source, lang AS k, SUM(c) AS a FROM cells GROUP BY source, lang
+       |), colm AS (
+       |  SELECT source, lang_pred AS k, SUM(c) AS b FROM cells GROUP BY source, lang_pred
+       |), pe AS (
+       |  SELECT r.source, SUM(r.a * c.b) AS pe_num
+       |  FROM rowm r JOIN colm c ON c.source = r.source AND c.k = r.k
+       |  GROUP BY r.source
+       |)
+       |SELECT nd.source,
+       |  CAST(nd.n AS BIGINT) AS n_docs,
+       |  CAST(nd.diag AS BIGINT) AS n_agree,
+       |  CAST(nd.diag * 1000000 // nd.n AS BIGINT) AS po_ppm,
+       |  CAST(COALESCE(pe.pe_num, 0) * 1000000 // (nd.n * nd.n) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE
+       |    WHEN nd.n * nd.n = COALESCE(pe.pe_num, 0) THEN NULL
+       |    WHEN nd.n * nd.diag >= COALESCE(pe.pe_num, 0)
+       |      THEN (nd.n * nd.diag - COALESCE(pe.pe_num, 0)) * 1000000
+       |        // (nd.n * nd.n - COALESCE(pe.pe_num, 0))
+       |    ELSE -((COALESCE(pe.pe_num, 0) - nd.n * nd.diag) * 1000000
+       |        // (nd.n * nd.n - COALESCE(pe.pe_num, 0)))
+       |  END AS BIGINT) AS kappa_ppm
+       |FROM nd LEFT JOIN pe USING (source)
+       |ORDER BY nd.source""") { (s, d) =>
+    val p = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"), col("lang"), langId(col("toks")).as("lang_pred"))
+    val cells = p.groupBy("source", "lang", "lang_pred").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤|sources|·25 cells: totals + both marginals read it
+    val nd = cells.groupBy("source")
+      .agg(sum("c").as("n"),
+        sum(when(col("lang") === col("lang_pred"), col("c")).otherwise(0L)).as("diag"))
+    val rowm = cells.groupBy(col("source"), col("lang").as("k")).agg(sum("c").as("a"))
+    val colm = cells.groupBy(col("source"), col("lang_pred").as("k")).agg(sum("c").as("b"))
+    val pe = rowm.join(colm, Seq("source", "k"))
+      .groupBy("source").agg(sum(col("a") * col("b")).as("pe_num"))
+    nd.join(pe, Seq("source"), "left")
+      .select(col("source"), col("n").as("n_docs"), col("diag").as("n_agree"),
+        expr("diag * 1000000 div n").as("po_ppm"),
+        expr("coalesce(pe_num, 0) * 1000000 div (n * n)").as("pe_ppm"),
+        expr("""CASE
+          WHEN n * n = coalesce(pe_num, 0) THEN CAST(NULL AS BIGINT)
+          WHEN n * diag >= coalesce(pe_num, 0)
+            THEN (n * diag - coalesce(pe_num, 0)) * 1000000
+              div (n * n - coalesce(pe_num, 0))
+          ELSE -((coalesce(pe_num, 0) - n * diag) * 1000000
+              div (n * n - coalesce(pe_num, 0)))
+        END""").as("kappa_ppm"))
+      .orderBy("source")
+  }
+
+  /** q260 — Simpson diversity of the token distribution, per source:
+    * collision probability Σc(c−1)/T(T−1) (the probability two tokens
+    * drawn without replacement are the same type — Rényi-2's exact
+    * finite-sample form) and its inverse, the "effective vocabulary"
+    * — the log-free diversity diagnostic for corpus mixing (entropy
+    * needs a transcendental; the collision form is exact integer).
+    * Complements q149 (Heaps growth = how fast types appear) with
+    * how CONCENTRATED the mass is once they have.
+    *
+    * Scale: token instances collapse map-side to (source, type) cells
+    * — vocab cardinality, the q63/q161 shape; the diversity fold is
+    * |sources| cells. BIGINT holds through sf10 (T² ≲ 10¹⁷ cents-free);
+    * DECIMAL(38,0) is the 100 TB lift, one cast at the fold. */
+  val q260SimpsonDiversity: Q = Q(
+    "q260_simpson_diversity",
+    s"""WITH t AS (
+       |  SELECT source, unnest($DToks) AS tok FROM documents
+       |), cells AS (
+       |  SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok
+       |), agg AS (
+       |  SELECT source, SUM(c) AS n_tok, COUNT(*) AS n_types,
+       |    SUM(c * (c - 1)) AS coll
+       |  FROM cells GROUP BY source
+       |)
+       |SELECT source,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  CAST(coll AS BIGINT) AS collision_pairs,
+       |  CAST(coll * 1000000000 // NULLIF(n_tok * (n_tok - 1), 0) AS BIGINT) AS simpson_ppb,
+       |  CAST(CASE WHEN coll = 0 THEN NULL
+       |    ELSE n_tok * (n_tok - 1) * 1000 // coll END AS BIGINT) AS inv_simpson_milli
+       |FROM agg ORDER BY source""") { (s, d) =>
+    val t = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val cells = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    cells.groupBy("source")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("coll"))
+      .select(col("source"),
+        col("n_tok").as("n_tokens"), col("n_types"),
+        col("coll").as("collision_pairs"),
+        expr("coll * 1000000000 div nullif(n_tok * (n_tok - 1), 0)").as("simpson_ppb"),
+        when(col("coll") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_tok * (n_tok - 1) * 1000 div coll")).as("inv_simpson_milli"))
+      .orderBy("source")
+  }
+
+  /** q261 — minimum-Bayes-risk consensus selection: within each 5-doc
+    * group (q248's grouping, all 5 members as candidates), score every
+    * member by the SUM of its token-set Jaccard similarities to its
+    * peers and rank — MBR decoding's "pick the candidate closest to
+    * everything else" consensus rule, the standard sampling-based
+    * selection step for generation pipelines (utility = set Jaccard,
+    * the exp-free choice; q248's clipped overlap composes as a richer
+    * utility). Ties break to the lower doc_id.
+    *
+    * Scale: distinct (group, doc, token-hash) cells; the pair
+    * intersection is an equi-join keyed (group, hash) — fanout is the
+    * FIXED group size 5, never corpus²; scoring and the rank window
+    * run on 5-row groups. */
+  val q261MbrConsensus: Q = Q(
+    "q261_mbr_consensus",
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id - doc_id % 5 AS gid, $DToks AS toks FROM documents
+       |), cells AS (
+       |  SELECT DISTINCT doc_id, gid, h FROM (
+       |    SELECT doc_id, gid,
+       |      unnest(list_transform(toks, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS h
+       |    FROM t)
+       |), sz AS (
+       |  SELECT doc_id, gid, COUNT(*) AS sz FROM cells GROUP BY doc_id, gid
+       |), inter AS (
+       |  SELECT a.doc_id AS ad, b.doc_id AS bd, COUNT(*) AS i
+       |  FROM cells a JOIN cells b
+       |    ON b.gid = a.gid AND b.h = a.h AND b.doc_id <> a.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), sims AS (
+       |  SELECT sa.gid, sa.doc_id,
+       |    COALESCE(i.i, 0) * 1000000 // (sa.sz + sb.sz - COALESCE(i.i, 0)) AS sim_ppm
+       |  FROM sz sa
+       |  JOIN sz sb ON sb.gid = sa.gid AND sb.doc_id <> sa.doc_id
+       |  LEFT JOIN inter i ON i.ad = sa.doc_id AND i.bd = sb.doc_id
+       |), score AS (
+       |  SELECT gid, doc_id, SUM(sim_ppm) AS consensus_ppm, COUNT(*) AS n_peers
+       |  FROM sims GROUP BY gid, doc_id
+       |)
+       |SELECT gid, doc_id,
+       |  CAST(consensus_ppm AS BIGINT) AS consensus_ppm,
+       |  CAST(n_peers AS BIGINT) AS n_peers,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY gid
+       |    ORDER BY consensus_ppm DESC, doc_id) AS BIGINT) AS mbr_rank
+       |FROM score
+       |ORDER BY gid, mbr_rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 5).as("gid"),
+        tokens(col("text")).as("toks"))
+    val cells = t.select(col("doc_id"), col("gid"),
+        explode(transform(col("toks"), tk => hex32(tk))).as("h"))
+      .distinct()
+      .localCheckpoint() // read by both intersection sides + sizes
+    val sz = cells.groupBy("doc_id", "gid").agg(count(lit(1)).as("sz"))
+      .localCheckpoint() // 5 rows/group: both sims legs read it
+    val inter = cells
+      .join(cells.select(col("doc_id").as("bd"), col("gid").as("bg"), col("h").as("bh")),
+        col("bg") === col("gid") && col("bh") === col("h") && col("bd") =!= col("doc_id"))
+      .groupBy(col("doc_id").as("iad"), col("bd").as("ibd")).agg(count(lit(1)).as("i"))
+    val sims = sz
+      .join(sz.select(col("doc_id").as("bd"), col("gid").as("bg"), col("sz").as("bsz")),
+        col("bg") === col("gid") && col("bd") =!= col("doc_id"))
+      .join(inter, col("iad") === col("doc_id") && col("ibd") === col("bd"), "left")
+      .select(col("gid"), col("doc_id"),
+        expr("coalesce(i, 0) * 1000000 div (sz + bsz - coalesce(i, 0))").as("sim_ppm"))
+    sims.groupBy("gid", "doc_id")
+      .agg(sum("sim_ppm").as("consensus_ppm"), count(lit(1)).as("n_peers"))
+      .withColumn("mbr_rank", row_number().over(
+        Window.partitionBy("gid").orderBy(col("consensus_ppm").desc, col("doc_id"))).cast("long"))
+      .orderBy("gid", "mbr_rank")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
     q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
-    q236KneserNey, q248RougeOverlap, q255CerEval)
+    q236KneserNey, q248RougeOverlap, q255CerEval, q256BleuEval,
+    q259CohensKappa, q260SimpsonDiversity, q261MbrConsensus)
 }

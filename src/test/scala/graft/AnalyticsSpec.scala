@@ -875,4 +875,169 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q262: gains/lift replays from raw rows; capture is monotone to 1e6") {
+    import org.apache.spark.sql.functions._
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val binned = custs.map { case (k, bal) =>
+      (math.min(19L, math.max(0L, (bal + 99999) / 55000)),
+        if (urgent(k)) 1L else 0L)
+    }
+    val byBin = binned.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(_._2).sum) }
+    val (tn, tp) = (binned.length.toLong, binned.map(_._2).sum)
+    val rows = ops.Analytics.q262GainsLift.fn(spark, sf).collect()
+    assert(rows.nonEmpty && tp > 0)
+    var (cn, cp) = (0L, 0L)
+    rows.foreach { r =>
+      val bin = r.getLong(0)
+      val (n, npos) = byBin(bin)
+      cn += n; cp += npos
+      assert(r.getLong(1) == n && r.getLong(2) == npos, s"bin $bin")
+      assert(r.getLong(3) == npos * 1000000L / n, s"bin $bin rate")
+      assert(r.getLong(4) == cn && r.getLong(5) == cp, s"bin $bin cum")
+      assert(r.getLong(6) == cp * 1000000L / tp, s"bin $bin capture")
+      assert(r.getLong(7) == BigInt(cp) * tn * 1000000 / (BigInt(cn) * tp), s"bin $bin lift")
+    }
+    // the walk ends having captured everyone
+    assert(cn == tn && cp == tp)
+    assert(rows.last.getLong(6) == 1000000L)
+  }
+
+  test("q263: HHI replays in BigInt; bounds 1e6/n <= hhi <= top-share-driven") {
+    import org.apache.spark.sql.functions._
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "l_suppkey")
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val rows = ops.Analytics.q263HhiConcentration.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val region = r.getString(0)
+      val revs = rev.filter(_._1 == region).map(_._2)
+      val tot = revs.map(BigInt(_)).sum
+      val sumsq = revs.map(v => BigInt(v) * v).sum
+      assert(r.getLong(1) == revs.length.toLong, region)
+      assert(r.getLong(2) == tot.toLong, region)
+      val hhi = (sumsq * 1000000 / (tot * tot)).toLong
+      assert(r.getLong(3) == hhi, region)
+      assert(r.getLong(4) == (BigInt(revs.max) * 1000000 / tot).toLong, region)
+      assert(r.getLong(5) == (tot * tot * 1000 / sumsq).toLong, region)
+      // Cauchy-Schwarz floor: equal shares minimize HHI at 1e6/n
+      assert(hhi >= 1000000L / revs.length - 1 && hhi <= 1000000L, region)
+    }
+  }
+
+  test("q264: pinball loss and coverage replay; the q90 is the exact order statistic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.hex32
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        pmod(hex32(concat(lit("pin_"), col("event_id").cast("string"))), lit(10L)).as("bkt"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val rows = ops.Events.q264PinballEval.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val tr = evs.filter(x => x._1 == t && x._3 < 8).map(_._2).sorted
+      val te = evs.filter(x => x._1 == t && x._3 >= 8).map(_._2)
+      assert(r.getLong(1) == tr.length.toLong && r.getLong(2) == te.length.toLong, t)
+      val q90 = tr((9 * tr.length + 9) / 10 - 1)
+      assert(r.getLong(3) == q90, t)
+      val loss = te.map(v => if (v >= q90) 9 * (v - q90) else q90 - v).sum
+      assert(r.getLong(4) == loss * 100 / te.length, t)
+      val cov = te.count(_ <= q90).toLong
+      assert(r.getLong(5) == cov * 1000000L / te.length, t)
+      // a well-fit 0.9-quantile should cover most of the test slice
+      assert(r.getLong(5) >= 800000L && r.getLong(5) <= 1000000L, s"$t coverage")
+    }
+  }
+
+  test("q265: Bradley-Terry strengths replay the exact 3-round MM; order follows wins") {
+    import org.apache.spark.sql.functions._
+    val ut = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("su"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // comparisons: per user, a beats b iff mean_a > mean_b (cross-multiplied)
+    val wins = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    ut.groupBy(_._1).values.foreach { es =>
+      for (a <- es; b <- es if a._2 != b._2)
+        if (a._3 * b._4 > b._3 * a._4) wins((a._2, b._2)) += 1
+    }
+    val types = ut.map(_._2).distinct.sorted.toSeq
+    var s = types.map(t => t -> BigInt(1000000)).toMap
+    var kept = types
+    for (_ <- 1 to 3) {
+      val raw = kept.flatMap { i =>
+        val js = kept.filter(_ != i)
+        val nsum = js.map(j => wins((i, j)) + wins((j, i))).sum
+        if (nsum == 0) None
+        else {
+          val wsum = js.map(j => wins((i, j))).sum
+          val den = js.map(j =>
+            BigInt(wins((i, j)) + wins((j, i))) * BigInt("1000000000000") / (s(i) + s(j))).sum
+          Some(i -> (BigInt(wsum) * BigInt("1000000000000") / den).max(1))
+        }
+      }.toMap
+      val ssum = raw.values.sum
+      s = raw.map { case (i, v) => i -> (v * raw.size * 1000000 / ssum).max(1) }
+      kept = s.keys.toSeq.sorted
+    }
+    val rows = ops.Events.q265BradleyTerry.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == kept)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == types.filter(_ != t).map(j => wins((t, j))).sum, s"$t wins")
+      assert(r.getLong(2) == types.filter(_ != t).map(j => wins((j, t))).sum, s"$t losses")
+      assert(r.getLong(3) == s(t).toLong, s"$t strength")
+    }
+    // ranks are a permutation ordered by strength desc
+    val ranked = rows.sortBy(r => (-r.getLong(3), r.getString(0))).map(_.getLong(4))
+    assert(ranked.toSeq == (1L to rows.length.toLong).toSeq)
+  }
+
+  test("q266: ordinal EMD replays in exact integers; dense levels count as zeros") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val n = base.length.toLong
+    val globCum = (1L to 5L).map(i => base.count(_._3 <= i).toLong)
+    val rows = ops.Analytics.q266TCloseness.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var checkedBreach = false
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toString)
+      val grp = base.filter(b => (b._1, b._2) == key)
+      val ng = grp.length.toLong
+      assert(r.getLong(2) == ng, s"$key")
+      val num = (1L to 4L).map { i =>
+        val cumC = grp.count(_._3 <= i).toLong
+        (BigInt(cumC) * n - BigInt(globCum(i.toInt - 1)) * ng).abs
+      }.sum
+      val emd = (num * 1000000 / (BigInt(4) * ng * n)).toLong
+      assert(r.getLong(3) == emd, s"$key")
+      assert(emd >= 0 && emd <= 1000000L, s"$key range")
+      assert(r.getBoolean(4) == (emd > 200000L), s"$key breach")
+      if (r.getBoolean(4)) checkedBreach = true
+    }
+    // the fixture's small nation-month groups should trip the gate somewhere
+    assert(checkedBreach, "no group breached t=0.2 — fixture too uniform to test the gate")
+  }
 }

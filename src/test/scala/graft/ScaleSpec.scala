@@ -520,7 +520,41 @@ class ScaleSpec extends SparkSpec {
       "q254_conformal_interval" -> 90L,
       // q255: one id equi-join per candidate; the DP is in-scan CPU,
       // not exchange. Measured 9 KiB at sf0.01
-      "q255_cer_eval" -> 25L)
+      "q255_cer_eval" -> 25L,
+      // q256: q248's (doc, n, hash, count) cell shape + one more
+      // doc-cardinality lens join
+      "q256_bleu_eval" -> 1500L,
+      // q257: q250's broadcast-queries scan; the 20-partition rank
+      // window + |labels| relevant-count cells
+      "q257_ndcg_eval" -> 20L,
+      // q258: same scan; the running-hit window runs on 10 rows/query
+      "q258_map_eval" -> 20L,
+      // q259: ≤|sources|·25 confusion cells; marginals + pe on cells.
+      // Measured 98 KiB at sf0.01 — all of it the adaptive stage
+      // barrier's round-robin doc exchange (no-op on multi-split
+      // inputs); the kappa pipeline itself moves only cells
+      "q259_cohens_kappa" -> 250L,
+      // q260: (source, token-type) cells — vocab cardinality, the
+      // q63/q161 shape; diversity fold on |sources| cells
+      "q260_simpson_diversity" -> 1200L,
+      // q261: distinct (group, doc, hash) cells; intersection join keyed
+      // (group, hash) with fixed group-size-5 fanout
+      "q261_mbr_consensus" -> 2600L,
+      // q262: ≤20 (bin, n, pos) cells after the distinct-custkey
+      // semi-join; windows run on cells
+      "q262_gains_lift" -> 600L,
+      // q263: (region, supplier) revenue cells after broadcast dims;
+      // the square fold is |regions| cells
+      "q263_hhi_concentration" -> 300L,
+      // q264: per-type train rank window is the only row-level
+      // exchange; test pass collapses to |types| cells
+      "q264_pinball_eval" -> 700L,
+      // q265: one (user, type) rollup + user-co-partitioned comparison
+      // join; MM rounds run on |types|² cells
+      "q265_bradley_terry" -> 1200L,
+      // q266: (QI, level) cells; spine and global dist are broadcast
+      // cell tables; windows partition per group over 5 rows
+      "q266_t_closeness" -> 700L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -163,4 +163,79 @@ class SimilaritySpec extends SparkSpec {
       assert(rr == firstRel.map(1000000L / _).getOrElse(0L), s"q$qid")
     }
   }
+
+  // shared brute replay for the q257/q258 eval specs
+  private def bruteRanked(): (Array[(Long, Long, Seq[Double])],
+      Long => Array[(Long, Long)]) = {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cosPpm(a: Seq[Double], b: Seq[Double]): Long = {
+      val (na, nb) = (math.sqrt(dot(a, a)), math.sqrt(dot(b, b)))
+      if (na == 0.0 || nb == 0.0) 0L
+      else math.floor(dot(a, b) / (na * nb) * 1000000L).toLong
+    }
+    val rank = (qid: Long) => {
+      val q = vecs.find(_._1 == qid).get
+      vecs.filter(_._1 != qid)
+        .map(v => (cosPpm(q._3, v._3), v._1, v._2))
+        .sortBy { case (c, id, _) => (-c, id) }
+        .map { case (_, id, l) => (id, l) }
+    }
+    (vecs, rank)
+  }
+
+  test("q257: NDCG@10 equals the pinned-discount brute replay") {
+    val disc = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val pre = disc.scanLeft(0L)(_ + _).tail
+    val (vecs, rank) = bruteRanked()
+    val rows = ops.Similarity.q257NdcgEval.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (qid, qlabel) = (r.getLong(0), r.getLong(1))
+      assert(vecs.find(_._1 == qid).get._2 == qlabel)
+      val top = rank(qid).take(10)
+      val dcg = top.zipWithIndex
+        .collect { case ((_, l), i) if l == qlabel => disc(i) }.sum
+      val nRelCorpus = vecs.count(v => v._2 == qlabel && v._1 != qid).toLong
+      assert(r.getLong(2) == nRelCorpus, s"q$qid")
+      assert(r.getLong(3) == top.count(_._2 == qlabel).toLong, s"q$qid")
+      assert(r.getLong(4) == dcg, s"q$qid")
+      if (nRelCorpus == 0) assert(r.isNullAt(5) && r.isNullAt(6), s"q$qid")
+      else {
+        val idcg = pre(math.min(nRelCorpus, 10L).toInt - 1)
+        assert(r.getLong(5) == idcg, s"q$qid")
+        assert(r.getLong(6) == dcg * 1000000L / idcg, s"q$qid")
+        assert(r.getLong(6) <= 1000000L, s"q$qid")
+      }
+    }
+  }
+
+  test("q258: AP@10 equals the running-precision brute replay") {
+    val (vecs, rank) = bruteRanked()
+    val rows = ops.Similarity.q258MapEval.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (qid, qlabel) = (r.getLong(0), r.getLong(1))
+      val top = rank(qid).take(10)
+      var cum = 0L
+      var sumPrec = 0L
+      top.zipWithIndex.foreach { case ((_, l), i) =>
+        if (l == qlabel) { cum += 1; sumPrec += cum * 1000000L / (i + 1) }
+      }
+      val nRelCorpus = vecs.count(v => v._2 == qlabel && v._1 != qid).toLong
+      assert(r.getLong(2) == nRelCorpus, s"q$qid")
+      assert(r.getLong(3) == cum, s"q$qid")
+      if (nRelCorpus == 0) assert(r.isNullAt(4), s"q$qid")
+      else {
+        assert(r.getLong(4) == sumPrec / math.min(nRelCorpus, 10L), s"q$qid")
+        assert(r.getLong(4) <= 1000000L, s"q$qid")
+      }
+    }
+  }
 }

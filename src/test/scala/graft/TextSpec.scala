@@ -231,4 +231,116 @@ class TextSpec extends SparkSpec {
     }
     assert(checked == rows.size && checked > 0)
   }
+
+  test("q256: BLEU-2 equals the local clipped-precision replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.q256BleuEval.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(ts: Seq[String]): Seq[String] =
+      if (ts.length < 2) Seq(ts.mkString(" "))
+      else ts.sliding(2).map(_.mkString(" ")).toSeq
+    def counts(gs: Seq[String]): Map[String, Long] =
+      gs.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    def clipP(c: Map[String, Long], r: Map[String, Long]): Long = {
+      val ov = c.map { case (g, n) => math.min(n, r.getOrElse(g, 0L)) }.sum
+      ov * 1000000L / c.values.sum
+    }
+    var checked = 0
+    for ((id, text) <- docs if id % 5 != 0; ref <- docs.get(id - id % 5)) {
+      val (u, b) = (toks(text), toks(ref))
+      val p1 = clipP(counts(u), counts(b))
+      val p2 = clipP(counts(bigrams(u)), counts(bigrams(b)))
+      val bp = math.min(1000000L, u.length * 1000000L / b.length)
+      val bleu2 = bp * math.floor(math.sqrt((p1 * p2).toDouble)).toLong / 1000000L
+      assert(rows(id) == ((u.length.toLong, b.length.toLong, p1, p2, bp, bleu2)),
+        s"doc $id")
+      checked += 1
+    }
+    assert(checked == rows.size && checked > 0)
+    // the self-identical reference would score bleu2 = 1e6; refs are excluded
+    assert(!rows.contains(0L))
+  }
+
+  test("q259: kappa equals the cross-multiplied replay off q23's confusion") {
+    val conf = ops.Text.q23LangId.fn(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .select("source", "lang", "lang_pred").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val rows = ops.Text.q259CohensKappa.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val cells = conf.filter(_._1 == src)
+      val n = cells.length.toLong
+      val diag = cells.count(c => c._2 == c._3).toLong
+      val peNum = cells.groupBy(_._2).map { case (k, xs) =>
+        xs.length.toLong * cells.count(_._3 == k) }.sum
+      assert(r.getLong(1) == n && r.getLong(2) == diag, src)
+      assert(r.getLong(3) == diag * 1000000L / n, src)
+      assert(r.getLong(4) == peNum * 1000000L / (n * n), src)
+      val den = n * n - peNum
+      if (den == 0) assert(r.isNullAt(5), src)
+      else {
+        val num = n * diag - peNum
+        val want = if (num >= 0) num * 1000000L / den
+                   else -((-num) * 1000000L / den)
+        assert(r.getLong(5) == want, src)
+        assert(r.getLong(5) <= 1000000L, src)
+      }
+    }
+  }
+
+  test("q260: Simpson collision mass equals the local token-histogram replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = ops.Text.q260SimpsonDiversity.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val all = docs.filter(_._1 == src).flatMap(d => toks(d._2))
+      val hist = all.groupBy(identity).map(_._2.length.toLong)
+      val (t, types, coll) = (all.length.toLong, hist.size.toLong,
+        hist.map(c => c * (c - 1)).sum)
+      assert(r.getLong(1) == t && r.getLong(2) == types && r.getLong(3) == coll, src)
+      assert(r.getLong(4) == coll * 1000000000L / (t * (t - 1)), src)
+      if (coll == 0) assert(r.isNullAt(5), src)
+      else assert(r.getLong(5) == t * (t - 1) * 1000L / coll, src)
+    }
+  }
+
+  test("q261: the MBR winner maximizes summed set-Jaccard within its group") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSet).toMap
+    def jacPpm(a: Set[String], b: Set[String]): Long = {
+      val i = (a & b).size.toLong
+      i * 1000000L / (a.size + b.size - i)
+    }
+    val rows = ops.Text.q261MbrConsensus.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(_._1)
+    byGroup.foreach { case (gid, members) =>
+      // replay every member's consensus score locally
+      val ids = members.map(_._2).sorted
+      members.foreach { case (_, id, consensus, nPeers, _) =>
+        val peers = ids.filter(_ != id)
+        assert(nPeers == peers.length.toLong, s"group $gid doc $id")
+        val want = peers.map(p => jacPpm(docs(id), docs(p))).sum
+        assert(consensus == want, s"group $gid doc $id")
+      }
+      // rank 1 is the argmax with doc_id tiebreak, ranks are a permutation
+      val sorted = members.sortBy { case (_, id, c, _, _) => (-c, id) }
+      assert(sorted.map(_._5).toSeq == (1L to members.length.toLong).toSeq, s"group $gid")
+    }
+  }
 }

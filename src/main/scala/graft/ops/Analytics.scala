@@ -2963,6 +2963,75 @@ object Analytics {
       .orderBy("n_name", "month")
   }
 
+  /** q269 — cost-sensitive threshold sweep: walk every decision
+    * threshold over the q262 score bins, tally the exact confusion
+    * quadrant from cumulative cells, and pick the cost-minimizing
+    * operating point under a pinned asymmetric cost (FN = 5, FP = 1 —
+    * the "missing a buyer costs 5× a wasted mail" calibration every
+    * deployed classifier needs; q184's AUC and q262's lift are
+    * threshold-FREE views, this is where the threshold actually gets
+    * CHOSEN). All integer counts; best = (cost ASC, bin ASC) rank 1 —
+    * deterministic ties.
+    *
+    * Scale: the identical ≤20-cell collapse as q262; the sweep is a
+    * cumulative window over cells and the argmin is a rank over 20
+    * rows. */
+  val q269ThresholdSweep: Q = Q(
+    "q269_threshold_sweep",
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), c AS (
+      |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal,
+      |    CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |  FROM customer LEFT JOIN pos p ON p.o_custkey = c_custkey
+      |), b AS (
+      |  SELECT LEAST(19, GREATEST(0, (bal + 99999) // 55000)) AS bin,
+      |    COUNT(*) AS n, SUM(y) AS npos
+      |  FROM c GROUP BY 1
+      |), w AS (
+      |  SELECT bin,
+      |    SUM(npos) OVER (ORDER BY bin DESC) AS tp,
+      |    SUM(n - npos) OVER (ORDER BY bin DESC) AS fp,
+      |    SUM(npos) OVER () AS p, SUM(n - npos) OVER () AS neg
+      |  FROM b
+      |), scored AS (
+      |  SELECT bin AS threshold_bin,
+      |    CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |    CAST(p - tp AS BIGINT) AS fn, CAST(neg - fp AS BIGINT) AS tn,
+      |    CAST(5 * (p - tp) + fp AS BIGINT) AS cost
+      |  FROM w
+      |)
+      |SELECT threshold_bin, tp, fp, fn, tn, cost,
+      |  (ROW_NUMBER() OVER (ORDER BY cost, threshold_bin) = 1) AS is_best
+      |FROM scored
+      |ORDER BY threshold_bin DESC""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val c = Tables.customer(s, d)
+      .join(broadcast(pos), col("o_custkey") === col("c_custkey"), "left")
+      .select((dec(col("c_acctbal")) * 100).cast("long").as("bal"),
+        when(col("o_custkey").isNull, 0L).otherwise(1L).as("y"))
+    val b = c.groupBy(least(lit(19L), greatest(lit(0L),
+        expr("(bal + 99999) div 55000"))).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = b.select(col("bin").as("threshold_bin"),
+        sum("npos").over(wCum).as("tp"),
+        sum(col("n") - col("npos")).over(wCum).as("fp"),
+        sum("npos").over(wAll).as("p"),
+        sum(col("n") - col("npos")).over(wAll).as("neg"))
+      .select(col("threshold_bin"), col("tp"), col("fp"),
+        (col("p") - col("tp")).as("fn"), (col("neg") - col("fp")).as("tn"),
+        (lit(5L) * (col("p") - col("tp")) + col("fp")).as("cost"))
+    scored.withColumn("is_best",
+        row_number().over(Window.orderBy(col("cost"), col("threshold_bin"))) === 1)
+      .orderBy(col("threshold_bin").desc)
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -2975,5 +3044,5 @@ object Analytics {
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
     q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean,
     q251IsotonicFit, q252Dbscan, q262GainsLift, q263HhiConcentration,
-    q266TCloseness)
+    q266TCloseness, q269ThresholdSweep)
 }

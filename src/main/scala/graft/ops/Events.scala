@@ -2722,6 +2722,95 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q270 — two-sample Kolmogorov–Smirnov test, weekday vs weekend
+    * value distributions per event type: D = sup|F₁−F₂| computed
+    * EXACTLY on value-domain cells — |cum₁·n₂ − cum₂·n₁| maxed over
+    * observed values, one division at the end — plus the α=0.05
+    * decision against c(α)√((n+m)/nm) (the √ is isqrt = floor of a
+    * correctly-rounded IEEE sqrt on an exact integer — the q153/q256
+    * precedent; 1.358 ships as the pinned 1358/1000). The
+    * distribution-equality referee for "did the metric's SHAPE change",
+    * which mean-gap tests (q177/q247) can't see. Weekday split reads
+    * the UTC ts contract on both engines (Spark dayofweek 1=Sun ↔
+    * DuckDB dayofweek 0=Sun, offsets pinned here).
+    *
+    * Scale: the corpus collapses to (type, value, side) cells map-side
+    * (value-domain cells — q180/q208's documented shape: cents
+    * quantization bounds them when raw values are near-distinct); the
+    * running-CDF window partitions per type; the sup and the decision
+    * fold to |types| rows. */
+  val q270KsTest: Q = Q(
+    "q270_ks_test",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, v, we, COUNT(*) AS c FROM e GROUP BY event_type, v, we
+      |), tot AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN we = 0 THEN c ELSE 0 END) AS n_wd,
+      |    SUM(CASE WHEN we = 1 THEN c ELSE 0 END) AS n_we
+      |  FROM cells GROUP BY event_type
+      |), cum AS (
+      |  SELECT event_type, v,
+      |    SUM(SUM(CASE WHEN we = 0 THEN c ELSE 0 END))
+      |      OVER (PARTITION BY event_type ORDER BY v) AS cum_wd,
+      |    SUM(SUM(CASE WHEN we = 1 THEN c ELSE 0 END))
+      |      OVER (PARTITION BY event_type ORDER BY v) AS cum_we
+      |  FROM cells GROUP BY event_type, v
+      |), d AS (
+      |  SELECT c.event_type,
+      |    MAX(ABS(c.cum_wd * t.n_we - c.cum_we * t.n_wd)) AS d_num
+      |  FROM cum c JOIN tot t USING (event_type)
+      |  GROUP BY c.event_type
+      |)
+      |SELECT t.event_type,
+      |  CAST(t.n_wd AS BIGINT) AS n_weekday,
+      |  CAST(t.n_we AS BIGINT) AS n_weekend,
+      |  CAST(d.d_num * 1000000 // (t.n_wd * t.n_we) AS BIGINT) AS ks_ppm,
+      |  CAST(1358 * CAST(FLOOR(SQRT(CAST(
+      |    (t.n_wd + t.n_we) * 1000000000000 // (t.n_wd * t.n_we)
+      |    AS DOUBLE))) AS BIGINT) // 1000 AS BIGINT) AS crit_ppm,
+      |  d.d_num * 1000000 // (t.n_wd * t.n_we)
+      |    > 1358 * CAST(FLOOR(SQRT(CAST(
+      |      (t.n_wd + t.n_we) * 1000000000000 // (t.n_wd * t.n_we)
+      |      AS DOUBLE))) AS BIGINT) // 1000 AS reject_05
+      |FROM tot t JOIN d USING (event_type)
+      |WHERE t.n_wd > 0 AND t.n_we > 0
+      |ORDER BY t.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6=Saturday
+      when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+    val cells = e.groupBy("event_type", "v", "we").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // value-domain cells: totals + CDF walk read it
+    val tot = cells.groupBy("event_type")
+      .agg(sum(when(col("we") === 0, col("c")).otherwise(0L)).as("n_wd"),
+        sum(when(col("we") === 1, col("c")).otherwise(0L)).as("n_we"))
+    val wCdf = Window.partitionBy("event_type").orderBy("v")
+    val cum = cells.groupBy("event_type", "v")
+      .agg(sum(when(col("we") === 0, col("c")).otherwise(0L)).as("wd"),
+        sum(when(col("we") === 1, col("c")).otherwise(0L)).as("wec"))
+      .select(col("event_type"), col("v"),
+        sum("wd").over(wCdf).as("cum_wd"), sum("wec").over(wCdf).as("cum_we"))
+    val dmax = cum.join(broadcast(tot), "event_type")
+      .groupBy("event_type")
+      .agg(max(abs(col("cum_wd") * col("n_we") - col("cum_we") * col("n_wd"))).as("d_num"))
+    tot.join(dmax, "event_type")
+      .filter(col("n_wd") > 0 && col("n_we") > 0) // one-sided types can't be tested
+      .select(col("event_type"),
+        col("n_wd").as("n_weekday"), col("n_we").as("n_weekend"),
+        expr("d_num * 1000000 div (n_wd * n_we)").as("ks_ppm"),
+        expr("""1358 * CAST(FLOOR(SQRT(CAST(
+          (n_wd + n_we) * 1000000000000 div (n_wd * n_we)
+          AS DOUBLE))) AS BIGINT) div 1000""").as("crit_ppm"))
+      .withColumn("reject_05", col("ks_ppm") > col("crit_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2732,5 +2821,5 @@ object Events {
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
     q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval,
-    q264PinballEval, q265BradleyTerry)
+    q264PinballEval, q265BradleyTerry, q270KsTest)
 }

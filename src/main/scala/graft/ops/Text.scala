@@ -1696,6 +1696,162 @@ object Text {
       .orderBy("gid", "mbr_rank")
   }
 
+  /** q267 — vocabulary richness estimators, per source: Chao1's
+    * bias-corrected species-richness lower bound S + f₁(f₁−1)/(2(f₂+1))
+    * and Good–Turing's unseen-probability mass f₁/T — the "how much
+    * vocabulary have we NOT seen yet" diagnostics that tell a corpus
+    * curator whether more data from a source still buys new types
+    * (q149 fits observed Heaps growth; these ESTIMATE the asymptote
+    * from singleton/doubleton counts, no fit). Both exact integer:
+    * chao1 in milli-types, coverage = 1 − f₁/T in ppm.
+    *
+    * Scale: the same (source, type) cell collapse as q260; the
+    * estimator fold reads only per-source (S, f₁, f₂, T) — four
+    * numbers per source regardless of corpus size. */
+  val q267VocabRichness: Q = Q(
+    "q267_vocab_richness",
+    s"""WITH t AS (
+       |  SELECT source, unnest($DToks) AS tok FROM documents
+       |), cells AS (
+       |  SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok
+       |), agg AS (
+       |  SELECT source, SUM(c) AS n_tok, COUNT(*) AS s_obs,
+       |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+       |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+       |  FROM cells GROUP BY source
+       |)
+       |SELECT source,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  CAST(s_obs AS BIGINT) AS s_obs,
+       |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       |  CAST(1000 * s_obs + 1000 * f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT)
+       |    AS chao1_milli,
+       |  CAST(f1 * 1000000 // n_tok AS BIGINT) AS unseen_mass_ppm,
+       |  CAST(1000000 - f1 * 1000000 // n_tok AS BIGINT) AS coverage_ppm
+       |FROM agg ORDER BY source""") { (s, d) =>
+    val t = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("s_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"),
+        col("n_tok").as("n_tokens"), col("s_obs"), col("f1"), col("f2"),
+        expr("1000 * s_obs + 1000 * f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1_milli"),
+        expr("f1 * 1000000 div n_tok").as("unseen_mass_ppm"),
+        expr("1000000 - f1 * 1000000 div n_tok").as("coverage_ppm"))
+      .orderBy("source")
+  }
+
+  /** q268 — Brier-score Murphy decomposition of the q166 classifier:
+    * reliability (how far bin confidence sits from bin accuracy),
+    * resolution (how far bin accuracies spread from the base rate),
+    * and uncertainty (the base rate's own variance) — the calibration
+    * readout that SEPARATES "badly calibrated" from "uninformative",
+    * which q166's single ECE number cannot (Murphy 1973). Same decile
+    * bins and Laplace conf_milli as q166. Every component is exact
+    * integer in ppb with per-bin floors replayed identically by both
+    * engines (squares lifted to DECIMAL(38,0)/HUGEINT first — k_b·N
+    * squared crosses 2⁶³ well before sf100); bs_binned_ppb =
+    * unc − res + rel ships as a derived column so the decomposition
+    * identity holds EXACTLY by construction, next to the unbinned
+    * bs_ppb it approximates.
+    *
+    * Scale: one voting scan collapses to ≤10 decile cells map-side;
+    * every component folds over those cells. */
+  val q268BrierDecomp: Q = Q(
+    "q268_brier_decomp",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred,
+       |    (greatest(v_en,v_de,v_fr,v_es)+1)*1000//(v_en+v_de+v_fr+v_es+4)
+       |      AS conf_milli
+       |  FROM v
+       |), b AS (
+       |  SELECT LEAST(conf_milli//100, 9) AS bin, conf_milli,
+       |    CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS ok
+       |  FROM p
+       |), g AS (
+       |  SELECT bin, COUNT(*) AS n, SUM(conf_milli) AS sp, SUM(ok) AS k,
+       |    SUM(CAST(conf_milli - 1000 * ok AS HUGEINT)
+       |      * (conf_milli - 1000 * ok)) AS sqsum
+       |  FROM b GROUP BY bin
+       |), tot AS (
+       |  SELECT SUM(n) AS nn, SUM(k) AS kk, SUM(sqsum) AS sqall FROM g
+       |), terms AS (
+       |  SELECT g.bin, g.n, g.sp, g.k,
+       |    CAST(g.sp - 1000 * g.k AS HUGEINT)
+       |      * (g.sp - 1000 * g.k) * 1000 // g.n AS rel_term,
+       |    CAST(g.k * t.nn - t.kk * g.n AS HUGEINT)
+       |      * (g.k * t.nn - t.kk * g.n) * 1000 // (g.n * t.nn) AS res_term
+       |  FROM g CROSS JOIN tot t
+       |)
+       |SELECT x.bin, CAST(x.n AS BIGINT) AS n,
+       |  CAST(x.sp // x.n AS BIGINT) AS conf_milli,
+       |  CAST(x.k * 1000 // x.n AS BIGINT) AS acc_milli,
+       |  CAST(SUM(x.rel_term) OVER () // t.nn AS BIGINT) AS rel_ppb,
+       |  CAST(SUM(x.res_term) OVER () * 1000000 // (t.nn * t.nn) AS BIGINT) AS res_ppb,
+       |  CAST(CAST(t.kk AS HUGEINT) * (t.nn - t.kk) * 1000000000 // (CAST(t.nn AS HUGEINT) * t.nn) AS BIGINT) AS unc_ppb,
+       |  CAST(CAST(t.kk AS HUGEINT) * (t.nn - t.kk) * 1000000000 // (CAST(t.nn AS HUGEINT) * t.nn)
+       |    - SUM(x.res_term) OVER () * 1000000 // (t.nn * t.nn)
+       |    + SUM(x.rel_term) OVER () // t.nn AS BIGINT) AS bs_binned_ppb,
+       |  CAST(t.sqall * 1000 // t.nn AS BIGINT) AS bs_ppb
+       |FROM terms x CROSS JOIN tot t
+       |ORDER BY x.bin""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val votes = LangStopwords.map { case (lang, sw) =>
+      lang -> size(filter(col("toks"), tk => tk.isin(sw: _*))).cast("long")
+    }
+    val vmax = greatest(votes.map(_._2): _*)
+    val vtot = votes.map(_._2).reduce(_ + _)
+    val g = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), langId(col("toks")).as("lang_pred"),
+        floor((vmax + 1) * 1000 / (vtot + 4)).cast("long").as("conf_milli"))
+      .select(least(floor(col("conf_milli") / 100), lit(9L)).cast("long").as("bin"),
+        col("conf_milli"),
+        when(col("lang") === col("lang_pred"), 1L).otherwise(0L).as("ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("conf_milli").as("sp"), sum("ok").as("k"),
+        sum(expr("CAST(conf_milli - 1000 * ok AS DECIMAL(38,0)) * (conf_milli - 1000 * ok)"))
+          .as("sqsum"))
+      .localCheckpoint() // ≤10 decile cells: totals + terms read it
+    val tot = g.agg(sum("n").as("nn"), sum("k").as("kk"), sum("sqsum").as("sqall"))
+    val terms = g.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("bin"), col("n"), col("sp"), col("k"), col("nn"), col("kk"), col("sqall"),
+        expr("""CAST(sp - 1000 * k AS DECIMAL(38,0)) * (sp - 1000 * k) * 1000 div n""")
+          .as("rel_term"),
+        expr("""CAST(k * nn - kk * n AS DECIMAL(38,0)) * (k * nn - kk * n) * 1000 div (n * nn)""")
+          .as("res_term"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms
+      .withColumn("rel_sum", sum("rel_term").over(wAll))
+      .withColumn("res_sum", sum("res_term").over(wAll))
+      .select(col("bin"), col("n"),
+        expr("sp div n").as("conf_milli"),
+        expr("k * 1000 div n").as("acc_milli"),
+        expr("CAST(rel_sum div nn AS BIGINT)").as("rel_ppb"),
+        expr("CAST(res_sum * 1000000 div (nn * nn) AS BIGINT)").as("res_ppb"),
+        expr("CAST(CAST(kk AS DECIMAL(38,0)) * (nn - kk) * 1000000000 div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)")
+          .as("unc_ppb"),
+        expr("""CAST(CAST(kk AS DECIMAL(38,0)) * (nn - kk) * 1000000000 div (CAST(nn AS DECIMAL(38,0)) * nn)
+          - res_sum * 1000000 div (nn * nn)
+          + rel_sum div nn AS BIGINT)""").as("bs_binned_ppb"),
+        expr("CAST(sqall * 1000 div nn AS BIGINT)").as("bs_ppb"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
@@ -1703,5 +1859,6 @@ object Text {
     q161PmiCollocations, q166CalibrationEce, q169VocabDrift,
     q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
     q236KneserNey, q248RougeOverlap, q255CerEval, q256BleuEval,
-    q259CohensKappa, q260SimpsonDiversity, q261MbrConsensus)
+    q259CohensKappa, q260SimpsonDiversity, q261MbrConsensus,
+    q267VocabRichness, q268BrierDecomp)
 }

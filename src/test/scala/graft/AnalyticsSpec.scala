@@ -1040,4 +1040,62 @@ class AnalyticsSpec extends SparkSpec {
     // the fixture's small nation-month groups should trip the gate somewhere
     assert(checkedBreach, "no group breached t=0.2 — fixture too uniform to test the gate")
   }
+
+  test("q269: confusion quadrants replay and the best threshold minimizes cost") {
+    import org.apache.spark.sql.functions._
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val binned = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("bal"))
+      .collect().map { r =>
+        (math.min(19L, math.max(0L, (r.getLong(1) + 99999) / 55000)),
+          if (urgent(r.getLong(0))) 1L else 0L)
+      }
+    val (p, neg) = (binned.map(_._2).sum, binned.length.toLong - binned.map(_._2).sum)
+    val rows = ops.Analytics.q269ThresholdSweep.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val sel = binned.filter(_._1 >= t)
+      val (tp, fp) = (sel.map(_._2).sum, sel.length.toLong - sel.map(_._2).sum)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((tp, fp, p - tp, neg - fp)), s"t=$t")
+      assert(r.getLong(5) == 5 * (p - tp) + fp, s"t=$t cost")
+    }
+    // exactly one best, and it attains the minimum cost
+    val best = rows.filter(_.getBoolean(6))
+    assert(best.length == 1)
+    assert(best.head.getLong(5) == rows.map(_.getLong(5)).min)
+  }
+
+  test("q270: KS statistic replays from raw samples; decision matches the pinned critical value") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val rows = ops.Events.q270KsTest.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val wd = evs.filter(x => x._1 == t && x._3 == 0).map(_._2)
+      val we = evs.filter(x => x._1 == t && x._3 == 1).map(_._2)
+      assert(r.getLong(1) == wd.length.toLong && r.getLong(2) == we.length.toLong, t)
+      // brute sup over every observed value
+      val values = (wd ++ we).distinct.sorted
+      val dNum = values.map { v =>
+        (BigInt(wd.count(_ <= v)) * we.length - BigInt(we.count(_ <= v)) * wd.length).abs
+      }.max
+      val ks = (dNum * 1000000 / (BigInt(wd.length) * we.length)).toLong
+      assert(r.getLong(3) == ks, s"$t ks")
+      val x = (wd.length.toLong + we.length) * 1000000000000L /
+        (wd.length.toLong * we.length)
+      val crit = 1358L * math.floor(math.sqrt(x.toDouble)).toLong / 1000L
+      assert(r.getLong(4) == crit, s"$t crit")
+      assert(r.getBoolean(5) == (ks > crit), t)
+      assert(ks >= 0 && ks <= 1000000L, t)
+    }
+  }
 }

@@ -554,7 +554,18 @@ class ScaleSpec extends SparkSpec {
       "q265_bradley_terry" -> 1200L,
       // q266: (QI, level) cells; spine and global dist are broadcast
       // cell tables; windows partition per group over 5 rows
-      "q266_t_closeness" -> 700L)
+      "q266_t_closeness" -> 700L,
+      // q267: q260's (source, type) cell collapse; the estimator fold
+      // reads 4 numbers per source
+      "q267_vocab_richness" -> 1200L,
+      // q268: ≤10 decile cells after the voting scan (plus the stage
+      // barrier's doc exchange, q259's caveat)
+      "q268_brier_decomp" -> 250L,
+      // q269: q262's ≤20-cell collapse; sweep + argmin on cells
+      "q269_threshold_sweep" -> 600L,
+      // q270: (type, value, side) cells — value-domain cells, the
+      // q180/q208 shape; CDF windows partition per type
+      "q270_ks_test" -> 2000L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

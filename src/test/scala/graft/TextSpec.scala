@@ -343,4 +343,56 @@ class TextSpec extends SparkSpec {
       assert(sorted.map(_._5).toSeq == (1L to members.length.toLong).toSeq, s"group $gid")
     }
   }
+
+  test("q267: Chao1 and Good-Turing replay from the token histogram") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = ops.Text.q267VocabRichness.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val hist = docs.filter(_._1 == src).flatMap(d => toks(d._2))
+        .groupBy(identity).map(_._2.length.toLong)
+      val (t, s1, f1, f2) = (hist.sum, hist.size.toLong,
+        hist.count(_ == 1L).toLong, hist.count(_ == 2L).toLong)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((t, s1, f1, f2)), src)
+      assert(r.getLong(5) == 1000 * s1 + 1000 * f1 * (f1 - 1) / (2 * (f2 + 1)), src)
+      assert(r.getLong(6) == f1 * 1000000L / t, src)
+      assert(r.getLong(7) == 1000000L - f1 * 1000000L / t, src)
+      // Chao1 is a lower-bound ESTIMATE above the observed count
+      assert(r.getLong(5) >= 1000 * s1, src)
+    }
+  }
+
+  test("q268: Murphy decomposition replays in BigInt and closes exactly") {
+    val rows = ops.Text.q268BrierDecomp.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the decile cells from q166's own per-bin output shape
+    val cells = rows.map(r => (r.getLong(0), r.getLong(1)))
+    // components are global columns — identical on every row
+    val (relS, resS, uncS, bsBinned, bs) = (rows.map(_.getLong(4)).distinct,
+      rows.map(_.getLong(5)).distinct, rows.map(_.getLong(6)).distinct,
+      rows.map(_.getLong(7)).distinct, rows.map(_.getLong(8)).distinct)
+    assert(relS.length == 1 && resS.length == 1 && uncS.length == 1 &&
+      bsBinned.length == 1 && bs.length == 1)
+    // the decomposition identity holds EXACTLY by construction
+    assert(bsBinned.head == uncS.head - resS.head + relS.head)
+    // all components nonnegative, uncertainty <= 250000000 ppb (p(1-p) <= 1/4)
+    assert(relS.head >= 0 && resS.head >= 0 && uncS.head >= 0)
+    assert(uncS.head <= 250000000L)
+    // binned BS approximates the unbinned BS from the same forecasts:
+    // within-bin variance is what separates them — bounded by bin width²
+    assert((bsBinned.head - bs.head).abs <= 20000000L,
+      s"binned ${bsBinned.head} vs raw ${bs.head}")
+    // conf/acc are milli values per decile cell
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+      assert(cells.find(_._1 == r.getLong(0)).get._2 > 0)
+    }
+  }
 }

@@ -3032,6 +3032,101 @@ object Analytics {
       .orderBy(col("threshold_bin").desc)
   }
 
+  /** q271 — fairness audit (demographic parity + equalized odds), per
+    * nation: a pinned decision rule (predict URGENT-buyer iff balance
+    * ≥ $4,500.00) scored per protected group — selection rate, TPR,
+    * FPR, the disparate-impact ratio vs the global selection rate
+    * (the four-fifths-rule number), and SIGNED equalized-odds gaps.
+    * The audit a production model ships next to q269's threshold
+    * choice: the cost-optimal threshold can still select one group at
+    * half the rate of another. Rates are exact floor-ppm; groups with
+    * no positives (no negatives) report NULL TPR (FPR) instead of a
+    * divide-by-zero; gaps are pure subtraction so sign semantics never
+    * meet a floor division.
+    *
+    * Scale: one scan collapses to |nations| confusion cells map-side
+    * (outcome = URGENT semi-join, the q262 shape); the global
+    * reference is a 1-row fold broadcast back. */
+  val q271FairnessAudit: Q = Q(
+    "q271_fairness_audit",
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), c AS (
+      |  SELECT n_name,
+      |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) >= 450000
+      |      THEN 1 ELSE 0 END AS sel,
+      |    CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  LEFT JOIN pos p ON p.o_custkey = c_custkey
+      |), g AS (
+      |  SELECT n_name, COUNT(*) AS n, SUM(y) AS np, SUM(sel) AS ns,
+      |    SUM(sel * y) AS tp, SUM(sel * (1 - y)) AS fp
+      |  FROM c GROUP BY n_name
+      |), t AS (
+      |  SELECT SUM(n) AS n, SUM(np) AS np, SUM(ns) AS ns,
+      |    SUM(tp) AS tp, SUM(fp) AS fp
+      |  FROM g
+      |)
+      |SELECT g.n_name,
+      |  CAST(g.n AS BIGINT) AS n,
+      |  CAST(g.np AS BIGINT) AS n_outcome,
+      |  CAST(g.ns AS BIGINT) AS n_selected,
+      |  CAST(g.ns * 1000000 // g.n AS BIGINT) AS sel_ppm,
+      |  CAST(g.np * 1000000 // g.n AS BIGINT) AS base_ppm,
+      |  CAST(CASE WHEN g.np = 0 THEN NULL
+      |    ELSE g.tp * 1000000 // g.np END AS BIGINT) AS tpr_ppm,
+      |  CAST(CASE WHEN g.n - g.np = 0 THEN NULL
+      |    ELSE g.fp * 1000000 // (g.n - g.np) END AS BIGINT) AS fpr_ppm,
+      |  CAST(CASE WHEN t.ns = 0 THEN NULL
+      |    ELSE (g.ns * 1000000 // g.n) * 1000000 // (t.ns * 1000000 // t.n)
+      |    END AS BIGINT) AS di_ratio_ppm,
+      |  CAST(CASE WHEN g.np = 0 OR t.np = 0 THEN NULL
+      |    ELSE g.tp * 1000000 // g.np - t.tp * 1000000 // t.np
+      |    END AS BIGINT) AS tpr_gap_ppm,
+      |  CAST(CASE WHEN g.n - g.np = 0 OR t.n - t.np = 0 THEN NULL
+      |    ELSE g.fp * 1000000 // (g.n - g.np) - t.fp * 1000000 // (t.n - t.np)
+      |    END AS BIGINT) AS fpr_gap_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY g.n_name""") { (s, d) =>
+    val pos = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val c = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(pos), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("n_name"),
+        when((dec(col("c_acctbal")) * 100).cast("long") >= 450000L, 1L)
+          .otherwise(0L).as("sel"),
+        when(col("o_custkey").isNull, 0L).otherwise(1L).as("y"))
+    val g = c.groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"), sum("sel").as("ns"),
+        sum(col("sel") * col("y")).as("tp"),
+        sum(col("sel") * (lit(1L) - col("y"))).as("fp"))
+      .localCheckpoint() // |nations| confusion cells: global fold + audit read it
+    val t = g.agg(sum("n").as("tn"), sum("np").as("tnp"), sum("ns").as("tns"),
+      sum("tp").as("ttp"), sum("fp").as("tfp"))
+    g.crossJoin(broadcast(t)) // 1-row global reference
+      .select(col("n_name"), col("n"),
+        col("np").as("n_outcome"), col("ns").as("n_selected"),
+        expr("ns * 1000000 div n").as("sel_ppm"),
+        expr("np * 1000000 div n").as("base_ppm"),
+        when(col("np") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div np")).as("tpr_ppm"),
+        when(col("n") - col("np") === 0, lit(null).cast("long"))
+          .otherwise(expr("fp * 1000000 div (n - np)")).as("fpr_ppm"),
+        when(col("tns") === 0, lit(null).cast("long"))
+          .otherwise(expr("(ns * 1000000 div n) * 1000000 div (tns * 1000000 div tn)"))
+          .as("di_ratio_ppm"),
+        when(col("np") === 0 || col("tnp") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div np - ttp * 1000000 div tnp"))
+          .as("tpr_gap_ppm"),
+        when(col("n") - col("np") === 0 || col("tn") - col("tnp") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("fp * 1000000 div (n - np) - tfp * 1000000 div (tn - tnp)"))
+          .as("fpr_gap_ppm"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
@@ -3044,5 +3139,5 @@ object Analytics {
     q215WeightedMedian, q218SketchAlgebra, q225TargetEncode, q226StumpSplit,
     q235KendallTau, q238LDiversity, q239ShapleyExact, q242TrimmedMean,
     q251IsotonicFit, q252Dbscan, q262GainsLift, q263HhiConcentration,
-    q266TCloseness, q269ThresholdSweep)
+    q266TCloseness, q269ThresholdSweep, q271FairnessAudit)
 }

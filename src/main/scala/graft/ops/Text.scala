@@ -1852,6 +1852,170 @@ object Text {
       .orderBy("bin")
   }
 
+  /** q272 — unbiased pass@k estimator (Chen et al. 2021, the code-gen
+    * benchmark standard): each 5-doc group is a "task" with n sampled
+    * attempts; an attempt passes on a content-derived bit (first md5
+    * nibble of the text < 8 — deterministic, ~50%); pass@k = 1 −
+    * C(n−c,k)/C(n,k) computed as the exact falling-factorial ratio
+    * Π(n−c−i)/Π(n−i) with ONE floor division per k — the naive
+    * "share of tasks with a pass in the first k" is biased; this is
+    * the unbiased estimator every eval harness ships. Global means
+    * over tasks ride along (sum//count, one more exact division).
+    *
+    * Scale: one scan emits (task, pass) rows that collapse to
+    * task-cardinality (n, c) cells map-side; the estimator is in-cell
+    * arithmetic and the headline means are a 1-row fold. */
+  val q272PassAtK: Q = Q(
+    "q272_pass_at_k",
+    """WITH att AS (
+      |  SELECT doc_id - doc_id % 5 AS task,
+      |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 1)) AS BIGINT) < 8
+      |      THEN 1 ELSE 0 END AS pass
+      |  FROM documents
+      |), cells AS (
+      |  SELECT task, COUNT(*) AS n, SUM(pass) AS c FROM att GROUP BY task
+      |), est AS (
+      |  SELECT task, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+      |    CASE WHEN n < 1 THEN NULL
+      |      ELSE 1000000 - (n - c) * 1000000 // n END AS p1,
+      |    CASE WHEN n < 2 THEN NULL
+      |      ELSE 1000000 - (n - c) * (n - c - 1) * 1000000 // (n * (n - 1)) END AS p2,
+      |    CASE WHEN n < 3 THEN NULL
+      |      ELSE 1000000 - (n - c) * (n - c - 1) * (n - c - 2) * 1000000
+      |        // (n * (n - 1) * (n - 2)) END AS p3
+      |  FROM cells
+      |)
+      |SELECT task, n, c,
+      |  CAST(p1 AS BIGINT) AS pass1_ppm,
+      |  CAST(p2 AS BIGINT) AS pass2_ppm,
+      |  CAST(p3 AS BIGINT) AS pass3_ppm,
+      |  CAST(SUM(p1) OVER () // COUNT(p1) OVER () AS BIGINT) AS mean_pass1_ppm,
+      |  CAST(SUM(p3) OVER () // COUNT(p3) OVER () AS BIGINT) AS mean_pass3_ppm
+      |FROM est
+      |ORDER BY task""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.hex32
+    val att = Tables.documents(s, d)
+      .select((col("doc_id") - col("doc_id") % 5).as("task"),
+        // first md5 nibble < 8: hex32 is the first 8 nibbles, so shift 28
+        when(shiftright(hex32(col("text")), 28) < 8, 1L).otherwise(0L).as("pass"))
+    val est = att.groupBy("task")
+      .agg(count(lit(1)).as("n"), sum("pass").as("c"))
+      .select(col("task"), col("n"), col("c"),
+        when(col("n") < 1, lit(null).cast("long"))
+          .otherwise(expr("1000000 - (n - c) * 1000000 div n")).as("p1"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr("1000000 - (n - c) * (n - c - 1) * 1000000 div (n * (n - 1))"))
+          .as("p2"),
+        when(col("n") < 3, lit(null).cast("long"))
+          .otherwise(expr(
+            "1000000 - (n - c) * (n - c - 1) * (n - c - 2) * 1000000 div (n * (n - 1) * (n - 2))"))
+          .as("p3"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    est.select(col("task"), col("n"), col("c"),
+        col("p1").as("pass1_ppm"), col("p2").as("pass2_ppm"), col("p3").as("pass3_ppm"),
+        expr("sum(p1) over () div count(p1) over ()").as("mean_pass1_ppm"),
+        expr("sum(p3) over () div count(p3) over ()").as("mean_pass3_ppm"))
+      .orderBy("task")
+  }
+
+  /** q273 — partition-agreement eval: score the q23 langId partition
+    * against the gold lang partition with PAIRWISE precision/recall/F1,
+    * the Rand index, and the adjusted Rand index — the
+    * clustering-agreement metrics an entity-resolution or dedup
+    * pipeline reports against gold clusters (per-row accuracy ignores
+    * STRUCTURE: merging two big clusters costs quadratically many
+    * pairs, and these metrics price that correctly). Everything
+    * derives from the 5×5 contingency cells via pair-count algebra —
+    * TP = ΣC(nᵢⱼ,2) etc.; no doc-pair ever materializes. ARI is the
+    * one signed ratio, computed ×2 cross-multiplied with a sign-split
+    * floor (the q259 rule) and DECIMAL(38,0)/HUGEINT lifts (pair-count
+    * products cross 2⁶³ near 10⁵ docs).
+    *
+    * Scale: the corpus collapses to ≤25 contingency cells map-side;
+    * marginals and every metric fold over those cells. */
+  val q273PartitionAgree: Q = Q(
+    "q273_partition_agree",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DToks AS toks FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang,
+       |    $DVoteCols
+       |  FROM t
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(v_en,v_de,v_fr,v_es) = 0 THEN 'und'
+       |         WHEN v_en = greatest(v_en,v_de,v_fr,v_es) THEN 'en'
+       |         WHEN v_de = greatest(v_en,v_de,v_fr,v_es) THEN 'de'
+       |         WHEN v_fr = greatest(v_en,v_de,v_fr,v_es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM v
+       |), cells AS (
+       |  SELECT lang, lang_pred, COUNT(*) AS c FROM p GROUP BY lang, lang_pred
+       |), agg AS (
+       |  SELECT SUM(c) AS n, SUM(c * (c - 1) // 2) AS tp FROM cells
+       |), am AS (
+       |  SELECT SUM(s * (s - 1) // 2) AS sa
+       |  FROM (SELECT SUM(c) AS s FROM cells GROUP BY lang)
+       |), bm AS (
+       |  SELECT SUM(s * (s - 1) // 2) AS sb
+       |  FROM (SELECT SUM(c) AS s FROM cells GROUP BY lang_pred)
+       |), m AS (
+       |  SELECT a.n, a.tp, am.sa, bm.sb, a.n * (a.n - 1) // 2 AS cn2
+       |  FROM agg a CROSS JOIN am CROSS JOIN bm
+       |), ari AS (
+       |  SELECT n, tp, sa, sb, cn2,
+       |    2 * (CAST(tp AS HUGEINT) * cn2 - CAST(sa AS HUGEINT) * sb) AS num2,
+       |    CAST(sa + sb AS HUGEINT) * cn2 - 2 * CAST(sa AS HUGEINT) * sb AS den2
+       |  FROM m
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  CAST(tp AS BIGINT) AS tp_pairs,
+       |  CAST(sb - tp AS BIGINT) AS fp_pairs,
+       |  CAST(sa - tp AS BIGINT) AS fn_pairs,
+       |  CAST(CASE WHEN sb = 0 THEN NULL ELSE tp * 1000000 // sb END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN sa = 0 THEN NULL ELSE tp * 1000000 // sa END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN sa + sb = 0 THEN NULL
+       |    ELSE 2 * tp * 1000000 // (sa + sb) END AS BIGINT) AS f1_ppm,
+       |  CAST((cn2 - sa - sb + 2 * tp) * 1000000 // cn2 AS BIGINT) AS rand_ppm,
+       |  CAST(CASE WHEN den2 = 0 THEN NULL
+       |    WHEN num2 >= 0 THEN num2 * 1000000 // den2
+       |    ELSE -((-num2) * 1000000 // den2) END AS BIGINT) AS ari_ppm
+       |FROM ari""") { (s, d) =>
+    val p = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), langId(col("toks")).as("lang_pred"))
+    val cells = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤25 contingency cells: all three folds read it
+    val agg = cells.agg(sum("c").as("n"),
+      sum(expr("c * (c - 1) div 2")).as("tp"))
+    val am = cells.groupBy("lang").agg(sum("c").as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("sa"))
+    val bm = cells.groupBy("lang_pred").agg(sum("c").as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("sb"))
+    agg.crossJoin(broadcast(am)).crossJoin(broadcast(bm)) // 1-row folds
+      .withColumn("cn2", expr("n * (n - 1) div 2"))
+      // pair-count products cross 2^63 near 1e5 docs: lift BEFORE multiply
+      .withColumn("num2", expr(
+        "2 * (CAST(tp AS DECIMAL(38,0)) * cn2 - CAST(sa AS DECIMAL(38,0)) * sb)"))
+      .withColumn("den2", expr(
+        "CAST(sa + sb AS DECIMAL(38,0)) * cn2 - 2 * CAST(sa AS DECIMAL(38,0)) * sb"))
+      .select(col("n").as("n_docs"), col("tp").as("tp_pairs"),
+        (col("sb") - col("tp")).as("fp_pairs"),
+        (col("sa") - col("tp")).as("fn_pairs"),
+        when(col("sb") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div sb")).as("precision_ppm"),
+        when(col("sa") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div sa")).as("recall_ppm"),
+        when(col("sa") + col("sb") === 0, lit(null).cast("long"))
+          .otherwise(expr("2 * tp * 1000000 div (sa + sb)")).as("f1_ppm"),
+        expr("(cn2 - sa - sb + 2 * tp) * 1000000 div cn2").as("rand_ppm"),
+        when(col("den2") === 0, lit(null).cast("long"))
+          .otherwise(expr("""CASE WHEN num2 >= 0 THEN CAST(num2 * 1000000 div den2 AS BIGINT)
+            ELSE CAST(-((-num2) * 1000000 div den2) AS BIGINT) END"""))
+          .as("ari_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
@@ -1860,5 +2024,5 @@ object Text {
     q174BpeFertility, q183Chi2Tokens, q184AucRanksum, q232UnigramViterbi,
     q236KneserNey, q248RougeOverlap, q255CerEval, q256BleuEval,
     q259CohensKappa, q260SimpsonDiversity, q261MbrConsensus,
-    q267VocabRichness, q268BrierDecomp)
+    q267VocabRichness, q268BrierDecomp, q272PassAtK, q273PartitionAgree)
 }

@@ -1098,4 +1098,44 @@ class AnalyticsSpec extends SparkSpec {
       assert(ks >= 0 && ks <= 1000000L, t)
     }
   }
+
+  test("q271: fairness rates replay per nation and gaps reference the global fold") {
+    import org.apache.spark.sql.functions._
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val custs = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("bal"))
+      .collect().map(r => (r.getString(0),
+        if (r.getLong(2) >= 450000L) 1L else 0L,
+        if (urgent(r.getLong(1))) 1L else 0L))
+    val (tn, tnp, tns) = (custs.length.toLong, custs.map(_._3).sum, custs.map(_._2).sum)
+    val (ttp, tfp) = (custs.filter(x => x._2 == 1 && x._3 == 1).length.toLong,
+      custs.filter(x => x._2 == 1 && x._3 == 0).length.toLong)
+    val rows = ops.Analytics.q271FairnessAudit.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nat = r.getString(0)
+      val g = custs.filter(_._1 == nat)
+      val (n, np, ns) = (g.length.toLong, g.map(_._3).sum, g.map(_._2).sum)
+      val tp = g.count(x => x._2 == 1 && x._3 == 1).toLong
+      val fp = g.count(x => x._2 == 1 && x._3 == 0).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, np, ns)), nat)
+      assert(r.getLong(4) == ns * 1000000L / n, nat)
+      assert(r.getLong(5) == np * 1000000L / n, nat)
+      if (np == 0) assert(r.isNullAt(6), nat)
+      else assert(r.getLong(6) == tp * 1000000L / np, nat)
+      if (n - np == 0) assert(r.isNullAt(7), nat)
+      else assert(r.getLong(7) == fp * 1000000L / (n - np), nat)
+      assert(r.getLong(8) ==
+        (ns * 1000000L / n) * 1000000L / (tns * 1000000L / tn), nat)
+      if (np > 0)
+        assert(r.getLong(9) == tp * 1000000L / np - ttp * 1000000L / tnp, nat)
+      if (n - np > 0)
+        assert(r.getLong(10) ==
+          fp * 1000000L / (n - np) - tfp * 1000000L / (tn - tnp), nat)
+    }
+  }
 }

@@ -98,6 +98,8 @@ class PlanAuditSpec extends SparkSpec {
     "q257_ndcg_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the |labels|-cell relevant-count table broadcasts back",
     "q265_bradley_terry" -> "cell-table joins: the |types|² pair spine is a broadcast self-cross of the |types|-row type list; each MM round broadcasts |types| strength cells and a 1-row normalizer",
     "q268_brier_decomp" -> "corpus-scalar join: the 1-row (N, K, Σsq) totals broadcast into the ≤10 decile cells (q166's ECE shape)",
+    "q271_fairness_audit" -> "corpus-scalar join: the 1-row global confusion reference broadcasts into the |nations| group cells",
+    "q273_partition_agree" -> "scalar-scalar joins: three 1-row pair-count folds cross-combine into the single metrics row",
     "q266_t_closeness" -> "cell-table joins: the 5-row ordinal-level spine and the 1-row global total broadcast into group-cardinality cells",
     "q258_map_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the |labels|-cell relevant-count table broadcasts back",
     "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",

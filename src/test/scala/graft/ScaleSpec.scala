@@ -565,7 +565,15 @@ class ScaleSpec extends SparkSpec {
       "q269_threshold_sweep" -> 600L,
       // q270: (type, value, side) cells — value-domain cells, the
       // q180/q208 shape; CDF windows partition per type
-      "q270_ks_test" -> 2000L)
+      "q270_ks_test" -> 2000L,
+      // q271: |nations| confusion cells + a 1-row global fold
+      "q271_fairness_audit" -> 600L,
+      // q272: task-cardinality (n, c) cells; headline means are a
+      // window over tasks
+      "q272_pass_at_k" -> 30L,
+      // q273: ≤25 contingency cells (plus the stage barrier's doc
+      // exchange, q259's caveat); metrics fold on 1-row tables
+      "q273_partition_agree" -> 250L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -395,4 +395,81 @@ class TextSpec extends SparkSpec {
       assert(cells.find(_._1 == r.getLong(0)).get._2 > 0)
     }
   }
+
+  test("q272: pass@k equals the exact combinatorial estimator per task") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getLong(0) - r.getLong(0) % 5,
+          if (Integer.parseInt(md5hex.take(1), 16) < 8) 1L else 0L)
+      }
+    def choose(n: Long, k: Long): BigInt =
+      (0L until k).map(i => BigInt(n - i)).product / (1L to k).map(BigInt(_)).product
+    val rows = ops.Text.q272PassAtK.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTask = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val task = r.getLong(0)
+      val atts = byTask(task)
+      val (n, c) = (atts.length.toLong, atts.map(_._2).sum)
+      assert((r.getLong(1), r.getLong(2)) == ((n, c)), s"task $task")
+      // falling-factorial ratio == binomial ratio, floored once
+      for ((k, idx) <- Seq(1L -> 3, 2L -> 4, 3L -> 5)) {
+        if (n < k) assert(r.isNullAt(idx), s"task $task k=$k")
+        else {
+          val want = 1000000L -
+            (choose(n - c, k) * 1000000 / choose(n, k)).toLong
+          assert(r.getLong(idx) == want, s"task $task k=$k")
+          // unbiased estimator never below the naive first-k share of 0/1
+          assert(r.getLong(idx) >= 0 && r.getLong(idx) <= 1000000L)
+        }
+      }
+    }
+    // monotone in k: more attempts can only help
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5))
+    }
+    // the headline means replay from the per-task columns
+    val m1 = rows.map(_.getLong(3))
+    val m3 = rows.map(_.getLong(5))
+    assert(rows.head.getLong(6) == m1.sum / m1.length)
+    assert(rows.head.getLong(7) == m3.sum / m3.length)
+  }
+
+  test("q273: pair-count algebra replays from the confusion matrix") {
+    import org.apache.spark.sql.functions._
+    val conf = ops.Text.q23LangId.fn(spark, sf)
+      .select("lang", "lang_pred").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def c2(x: Long): BigInt = BigInt(x) * (x - 1) / 2
+    val n = conf.length.toLong
+    val tp = conf.groupBy(identity).values.map(g => c2(g.length.toLong)).sum
+    val sa = conf.groupBy(_._1).values.map(g => c2(g.length.toLong)).sum
+    val sb = conf.groupBy(_._2).values.map(g => c2(g.length.toLong)).sum
+    val cn2 = c2(n)
+    val r = ops.Text.q273PartitionAgree.fn(spark, sf).collect() match {
+      case Array(one) => one
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == tp.toLong && r.getLong(2) == (sb - tp).toLong &&
+      r.getLong(3) == (sa - tp).toLong)
+    assert(r.getLong(4) == (tp * 1000000 / sb).toLong)
+    assert(r.getLong(5) == (tp * 1000000 / sa).toLong)
+    assert(r.getLong(6) == (tp * 2000000 / (sa + sb)).toLong)
+    assert(r.getLong(7) == ((cn2 - sa - sb + 2 * tp) * 1000000 / cn2).toLong)
+    val num2 = 2 * (tp * cn2 - sa * sb)
+    val den2 = (sa + sb) * cn2 - 2 * sa * sb
+    val ari = if (num2 >= 0) num2 * 1000000 / den2
+              else -((-num2) * 1000000 / den2)
+    assert(r.getLong(8) == ari.toLong)
+    // ARI lands near zero on this fixture (the stopword voter is a weak
+    // PAIRWISE clusterer even where row accuracy is fine — exactly the
+    // signal ARI adds over accuracy); bound it, don't assume its sign
+    assert(r.getLong(8).abs <= 1000000L)
+    assert(r.getLong(4) > 0 && r.getLong(5) > 0, "pairwise P/R degenerate")
+  }
 }

@@ -2811,6 +2811,127 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q275 — CUPED variance reduction (Deng et al. 2013, the
+    * experimentation-platform standard): regress each user's
+    * experiment-period metric on their PRE-period metric (θ =
+    * cov(X,Y)/var(X), pooled), subtract θ·(X−X̄), and report per-arm
+    * means of both the raw and adjusted metric plus the achieved
+    * variance ratio — the technique that makes q177/q247's tests
+    * sensitive enough to ship, typically cutting required sample size
+    * 2–5×. The adjustment changes no arm's EXPECTED gap (X predates
+    * assignment); it only removes pre-existing user-level variance.
+    * All arithmetic exact integer: θ in signed micro via cross-
+    * multiplied moments (sign-split floors — the q259 rule — because
+    * cov can be negative), the per-user adjustment θ·(1000x−x̄)
+    * TRUNCATED toward zero in both engines (Spark `div` natively
+    * truncates; the oracle spells the matching CASE), moment products
+    * lifted to DECIMAL(38,0)/HUGEINT (n·Σxy crosses 2⁶³ near 10⁴
+    * users at cents scale). Zero pre-period variance degrades to
+    * θ = 0 — no adjustment — rather than a divide-by-zero.
+    *
+    * Scale: one per-user rollup (the only corpus shuffle), a 1-row θ
+    * fold broadcast back into the user-cell scan, then 2 arm cells;
+    * the variance ratio folds once more over user cells. */
+  val q275Cuped: Q = Q(
+    "q275_cuped",
+    """WITH e AS (
+      |  SELECT user_id, user_id % 2 AS arm, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), b AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+      |), u AS (
+      |  SELECT user_id, MIN(arm) AS arm,
+      |    SUM(CASE WHEN us < mid THEN r ELSE 0 END) AS x,
+      |    SUM(CASE WHEN us >= mid THEN r ELSE 0 END) AS y
+      |  FROM e CROSS JOIN b GROUP BY user_id
+      |), th AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(y) AS num,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS den
+      |  FROM u
+      |), theta AS (
+      |  SELECT n, 1000 * sx // n AS meanx_milli,
+      |    CAST(CASE WHEN den = 0 THEN 0
+      |      WHEN num >= 0 THEN num * 1000000 // den
+      |      ELSE -((-num) * 1000000 // den) END AS BIGINT) AS theta_micro
+      |  FROM th
+      |), adj AS (
+      |  SELECT u.arm, 1000 * u.y AS y_milli,
+      |    1000 * u.y - (CASE
+      |      WHEN t.theta_micro * (1000 * u.x - t.meanx_milli) >= 0
+      |      THEN t.theta_micro * (1000 * u.x - t.meanx_milli) // 1000000
+      |      ELSE -((-(t.theta_micro * (1000 * u.x - t.meanx_milli))) // 1000000)
+      |    END) AS yadj_milli,
+      |    t.theta_micro
+      |  FROM u CROSS JOIN theta t
+      |), ratio AS (
+      |  SELECT CAST(
+      |    (COUNT(*) * SUM(CAST(yadj_milli AS HUGEINT) * yadj_milli)
+      |      - CAST(SUM(yadj_milli) AS HUGEINT) * SUM(yadj_milli)) * 1000000
+      |    // NULLIF(COUNT(*) * SUM(CAST(y_milli AS HUGEINT) * y_milli)
+      |      - CAST(SUM(y_milli) AS HUGEINT) * SUM(y_milli), 0)
+      |    AS BIGINT) AS var_ratio_ppm
+      |  FROM adj
+      |)
+      |SELECT a.arm,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(a.y_milli) // COUNT(*) AS BIGINT) AS mean_y_milli,
+      |  CAST(CASE WHEN SUM(a.yadj_milli) >= 0 THEN SUM(a.yadj_milli) // COUNT(*)
+      |    ELSE -((-SUM(a.yadj_milli)) // COUNT(*)) END AS BIGINT) AS mean_yadj_milli,
+      |  CAST(MIN(a.theta_micro) AS BIGINT) AS theta_micro,
+      |  MIN(r.var_ratio_ppm) AS var_ratio_ppm
+      |FROM adj a CROSS JOIN ratio r
+      |GROUP BY a.arm
+      |ORDER BY a.arm""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      (col("user_id") % 2).as("arm"),
+      unix_micros(col("ts")).as("us"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val b = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(b)) // 1-row midpoint scalar
+      .groupBy("user_id")
+      .agg(min("arm").as("arm"),
+        sum(when(col("us") < col("mid"), col("r")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("r")).otherwise(0L)).as("y"))
+      .localCheckpoint() // user cells: θ fold + adjusted scan + ratio read it
+    val th = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      expr("""CAST(count(1) AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)) * y)
+        - CAST(sum(x) AS DECIMAL(38,0)) * sum(y)""").as("num"),
+      expr("""CAST(count(1) AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)) * x)
+        - CAST(sum(x) AS DECIMAL(38,0)) * sum(x)""").as("den"))
+    val theta = th.select(col("n"),
+      expr("1000 * sx div n").as("meanx_milli"),
+      expr("""CAST(CASE WHEN den = 0 THEN 0
+        WHEN num >= 0 THEN num * 1000000 div den
+        ELSE -((-num) * 1000000 div den) END AS BIGINT)""").as("theta_micro"))
+    // Spark `div` truncates toward zero natively, which IS the CASE the
+    // oracle spells — the signed product needs no sign-split here.
+    val adj = u.crossJoin(broadcast(theta)) // 1-row θ scalar
+      .select(col("arm"), (lit(1000L) * col("y")).as("y_milli"),
+        (lit(1000L) * col("y")
+          - expr("theta_micro * (1000 * x - meanx_milli) div 1000000")).as("yadj_milli"),
+        col("theta_micro"))
+      .localCheckpoint() // user cells: arm rollup + variance ratio read it
+    val ratio = adj.agg(expr(
+      """CAST((count(1) * sum(CAST(yadj_milli AS DECIMAL(38,0)) * yadj_milli)
+        - CAST(sum(yadj_milli) AS DECIMAL(38,0)) * sum(yadj_milli)) * 1000000
+        div nullif(count(1) * sum(CAST(y_milli AS DECIMAL(38,0)) * y_milli)
+        - CAST(sum(y_milli) AS DECIMAL(38,0)) * sum(y_milli), 0)
+        AS BIGINT)""").as("var_ratio_ppm"))
+    adj.crossJoin(broadcast(ratio)) // 1-row ratio scalar
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(y_milli) div count(1)").as("mean_y_milli"),
+        expr("""CAST(CASE WHEN sum(yadj_milli) >= 0 THEN sum(yadj_milli) div count(1)
+          ELSE -((-sum(yadj_milli)) div count(1)) END AS BIGINT)""").as("mean_yadj_milli"),
+        min("theta_micro").as("theta_micro"),
+        min("var_ratio_ppm").as("var_ratio_ppm"))
+      .orderBy("arm")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2821,5 +2942,5 @@ object Events {
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
     q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval,
-    q264PinballEval, q265BradleyTerry, q270KsTest)
+    q264PinballEval, q265BradleyTerry, q270KsTest, q275Cuped)
 }

@@ -1017,7 +1017,103 @@ object Graph {
       .orderBy("node_id")
   }
 
+  /** q274 — personalized PageRank from host 0 on the q128 graph: the
+    * teleport mass returns to ONE source instead of spreading uniformly
+    * — "importance as seen from here", the seed-expansion primitive
+    * behind related-content ranking, local community detection, and
+    * trust propagation (q128's global rank can't distinguish "globally
+    * popular" from "relevant to THIS seed"). Same integer micro-unit
+    * arithmetic as q128 — r' = [h=seed]·150000·n + 0.85·Σw·(r//outdeg)
+    * with the seed mass scaled by n so total mass matches q128's n·10⁶
+    * convention and the two rank columns are directly comparable —
+    * 3 unrolled damped rounds, oracle as chained CTEs.
+    *
+    * Scale: identical to q128 — edges are host-graph cardinality, each
+    * round is one equi-join + host-cell fold with broadcast rank/degree
+    * tables; rounds extend by re-running the same plan. */
+  val q274PersonalizedPr: Q = Q(
+    "q274_personalized_pr",
+    {
+      def round(prev: String) =
+        s"""SELECT h.hid,
+           |    CAST(CASE WHEN h.hid = 0 THEN 150000 * nh.n ELSE 0 END
+           |      + (850 * COALESCE(SUM(e.w * (p.r // g.outdeg)), 0)) // 1000
+           |      AS BIGINT) AS r
+           |  FROM hosts h
+           |  CROSS JOIN nh
+           |  LEFT JOIN edges e ON e.dst = h.hid
+           |  LEFT JOIN $prev p ON p.hid = e.src
+           |  LEFT JOIN deg g ON g.hid = e.src
+           |  GROUP BY h.hid, nh.n"""
+      s"""WITH d AS (
+         |  SELECT source, md5(text) AS hx FROM documents
+         |), hosts AS (
+         |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS hid,
+         |    COUNT(*) AS n_docs
+         |  FROM d GROUP BY source
+         |), nh AS (
+         |  SELECT COUNT(*) AS n FROM hosts
+         |), links AS (
+         |  SELECT h.hid AS src,
+         |    CAST(concat('0x', substr(d.hx, 2*t.j + 1, 2)) AS BIGINT) % nh.n AS dst
+         |  FROM d
+         |  JOIN hosts h USING (source)
+         |  CROSS JOIN nh
+         |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+         |), edges AS (
+         |  SELECT src, dst, COUNT(*) AS w FROM links GROUP BY src, dst
+         |), deg AS (
+         |  SELECT hid, 3 * n_docs AS outdeg FROM hosts
+         |), r0 AS (
+         |  SELECT hid, CAST(CASE WHEN hid = 0 THEN 1000000 * nh.n ELSE 0 END AS BIGINT) AS r
+         |  FROM hosts CROSS JOIN nh
+         |), r1 AS (
+         |${round("r0")}
+         |), r2 AS (
+         |${round("r1")}
+         |), r3 AS (
+         |${round("r2")}
+         |)
+         |SELECT h.source AS host, h.n_docs AS n_docs, r.r AS ppr_micro,
+         |  h.hid = 0 AS is_seed
+         |FROM hosts h JOIN r3 r USING (hid)
+         |ORDER BY ppr_micro DESC, host"""
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("hx"))
+    val hosts = rankIds(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source", "hid")
+      .localCheckpoint() // host cells: links, deg, seed mass, export read it
+    val nh = hosts.agg(count(lit(1)).as("n"))
+    val links = docs
+      .join(broadcast(hosts.select("source", "hid")), "source")
+      .crossJoin(broadcast(nh)) // 1-row host count: scale-safe scalar
+      .select(col("hid").as("src"), explode(array((0 until 3).map(j =>
+        conv(substring(col("hx"), 2 * j + 1, 2), 16, 10).cast("long") % col("n")): _*)).as("dst"))
+    val edges = links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // host-graph cells: every round reads it
+    val deg = hosts.select(col("hid"), (col("n_docs") * 3).as("outdeg"))
+    var r = hosts.crossJoin(broadcast(nh))
+      .select(col("hid"),
+        when(col("hid") === 0, lit(1000000L) * col("n")).otherwise(0L).as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges
+        .join(broadcast(r.select(col("hid").as("src"), col("r").as("pr"))), "src")
+        .join(broadcast(deg.select(col("hid").as("src"), col("outdeg"))), "src")
+        .groupBy("dst")
+        .agg(sum(expr("w * (pr div outdeg)")).as("c"))
+      r = hosts.select("hid").crossJoin(broadcast(nh))
+        .join(contrib.select(col("dst").as("hid"), col("c")), Seq("hid"), "left")
+        .select(col("hid"),
+          (when(col("hid") === 0, lit(150000L) * col("n")).otherwise(0L)
+            + expr("(850 * coalesce(c, CAST(0 AS BIGINT))) div 1000")).as("r"))
+    }
+    hosts.join(r, "hid")
+      .select(col("source").as("host"), col("n_docs"), col("r").as("ppr_micro"),
+        (col("hid") === 0).as("is_seed"))
+      .orderBy(col("ppr_micro").desc, col("host"))
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
     q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits,
-    q227Modularity, q244ClusteringCoeff)
+    q227Modularity, q244ClusteringCoeff, q274PersonalizedPr)
 }

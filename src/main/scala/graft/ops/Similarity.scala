@@ -2041,12 +2041,111 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q276 — rank-biased overlap (Webber 2010) between the full-dim and
+    * 16-dim-prefix cosine rankings: RBO@10 = (1−p)Σ pⁱ⁻¹·|A_i∩B_i|/i
+    * with p = 0.9 — the top-weighted ranking-similarity measure that
+    * answers "how much does truncating the embedding change what users
+    * actually SEE", where q172's flat overlap@10 weights rank 1 and
+    * rank 10 equally. p's powers are exact rationals (9ⁱ⁻¹/10ⁱ pinned
+    * as integer tables, i ≤ 10), each depth term floors once, and the
+    * prefix-overlap-at-depth reduces to a cumulative histogram of
+    * m = max(rank_full, rank_prefix) — no set ever materializes.
+    * Identical rankings score Σ = 651320 ppm (the per-depth floors
+    * of truncated RBO@10's 651321.56 ceiling — the 0.9¹⁰ tail is
+    * unassigned by construction).
+    *
+    * Scale: q172's scored scan (5 broadcast queries, two fused-dot
+    * scores per row, two 5-partition rank windows); everything after
+    * lives on ≤10 histogram cells per query. */
+  val q276RankBiasedOverlap: Q = Q(
+    "q276_rank_biased_overlap",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${dCosPpm("qv", "v")} AS cf,
+       |    ${dCosPpm16("qv", "v")} AS cp
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS rf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, vec_id) AS rp
+       |  FROM scored
+       |), hist AS (
+       |  SELECT query_id, GREATEST(rf, rp) AS m, COUNT(*) AS cnt
+       |  FROM ranked WHERE rf <= 10 AND rp <= 10
+       |  GROUP BY query_id, GREATEST(rf, rp)
+       |), dense AS (
+       |  SELECT q.query_id, t.i, COALESCE(h.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT query_id FROM ranked) q
+       |  CROSS JOIN (SELECT unnest(range(1, 11)) AS i) t
+       |  LEFT JOIN hist h ON h.query_id = q.query_id AND h.m = t.i
+       |), cum AS (
+       |  SELECT query_id, i,
+       |    SUM(cnt) OVER (PARTITION BY query_id ORDER BY i) AS ov
+       |  FROM dense
+       |), terms AS (
+       |  SELECT query_id, i, ov,
+       |    ov * 1000000 * ([1,9,81,729,6561,59049,531441,4782969,43046721,387420489][i])
+       |      // (([10,100,1000,10000,100000,1000000,10000000,100000000,1000000000,10000000000][i]) * i)
+       |      AS term
+       |  FROM cum
+       |)
+       |SELECT query_id,
+       |  CAST(MAX(CASE WHEN i = 1 THEN ov END) AS BIGINT) AS top1_agree,
+       |  CAST(MAX(CASE WHEN i = 10 THEN ov END) AS BIGINT) AS overlap10,
+       |  CAST(SUM(term) AS BIGINT) AS rbo_ppm
+       |FROM terms GROUP BY query_id
+       |ORDER BY query_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p9 = array(Seq(1L, 9L, 81L, 729L, 6561L, 59049L, 531441L,
+      4782969L, 43046721L, 387420489L).map(lit): _*)
+    val p10 = array(Seq(10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      10000000L, 100000000L, 1000000000L, 10000000000L).map(lit): _*)
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+      .withColumn("p", slice(col("v"), 1, 16))
+    val vecsP = vecs.withColumn("p_nrm", sqrt(dot(col("p"), col("p"))))
+    val qs = vecsP.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_nrm").as("qv_nrm"), col("p").as("qp"), col("p_nrm").as("qp_nrm"))
+    val wf = Window.partitionBy("query_id").orderBy(col("cf").desc, col("vec_id"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cp").desc, col("vec_id"))
+    val ranked = vecsP.crossJoin(broadcast(qs)) // 5 query vectors broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cf"),
+        cosPpmPre(dot(col("qp"), col("p")), col("qp_nrm"), col("p_nrm")).as("cp"))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+    val hist = ranked.filter(col("rf") <= 10 && col("rp") <= 10)
+      .groupBy(col("query_id").as("hq"), greatest(col("rf"), col("rp")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val dense = ranked.select("query_id").distinct()
+      .crossJoin(broadcast(s.range(1, 11).select(col("id").as("i")))) // 10-row depth spine
+      .join(hist, col("hq") === col("query_id") && col("m") === col("i"), "left")
+      .select(col("query_id"), col("i"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wCum = Window.partitionBy("query_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("ov", sum("cnt").over(wCum))
+      .withColumn("pow9", element_at(p9, col("i").cast("int")))
+      .withColumn("pow10", element_at(p10, col("i").cast("int")))
+      .withColumn("term", expr("ov * 1000000 * pow9 div (pow10 * i)"))
+      .groupBy("query_id")
+      .agg(max(when(col("i") === 1, col("ov"))).as("top1_agree"),
+        max(when(col("i") === 10, col("ov"))).as("overlap10"),
+        sum("term").as("rbo_ppm"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
     q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank,
-    q250MrrEval, q257NdcgEval, q258MapEval)
+    q250MrrEval, q257NdcgEval, q258MapEval, q276RankBiasedOverlap)
 
 
 }

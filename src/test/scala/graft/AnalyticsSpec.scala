@@ -1138,4 +1138,50 @@ class AnalyticsSpec extends SparkSpec {
           fp * 1000000L / (n - np) - tfp * 1000000L / (tn - tnp), nat)
     }
   }
+
+  test("q275: CUPED replays in BigInt and actually reduces variance") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val users = evs.groupBy(_._1).map { case (uid, es) =>
+      (uid, uid % 2,
+        es.filter(_._2 < mid).map(_._3).sum,
+        es.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = BigInt(users.length)
+    val (sx, sy) = (BigInt(users.map(_._3).sum), BigInt(users.map(_._4).sum))
+    val sxy = users.map(u => BigInt(u._3) * u._4).sum
+    val sxx = users.map(u => BigInt(u._3) * u._3).sum
+    val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+    def sdiv(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) a * 1000000 / b else -((-a) * 1000000 / b)
+    val theta = if (den == 0) BigInt(0) else sdiv(num, den)
+    val meanx = 1000 * sx / n
+    val adj = users.map { case (_, arm, x, y) =>
+      val p = theta * (1000 * x - meanx)
+      val t = if (p >= 0) p / 1000000 else -((-p) / 1000000)
+      (arm, BigInt(1000 * y), BigInt(1000 * y) - t)
+    }
+    val rows = ops.Events.q275Cuped.fn(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val g = adj.filter(_._1 == r.getLong(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == (g.map(_._2).sum / g.length).toLong)
+      val sAdj = g.map(_._3).sum
+      val want = if (sAdj >= 0) sAdj / g.length else -((-sAdj) / g.length)
+      assert(r.getLong(3) == want.toLong)
+      assert(r.getLong(4) == theta.toLong)
+    }
+    // the point of CUPED: adjusted variance strictly below raw on this fixture
+    val vr = rows.head.getLong(5)
+    val gn = BigInt(adj.length)
+    val (say, sayy) = (adj.map(_._3).sum, adj.map(a => a._3 * a._3).sum)
+    val (sry, sryy) = (adj.map(_._2).sum, adj.map(a => a._2 * a._2).sum)
+    assert(vr == ((gn * sayy - say * say) * 1000000 / (gn * sryy - sry * sry)).toLong)
+    assert(vr < 1000000L, s"variance ratio $vr must show a reduction")
+  }
 }

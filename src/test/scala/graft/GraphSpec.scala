@@ -89,6 +89,40 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("q274: personalized ranks replay the 3 damped rounds from raw md5 links") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("source"), md5(col("text")).as("hx"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val sources = docs.map(_._1).distinct.sorted
+    val hid = sources.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val n = sources.length.toLong
+    val links = docs.flatMap { case (src, hx) =>
+      (0 until 3).map(j => (hid(src),
+        java.lang.Long.parseLong(hx.substring(2 * j, 2 * j + 2), 16) % n))
+    }
+    val edges = links.groupBy(identity).map { case ((s, t), xs) =>
+      (s, t, xs.length.toLong) }.toSeq
+    val outdeg = docs.groupBy(_._1).map { case (s, xs) => hid(s) -> 3L * xs.length }
+    var r = (0L until n).map(h => h -> (if (h == 0) 1000000L * n else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => w * (r(s) / outdeg(s)) }.sum }
+      r = (0L until n).map(h => h ->
+        ((if (h == 0) 150000L * n else 0L) + 850L * contrib.getOrElse(h, 0L) / 1000L)).toMap
+    }
+    val rows = ops.Graph.q274PersonalizedPr.fn(spark, sf).collect()
+    assert(rows.length == n)
+    rows.foreach { row =>
+      val h = hid(row.getString(0))
+      assert(row.getLong(2) == r(h), s"host ${row.getString(0)}")
+      assert(row.getBoolean(3) == (h == 0L))
+    }
+    // locality: the seed keeps strictly more mass than any non-seed
+    val seed = rows.find(_.getBoolean(3)).get.getLong(2)
+    assert(rows.filterNot(_.getBoolean(3)).forall(_.getLong(2) < seed),
+      "teleport mass must concentrate at the seed")
+  }
+
   test("kcoreSurvivors: a peel CASCADE strips the tail, keeps the clique") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

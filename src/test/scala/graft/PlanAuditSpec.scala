@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
     "q268_brier_decomp" -> "corpus-scalar join: the 1-row (N, K, Σsq) totals broadcast into the ≤10 decile cells (q166's ECE shape)",
     "q271_fairness_audit" -> "corpus-scalar join: the 1-row global confusion reference broadcasts into the |nations| group cells",
     "q273_partition_agree" -> "scalar-scalar joins: three 1-row pair-count folds cross-combine into the single metrics row",
+    "q274_personalized_pr" -> "q128's shape: the 1-row host count broadcasts into the outlink scan and seed mass; power rounds run on the host-cardinality graph",
+    "q275_cuped" -> "corpus-scalar joins: the 1-row midpoint, theta, and variance-ratio scalars broadcast into user-cell scans",
+    "q276_rank_biased_overlap" -> "q172's shape: the 5 query vectors broadcast; corpus streams once; the 10-row depth spine crosses query-cardinality cells",
     "q266_t_closeness" -> "cell-table joins: the 5-row ordinal-level spine and the 1-row global total broadcast into group-cardinality cells",
     "q258_map_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the |labels|-cell relevant-count table broadcasts back",
     "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",

@@ -573,7 +573,17 @@ class ScaleSpec extends SparkSpec {
       "q272_pass_at_k" -> 30L,
       // q273: ≤25 contingency cells (plus the stage barrier's doc
       // exchange, q259's caveat); metrics fold on 1-row tables
-      "q273_partition_agree" -> 250L)
+      "q273_partition_agree" -> 250L,
+      // q274: q128's host-graph cells; rounds broadcast rank tables
+      "q274_personalized_pr" -> 700L,
+      // q275: one per-user rollup (the only corpus shuffle); theta and
+      // ratio are 1-row folds over user cells
+      "q275_cuped" -> 800L,
+      // q276: q172's scored scan + two 5-partition rank windows;
+      // histogram cells ≤ 10/query. Measured 181 KiB at sf0.01 —
+      // mostly the stage barrier's vector exchange (no-op on
+      // multi-split inputs) + the (query, vec, rank) window rows
+      "q276_rank_biased_overlap" -> 450L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

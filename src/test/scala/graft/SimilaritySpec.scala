@@ -238,4 +238,51 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q276: RBO replays from dual local rankings; identical lists hit the 651320 ceiling") {
+    import org.apache.spark.sql.functions._
+    val p9 = Array(1L, 9L, 81L, 729L, 6561L, 59049L, 531441L,
+      4782969L, 43046721L, 387420489L)
+    val p10 = Array(10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      10000000L, 100000000L, 1000000000L, 10000000000L)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cosPpm(a: Seq[Double], b: Seq[Double]): Long = {
+      val (na, nb) = (math.sqrt(dot(a, a)), math.sqrt(dot(b, b)))
+      if (na == 0.0 || nb == 0.0) 0L
+      else math.floor(dot(a, b) / (na * nb) * 1000000L).toLong
+    }
+    def ranking(qid: Long, dims: Int): Array[Long] = {
+      val q = vecs.find(_._1 == qid).get._2.take(dims)
+      vecs.filter(_._1 != qid)
+        .map(v => (cosPpm(q, v._2.take(dims)), v._1))
+        .sortBy { case (c, id) => (-c, id) }.map(_._2)
+    }
+    def rboOf(full: Array[Long], pre: Array[Long]): (Long, Long, Long) = {
+      val rf = full.take(10).zipWithIndex.toMap
+      val rp = pre.take(10).zipWithIndex.toMap
+      val ms = rf.keySet.intersect(rp.keySet).toSeq
+        .map(v => math.max(rf(v), rp(v)) + 1L)
+      val ovs = (1 to 10).map(i => ms.count(_ <= i).toLong)
+      val rbo = (1 to 10).map(i =>
+        ovs(i - 1) * 1000000L * p9(i - 1) / (p10(i - 1) * i)).sum
+      (ovs(0), ovs(9), rbo)
+    }
+    val rows = ops.Similarity.q276RankBiasedOverlap.fn(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val (top1, ov10, rbo) = rboOf(ranking(qid, 64), ranking(qid, 16))
+      assert(r.getLong(1) == top1, s"q$qid top1")
+      assert(r.getLong(2) == ov10, s"q$qid ov10")
+      assert(r.getLong(3) == rbo, s"q$qid rbo")
+      assert(rbo >= 0 && rbo <= 651320L, s"q$qid range")
+    }
+    // the ceiling is exactly what identical rankings score
+    val same = ranking(0, 64)
+    assert(rboOf(same, same)._3 == 651320L)
+  }
 }

@@ -1096,9 +1096,89 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q277 — dedup threshold sensitivity: sweep the exact-Jaccard cutoff
+    * over the LSH candidate pairs (q27's banding, q29's verify) and
+    * report, per pinned threshold {0.5..0.9}, the qualifying pair
+    * count, the affected-doc count, and the greedy min-id survivor
+    * count (q30's one-hop drop rule) — the "what does moving the knob
+    * actually delete" readout every dedup rollout decision needs
+    * BEFORE committing to a threshold (q108 audits ONE threshold's
+    * precision/recall; this shows the operating curve). Thresholds are
+    * compared cross-multiplied (inter·10⁶ ≥ t·union — no per-pair ppm
+    * float), so the sweep is exactly consistent with q29's gate at
+    * t = 0.7.
+    *
+    * Scale: the pair table is banding-bounded (never corpus²); the
+    * 5-row threshold spine broadcast-crosses pair CELLS; all counts
+    * collapse map-side per threshold. */
+  val q277ThresholdCurve: Q = Q(
+    "q277_threshold_curve",
+    s"""WITH $DCorpus, $DBands,
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sx.hs, sy.hs)) AS BIGINT) AS i,
+       |    CAST(len(list_distinct(sx.hs || sy.hs)) AS BIGINT) AS u
+       |  FROM cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |), ts AS (
+       |  SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS t
+       |), hit AS (
+       |  SELECT ts.t, j.doc_a, j.doc_b
+       |  FROM ts JOIN jac j ON j.u > 0 AND j.i * 1000000 >= ts.t * j.u
+       |), agg AS (
+       |  SELECT t, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_b) AS n_dropped
+       |  FROM hit GROUP BY t
+       |), aff AS (
+       |  SELECT t, COUNT(DISTINCT doc) AS n_affected FROM (
+       |    SELECT t, doc_a AS doc FROM hit
+       |    UNION ALL SELECT t, doc_b FROM hit
+       |  ) GROUP BY t
+       |), nn AS (SELECT COUNT(*) AS n FROM corpus)
+       |SELECT CAST(ts.t AS BIGINT) AS threshold_ppm,
+       |  CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(aff.n_affected, 0) AS BIGINT) AS n_affected,
+       |  CAST(COALESCE(agg.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST(nn.n - COALESCE(agg.n_dropped, 0) AS BIGINT) AS n_survivors
+       |FROM ts
+       |LEFT JOIN agg ON agg.t = ts.t
+       |LEFT JOIN aff ON aff.t = ts.t
+       |CROSS JOIN nn
+       |ORDER BY threshold_ppm""") { (s, d) =>
+    val sh = shingleSets(s, d)
+    val jac = candidatePairs(s, d)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sx"), col("sy"))).cast("long").as("i"),
+        size(array_distinct(concat(col("sx"), col("sy")))).cast("long").as("u"))
+      .localCheckpoint() // pair cells: the 5-way sweep reads them once
+    val ts = s.createDataFrame(Seq(
+      Tuple1(500000L), Tuple1(600000L), Tuple1(700000L), Tuple1(800000L),
+      Tuple1(900000L))).toDF("t")
+    val hit = jac.join(broadcast(ts), // 5-row threshold spine
+        col("u") > 0 && col("i") * 1000000L >= col("t") * col("u"))
+      .select(col("t"), col("doc_a"), col("doc_b"))
+      .localCheckpoint() // qualifying pairs: both counting legs read them
+    val agg = hit.groupBy("t")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("doc_b").as("n_dropped"))
+    val aff = hit.select(col("t"), col("doc_a").as("doc"))
+      .unionAll(hit.select(col("t"), col("doc_b").as("doc")))
+      .groupBy("t").agg(countDistinct("doc").as("n_affected"))
+    val nn = corpus(s, d).agg(count(lit(1)).as("n"))
+    ts.join(agg, Seq("t"), "left").join(aff, Seq("t"), "left")
+      .crossJoin(broadcast(nn)) // 1-row corpus count
+      .select(col("t").as("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_affected"), lit(0L)).as("n_affected"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n") - coalesce(col("n_dropped"), lit(0L))).as("n_survivors"))
+      .orderBy("threshold_ppm")
+  }
+
   val all: Seq[Q] = Seq(q205SortedNeighborhood, q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
     q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin,
-    q168ContainmentJoin, q224Winnowing)
+    q168ContainmentJoin, q224Winnowing, q277ThresholdCurve)
 }

@@ -402,7 +402,62 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q278 — image contrast gate over REAL decoded pixels: per-image
+    * exact pixel-value percentiles (pₖ = ⌈k·n/100⌉-th smallest, from a
+    * 256-bin in-scan histogram of the javax.imageio-decoded raster)
+    * and the p90−p10 spread — the standard low-contrast/blank-image
+    * filter a multimodal curation pipeline runs right after decode
+    * (q43 profiles means; means can't see a washed-out image whose
+    * mean is perfectly normal). The oracle states the same order
+    * statistics closed-form off the block-constant cell grid: the
+    * pixel histogram is Σ(cell-pixel-count) per value, so percentile
+    * truth never touches the codec — while the Spark side must decode
+    * real bytes to reproduce it.
+    *
+    * Scale: decode + histogram + order statistics all run in-scan per
+    * image row (CPU, zero exchange); the only output is one stats row
+    * per image. */
+  val q278ContrastGate: Q = Q(
+    "q278_contrast_gate",
+    s"""WITH m AS (
+       |  SELECT doc_id, $DHex80 AS hx FROM documents WHERE doc_id % 3 = 0
+       |), dims AS (
+       |  SELECT doc_id, hx, $DDims FROM m
+       |), src AS (
+       |$DCellGrid
+       |), hist AS (
+       |  SELECT doc_id, w, h, v, SUM((sx1 - sx0) * (sy1 - sy0)) AS c
+       |  FROM src GROUP BY doc_id, w, h, v
+       |), cum AS (
+       |  SELECT doc_id, w, h, v, w * h AS n,
+       |    SUM(c) OVER (PARTITION BY doc_id ORDER BY v) AS cum
+       |  FROM hist
+       |), pct AS (
+       |  SELECT doc_id, MIN(w) AS w, MIN(h) AS h, MIN(n) AS n,
+       |    MIN(v) AS v_min, MAX(v) AS v_max,
+       |    MIN(CASE WHEN cum >= (10 * n + 99) // 100 THEN v END) AS p10,
+       |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS p50,
+       |    MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END) AS p90
+       |  FROM cum GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       |  CAST(n AS BIGINT) AS n_pixels,
+       |  CAST(v_min AS INT) AS v_min, CAST(p10 AS INT) AS p10,
+       |  CAST(p50 AS INT) AS p50, CAST(p90 AS INT) AS p90,
+       |  CAST(v_max AS INT) AS v_max,
+       |  CAST(p90 - p10 AS BIGINT) AS contrast,
+       |  p90 - p10 < 64 AS low_contrast
+       |FROM pct
+       |ORDER BY doc_id""") { (s, d) =>
+    MM.contrastAll(MM.mediaTable(s, d))
+      .select(col("doc_id"), col("w"), col("h"), col("n_pixels"),
+        col("v_min"), col("p10"), col("p50"), col("p90"), col("v_max"),
+        (col("p90") - col("p10")).cast("long").as("contrast"),
+        (col("p90") - col("p10") < 64).as("low_contrast"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q43MediaMeta, q44MediaAgg, q64FrameSample,
     q66ImageResize, q67AudioEnergy, q115PhashDedup, q126AviDemux,
-    q127AudioSpectrum, q129CaptionAlign, q142PngMetadata)
+    q127AudioSpectrum, q129CaptionAlign, q142PngMetadata, q278ContrastGate)
 }

@@ -744,6 +744,33 @@ object Multimodal {
         "scale_w_ppm", "scale_h_ppm", "resized_sum")
   }
 
+  /** REAL image contrast stats: decode the PNG, histogram the actual
+    * pixel values (256 bins in-scan — never a shuffle), and pull exact
+    * order statistics: pₖ = the ⌈k·n/100⌉-th smallest pixel value. The
+    * p90−p10 spread is the standard low-contrast training-data gate. */
+  def contrastStats(f: MediaFile): (Long, Int, Int, Long, Int, Int, Int, Int, Int) = {
+    val d = decodeImage(f.content)
+    val hist = new Array[Long](256)
+    d.px.foreach(v => hist(v) += 1)
+    val n = d.px.length.toLong
+    def pct(k: Int): Int = {
+      val target = (k * n + 99) / 100
+      var cum = 0L; var v = 0
+      while (v < 256) { cum += hist(v); if (cum >= target) return v; v += 1 }
+      255
+    }
+    val vmin = d.px.min; val vmax = d.px.max
+    (f.doc_id, d.width, d.height, n, vmin, pct(10), pct(50), pct(90), vmax)
+  }
+
+  /** Contrast-stat rows for the image subset. */
+  def contrastAll(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "image")
+      .mapPartitions(it => it.map(contrastStats))
+      .toDF("doc_id", "w", "h", "n_pixels", "v_min", "p10", "p50", "p90", "v_max")
+  }
+
   /** REAL audio feature extraction: decode the WAV, then report the
     * sample stream as 8 four-sample windows with per-window "energy" =
     * sample sum (the integer stand-in for RMS — the window/flatMap

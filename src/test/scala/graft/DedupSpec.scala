@@ -181,4 +181,30 @@ class DedupSpec extends SparkSpec {
     val nearHits = rows.keys.count { case (a, b) => b - a == 1000000L }
     assert(nearHits > 0, "no near-duplicate pair surfaced")
   }
+
+  test("q277: the sweep replays off q29's verified Jaccard table") {
+    val jac = ops.Dedup.q29JaccardVerify.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = ops.Dedup.corpus(spark, sf).count()
+    val rows = ops.Dedup.q277ThresholdCurve.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(500000L, 600000L, 700000L, 800000L, 900000L))
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      // floor(i*1e6/u) >= t  <=>  i*1e6 >= t*u for integer t: the sweep's
+      // cross-multiplied gate equals a filter on q29's floored ppm
+      val hits = jac.filter(_._3 >= t)
+      assert(r.getLong(1) == hits.length.toLong, s"t=$t pairs")
+      assert(r.getLong(2) ==
+        (hits.map(_._1) ++ hits.map(_._2)).distinct.length.toLong, s"t=$t affected")
+      assert(r.getLong(3) == hits.map(_._2).distinct.length.toLong, s"t=$t dropped")
+      assert(r.getLong(4) == n - r.getLong(3), s"t=$t survivors")
+    }
+    // tightening the threshold never deletes more
+    val drops = rows.map(_.getLong(3))
+    assert(drops.zip(drops.tail).forall { case (a, b) => b <= a })
+    // t = 0.7 agrees with q29's shipped is_dup gate
+    assert(rows.find(_.getLong(0) == 700000L).get.getLong(1) ==
+      jac.count(_._3 >= 700000L).toLong)
+  }
 }

@@ -245,4 +245,31 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), 2)
     assert(df.groupBy("doc_id").count().collect().forall(_.getLong(1) == 4))
   }
+
+  test("q278: contrast percentiles replay from a local decode of the real PNGs") {
+    val files = Multimodal.mediaTable(spark, sf)
+      .filter(_.kind == "image").collect()
+    assert(files.nonEmpty)
+    val rows = ops.Multimodal.q278ContrastGate.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    files.foreach { f =>
+      val d = Multimodal.decodeImage(f.content)
+      val sortedPx = d.px.sorted
+      val n = sortedPx.length
+      def pct(k: Int): Int = sortedPx(((k.toLong * n + 99) / 100).toInt - 1)
+      val r = rows(f.doc_id)
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) ==
+        ((d.width, d.height, n.toLong)), s"doc ${f.doc_id} dims")
+      assert(r.getInt(4) == sortedPx.head && r.getInt(8) == sortedPx.last,
+        s"doc ${f.doc_id} min/max")
+      assert((r.getInt(5), r.getInt(6), r.getInt(7)) ==
+        ((pct(10), pct(50), pct(90))), s"doc ${f.doc_id} percentiles")
+      assert(r.getLong(9) == (pct(90) - pct(10)).toLong, s"doc ${f.doc_id} contrast")
+      assert(r.getBoolean(10) == (pct(90) - pct(10) < 64), s"doc ${f.doc_id} gate")
+      // order statistics are ordered
+      assert(sortedPx.head <= pct(10) && pct(10) <= pct(50) &&
+        pct(50) <= pct(90) && pct(90) <= sortedPx.last)
+    }
+    assert(rows.size == files.length)
+  }
 }

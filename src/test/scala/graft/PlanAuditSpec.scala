@@ -103,6 +103,7 @@ class PlanAuditSpec extends SparkSpec {
     "q274_personalized_pr" -> "q128's shape: the 1-row host count broadcasts into the outlink scan and seed mass; power rounds run on the host-cardinality graph",
     "q275_cuped" -> "corpus-scalar joins: the 1-row midpoint, theta, and variance-ratio scalars broadcast into user-cell scans",
     "q276_rank_biased_overlap" -> "q172's shape: the 5 query vectors broadcast; corpus streams once; the 10-row depth spine crosses query-cardinality cells",
+    "q277_threshold_curve" -> "threshold-spine join: the 5-row pinned threshold list broadcasts into the banding-bounded pair cells; the 1-row corpus count broadcasts into the final 5-row sweep",
     "q266_t_closeness" -> "cell-table joins: the 5-row ordinal-level spine and the 1-row global total broadcast into group-cardinality cells",
     "q258_map_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the |labels|-cell relevant-count table broadcasts back",
     "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",

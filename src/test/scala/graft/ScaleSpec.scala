@@ -583,7 +583,13 @@ class ScaleSpec extends SparkSpec {
       // histogram cells ≤ 10/query. Measured 181 KiB at sf0.01 —
       // mostly the stage barrier's vector exchange (no-op on
       // multi-split inputs) + the (query, vec, rank) window rows
-      "q276_rank_biased_overlap" -> 450L)
+      "q276_rank_biased_overlap" -> 450L,
+      // q277: banding-bounded pair cells ×5 thresholds; the distinct
+      // counts collapse map-side per threshold
+      "q277_threshold_curve" -> 1600L,
+      // q278: decode + histogram + order statistics run in-scan per
+      // image; only per-image stats rows ever move
+      "q278_contrast_gate" -> 40L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -1992,7 +1992,77 @@ object Clean {
       .orderBy(col("score_milli").desc, col("doc_id")).limit(10)
   }
 
-  val all: Seq[Q] = Seq(q68Repetition, q69QualityGate, q70PiiScrub,
+  /** q279 — McNemar's paired test between two cheap quality
+    * classifiers scored against the tokenizer-derived gold gate, per
+    * language: when two corpus filters run over the SAME documents,
+    * comparing their raw accuracies ignores the pairing — McNemar uses
+    * only the DISCORDANT cells (b = A right / B wrong, c = A wrong /
+    * B right), which is the correct significance test for "should we
+    * swap filter A for filter B on this corpus". Gold = token count ≥
+    * 30 (the expensive tokenize), A = the char-length proxy (n_chars ≥
+    * 180), B = the distinct-vocab proxy (≥ 20 distinct tokens). The
+    * continuity-corrected statistic (max(|b−c|−1, 0))²/(b+c) ships in
+    * exact floor-milli against the pinned 3.841 (α=0.05, 1 df);
+    * languages with no discordant pairs yield NULL, never a
+    * divide-by-zero.
+    *
+    * Scale: one scan projects the three bits per doc (narrow, no
+    * shuffle); the report collapses to |langs| contingency cells
+    * map-side. */
+  val q279Mcnemar: Q = Q(
+    "q279_mcnemar",
+    s"""WITH t AS (
+       |  SELECT lang, len($DToks) >= 30 AS gold,
+       |    n_chars >= 180 AS a,
+       |    len(list_distinct($DToks)) >= 20 AS b
+       |  FROM documents
+       |), cells AS (
+       |  SELECT lang, COUNT(*) AS n,
+       |    SUM(CASE WHEN (a = gold) AND (b <> gold) THEN 1 ELSE 0 END) AS b_cnt,
+       |    SUM(CASE WHEN (a <> gold) AND (b = gold) THEN 1 ELSE 0 END) AS c_cnt,
+       |    SUM(CASE WHEN a = gold THEN 1 ELSE 0 END) AS a_correct,
+       |    SUM(CASE WHEN b = gold THEN 1 ELSE 0 END) AS b_correct
+       |  FROM t GROUP BY lang
+       |)
+       |SELECT lang, CAST(n AS BIGINT) AS n,
+       |  CAST(a_correct AS BIGINT) AS a_correct, CAST(b_correct AS BIGINT) AS b_correct,
+       |  CAST(b_cnt AS BIGINT) AS a_only_right, CAST(c_cnt AS BIGINT) AS b_only_right,
+       |  CAST(CASE WHEN b_cnt + c_cnt > 0 THEN
+       |    GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * 1000
+       |      // (b_cnt + c_cnt)
+       |    ELSE NULL END AS BIGINT) AS chi2_milli,
+       |  CASE WHEN b_cnt + c_cnt > 0 THEN
+       |    GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * 1000
+       |      // (b_cnt + c_cnt) > 3841
+       |    ELSE NULL END AS reject_05
+       |FROM cells ORDER BY lang""") { (s, d) =>
+    val t = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"),
+        (size(col("toks")) >= 30).as("gold"),
+        (col("n_chars") >= 180).as("a"),
+        (size(array_distinct(col("toks"))) >= 20).as("b"))
+    t.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("gold") && col("b") =!= col("gold"), 1L)
+          .otherwise(0L)).as("b_cnt"),
+        sum(when(col("a") =!= col("gold") && col("b") === col("gold"), 1L)
+          .otherwise(0L)).as("c_cnt"),
+        sum(when(col("a") === col("gold"), 1L).otherwise(0L)).as("a_correct"),
+        sum(when(col("b") === col("gold"), 1L).otherwise(0L)).as("b_correct"))
+      .select(col("lang"), col("n"), col("a_correct"), col("b_correct"),
+        col("b_cnt").as("a_only_right"), col("c_cnt").as("b_only_right"),
+        expr("""CAST(CASE WHEN b_cnt + c_cnt > 0 THEN
+          GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * GREATEST(ABS(b_cnt - c_cnt) - 1, 0) * 1000
+            div (b_cnt + c_cnt)
+          ELSE NULL END AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") > 3841))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q279Mcnemar, q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,

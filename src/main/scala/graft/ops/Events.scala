@@ -2932,6 +2932,453 @@ object Events {
       .orderBy("arm")
   }
 
+  /** q280 — two-arm log-rank test over q249's survival setup: do the
+    * two experiment arms' engagement streaks DIE at different rates?
+    * Kaplan-Meier (q249) draws each arm's curve; the log-rank test is
+    * the referee that says whether the curves differ beyond chance —
+    * the standard significance test for time-to-event outcomes, which
+    * mean-gap tests (q177/q247) get wrong because censored subjects
+    * carry information a mean can't use. At each distinct duration t
+    * with d deaths among n at-risk (n₀/n₁ per arm): E₀ accumulates
+    * d·n₀/n and the hypergeometric variance d·n₀·n₁·(n−d)/(n²(n−1)),
+    * both as floor-micro terms (identical per-cell formula on both
+    * engines — every numerator non-negative, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree); χ² = (O₀−E₀)²/V against
+    * the pinned 3.841 (α=0.05, 1 df). Variance products are lifted to
+    * DECIMAL(38,0)/HUGEINT (d·n₀·n₁·(n−d)·10¹² crosses 2⁶³ near 4k
+    * streaks).
+    *
+    * Scale: one corpus scan collapses to (user, day) cells map-side;
+    * the island window is co-partitioned per user; everything after
+    * lives on duration cells (≤ span in days): the at-risk reverse
+    * windows are bounded, the fold is one 1-row aggregate. */
+  val q280LogRank: Q = Q(
+    "q280_logrank",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), mx AS (
+      |  SELECT MAX(day) AS mxd FROM days
+      |), isl AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days
+      |), streaks AS (
+      |  SELECT user_id % 2 AS arm, COUNT(*) AS t,
+      |    CASE WHEN MAX(day) < (SELECT mxd FROM mx) THEN 1 ELSE 0 END AS ev
+      |  FROM isl GROUP BY user_id, grp
+      |), cells AS (
+      |  SELECT t,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS d0,
+      |    SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS d1
+      |  FROM streaks GROUP BY t
+      |), risk AS (
+      |  SELECT t, d0, d1,
+      |    SUM(c0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0,
+      |    SUM(c1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      |  FROM cells
+      |), agg AS (
+      |  SELECT SUM(d0) AS o0,
+      |    SUM(CAST(d0 + d1 AS HUGEINT) * n0 * 1000000 // (n0 + n1)) AS e0_micro,
+      |    SUM(CASE WHEN n0 + n1 > 1 THEN
+      |      CAST(d0 + d1 AS HUGEINT) * n0 * n1 * (n0 + n1 - (d0 + d1)) * 1000000000000
+      |        // (CAST(n0 + n1 AS HUGEINT) * (n0 + n1) * (n0 + n1 - 1))
+      |      ELSE 0 END) AS v_micro
+      |  FROM risk WHERE d0 + d1 > 0
+      |), tot AS (
+      |  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS dd0,
+      |    SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS dd1
+      |  FROM streaks
+      |)
+      |SELECT CAST(tot.s0 AS BIGINT) AS n_streaks_arm0,
+      |  CAST(tot.s1 AS BIGINT) AS n_streaks_arm1,
+      |  CAST(tot.dd0 AS BIGINT) AS n_deaths_arm0,
+      |  CAST(tot.dd1 AS BIGINT) AS n_deaths_arm1,
+      |  CAST(agg.o0 * 1000000 - agg.e0_micro AS BIGINT) AS o_minus_e_micro,
+      |  CAST(CASE WHEN agg.v_micro > 0 THEN
+      |    CAST(agg.o0 * 1000000 - agg.e0_micro AS HUGEINT)
+      |      * (agg.o0 * 1000000 - agg.e0_micro) * 1000
+      |      // (CAST(agg.v_micro AS HUGEINT) * 1000000)
+      |    ELSE NULL END AS BIGINT) AS chi2_milli,
+      |  CASE WHEN agg.v_micro > 0 THEN
+      |    CAST(agg.o0 * 1000000 - agg.e0_micro AS HUGEINT)
+      |      * (agg.o0 * 1000000 - agg.e0_micro) * 1000
+      |      // (CAST(agg.v_micro AS HUGEINT) * 1000000) > 3841
+      |    ELSE NULL END AS reject_05
+      |FROM agg CROSS JOIN tot""") { (s, d) =>
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val mx = days.agg(max("day").as("mxd"))
+    val wIsl = Window.partitionBy("user_id").orderBy("day")
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(wIsl))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("t"), max("day").as("lastd"))
+      .crossJoin(broadcast(mx)) // 1-row observation end
+      .select((col("user_id") % 2).as("arm"), col("t"),
+        when(col("lastd") < col("mxd"), 1L).otherwise(0L).as("ev"))
+      .localCheckpoint() // streak cells feed both the risk table and the totals
+    val cells = streaks.groupBy("t")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 0, col("ev")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 1, col("ev")).otherwise(0L)).as("d1"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = cells // duration cells: the single-partition window is span-bounded
+      .select(col("t"), col("d0"), col("d1"),
+        sum("c0").over(wRisk).as("n0"), sum("c1").over(wRisk).as("n1"))
+    val agg = risk.filter(col("d0") + col("d1") > 0)
+      .agg(sum("d0").as("o0"),
+        sum(expr("CAST(d0 + d1 AS DECIMAL(38,0)) * n0 * 1000000 div (n0 + n1)")).as("e0_micro"),
+        sum(expr("""CASE WHEN n0 + n1 > 1 THEN
+          CAST(d0 + d1 AS DECIMAL(38,0)) * n0 * n1 * (n0 + n1 - (d0 + d1)) * 1000000000000
+            div (CAST(n0 + n1 AS DECIMAL(38,0)) * (n0 + n1) * (n0 + n1 - 1))
+          ELSE 0 END""")).as("v_micro"))
+    val tot = streaks.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("s0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("s1"),
+      sum(when(col("arm") === 0, col("ev")).otherwise(0L)).as("dd0"),
+      sum(when(col("arm") === 1, col("ev")).otherwise(0L)).as("dd1"))
+    agg.crossJoin(broadcast(tot)) // two 1-row folds combine into the report row
+      .select(col("s0").as("n_streaks_arm0"), col("s1").as("n_streaks_arm1"),
+        col("dd0").as("n_deaths_arm0"), col("dd1").as("n_deaths_arm1"),
+        expr("CAST(o0 * 1000000 - e0_micro AS BIGINT)").as("o_minus_e_micro"),
+        expr("""CAST(CASE WHEN v_micro > 0 THEN
+          CAST(o0 * 1000000 - e0_micro AS DECIMAL(38,0))
+            * (o0 * 1000000 - e0_micro) * 1000
+            div (CAST(v_micro AS DECIMAL(38,0)) * 1000000)
+          ELSE NULL END AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") > 3841))
+  }
+
+  /** q281 — Qini/uplift curve over score-domain cells: rank users by a
+    * behavioral uplift score (their view-event count), then report per
+    * distinct score value the treated/control response split and the
+    * CUMULATIVE incremental-conversion rate (Qini) walking down the
+    * ranking — "if we only acted on users scoring ≥ s, how much extra
+    * conversion does treatment buy?", the operating curve behind every
+    * targeting-policy rollout (q262's gains curve scores ONE outcome;
+    * Qini differences two arms). Per-bin uplift and cumulative Qini are
+    * exact sign-split ppm (uplift can be negative — the q259 rule
+    * keeps Spark's truncating div and DuckDB's flooring // identical);
+    * bins where either arm is empty yield NULL, never a fabricated 0.
+    *
+    * Scale: one per-user rollup (the only corpus shuffle) collapses to
+    * score-DOMAIN cells map-side; the cumulative window walks those
+    * bounded cells — no global per-user sort, no ntile: the curve is
+    * exact at any corpus size. */
+  val q281QiniUplift: Q = Q(
+    "q281_qini_uplift",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id
+      |), cells AS (
+      |  SELECT score,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc,
+      |    SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS rt,
+      |    SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS rc
+      |  FROM u GROUP BY score
+      |), cum AS (
+      |  SELECT score, nt, nc, rt, rc,
+      |    SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+      |    SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc
+      |  FROM cells
+      |  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT CAST(score AS BIGINT) AS score,
+      |  CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+      |  CAST(rt AS BIGINT) AS resp_treat, CAST(rc AS BIGINT) AS resp_ctrl,
+      |  CAST(CASE WHEN nt > 0 AND nc > 0 THEN
+      |    CASE WHEN rt * nc - rc * nt >= 0 THEN (rt * nc - rc * nt) * 1000000 // (nt * nc)
+      |      ELSE -((-(rt * nc - rc * nt)) * 1000000 // (nt * nc)) END
+      |    ELSE NULL END AS BIGINT) AS bin_uplift_ppm,
+      |  CAST(CASE WHEN cnt > 0 AND cnc > 0 THEN
+      |    CASE WHEN crt * cnc - crc * cnt >= 0 THEN (crt * cnc - crc * cnt) * 1000000 // (cnt * cnc)
+      |      ELSE -((-(crt * cnc - crc * cnt)) * 1000000 // (cnt * cnc)) END
+      |    ELSE NULL END AS BIGINT) AS cum_qini_ppm
+      |FROM cum
+      |ORDER BY score DESC""") { (s, d) =>
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("score"), col("conv"))
+    val cells = u.groupBy("score")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("rt"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("rc"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells // score-domain cells: the single-partition window is bounded
+      .select(col("score"), col("nt"), col("nc"), col("rt"), col("rc"),
+        sum("nt").over(w).as("cnt"), sum("nc").over(w).as("cnc"),
+        sum("rt").over(w).as("crt"), sum("rc").over(w).as("crc"))
+      .select(col("score"),
+        col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+        col("rt").as("resp_treat"), col("rc").as("resp_ctrl"),
+        expr("""CAST(CASE WHEN nt > 0 AND nc > 0 THEN
+          CASE WHEN rt * nc - rc * nt >= 0 THEN (rt * nc - rc * nt) * 1000000 div (nt * nc)
+            ELSE -((-(rt * nc - rc * nt)) * 1000000 div (nt * nc)) END
+          ELSE NULL END AS BIGINT)""").as("bin_uplift_ppm"),
+        expr("""CAST(CASE WHEN cnt > 0 AND cnc > 0 THEN
+          CASE WHEN crt * cnc - crc * cnt >= 0 THEN (crt * cnc - crc * cnt) * 1000000 div (cnt * cnc)
+            ELSE -((-(crt * cnc - crc * cnt)) * 1000000 div (cnt * cnc)) END
+          ELSE NULL END AS BIGINT)""").as("cum_qini_ppm"))
+      .orderBy(col("score").desc)
+  }
+
+  /** q282 — 1-D Wasserstein (earth-mover) distance between the weekday
+    * and weekend value distributions per event type: W₁ = ∫|F₁−F₂| —
+    * the MAGNITUDE of a distribution shift in the metric's own units
+    * (milli-cents here), where q270's KS reports only the sup gap.
+    * A shift KS barely flags (many small CDF gaps over a wide range)
+    * can carry a large W₁, and vice versa — production drift gates
+    * report both. Exact integer: on the merged value grid,
+    * |cum₁·n₂ − cum₂·n₁| times the gap to the next value, summed in
+    * DECIMAL(38,0)/HUGEINT, ONE floor-division at the end (numerator
+    * non-negative — Spark div and DuckDB // agree).
+    *
+    * Scale: identical cell shape to q270 — the corpus collapses to
+    * (type, value, side) cells map-side; the CDF walk and the gap
+    * lead() run per type on value-domain cells; the report is |types|
+    * rows. */
+  val q282Wasserstein: Q = Q(
+    "q282_wasserstein",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, v, we, COUNT(*) AS c FROM e GROUP BY event_type, v, we
+      |), tot AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN we = 0 THEN c ELSE 0 END) AS n_wd,
+      |    SUM(CASE WHEN we = 1 THEN c ELSE 0 END) AS n_we
+      |  FROM cells GROUP BY event_type
+      |), cum AS (
+      |  SELECT event_type, v,
+      |    SUM(SUM(CASE WHEN we = 0 THEN c ELSE 0 END))
+      |      OVER (PARTITION BY event_type ORDER BY v) AS cum_wd,
+      |    SUM(SUM(CASE WHEN we = 1 THEN c ELSE 0 END))
+      |      OVER (PARTITION BY event_type ORDER BY v) AS cum_we,
+      |    LEAD(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+      |  FROM cells GROUP BY event_type, v
+      |), num AS (
+      |  SELECT c.event_type,
+      |    SUM(ABS(CAST(c.cum_wd AS HUGEINT) * t.n_we - CAST(c.cum_we AS HUGEINT) * t.n_wd)
+      |      * (c.nv - c.v)) AS w1_num
+      |  FROM cum c JOIN tot t USING (event_type)
+      |  WHERE c.nv IS NOT NULL
+      |  GROUP BY c.event_type
+      |)
+      |SELECT t.event_type,
+      |  CAST(t.n_wd AS BIGINT) AS n_weekday, CAST(t.n_we AS BIGINT) AS n_weekend,
+      |  CAST(COALESCE(n.w1_num, 0) * 1000 // (CAST(t.n_wd AS HUGEINT) * t.n_we) AS BIGINT)
+      |    AS w1_millicents
+      |FROM tot t LEFT JOIN num n USING (event_type)
+      |WHERE t.n_wd > 0 AND t.n_we > 0
+      |ORDER BY t.event_type""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+    val cells = e.groupBy("event_type", "v", "we").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // value-domain cells: totals + CDF walk read it
+    val tot = cells.groupBy("event_type")
+      .agg(sum(when(col("we") === 0, col("c")).otherwise(0L)).as("n_wd"),
+        sum(when(col("we") === 1, col("c")).otherwise(0L)).as("n_we"))
+    val wCdf = Window.partitionBy("event_type").orderBy("v")
+    val cum = cells.groupBy("event_type", "v")
+      .agg(sum(when(col("we") === 0, col("c")).otherwise(0L)).as("wd"),
+        sum(when(col("we") === 1, col("c")).otherwise(0L)).as("wec"))
+      .select(col("event_type"), col("v"),
+        sum("wd").over(wCdf).as("cum_wd"), sum("wec").over(wCdf).as("cum_we"),
+        lead("v", 1).over(wCdf).as("nv"))
+    val num = cum.join(broadcast(tot), "event_type")
+      .filter(col("nv").isNotNull)
+      .groupBy("event_type")
+      .agg(sum(expr("""abs(CAST(cum_wd AS DECIMAL(38,0)) * n_we
+        - CAST(cum_we AS DECIMAL(38,0)) * n_wd) * (nv - v)""")).as("w1_num"))
+    tot.join(num, Seq("event_type"), "left")
+      .filter(col("n_wd") > 0 && col("n_we") > 0)
+      .select(col("event_type"),
+        col("n_wd").as("n_weekday"), col("n_we").as("n_weekend"),
+        expr("""CAST(COALESCE(w1_num, CAST(0 AS DECIMAL(38,0))) * 1000
+          div (CAST(n_wd AS DECIMAL(38,0)) * n_we) AS BIGINT)""").as("w1_millicents"))
+      .orderBy("event_type")
+  }
+
+  /** q283 — single change-point detection by between-group SSE gain
+    * (binary-segmentation step 1): per event type, find the day
+    * boundary that best splits the daily revenue series into two
+    * constant-mean regimes — where q156's CUSUM asks "did it drift
+    * past a threshold", this asks "WHEN did the level shift". For a
+    * split after day t with left/right row counts n_l/n_r and cent
+    * sums s_l/s_r, the between-group gain (total SSE minus split SSE)
+    * is s_l²/n_l + s_r²/n_r − s²/n — maximized over candidate days via
+    * window cumsums; each term floors identically on both engines
+    * (non-negative numerators), so the tiny floor slack cancels in the
+    * exact integer subtraction. Squares are lifted to DECIMAL(38,0)/
+    * HUGEINT (s² crosses 2⁶³ at ~10⁵ rows of 10⁴-cent values); the
+    * gain is reported in raw cents² (no extra scale — BIGINT-safe to
+    * ~10¹⁸ cents², i.e. corpora 10⁴× this fixture).
+    *
+    * Scale: the corpus collapses to (type, day) cells map-side; the
+    * candidate sweep is a per-type window over time-bounded daily
+    * cells; the argmax is a row_number over the same cells. */
+  val q283Changepoint: Q = Q(
+    "q283_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n_d,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sx_d
+      |  FROM events GROUP BY event_type, day
+      |), tot AS (
+      |  SELECT event_type, SUM(n_d) AS n, SUM(sx_d) AS sx FROM daily GROUP BY event_type
+      |), cand AS (
+      |  SELECT d.event_type, d.day,
+      |    SUM(d.n_d) OVER w AS n_l, SUM(d.sx_d) OVER w AS sx_l, t.n, t.sx
+      |  FROM daily d JOIN tot t USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), gains AS (
+      |  SELECT event_type, day, n_l, n - n_l AS n_r, sx_l, sx - sx_l AS sx_r, n, sx,
+      |    CAST(sx_l AS HUGEINT) * sx_l // n_l
+      |      + CAST(sx - sx_l AS HUGEINT) * (sx - sx_l) // (n - n_l)
+      |      - CAST(sx AS HUGEINT) * sx // n AS gain
+      |  FROM cand WHERE n_l > 0 AND n - n_l > 0
+      |), best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY gain DESC, day) AS rn
+      |  FROM gains
+      |)
+      |SELECT event_type, CAST(day AS BIGINT) AS split_day,
+      |  CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+      |  CAST(sx_l * 1000 // n_l AS BIGINT) AS mean_left_millicents,
+      |  CAST(sx_r * 1000 // n_r AS BIGINT) AS mean_right_millicents,
+      |  CAST(gain AS BIGINT) AS gain_cents2
+      |FROM best WHERE rn = 1
+      |ORDER BY event_type""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_d"), sum((dec(col("value")) * 100).cast("long")).as("sx_d"))
+    val tot = daily.groupBy("event_type").agg(sum("n_d").as("n"), sum("sx_d").as("sx"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = daily.join(broadcast(tot), "event_type") // |types|-row totals
+      .select(col("event_type"), col("day"),
+        sum("n_d").over(w).as("n_l"), sum("sx_d").over(w).as("sx_l"),
+        col("n"), col("sx"))
+    val gains = cand.filter(col("n_l") > 0 && col("n") - col("n_l") > 0)
+      .select(col("event_type"), col("day"), col("n_l"),
+        (col("n") - col("n_l")).as("n_r"), col("sx_l"),
+        (col("sx") - col("sx_l")).as("sx_r"),
+        expr("""CAST(sx_l AS DECIMAL(38,0)) * sx_l div n_l
+          + CAST(sx - sx_l AS DECIMAL(38,0)) * (sx - sx_l) div (n - n_l)
+          - CAST(sx AS DECIMAL(38,0)) * sx div n""").as("gain"))
+    val wBest = Window.partitionBy("event_type").orderBy(col("gain").desc, col("day"))
+    gains.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n_l").as("n_left"), col("n_r").as("n_right"),
+        expr("sx_l * 1000 div n_l").as("mean_left_millicents"),
+        expr("sx_r * 1000 div n_r").as("mean_right_millicents"),
+        col("gain").cast("long").as("gain_cents2"))
+      .orderBy("event_type")
+  }
+
+  /** q286 — Mann-Kendall trend test on the daily revenue series per
+    * event type: is q197's Theil-Sen slope statistically REAL? S =
+    * Σ_{i<j} sign(x_j − x_i) over daily cells, the tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) kept
+    * ×18 (always integer), and the continuity-corrected normal score
+    * z ≈ (|S|−1)·√18/√(V18) — spelled sign·((|S|−1)·424264 div
+    * isqrt(V18·10⁴)) with √18·10² pinned as 424264/10³ and isqrt =
+    * floor of an IEEE sqrt on an exact integer (exact while V18·10⁴ <
+    * 2⁵³, i.e. ~35k daily cells — decades of days; the q270 rule).
+    * The nonparametric trend referee: no normality assumption, robust
+    * to the outliers that break OLS t-tests (q178).
+    *
+    * Scale: the corpus collapses to (type, day) cells map-side; the
+    * pair join is TIME-domain-bounded (q197's documented shape) and
+    * joins on the type key; tie cells group on (type, value). */
+  val q286MannKendall: Q = Q(
+    "q286_mann_kendall",
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      |  FROM events GROUP BY event_type, day
+      |), s AS (
+      |  SELECT a.event_type,
+      |    SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY a.event_type
+      |), n AS (
+      |  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY event_type
+      |), ties AS (
+      |  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_adj
+      |  FROM (SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY event_type, x)
+      |  GROUP BY event_type
+      |), v AS (
+      |  SELECT n.event_type, n.n_days,
+      |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - COALESCE(t.tie_adj, 0) AS v18
+      |  FROM n LEFT JOIN ties t USING (event_type)
+      |)
+      |SELECT v.event_type, CAST(v.n_days AS BIGINT) AS n_days,
+      |  CAST(s.s_stat AS BIGINT) AS s_stat, CAST(v.v18 AS BIGINT) AS var18,
+      |  CAST(CASE WHEN v.v18 > 0 AND ABS(s.s_stat) > 1 THEN
+      |    CASE WHEN s.s_stat > 0 THEN
+      |      (s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))
+      |    ELSE -((-s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))) END
+      |    ELSE 0 END AS BIGINT) AS z_milli,
+      |  CASE WHEN v.v18 > 0 AND ABS(s.s_stat) > 1 THEN
+      |    ABS(CASE WHEN s.s_stat > 0 THEN
+      |      (s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))
+      |    ELSE -((-s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))) END) > 1960
+      |    ELSE FALSE END AS reject_05
+      |FROM v JOIN s USING (event_type)
+      |ORDER BY v.event_type""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+      .localCheckpoint() // daily cells feed the pair join (both sides), ties, counts
+    val a = daily.select(col("event_type"), col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("event_type"), col("day").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, Seq("event_type")) // time-bounded cells² (q197's shape)
+      .filter(col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"))
+    val v = n.join(ties, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - coalesce(col("tie_adj"), lit(0L))).as("v18"))
+    v.join(sStat, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("v18").as("var18"),
+        expr("""CAST(CASE WHEN v18 > 0 AND ABS(s_stat) > 1 THEN
+          CASE WHEN s_stat > 0 THEN
+            (s_stat - 1) * 424264 div (100 * CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT))
+          ELSE -((-s_stat - 1) * 424264 div (100 * CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT))) END
+          ELSE 0 END AS BIGINT)""").as("z_milli"))
+      .withColumn("reject_05", abs(col("z_milli")) > 1960)
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -2942,5 +3389,7 @@ object Events {
     q188ConversionDelay, q192SeasonalDecomp, q201LeadLag, q216LinearInterp,
     q217IpsPolicyEval, q228DoublyRobust, q240RollingBacktest, q241DiffInDiff,
     q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval,
-    q264PinballEval, q265BradleyTerry, q270KsTest, q275Cuped)
+    q264PinballEval, q265BradleyTerry, q270KsTest, q275Cuped,
+    q280LogRank, q281QiniUplift, q282Wasserstein, q283Changepoint,
+    q286MannKendall)
 }

@@ -1113,7 +1113,102 @@ object Graph {
       .orderBy(col("ppr_micro").desc, col("host"))
   }
 
+  /** q284 — link-prediction scores over q173's document graph (the
+    * 20-host graph is near-complete, leaving nothing to predict): for
+    * the top non-adjacent pairs at distance 2, the three classic
+    * neighborhood predictors — common-neighbor count, neighbor-set
+    * Jaccard, and the resource-allocation index Σ_z 1/deg(z) (Zhou
+    * 2009; RA is the log-free cousin of Adamic-Adar, exact in integer
+    * micro where AA's 1/log needs floats) — the "which edges are
+    * missing" primitive behind related-content suggestions and graph
+    * densification. Every candidate pair is generated from wedges
+    * (shared-neighbor z emits its sorted adjacency pairs once), then
+    * adjacency is removed with an anti-join; RA accumulates 10⁶ div
+    * deg(z) per wedge (exact, non-negative); the top-50 export is a
+    * fully-tied-down two-phase orderBy/limit.
+    *
+    * Scale: the wedge generation is Σ_z deg(z)² — the q109-documented
+    * shape; at web scale the standard mitigation is capping each z's
+    * adjacency at its top-k ranked neighbors before pairing, which
+    * composes here as a window filter on `nb`. Degree and adjacency
+    * tables are node/edge-cardinality, so every join is an equi-join —
+    * nothing broadcasts except the 1-row doc count. */
+  val q284LinkPrediction: Q = Q(
+    "q284_link_prediction",
+    """WITH nd AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), links AS (
+      |  SELECT doc_id AS src,
+      |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+      |  FROM documents
+      |  CROSS JOIN nd
+      |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
+      |), ue AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM links WHERE src <> dst
+      |), nb AS (
+      |  SELECT a AS z, b AS v FROM ue UNION ALL SELECT b AS z, a AS v FROM ue
+      |), degv AS (
+      |  SELECT z AS v, COUNT(*) AS dg FROM nb GROUP BY z
+      |), wedge AS (
+      |  SELECT n1.v AS a, n2.v AS b, n1.z
+      |  FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n1.v < n2.v
+      |), cand AS (
+      |  SELECT w.a, w.b, COUNT(*) AS cn,
+      |    SUM(1000000 // g.dg) AS ra_micro
+      |  FROM wedge w JOIN degv g ON g.v = w.z
+      |  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = w.a AND ue.b = w.b)
+      |  GROUP BY w.a, w.b
+      |)
+      |SELECT c.a AS doc_a, c.b AS doc_b,
+      |  CAST(c.cn AS BIGINT) AS common_neighbors,
+      |  CAST(c.cn * 1000000 // (ga.dg + gb.dg - c.cn) AS BIGINT) AS jaccard_ppm,
+      |  CAST(c.ra_micro AS BIGINT) AS ra_micro
+      |FROM cand c
+      |JOIN degv ga ON ga.v = c.a JOIN degv gb ON gb.v = c.b
+      |ORDER BY ra_micro DESC, common_neighbors DESC, doc_a, doc_b
+      |LIMIT 50""") { (s, d) =>
+    // q173's document graph (the 20-host graph is near-complete — no
+    // non-adjacent pairs to predict): doc_id nodes, 2 md5 links each
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val links = docs
+      .crossJoin(broadcast(nd)) // 1-row doc count: scale-safe scalar
+      .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
+        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+    // ue feeds the neighbor list AND the adjacency anti-join; nb feeds
+    // both wedge legs and the degree table — materialize each once
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nb = ue.select(col("a").as("z"), col("b").as("v"))
+      .unionAll(ue.select(col("b").as("z"), col("a").as("v")))
+      .localCheckpoint()
+    val degv = nb.groupBy(col("z").as("v")).agg(count(lit(1)).as("dg"))
+    val wedge = nb.as("n1").join(nb.as("n2"),
+        col("n1.z") === col("n2.z") && col("n1.v") < col("n2.v"))
+      .select(col("n1.v").as("a"), col("n2.v").as("b"), col("n1.z").as("z"))
+    val cand = wedge
+      .join(broadcast(degv.select(col("v").as("z"), col("dg"))), "z")
+      .join(ue, Seq("a", "b"), "left_anti") // drop already-adjacent pairs
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div dg")).as("ra_micro"))
+    cand
+      .join(degv.select(col("v").as("a"), col("dg").as("dga")), "a")
+      .join(degv.select(col("v").as("b"), col("dg").as("dgb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("cn").as("common_neighbors"),
+        expr("cn * 1000000 div (dga + dgb - cn)").as("jaccard_ppm"),
+        col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
+        col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
     q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits,
-    q227Modularity, q244ClusteringCoeff, q274PersonalizedPr)
+    q227Modularity, q244ClusteringCoeff, q274PersonalizedPr,
+    q284LinkPrediction)
 }

@@ -2140,7 +2140,105 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  val all: Seq[Q] = Seq(q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
+  /** q285 — expected reciprocal rank (ERR@10, Chapelle 2009): the
+    * cascade-model retrieval eval — a user scans down the ranking and
+    * STOPS at the first satisfying result, so a great hit at rank 1
+    * shadows everything below it, which NDCG's independent-position
+    * discounts (q257) cannot express. Graded relevance g∈{0,1,2}
+    * (exact label match = 2, same label family mod 5 = 1), stop
+    * probability R = (2^g−1)/4 ∈ {0, ¼, ¾}. ERR = Σ_r (1/r)·R_r·
+    * Π_{j<r}(1−R_j) is computed EXACTLY in integers: numerators 4R ∈
+    * {0,1,3} and survivors 4−4R ∈ {4,3,1} make the cascade product
+    * 4^c₀·3^c₁ over cumulative grade counts (pinned power tables — no
+    * window product needed), and the whole sum is scaled by
+    * 2520·4¹⁰ (2520 = lcm(1..10)), so err_scaled is an exact integer
+    * and the single ppm division floors identically on both engines.
+    *
+    * Scale: q250/q257's shape — the 20 query vectors broadcast, the
+    * corpus is scored in one streaming pass, the rank window
+    * partitions per query, and the cascade fold runs on 10 rows per
+    * query. */
+  val q285ErrEval: Q = Q(
+    "q285_err_eval",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, $DVec AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM vecs WHERE vec_id < 20
+       |), ranked AS (
+       |  SELECT query_id, qlabel,
+       |    CASE WHEN label = qlabel THEN 2
+       |      WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END AS g,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${dCosPpm("qv", "v")} DESC, vec_id) AS rank
+       |  FROM qs CROSS JOIN vecs WHERE vec_id <> query_id
+       |), cum AS (
+       |  SELECT query_id, qlabel, g, rank,
+       |    COUNT(CASE WHEN g = 0 THEN 1 END) OVER w AS c0,
+       |    COUNT(CASE WHEN g = 1 THEN 1 END) OVER w AS c1
+       |  FROM ranked WHERE rank <= 10
+       |  WINDOW w AS (PARTITION BY query_id ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), terms AS (
+       |  SELECT query_id, qlabel,
+       |    SUM([2520,1260,840,630,504,420,360,315,280,252][rank]
+       |      * [0,1,3][g + 1]
+       |      * [1,4,16,64,256,1024,4096,16384,65536,262144][c0 + 1]
+       |      * [1,3,9,27,81,243,729,2187,6561,19683][c1 + 1]
+       |      * [262144,65536,16384,4096,1024,256,64,16,4,1][rank]) AS err_scaled,
+       |    SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS n_exact_at10,
+       |    SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_family_at10
+       |  FROM cum GROUP BY query_id, qlabel
+       |)
+       |SELECT query_id, CAST(qlabel AS BIGINT) AS label,
+       |  CAST(n_exact_at10 AS BIGINT) AS n_exact_at10,
+       |  CAST(n_family_at10 AS BIGINT) AS n_family_at10,
+       |  CAST(err_scaled AS BIGINT) AS err_scaled,
+       |  CAST(err_scaled * 1000000 // 2642411520 AS BIGINT) AS err_ppm
+       |FROM terms ORDER BY query_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val invArr = array(Seq(2520L, 1260L, 840L, 630L, 504L, 420L, 360L, 315L,
+      280L, 252L).map(lit): _*)
+    val numArr = array(Seq(0L, 1L, 3L).map(lit): _*)
+    val p4Arr = array((0 until 10).map(i => lit(math.pow(4, i).toLong)): _*)
+    val p3Arr = array((0 until 10).map(i => lit(math.pow(3, i).toLong)): _*)
+    val p4RemArr = array((9 to 0 by -1).map(i => lit(math.pow(4, i).toLong)): _*)
+    val vecs = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")), "v")
+    val qs = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("v_nrm").as("qv_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("vec_id"))
+    val ranked = vecs.crossJoin(broadcast(qs)) // 20 query vectors broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"),
+        when(col("label") === col("qlabel"), 2L)
+          .when(col("label") % 5 === col("qlabel") % 5, 1L).otherwise(0L).as("g"),
+        cosPpmPre(dot(col("qv"), col("v")), col("qv_nrm"), col("v_nrm")).as("cos_ppm"),
+        col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val wCum = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ranked
+      .withColumn("c0", count(when(col("g") === 0, 1)).over(wCum))
+      .withColumn("c1", count(when(col("g") === 1, 1)).over(wCum))
+    cum.groupBy("query_id", "qlabel")
+      .agg(sum(element_at(invArr, col("rank").cast("int"))
+          * element_at(numArr, (col("g") + 1).cast("int"))
+          * element_at(p4Arr, (col("c0") + 1).cast("int"))
+          * element_at(p3Arr, (col("c1") + 1).cast("int"))
+          * element_at(p4RemArr, col("rank").cast("int"))).as("err_scaled"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("n_exact_at10"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_family_at10"))
+      .select(col("query_id"), col("qlabel").cast("long").as("label"),
+        col("n_exact_at10"), col("n_family_at10"), col("err_scaled"),
+        expr("err_scaled * 1000000 div 2642411520").as("err_ppm"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[Q] = Seq(q285ErrEval, q31KnnBrute, q32AnnLsh, q33EmbedNearDup, q34Centroid,
     q54AnnIvf, q62Quantize, q98KmeansLloyd, q99HardNegatives, q100ProductQuant,
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,

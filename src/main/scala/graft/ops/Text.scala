@@ -2016,7 +2016,112 @@ object Text {
           .as("ari_ppm"))
   }
 
-  val all: Seq[Q] = Seq(q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
+  /** q287 — Flesch readability scores (reading ease + grade level) per
+    * document: the classic curation signal for "is this text written
+    * for humans" — word-salad and boilerplate score far outside the
+    * human band, complementing q22's ratio gates with a
+    * SENTENCE/SYLLABLE-structure view. Syllables use the standard
+    * deterministic heuristic max(1, vowel-group count) per token;
+    * sentences are [.!?]+ runs + 1 (a no-punctuation doc is one long
+    * sentence — exactly the degenerate value the formula is designed
+    * to punish). Both formulas ship in exact floor-milli with the
+    * published coefficients pinned as integers (206.835 → 206835;
+    * each ratio term floors identically on both engines — numerators
+    * non-negative; the final subtraction is exact and may go
+    * negative, which IS the signal).
+    *
+    * Scale: a narrow per-doc projection — no shuffle at any corpus
+    * size; the export sort is the only exchange. */
+  val q287Flesch: Q = Q(
+    "q287_flesch",
+    s"""WITH t AS (
+       |  SELECT doc_id, $DToks AS toks,
+       |    len(regexp_extract_all(text, '[.!?]+')) + 1 AS n_sent
+       |  FROM documents
+       |), syl AS (
+       |  SELECT doc_id, len(toks) AS n_words, n_sent,
+       |    list_sum(list_transform(toks,
+       |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS n_syl
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_sent AS BIGINT) AS n_sentences,
+       |  CAST(n_syl AS BIGINT) AS n_syllables,
+       |  CAST(206835 - 1015 * n_words // n_sent
+       |    - 84600 * n_syl // n_words AS BIGINT) AS ease_milli,
+       |  CAST(390 * n_words // n_sent + 11800 * n_syl // n_words
+       |    - 15590 AS BIGINT) AS grade_milli
+       |FROM syl WHERE n_words > 0
+       |ORDER BY doc_id""") { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))) + 1)
+          .cast("long").as("n_sent"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        col("n_sent"),
+        aggregate(col("toks"), lit(0L), (acc, w) =>
+          acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+            .cast("long"), lit(1L))).as("n_syl"))
+    t.filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sent").as("n_sentences"),
+        col("n_syl").as("n_syllables"),
+        expr("CAST(206835 - 1015 * n_words div n_sent - 84600 * n_syl div n_words AS BIGINT)")
+          .as("ease_milli"),
+        expr("CAST(390 * n_words div n_sent + 11800 * n_syl div n_words - 15590 AS BIGINT)")
+          .as("grade_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** q288 — token burstiness (Fano factor) over the corpus: for the 30
+    * highest-volume tokens, the variance-to-mean ratio of the token's
+    * per-document count, zeros included — Church & Gale's contagion
+    * signal. Function words spread evenly (Fano ≈ 1, Poisson-like);
+    * topical/content words CLUMP (Fano ≫ 1): a burstiness-aware
+    * pipeline weights topical terms up for dedup fingerprints and
+    * down for language-ID. Fano = (n·Σc² − (Σc)²)/(n·Σc) over all n
+    * docs — exact from per-token df/Σc/Σc² plus the 1-row corpus
+    * count, numerator non-negative by Cauchy-Schwarz, one floor-milli
+    * division; products lifted to DECIMAL(38,0)/HUGEINT (n·Σc²
+    * crosses 2⁶³ near 10⁵ docs at this token volume).
+    *
+    * Scale: (token, doc) cells collapse map-side inside the explode
+    * scan; the per-token rollup is vocab-cardinality; the top-30 is a
+    * two-phase orderBy/limit (per-partition heads, then one merge). */
+  val q288Burstiness: Q = Q(
+    "q288_burstiness",
+    s"""WITH td AS (
+       |  SELECT doc_id, unnest($DToks) AS token FROM documents
+       |), cells AS (
+       |  SELECT token, doc_id, COUNT(*) AS c FROM td GROUP BY token, doc_id
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), tok AS (
+       |  SELECT token, COUNT(*) AS df, SUM(c) AS total,
+       |    SUM(CAST(c AS HUGEINT) * c) AS sumsq
+       |  FROM cells GROUP BY token
+       |)
+       |SELECT token, CAST(df AS BIGINT) AS df, CAST(total AS BIGINT) AS total,
+       |  CAST((CAST(n.n_docs AS HUGEINT) * sumsq - CAST(total AS HUGEINT) * total) * 1000
+       |    // (CAST(n.n_docs AS HUGEINT) * total) AS BIGINT) AS fano_milli
+       |FROM tok CROSS JOIN n
+       |ORDER BY total DESC, token LIMIT 30""") { (s, d) =>
+    val td = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val cells = td.groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    cells.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("total"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"))
+      .crossJoin(broadcast(n)) // 1-row corpus count
+      .select(col("token"), col("df"), col("total"),
+        expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * sumsq
+          - CAST(total AS DECIMAL(38,0)) * total) * 1000
+          div (CAST(n_docs AS DECIMAL(38,0)) * total) AS BIGINT)""").as("fano_milli"))
+      .orderBy(col("total").desc, col("token")).limit(30)
+  }
+
+  val all: Seq[Q] = Seq(q287Flesch, q288Burstiness,
+    q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,
     q113BpeRounds, q121CcnetBuckets, q123BpeEncode, q149VocabGrowth,

@@ -1184,4 +1184,164 @@ class AnalyticsSpec extends SparkSpec {
     assert(vr == ((gn * sayy - say * say) * 1000000 / (gn * sryy - sry * sry)).toLong)
     assert(vr < 1000000L, s"variance ratio $vr must show a reduction")
   }
+
+  test("q280: log-rank O-E, variance, and chi-square replay from local streaks in BigInt") {
+    import org.apache.spark.sql.functions._
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxd = days.map(_._2).max
+    val streaks = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val islands = sorted.foldLeft(List.empty[List[Long]]) {
+        case (Nil, d)    => List(List(d))
+        case (h :: t, d) => if (d == h.head + 1) (d :: h) :: t else List(d) :: (h :: t)
+      }
+      islands.map(isl => (u % 2, isl.length.toLong, if (isl.max < mxd) 1L else 0L))
+    }
+    val ts = streaks.map(_._2).distinct
+    var (e0, v) = (BigInt(0), BigInt(0))
+    ts.foreach { t =>
+      val n0 = streaks.count(x => x._1 == 0 && x._2 >= t).toLong
+      val n1 = streaks.count(x => x._1 == 1 && x._2 >= t).toLong
+      val d0 = streaks.count(x => x._1 == 0 && x._2 == t && x._3 == 1).toLong
+      val d1 = streaks.count(x => x._1 == 1 && x._2 == t && x._3 == 1).toLong
+      val (dd, nn) = (d0 + d1, n0 + n1)
+      if (dd > 0) {
+        e0 += BigInt(dd) * n0 * 1000000 / nn
+        if (nn > 1)
+          v += BigInt(dd) * n0 * n1 * (nn - dd) * BigInt(1000000000000L) /
+            (BigInt(nn) * nn * (nn - 1))
+      }
+    }
+    val o0 = streaks.count(x => x._1 == 0 && x._3 == 1).toLong
+    val rows = ops.Events.q280LogRank.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == streaks.count(_._1 == 0).toLong)
+    assert(r.getLong(1) == streaks.count(_._1 == 1).toLong)
+    assert(r.getLong(2) == o0)
+    assert(r.getLong(3) == streaks.count(x => x._1 == 1 && x._3 == 1).toLong)
+    val omE = BigInt(o0) * 1000000 - e0
+    assert(r.getLong(4) == omE.toLong)
+    assert(v > 0, "fixture must produce a positive log-rank variance")
+    val chi2 = omE * omE * 1000 / (v * 1000000)
+    assert(r.getLong(5) == chi2.toLong)
+    assert(r.getBoolean(6) == (chi2 > 3841))
+  }
+
+  test("q281: per-bin uplift and cumulative Qini replay from local user cells") {
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1), r.getLong(2)))
+    def sdiv(num: BigInt, den: BigInt): Long =
+      (if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)).toLong
+    val rows = ops.Events.q281QiniUplift.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scoresDesc = users.map(_._2).distinct.sorted.reverse
+    assert(rows.map(_.getLong(0)).toSeq == scoresDesc.toSeq, "one row per score, desc")
+    var (cnt, cnc, crt, crc) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val sc = r.getLong(0)
+      val bin = users.filter(_._2 == sc)
+      val (nt, nc) = (bin.count(_._1 == 1).toLong, bin.count(_._1 == 0).toLong)
+      val rt = bin.filter(_._1 == 1).map(_._3).sum
+      val rc = bin.filter(_._1 == 0).map(_._3).sum
+      cnt += nt; cnc += nc; crt += rt; crc += rc
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((nt, nc, rt, rc)), s"score $sc")
+      if (nt > 0 && nc > 0)
+        assert(r.getLong(5) == sdiv(BigInt(rt) * nc - BigInt(rc) * nt, BigInt(nt) * nc), s"score $sc bin")
+      else assert(r.isNullAt(5), s"score $sc bin null")
+      if (cnt > 0 && cnc > 0)
+        assert(r.getLong(6) == sdiv(BigInt(crt) * cnc - BigInt(crc) * cnt, BigInt(cnt) * cnc), s"score $sc qini")
+      else assert(r.isNullAt(6), s"score $sc qini null")
+    }
+  }
+
+  test("q282: W1 equals the brute integral of |F1-F2| over the merged value grid") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val rows = ops.Events.q282Wasserstein.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val wd = evs.filter(x => x._1 == t && x._3 == 0).map(_._2)
+      val we = evs.filter(x => x._1 == t && x._3 == 1).map(_._2)
+      assert(r.getLong(1) == wd.length.toLong && r.getLong(2) == we.length.toLong, t)
+      val grid = (wd ++ we).distinct.sorted
+      val w1num = grid.zip(grid.tail).map { case (v, nv) =>
+        (BigInt(wd.count(_ <= v)) * we.length - BigInt(we.count(_ <= v)) * wd.length).abs * (nv - v)
+      }.sum
+      assert(r.getLong(3) == (w1num * 1000 / (BigInt(wd.length) * we.length)).toLong, t)
+      assert(r.getLong(3) >= 0, t)
+    }
+  }
+
+  test("q283: the chosen split maximizes the replayed between-group SSE gain") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_d"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sx_d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = ops.Events.q283Changepoint.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cells = daily.filter(_._1 == t).sortBy(_._2)
+      val (n, sx) = (cells.map(_._3).sum, cells.map(_._4).sum)
+      def gain(k: Int): BigInt = {
+        val (nl, sl) = (cells.take(k).map(_._3).sum, cells.take(k).map(_._4).sum)
+        val (nr, sr) = (n - nl, sx - sl)
+        BigInt(sl) * sl / nl + BigInt(sr) * sr / nr - BigInt(sx) * sx / n
+      }
+      val cand = (1 until cells.length).map(k => (gain(k), cells(k - 1)._2))
+      val best = cand.maxBy { case (g, day) => (g, -day) }
+      assert(r.getLong(1) == best._2, s"$t split day")
+      val k = cells.indexWhere(_._2 == best._2) + 1
+      val (nl, sl) = (cells.take(k).map(_._3).sum, cells.take(k).map(_._4).sum)
+      assert(r.getLong(2) == nl && r.getLong(3) == n - nl, t)
+      assert(r.getLong(4) == (BigInt(sl) * 1000 / nl).toLong, t)
+      assert(r.getLong(5) == (BigInt(sx - sl) * 1000 / (n - nl)).toLong, t)
+      assert(r.getLong(6) == best._1.toLong, t)
+    }
+  }
+
+  test("q286: Mann-Kendall S, tie-corrected variance, and z replay from brute pairs") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = ops.Events.q286MannKendall.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val nD = xs.length.toLong
+      assert(r.getLong(1) == nD, t)
+      val s = (for { i <- xs.indices; j <- (i + 1) until xs.length }
+        yield (xs(j) compare xs(i)).sign.toLong).sum
+      assert(r.getLong(2) == s, t)
+      val tieAdj = xs.groupBy(identity).values.map(_.length.toLong)
+        .map(g => g * (g - 1) * (2 * g + 5)).sum
+      val v18 = nD * (nD - 1) * (2 * nD + 5) - tieAdj
+      assert(r.getLong(3) == v18, t)
+      val z =
+        if (v18 > 0 && math.abs(s) > 1) {
+          val root = math.floor(math.sqrt((v18 * 10000L).toDouble)).toLong
+          val mag = (math.abs(s) - 1) * 424264L / (100L * root)
+          if (s > 0) mag else -mag
+        } else 0L
+      assert(r.getLong(4) == z, t)
+      assert(r.getBoolean(5) == (math.abs(z) > 1960), t)
+    }
+  }
 }

@@ -234,4 +234,33 @@ class CleanSpec extends SparkSpec {
       assert(ppm == (if (ng == 0) 0L else math.floorDiv(novel * 1000000L, ng)))
     }
   }
+
+  test("q279: McNemar discordant cells and continuity-corrected chi-square replay per language") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("lang", "text", "n_chars").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (r.getString(0), toks.length >= 30, r.getLong(2) >= 180, toks.distinct.length >= 20)
+      }
+    val rows = ops.Clean.q279Mcnemar.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val g = docs.filter(_._1 == lang)
+      val bC = g.count(x => x._3 == x._2 && x._4 != x._2).toLong
+      val cC = g.count(x => x._3 != x._2 && x._4 == x._2).toLong
+      assert(r.getLong(1) == g.length.toLong, lang)
+      assert(r.getLong(2) == g.count(x => x._3 == x._2).toLong, lang)
+      assert(r.getLong(3) == g.count(x => x._4 == x._2).toLong, lang)
+      assert((r.getLong(4), r.getLong(5)) == ((bC, cC)), lang)
+      if (bC + cC > 0) {
+        val d = math.max(math.abs(bC - cC) - 1, 0L)
+        val chi2 = d * d * 1000L / (bC + cC)
+        assert(r.getLong(6) == chi2, lang)
+        assert(r.getBoolean(7) == (chi2 > 3841L), lang)
+      } else {
+        assert(r.isNullAt(6) && r.isNullAt(7), lang)
+      }
+    }
+  }
 }

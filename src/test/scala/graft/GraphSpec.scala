@@ -300,4 +300,43 @@ class GraphSpec extends SparkSpec {
     assert(l1 != l2, "square should not be stable after one round")
     assert(l1 == l3, "synchronous LPA must 2-cycle on the square")
   }
+
+  test("q284: link-prediction scores equal the brute doc-graph replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ue = docs.flatMap { case (id, text) =>
+      val hx = md5hex(text)
+      (0 until 2).map { j =>
+        val dst = java.lang.Long.parseLong(hx.substring(2 * j, 2 * j + 2), 16) * 7919 % n
+        (math.min(id, dst), math.max(id, dst))
+      }
+    }.filter(p => p._1 != p._2).distinct
+    val adj = ue.toSet
+    val nb = (ue.map(p => (p._1, p._2)) ++ ue.map(p => (p._2, p._1)))
+    val deg = nb.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    val cand = nb.groupBy(_._1).toSeq.flatMap { case (z, xs) =>
+      val vs = xs.map(_._2).sorted
+      for { i <- vs.indices; j <- (i + 1) until vs.length }
+        yield ((vs(i), vs(j)), z)
+    }.filter { case (p, _) => !adj(p) }
+      .groupBy(_._1).map { case ((a, b), ws) =>
+        val cn = ws.length.toLong
+        val ra = ws.map { case (_, z) => 1000000L / deg(z) }.sum
+        val jac = cn * 1000000L / (deg(a) + deg(b) - cn)
+        (a, b, cn, jac, ra)
+      }.toSeq
+    val expected = cand.sortBy { case (a, b, cn, _, ra) => (-ra, -cn, a, b) }.take(50)
+    val rows = ops.Graph.q284LinkPrediction.fn(spark, sf).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (a, b, cn, jac, ra)) =>
+      assert((r.getLong(0), r.getLong(1)) == ((a, b)), s"pair $a-$b")
+      assert(r.getLong(2) == cn && r.getLong(3) == jac && r.getLong(4) == ra, s"pair $a-$b scores")
+    }
+    assert(rows.nonEmpty, "doc graph must yield non-adjacent distance-2 pairs")
+  }
 }

@@ -107,7 +107,11 @@ class PlanAuditSpec extends SparkSpec {
     "q266_t_closeness" -> "cell-table joins: the 5-row ordinal-level spine and the 1-row global total broadcast into group-cardinality cells",
     "q258_map_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the |labels|-cell relevant-count table broadcasts back",
     "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",
-    "q252_dbscan" -> "checkpoint-hidden: the CC rounds' scalar folds run behind the core-edge checkpoint; candidates are the 9-cell grid equi-join, never n²")
+    "q252_dbscan" -> "checkpoint-hidden: the CC rounds' scalar folds run behind the core-edge checkpoint; candidates are the 9-cell grid equi-join, never n²",
+    "q280_logrank" -> "scalar joins: the 1-row observation-end day broadcasts into the streak tag (q249's shape) and the two 1-row folds cross-combine into the single report row",
+    "q284_link_prediction" -> "checkpoint-hidden: the 1-row doc-count scalar broadcasts into the link derivation; wedges, degrees, and the adjacency anti-join are equi-joins",
+    "q285_err_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the cascade fold runs on 10 rows per query",
+    "q288_burstiness" -> "corpus-scalar join: the 1-row doc count broadcasts into the vocab-cardinality Fano scoring")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

@@ -589,7 +589,31 @@ class ScaleSpec extends SparkSpec {
       "q277_threshold_curve" -> 1600L,
       // q278: decode + histogram + order statistics run in-scan per
       // image; only per-image stats rows ever move
-      "q278_contrast_gate" -> 40L)
+      "q278_contrast_gate" -> 40L,
+      // round 9 additions (measured via graft.Prof at sf0.01, ~2.5x):
+      // q279: |langs| contingency cells after a narrow bit projection
+      "q279_mcnemar" -> 260L,
+      // q280: (user, day) cells + duration cells; the variance fold is
+      // one 1-row aggregate
+      "q280_logrank" -> 160L,
+      // q281: one per-user rollup then score-domain cells
+      "q281_qini_uplift" -> 15L,
+      // q282: q270's (type, value, side) cell shape, twice-read via the
+      // checkpoint (totals + CDF walk)
+      "q282_wasserstein" -> 880L,
+      // q283: (type, day) cells only — the sweep is a window over them
+      "q283_changepoint" -> 25L,
+      // q284: edge/neighbor tables of the degree-4 doc graph; wedges
+      // carry ids only
+      "q284_link_prediction" -> 230L,
+      // q285: 20-query top-10 rank cells (corpus scored in-scan)
+      "q285_err_eval" -> 15L,
+      // q286: (type, day) daily cells through the time-bounded pair join
+      "q286_mann_kendall" -> 30L,
+      // q287: narrow per-doc projection; only the export sort exchanges
+      "q287_flesch" -> 310L,
+      // q288: (token, doc) count cells + vocab-cardinality rollup
+      "q288_burstiness" -> 930L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -285,4 +285,32 @@ class SimilaritySpec extends SparkSpec {
     val same = ranking(0, 64)
     assert(rboOf(same, same)._3 == 651320L)
   }
+
+  test("q285: ERR cascade replays exactly via integer power tables") {
+    val (vecs, rank) = bruteRanked()
+    val rows = ops.Similarity.q285ErrEval.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    val inv = Array(2520L, 1260L, 840L, 630L, 504L, 420L, 360L, 315L, 280L, 252L)
+    rows.foreach { r =>
+      val (qid, qlabel) = (r.getLong(0), r.getLong(1))
+      assert(vecs.find(_._1 == qid).get._2 == qlabel)
+      val top = rank(qid).take(10)
+      val grades = top.map { case (_, l) =>
+        if (l == qlabel) 2 else if (l % 5 == qlabel % 5) 1 else 0 }
+      assert(r.getLong(2) == grades.count(_ == 2).toLong)
+      assert(r.getLong(3) == grades.count(_ == 1).toLong)
+      var (c0, c1) = (0, 0)
+      var errScaled = 0L
+      grades.zipWithIndex.foreach { case (g, i) =>
+        val num = Array(0L, 1L, 3L)(g)
+        val prod = math.pow(4, c0).toLong * math.pow(3, c1).toLong
+        errScaled += inv(i) * num * prod * math.pow(4, 9 - i).toLong
+        if (g == 0) c0 += 1 else if (g == 1) c1 += 1
+      }
+      assert(r.getLong(4) == errScaled, s"query $qid")
+      assert(r.getLong(5) == errScaled * 1000000L / 2642411520L, s"query $qid ppm")
+      // a perfect rank-1 exact hit alone gives ERR >= 3/4: sanity-bound everything
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L, s"query $qid range")
+    }
+  }
 }

@@ -472,4 +472,47 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(8).abs <= 1000000L)
     assert(r.getLong(4) > 0 && r.getLong(5) > 0, "pairwise P/R degenerate")
   }
+
+  test("q287: Flesch ease/grade replay from the local syllable heuristic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = ops.Text.q287Flesch.fn(spark, sf).collect()
+    assert(rows.length == docs.count(_._2.trim.nonEmpty))
+    val byId = docs.toMap
+    val sylRe = "[aeiouy]+".r
+    val sentRe = "[.!?]+".r
+    rows.foreach { r =>
+      val text = byId(r.getLong(0))
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val w = toks.length.toLong
+      val s = sentRe.findAllIn(text).length.toLong + 1
+      val syl = toks.map(t => math.max(sylRe.findAllIn(t).length.toLong, 1L)).sum
+      assert(r.getLong(1) == w && r.getLong(2) == s && r.getLong(3) == syl, r.getLong(0))
+      assert(r.getLong(4) == 206835L - 1015L * w / s - 84600L * syl / w, r.getLong(0))
+      assert(r.getLong(5) == 390L * w / s + 11800L * syl / w - 15590L, r.getLong(0))
+    }
+  }
+
+  test("q288: Fano factors replay in BigInt; the top-30 order is fully pinned") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val nDocs = docs.length.toLong
+    val cells = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, xs) => (t, id, xs.length.toLong) } }
+    val tok = cells.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._3).sum, xs.map(x => BigInt(x._3) * x._3).sum) }
+    val expected = tok.toSeq.sortBy { case (t, _, total, _) => (-total, t) }.take(30)
+    val rows = ops.Text.q288Burstiness.fn(spark, sf).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (t, df, total, sumsq)) =>
+      assert(r.getString(0) == t)
+      assert(r.getLong(1) == df && r.getLong(2) == total, t)
+      val fano = (BigInt(nDocs) * sumsq - BigInt(total) * total) * 1000 /
+        (BigInt(nDocs) * total)
+      assert(r.getLong(3) == fano.toLong, t)
+      assert(fano >= 0, t)
+    }
+  }
 }

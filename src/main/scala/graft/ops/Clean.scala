@@ -2062,7 +2062,70 @@ object Clean {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q279Mcnemar, q68Repetition, q69QualityGate, q70PiiScrub,
+  /** q292 — Horvitz-Thompson estimation from q73's stratified sample:
+    * expand each sampled document by its known inverse inclusion
+    * probability 10⁶/rate_ppm to estimate the FULL corpus's per-
+    * language doc and character totals — the survey-sampling estimator
+    * that makes "measure the corpus from the 2% sample" statistically
+    * honest (plain sample means are biased the moment rates differ by
+    * stratum, which q73's language rebalancing guarantees). Expansion
+    * totals are Σ·10⁶ div rate (sum first, ONE floor division — tighter
+    * than per-row expansion); because the fixture also knows the truth,
+    * the true totals and the signed estimator error ship alongside
+    * (q293's honesty-readout pattern). π comes from the SAME pinned
+    * rate table and md5 bucket as q73, so sample and estimator can
+    * never drift apart.
+    *
+    * Scale: the sample filter is a narrow hash predicate; both the
+    * sampled and true totals collapse to |langs| cells map-side, and
+    * the join is |langs|-row. */
+  val q292HorvitzThompson: Q = Q(
+    "q292_horvitz_thompson",
+    s"""WITH smp AS (
+       |  SELECT lang, COUNT(*) AS n_s, SUM(n_chars) AS chars_s
+       |  FROM documents WHERE $DBucket < $DRate
+       |  GROUP BY lang
+       |), tru AS (
+       |  SELECT lang, $DRate AS rate_ppm,
+       |    COUNT(*) AS n_true, SUM(n_chars) AS chars_true
+       |  FROM documents GROUP BY lang
+       |)
+       |SELECT t.lang, CAST(t.rate_ppm AS BIGINT) AS rate_ppm,
+       |  CAST(COALESCE(s.n_s, 0) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(s.n_s, 0) * 1000000 // t.rate_ppm AS BIGINT) AS ht_docs,
+       |  CAST(t.n_true AS BIGINT) AS true_docs,
+       |  CAST(COALESCE(s.chars_s, 0) * 1000000 // t.rate_ppm AS BIGINT) AS ht_chars,
+       |  CAST(t.chars_true AS BIGINT) AS true_chars,
+       |  CAST(CASE WHEN COALESCE(s.chars_s, 0) * 1000000 // t.rate_ppm - t.chars_true >= 0
+       |    THEN (COALESCE(s.chars_s, 0) * 1000000 // t.rate_ppm - t.chars_true) * 1000000 // t.chars_true
+       |    ELSE -((t.chars_true - COALESCE(s.chars_s, 0) * 1000000 // t.rate_ppm) * 1000000 // t.chars_true)
+       |    END AS BIGINT) AS err_ppm
+       |FROM tru t LEFT JOIN smp s USING (lang)
+       |ORDER BY t.lang""") { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), bucket(col("doc_id")).as("bkt"),
+        rateFor(col("lang")).as("rate_ppm"))
+    val smp = base.filter(col("bkt") < col("rate_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_s"), sum("n_chars").as("chars_s"))
+    val tru = base.groupBy("lang")
+      .agg(min("rate_ppm").as("rate_ppm"),
+        count(lit(1)).as("n_true"), sum("n_chars").as("chars_true"))
+    tru.join(smp, Seq("lang"), "left")
+      .select(col("lang"), col("rate_ppm"),
+        coalesce(col("n_s"), lit(0L)).as("n_sampled"),
+        expr("coalesce(n_s, 0) * 1000000 div rate_ppm").as("ht_docs"),
+        col("n_true").as("true_docs"),
+        expr("coalesce(chars_s, 0) * 1000000 div rate_ppm").as("ht_chars"),
+        col("chars_true").as("true_chars"),
+        expr("""CAST(CASE WHEN coalesce(chars_s, 0) * 1000000 div rate_ppm - chars_true >= 0
+          THEN (coalesce(chars_s, 0) * 1000000 div rate_ppm - chars_true) * 1000000 div chars_true
+          ELSE -((chars_true - coalesce(chars_s, 0) * 1000000 div rate_ppm) * 1000000 div chars_true)
+          END AS BIGINT)""").as("err_ppm"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q279Mcnemar, q292HorvitzThompson,
+    q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,
     q78BottomkSample, q79DomainCap, q83BloomDecontam,

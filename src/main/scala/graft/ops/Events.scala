@@ -3379,6 +3379,338 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q289 — Wilcoxon signed-rank test on paired per-user pre/post
+    * spend (q275's midpoint split): the PAIRED nonparametric referee —
+    * q184's rank-sum compares two independent samples, this tests
+    * whether the within-user change has a symmetric-around-zero
+    * distribution, robust to the heavy tails that break a paired
+    * t-test. Midranks of |d| are kept ×2 (2·cum_less + ties + 1 —
+    * always integer), W⁺ accumulates positive-side ranks, the
+    * tie-corrected variance is kept ×48 (2n(n+1)(2n+1) − Σ(t³−t),
+    * always integer), and z = (W2−E2)·√12/√V48 ships in sign-split
+    * milli with √12 pinned as 346410/10⁵ and isqrt on an exact
+    * integer (the q270/q286 rule; exact while V48·10⁴ < 2⁵³ — ~10⁵
+    * pairs, with the DECIMAL lift documented for beyond).
+    *
+    * Scale: one per-user rollup (the only corpus shuffle) collapses to
+    * |d|-value-domain cells map-side; ranks come from a cumulative
+    * window over those cells — no global row sort at any corpus
+    * size. */
+  val q289WilcoxonSignedRank: Q = Q(
+    "q289_wilcoxon_signed_rank",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), b AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+      |), u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN us >= mid THEN r ELSE 0 END)
+      |      - SUM(CASE WHEN us < mid THEN r ELSE 0 END) AS d
+      |  FROM e CROSS JOIN b GROUP BY user_id
+      |), nz AS (
+      |  SELECT ABS(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      |  FROM u WHERE d <> 0
+      |), cells AS (
+      |  SELECT ad, COUNT(*) AS c, SUM(pos) AS cpos FROM nz GROUP BY ad
+      |), ranked AS (
+      |  SELECT ad, c, cpos,
+      |    2 * (SUM(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - c) + c + 1 AS rank2
+      |  FROM cells
+      |), agg AS (
+      |  SELECT SUM(c) AS n, SUM(cpos * rank2) AS w2,
+      |    SUM(c * (CAST(c AS HUGEINT) * c - 1)) AS tie_adj
+      |  FROM ranked
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(w2 AS BIGINT) AS w_plus_x2,
+      |  CAST(n * (n + 1) // 2 AS BIGINT) AS e_x2,
+      |  CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj AS BIGINT) AS var_x48,
+      |  CAST(CASE WHEN 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj > 0 THEN
+      |    CASE WHEN w2 - n * (n + 1) // 2 >= 0 THEN
+      |      (w2 - n * (n + 1) // 2) * 346410
+      |        // CAST(FLOOR(SQRT(CAST((2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj)
+      |          * 10000 AS DOUBLE))) AS HUGEINT)
+      |    ELSE -((-(w2 - n * (n + 1) // 2)) * 346410
+      |        // CAST(FLOOR(SQRT(CAST((2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj)
+      |          * 10000 AS DOUBLE))) AS HUGEINT)) END
+      |    ELSE 0 END AS BIGINT) AS z_milli,
+      |  CASE WHEN 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj > 0 THEN
+      |    ABS(CAST(CASE WHEN w2 - n * (n + 1) // 2 >= 0 THEN
+      |      (w2 - n * (n + 1) // 2) * 346410
+      |        // CAST(FLOOR(SQRT(CAST((2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj)
+      |          * 10000 AS DOUBLE))) AS HUGEINT)
+      |    ELSE -((-(w2 - n * (n + 1) // 2)) * 346410
+      |        // CAST(FLOOR(SQRT(CAST((2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_adj)
+      |          * 10000 AS DOUBLE))) AS HUGEINT)) END AS BIGINT)) > 1960
+      |    ELSE FALSE END AS reject_05
+      |FROM agg""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("us"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val b = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(b)) // 1-row midpoint
+      .groupBy("user_id")
+      .agg((sum(when(col("us") >= col("mid"), col("r")).otherwise(0L))
+        - sum(when(col("us") < col("mid"), col("r")).otherwise(0L))).as("d"))
+    val cells = u.filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"),
+        when(col("d") > 0, 1L).otherwise(0L).as("pos"))
+      .groupBy("ad").agg(count(lit(1)).as("c"), sum("pos").as("cpos"))
+    val wCum = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells // |d|-domain cells: the single-partition window is bounded
+      .select(col("c"), col("cpos"),
+        (lit(2) * (sum("c").over(wCum) - col("c")) + col("c") + 1).as("rank2"))
+    val agg = ranked.agg(sum("c").as("n"), sum(col("cpos") * col("rank2")).as("w2"),
+      sum(expr("c * (CAST(c AS DECIMAL(38,0)) * c - 1)")).as("tie_adj"))
+    agg.select(
+      col("n").as("n_pairs"), col("w2").as("w_plus_x2"),
+      expr("n * (n + 1) div 2").as("e_x2"),
+      expr("CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie_adj AS BIGINT)")
+        .as("var_x48"),
+      expr("""CAST(CASE WHEN 2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie_adj > 0 THEN
+        CASE WHEN w2 - n * (n + 1) div 2 >= 0 THEN
+          (w2 - n * (n + 1) div 2) * 346410
+            div CAST(FLOOR(SQRT(CAST((2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie_adj)
+              * 10000 AS DOUBLE))) AS DECIMAL(38,0))
+        ELSE -((-(w2 - n * (n + 1) div 2)) * 346410
+            div CAST(FLOOR(SQRT(CAST((2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie_adj)
+              * 10000 AS DOUBLE))) AS DECIMAL(38,0))) END
+        ELSE 0 END AS BIGINT)""").as("z_milli"))
+      .withColumn("reject_05", abs(col("z_milli")) > 1960)
+  }
+
+  /** q290 — Kruskal-Wallis rank test across the five event types: do
+    * the VALUE distributions differ across groups at all? The k-group
+    * generalization of q184's two-sample rank-sum — the omnibus
+    * nonparametric ANOVA a metrics platform runs before any pairwise
+    * drill-down. Global midranks ×2 from value-domain cells (2·
+    * cum_less + ties + 1), per-group rank sums R2_g, H = 12/(N(N+1))·
+    * ΣR_g²/n_g − 3(N+1) in floor-milli with the ×2 scale folded in
+    * (R2²/4), tie-corrected by the exact factor (N³−N)/(N³−N−Σ(t³−t)),
+    * decided against the pinned χ²₄ 0.05 critical 9.488. Squares
+    * lifted to DECIMAL(38,0)/HUGEINT (R2² crosses 2⁶³ near 2M rows).
+    *
+    * Scale: the corpus collapses to (value, type) cells map-side; the
+    * rank walk is one window over value-domain cells; per-group sums
+    * and the H fold are |types| rows. */
+  val q290KruskalWallis: Q = Q(
+    "q290_kruskal_wallis",
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT v, event_type, COUNT(*) AS c FROM e GROUP BY v, event_type
+      |), vcells AS (
+      |  SELECT v, SUM(c) AS cv FROM cells GROUP BY v
+      |), ranked AS (
+      |  SELECT v, 2 * (SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) - cv) + cv + 1 AS rank2, cv
+      |  FROM vcells
+      |), grp AS (
+      |  SELECT c.event_type, SUM(c.c) AS n_g,
+      |    SUM(CAST(c.c AS HUGEINT) * r.rank2) AS r2_g
+      |  FROM cells c JOIN ranked r USING (v)
+      |  GROUP BY c.event_type
+      |), tot AS (
+      |  SELECT SUM(n_g) AS n,
+      |    SUM(CAST(r2_g AS HUGEINT) * r2_g // (4 * n_g)) AS srq
+      |  FROM grp
+      |), ties AS (
+      |  SELECT SUM(cv * (CAST(cv AS HUGEINT) * cv - 1)) AS tie_adj FROM vcells
+      |), h AS (
+      |  SELECT n,
+      |    12000 * srq // (CAST(n AS HUGEINT) * (n + 1)) - 3000 * (n + 1) AS h_milli,
+      |    CAST(n AS HUGEINT) * n * n - n AS n3n
+      |  FROM tot
+      |)
+      |SELECT g.event_type, CAST(g.n_g AS BIGINT) AS n_g,
+      |  CAST(g.r2_g // (2 * g.n_g) AS BIGINT) AS mean_rank,
+      |  CAST(h.h_milli AS BIGINT) AS h_milli,
+      |  CAST(CASE WHEN h.n3n - t.tie_adj > 0 THEN
+      |    h.h_milli * h.n3n // (h.n3n - t.tie_adj) ELSE NULL END AS BIGINT) AS h_tie_milli,
+      |  CASE WHEN h.n3n - t.tie_adj > 0 THEN
+      |    h.h_milli * h.n3n // (h.n3n - t.tie_adj) > 9488 ELSE NULL END AS reject_05
+      |FROM grp g CROSS JOIN h CROSS JOIN ties t
+      |ORDER BY g.event_type""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    val cells = e.groupBy("v", "event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // (value, type) cells feed the rank walk and group sums
+    val vcells = cells.groupBy("v").agg(sum("c").as("cv"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vcells // value-domain cells: bounded single-partition window
+      .select(col("v"),
+        (lit(2) * (sum("cv").over(wCum) - col("cv")) + col("cv") + 1).as("rank2"),
+        col("cv"))
+    val grp = cells.join(ranked.select("v", "rank2"), "v")
+      .groupBy("event_type")
+      .agg(sum("c").as("n_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * rank2")).as("r2_g"))
+      .localCheckpoint() // |types| cells feed both the fold and the report
+    val tot = grp.agg(sum("n_g").as("n"),
+      sum(expr("CAST(r2_g AS DECIMAL(38,0)) * r2_g div (4 * n_g)")).as("srq"))
+    val ties = vcells.agg(
+      sum(expr("cv * (CAST(cv AS DECIMAL(38,0)) * cv - 1)")).as("tie_adj"))
+    val h = tot.select(col("n"),
+      expr("""12000 * srq div (CAST(n AS DECIMAL(38,0)) * (n + 1))
+        - 3000 * (n + 1)""").as("h_milli"),
+      expr("CAST(n AS DECIMAL(38,0)) * n * n - n").as("n3n"))
+    grp.crossJoin(broadcast(h)).crossJoin(broadcast(ties)) // two 1-row folds
+      .select(col("event_type"), col("n_g"),
+        expr("CAST(r2_g div (2 * n_g) AS BIGINT)").as("mean_rank"),
+        col("h_milli").cast("long").as("h_milli"),
+        expr("""CAST(CASE WHEN n3n - tie_adj > 0 THEN
+          h_milli * n3n div (n3n - tie_adj) ELSE NULL END AS BIGINT)""").as("h_tie_milli"))
+      .withColumn("reject_05",
+        when(col("h_tie_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("h_tie_milli") > 9488))
+      .orderBy("event_type")
+  }
+
+  /** q291 — propensity-stratified ATE (observational causal estimate):
+    * when treatment was NOT randomized — here "afternoon exposure"
+    * (hour ≥ 12) — the naive treated-vs-control mean gap confounds
+    * treatment with whoever self-selects into it; stratifying on the
+    * confounder proxy (user cohort = user_id % 5) and averaging
+    * within-stratum gaps with population weights n_x/N is the
+    * textbook backdoor adjustment (Cochran's subclassification), the
+    * observational leg beside q217/q228's logged-bandit estimators.
+    * Per-stratum means in floor-milli (non-negative cents), the
+    * weighted fold Σn_x·(m̂₁ₓ−m̂₀ₓ) div N sign-split; strata missing
+    * an arm are EXCLUDED and counted (n_strata_used vs n_strata) so
+    * thin support fails visibly, not silently (the q228 rule). The
+    * naive unadjusted gap ships next to the adjusted one — their
+    * disagreement IS the confounding readout.
+    *
+    * Scale: one scan collapses to (stratum, arm) cells map-side;
+    * everything after is ≤2·|strata| rows plus two 1-row folds. */
+  val q291StratifiedAte: Q = Q(
+    "q291_stratified_ate",
+    """WITH e AS (
+      |  SELECT user_id % 5 AS x,
+      |    CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END AS t,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+      |  FROM events
+      |), cells AS (
+      |  SELECT x, t, COUNT(*) AS n, SUM(r) AS sr FROM e GROUP BY x, t
+      |), strata AS (
+      |  SELECT x,
+      |    SUM(CASE WHEN t = 1 THEN n ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN t = 0 THEN n ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN t = 1 THEN sr ELSE 0 END) AS sr1,
+      |    SUM(CASE WHEN t = 0 THEN sr ELSE 0 END) AS sr0
+      |  FROM cells GROUP BY x
+      |), used AS (
+      |  SELECT x, n1 + n0 AS n_x,
+      |    1000 * sr1 // n1 - 1000 * sr0 // n0 AS gap_milli
+      |  FROM strata WHERE n1 > 0 AND n0 > 0
+      |), fold AS (
+      |  SELECT COUNT(*) AS n_used, SUM(n_x) AS n_total,
+      |    SUM(n_x * gap_milli) AS wnum
+      |  FROM used
+      |), naive AS (
+      |  SELECT 1000 * SUM(CASE WHEN t = 1 THEN sr ELSE 0 END)
+      |      // SUM(CASE WHEN t = 1 THEN n ELSE 0 END)
+      |    - 1000 * SUM(CASE WHEN t = 0 THEN sr ELSE 0 END)
+      |      // SUM(CASE WHEN t = 0 THEN n ELSE 0 END) AS naive_milli,
+      |    COUNT(DISTINCT x) AS n_strata
+      |  FROM cells
+      |)
+      |SELECT CAST(nv.n_strata AS BIGINT) AS n_strata,
+      |  CAST(f.n_used AS BIGINT) AS n_strata_used,
+      |  CAST(f.n_total AS BIGINT) AS n_rows_used,
+      |  CAST(nv.naive_milli AS BIGINT) AS naive_gap_millicents,
+      |  CAST(CASE WHEN f.wnum >= 0 THEN f.wnum // f.n_total
+      |    ELSE -((-f.wnum) // f.n_total) END AS BIGINT) AS ate_millicents
+      |FROM fold f CROSS JOIN naive nv""") { (s, d) =>
+    val e = Tables.events(s, d).select(
+      (col("user_id") % 5).as("x"),
+      when(hour(col("ts")) >= 12, 1L).otherwise(0L).as("t"),
+      (dec(col("value")) * 100).cast("long").as("r"))
+    val cells = e.groupBy("x", "t").agg(count(lit(1)).as("n"), sum("r").as("sr"))
+      .localCheckpoint() // (stratum, arm) cells feed both folds
+    val strata = cells.groupBy("x")
+      .agg(sum(when(col("t") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("t") === 1, col("sr")).otherwise(0L)).as("sr1"),
+        sum(when(col("t") === 0, col("sr")).otherwise(0L)).as("sr0"))
+    val used = strata.filter(col("n1") > 0 && col("n0") > 0)
+      .select((col("n1") + col("n0")).as("n_x"),
+        (expr("1000 * sr1 div n1") - expr("1000 * sr0 div n0")).as("gap_milli"))
+    val fold = used.agg(count(lit(1)).as("n_used"), sum("n_x").as("n_total"),
+      sum(col("n_x") * col("gap_milli")).as("wnum"))
+    val naive = cells.agg(
+      (expr("""1000 * sum(CASE WHEN t = 1 THEN sr ELSE 0 END)
+          div sum(CASE WHEN t = 1 THEN n ELSE 0 END)""")
+        - expr("""1000 * sum(CASE WHEN t = 0 THEN sr ELSE 0 END)
+          div sum(CASE WHEN t = 0 THEN n ELSE 0 END)""")).as("naive_milli"),
+      countDistinct("x").as("n_strata"))
+    fold.crossJoin(broadcast(naive)) // two 1-row folds
+      .select(col("n_strata"), col("n_used").as("n_strata_used"),
+        col("n_total").as("n_rows_used"),
+        col("naive_milli").as("naive_gap_millicents"),
+        expr("""CAST(CASE WHEN wnum >= 0 THEN wnum div n_total
+          ELSE -((-wnum) div n_total) END AS BIGINT)""").as("ate_millicents"))
+  }
+
+  /** q293 — randomized-response debiasing (Warner's local-DP
+    * estimator): each user's sensitive bit is reported through the
+    * classic 3/4-truth 1/4-flip channel (bit and coin both
+    * md5-derived, so both engines replay the identical mechanism —
+    * the fixture stand-in for a client-side privacy coin), and the
+    * population rate is recovered as p̂ = (r̂ − ¼)/½ = 2r̂ − ½ —
+    * exact in signed ppm (pure subtraction after one floor ratio).
+    * Because the fixture knows the true bits, the true rate and the
+    * estimator's error ship next to the estimate — the
+    * calibration-style honesty check (estimate, truth, gap) the
+    * privacy pillar's k-anon/l-div/t-close audits (q152/q238/q266)
+    * don't cover: THIS one is about utility after noise.
+    *
+    * Scale: one per-user distinct (the only shuffle), then a 1-row
+    * fold; the mechanism is a narrow md5 projection. */
+  val q293RandomizedResponse: Q = Q(
+    "q293_randomized_response",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), bits AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5('bit_' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS tb,
+      |    CAST(concat('0x', substr(md5('rr_' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS coin
+      |  FROM u
+      |), rep AS (
+      |  SELECT tb, CASE WHEN coin < 3 THEN tb ELSE 1 - tb END AS reported FROM bits
+      |), agg AS (
+      |  SELECT COUNT(*) AS n, SUM(reported) AS n_rep1, SUM(tb) AS n_true1 FROM rep
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  CAST(n_rep1 AS BIGINT) AS n_reported_1,
+      |  CAST(n_rep1 * 1000000 // n AS BIGINT) AS observed_ppm,
+      |  CAST(2 * (n_rep1 * 1000000 // n) - 500000 AS BIGINT) AS debiased_ppm,
+      |  CAST(n_true1 * 1000000 // n AS BIGINT) AS true_ppm,
+      |  CAST(2 * (n_rep1 * 1000000 // n) - 500000
+      |    - n_true1 * 1000000 // n AS BIGINT) AS err_ppm
+      |FROM agg""") { (s, d) =>
+    import graft.functions.TextFunctions.hex32
+    val u = Tables.events(s, d).select("user_id").distinct()
+    val bits = u.select(
+      (hex32(concat(lit("bit_"), col("user_id").cast("string"))) % 2).as("tb"),
+      (hex32(concat(lit("rr_"), col("user_id").cast("string"))) % 4).as("coin"))
+    val rep = bits.select(col("tb"),
+      when(col("coin") < 3, col("tb")).otherwise(lit(1L) - col("tb")).as("reported"))
+    rep.agg(count(lit(1)).as("n"), sum("reported").as("n_rep1"), sum("tb").as("n_true1"))
+      .select(col("n").as("n_users"), col("n_rep1").as("n_reported_1"),
+        expr("n_rep1 * 1000000 div n").as("observed_ppm"),
+        expr("2 * (n_rep1 * 1000000 div n) - 500000").as("debiased_ppm"),
+        expr("n_true1 * 1000000 div n").as("true_ppm"),
+        expr("""2 * (n_rep1 * 1000000 div n) - 500000
+          - n_true1 * 1000000 div n""").as("err_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -3391,5 +3723,6 @@ object Events {
     q245ShrunkRates, q247PermutationTest, q249KaplanMeier, q253BhFdr, q254ConformalInterval,
     q264PinballEval, q265BradleyTerry, q270KsTest, q275Cuped,
     q280LogRank, q281QiniUplift, q282Wasserstein, q283Changepoint,
-    q286MannKendall)
+    q286MannKendall, q289WilcoxonSignedRank, q290KruskalWallis,
+    q291StratifiedAte, q293RandomizedResponse)
 }

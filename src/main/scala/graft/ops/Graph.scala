@@ -1207,8 +1207,81 @@ object Graph {
       .limit(50)
   }
 
+  /** q294 — Moran's I spatial autocorrelation of document LENGTH over
+    * q173's doc graph: do linked documents have correlated sizes —
+    * i.e. does the value CLUSTER along graph structure? q209's
+    * assortativity correlates DEGREES; Moran's I generalizes to any
+    * node attribute, the structure-vs-attribute diagnostic behind
+    * "similar pages link to each other" claims. Exact integer: center
+    * by the ×n trick (Xᵢ = n·xᵢ − Σx, so means never materialize as
+    * fractions), I = (n/W)·ΣᵤᵥXᵤXᵥ/ΣXᵢ² over both edge directions
+    * (W = 2|E|); the n² factors cancel, products lift to
+    * DECIMAL(38,0)/HUGEINT, the single division is sign-split milli.
+    * The null expectation E[I] = −1/(n−1) ships next to it in the
+    * same milli floor, so the readout is I vs its null, not I vs 0.
+    *
+    * Scale: edges and attributes join by node id (equi); the moment
+    * folds are 1-row; only the 1-row (n, Σx) scalar broadcasts. */
+  val q294MoransI: Q = Q(
+    "q294_morans_i",
+    """WITH nd AS (
+      |  SELECT COUNT(*) AS n, SUM(n_chars) AS sx FROM documents
+      |), links AS (
+      |  SELECT doc_id AS src,
+      |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+      |  FROM documents
+      |  CROSS JOIN nd
+      |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
+      |), ue AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM links WHERE src <> dst
+      |), xv AS (
+      |  SELECT doc_id, CAST(n.n AS HUGEINT) * d.n_chars - n.sx AS xc
+      |  FROM documents d CROSS JOIN nd n
+      |), num AS (
+      |  SELECT SUM(xa.xc * xb.xc) AS cross_sum, COUNT(*) AS n_edges
+      |  FROM ue JOIN xv xa ON xa.doc_id = ue.a JOIN xv xb ON xb.doc_id = ue.b
+      |), den AS (
+      |  SELECT SUM(xc * xc) AS ss FROM xv
+      |)
+      |SELECT CAST(nd.n AS BIGINT) AS n_docs,
+      |  CAST(num.n_edges AS BIGINT) AS n_edges,
+      |  CAST(CASE WHEN nd.n * num.cross_sum * 1000 >= 0
+      |    THEN nd.n * num.cross_sum * 1000 // (2 * num.n_edges * den.ss)
+      |    ELSE -((-(nd.n * num.cross_sum * 1000)) // (2 * num.n_edges * den.ss))
+      |    END AS BIGINT) AS morans_i_milli,
+      |  CAST(-(1000 // (nd.n - 1)) AS BIGINT) AS expected_i_milli
+      |FROM num CROSS JOIN den CROSS JOIN nd""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("n"), sum("n_chars").as("sx"))
+    val links = docs
+      .crossJoin(broadcast(nd)) // 1-row (n, Σx) scalar
+      .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
+        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+    val ue = links.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val xv = docs.crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        expr("CAST(n AS DECIMAL(38,0)) * n_chars - sx").as("xc"))
+      .localCheckpoint() // centered attribute: both edge legs + the denominator read it
+    val num = ue
+      .join(xv.select(col("doc_id").as("a"), col("xc").as("xca")), "a")
+      .join(xv.select(col("doc_id").as("b"), col("xc").as("xcb")), "b")
+      .agg(sum(col("xca") * col("xcb")).as("cross_sum"), count(lit(1)).as("n_edges"))
+    val den = xv.agg(sum(col("xc") * col("xc")).as("ss"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(nd)) // 1-row folds
+      .select(col("n").cast("long").as("n_docs"), col("n_edges"),
+        expr("""CAST(CASE WHEN n * cross_sum * 1000 >= 0
+          THEN n * cross_sum * 1000 div (2 * n_edges * ss)
+          ELSE -((-(n * cross_sum * 1000)) div (2 * n_edges * ss))
+          END AS BIGINT)""").as("morans_i_milli"),
+        expr("CAST(-(1000 div (n - 1)) AS BIGINT)").as("expected_i_milli"))
+  }
+
   val all: Seq[Q] = Seq(q128HostRank, q160TriangleCount, q173LabelProp,
     q198MultiSourceBfs, q209Assortativity, q211KCore, q212Hits,
     q227Modularity, q244ClusteringCoeff, q274PersonalizedPr,
-    q284LinkPrediction)
+    q284LinkPrediction, q294MoransI)
 }

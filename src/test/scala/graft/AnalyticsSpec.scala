@@ -1344,4 +1344,119 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getBoolean(5) == (math.abs(z) > 1960), t)
     }
   }
+
+  test("q289: Wilcoxon W+, tie-corrected variance, and z replay from local midranks") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val diffs = evs.groupBy(_._1).values.map { xs =>
+      xs.filter(_._2 >= mid).map(_._3).sum - xs.filter(_._2 < mid).map(_._3).sum
+    }.filter(_ != 0L).toSeq
+    val ads = diffs.map(math.abs)
+    def rank2(ad: Long): Long = 2L * ads.count(_ < ad) + ads.count(_ == ad) + 1
+    val n = diffs.length.toLong
+    val w2 = diffs.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+    val e2 = n * (n + 1) / 2
+    val tieAdj = ads.groupBy(identity).values.map(_.length.toLong)
+      .map(t => BigInt(t) * t * t - t).sum
+    val v48 = BigInt(2) * n * (n + 1) * (2 * n + 1) - tieAdj
+    val rows = ops.Events.q289WilcoxonSignedRank.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == w2 && r.getLong(2) == e2)
+    assert(r.getLong(3) == v48.toLong)
+    assert(v48 > 0)
+    val root = BigInt(math.floor(math.sqrt((v48 * 10000).toDouble)).toLong)
+    val delta = BigInt(w2 - e2)
+    val z = (if (delta >= 0) delta * 346410 / root else -((-delta) * 346410 / root)).toLong
+    assert(r.getLong(4) == z)
+    assert(r.getBoolean(5) == (math.abs(z) > 1960))
+  }
+
+  test("q290: Kruskal-Wallis H replays from global midranks with the exact tie factor") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val all = evs.map(_._2)
+    def rank2(v: Long): Long = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val n = all.length.toLong
+    val srq = evs.groupBy(_._1).values.map { g =>
+      val r2 = g.map(x => BigInt(rank2(x._2))).sum
+      r2 * r2 / (4L * g.length)
+    }.sum
+    val hMilli = BigInt(12000) * srq / (BigInt(n) * (n + 1)) - 3000L * (n + 1)
+    val tieAdj = all.groupBy(identity).values.map(_.length.toLong)
+      .map(t => BigInt(t) * t * t - t).sum
+    val n3n = BigInt(n) * n * n - n
+    val hTie = hMilli * n3n / (n3n - tieAdj)
+    val rows = ops.Events.q290KruskalWallis.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val g = evs.filter(_._1 == t)
+      assert(r.getLong(1) == g.length.toLong, t)
+      val r2 = g.map(x => BigInt(rank2(x._2))).sum
+      assert(r.getLong(2) == (r2 / (2L * g.length)).toLong, t)
+      assert(r.getLong(3) == hMilli.toLong, t)
+      assert(r.getLong(4) == hTie.toLong, t)
+      assert(r.getBoolean(5) == (hTie > 9488), t)
+    }
+  }
+
+  test("q291: stratified ATE replays; every stratum has both arms on the fixture") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select((col("user_id") % 5).as("x"),
+        when(hour(col("ts")) >= 12, 1L).otherwise(0L).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val rows = ops.Events.q291StratifiedAte.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val strata = evs.groupBy(_._1).toSeq
+    assert(r.getLong(0) == strata.length.toLong)
+    val used = strata.filter { case (_, g) => g.exists(_._2 == 1) && g.exists(_._2 == 0) }
+    assert(r.getLong(1) == used.length.toLong)
+    assert(r.getLong(2) == used.map(_._2.length.toLong).sum)
+    val t1 = evs.filter(_._2 == 1); val t0 = evs.filter(_._2 == 0)
+    val naive = 1000L * t1.map(_._3).sum / t1.length - 1000L * t0.map(_._3).sum / t0.length
+    assert(r.getLong(3) == naive)
+    val wnum = used.map { case (_, g) =>
+      val g1 = g.filter(_._2 == 1); val g0 = g.filter(_._2 == 0)
+      val gap = 1000L * g1.map(_._3).sum / g1.length - 1000L * g0.map(_._3).sum / g0.length
+      g.length.toLong * gap
+    }.sum
+    val nTot = used.map(_._2.length.toLong).sum
+    val ate = if (wnum >= 0) wnum / nTot else -((-wnum) / nTot)
+    assert(r.getLong(4) == ate)
+  }
+
+  test("q293: RR debiasing replays the md5 mechanism; the estimator lands near truth") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val bits = users.map(u => (h32(s"bit_$u") % 2, h32(s"rr_$u") % 4))
+    val rep = bits.map { case (tb, coin) => (tb, if (coin < 3) tb else 1 - tb) }
+    val n = users.length.toLong
+    val (nRep1, nTrue1) = (rep.map(_._2).sum, rep.map(_._1).sum)
+    val rows = ops.Events.q293RandomizedResponse.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == nRep1)
+    val obs = nRep1 * 1000000L / n
+    assert(r.getLong(2) == obs)
+    assert(r.getLong(3) == 2 * obs - 500000L)
+    assert(r.getLong(4) == nTrue1 * 1000000L / n)
+    assert(r.getLong(5) == 2 * obs - 500000L - nTrue1 * 1000000L / n)
+  }
 }

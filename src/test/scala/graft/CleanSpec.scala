@@ -263,4 +263,35 @@ class CleanSpec extends SparkSpec {
       }
     }
   }
+
+  test("q292: HT expansion replays the q73 sample and brackets the truth") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    val rates = Map("en" -> 120000L, "de" -> 250000L, "fr" -> 250000L,
+      "es" -> 250000L, "zh" -> 400000L)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = ops.Clean.q292HorvitzThompson.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val rate = rates(lang)
+      assert(r.getLong(1) == rate, lang)
+      val g = docs.filter(_._2 == lang)
+      val smp = g.filter(x => h32(s"smp_${x._1}") % 1000000L < rate)
+      assert(r.getLong(2) == smp.length.toLong, lang)
+      assert(r.getLong(3) == smp.length.toLong * 1000000L / rate, lang)
+      assert(r.getLong(4) == g.length.toLong, lang)
+      val htChars = smp.map(_._3).sum * 1000000L / rate
+      val trueChars = g.map(_._3).sum
+      assert(r.getLong(5) == htChars && r.getLong(6) == trueChars, lang)
+      val err = if (htChars >= trueChars) (htChars - trueChars) * 1000000L / trueChars
+        else -((trueChars - htChars) * 1000000L / trueChars)
+      assert(r.getLong(7) == err, lang)
+    }
+  }
 }

@@ -339,4 +339,34 @@ class GraphSpec extends SparkSpec {
     }
     assert(rows.nonEmpty, "doc graph must yield non-adjacent distance-2 pairs")
   }
+
+  test("q294: Moran's I equals the brute centered cross-product replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val sx = docs.map(_._3).sum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ue = docs.flatMap { case (id, text, _) =>
+      val hx = md5hex(text)
+      (0 until 2).map { j =>
+        val dst = java.lang.Long.parseLong(hx.substring(2 * j, 2 * j + 2), 16) * 7919 % n
+        (math.min(id, dst), math.max(id, dst))
+      }
+    }.filter(p => p._1 != p._2).distinct
+    val xc = docs.map(d => d._1 -> (BigInt(n) * d._3 - sx)).toMap
+    val cross = ue.map { case (a, b) => xc(a) * xc(b) }.sum
+    val ss = xc.values.map(x => x * x).sum
+    val num = BigInt(n) * cross * 1000
+    val den = BigInt(2) * ue.length * ss
+    val i = (if (num >= 0) num / den else -((-num) / den)).toLong
+    val rows = ops.Graph.q294MoransI.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == ue.length.toLong)
+    assert(r.getLong(2) == i)
+    assert(r.getLong(3) == -(1000L / (n - 1)))
+  }
 }

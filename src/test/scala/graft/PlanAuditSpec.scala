@@ -111,7 +111,11 @@ class PlanAuditSpec extends SparkSpec {
     "q280_logrank" -> "scalar joins: the 1-row observation-end day broadcasts into the streak tag (q249's shape) and the two 1-row folds cross-combine into the single report row",
     "q284_link_prediction" -> "checkpoint-hidden: the 1-row doc-count scalar broadcasts into the link derivation; wedges, degrees, and the adjacency anti-join are equi-joins",
     "q285_err_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the cascade fold runs on 10 rows per query",
-    "q288_burstiness" -> "corpus-scalar join: the 1-row doc count broadcasts into the vocab-cardinality Fano scoring")
+    "q288_burstiness" -> "corpus-scalar join: the 1-row doc count broadcasts into the vocab-cardinality Fano scoring",
+    "q289_wilcoxon_signed_rank" -> "corpus-scalar join: the 1-row midpoint broadcasts into the per-user diff rollup (q275's shape)",
+    "q290_kruskal_wallis" -> "scalar joins: the two 1-row H/tie folds cross-combine into the |types|-row report",
+    "q291_stratified_ate" -> "scalar-scalar join: the two 1-row folds (weighted ATE, naive gap) combine into the single report row",
+    "q294_morans_i" -> "scalar joins: the 1-row (n, Σx) scalar broadcasts into the link/centering scans; the two 1-row moment folds combine into the report row")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

@@ -613,7 +613,20 @@ class ScaleSpec extends SparkSpec {
       // q287: narrow per-doc projection; only the export sort exchanges
       "q287_flesch" -> 310L,
       // q288: (token, doc) count cells + vocab-cardinality rollup
-      "q288_burstiness" -> 930L)
+      "q288_burstiness" -> 930L,
+      // q289: per-user rollup then |d|-domain cells
+      "q289_wilcoxon_signed_rank" -> 25L,
+      // q290: (value, type) cells twice-read via the checkpoint
+      "q290_kruskal_wallis" -> 610L,
+      // q291: (stratum, arm) cells + two 1-row folds
+      "q291_stratified_ate" -> 5L,
+      // q292: |langs| sampled + true cells
+      "q292_horvitz_thompson" -> 5L,
+      // q293: one per-user distinct then a 1-row fold
+      "q293_randomized_response" -> 8L,
+      // q294: edge table + centered-attribute equi-joins (ids + one
+      // decimal each), two 1-row moment folds
+      "q294_morans_i" -> 35L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -3711,6 +3711,253 @@ object Events {
           - n_true1 * 1000000 div n""").as("err_ppm"))
   }
 
+  /** q296 — k-fold cross-validation of the per-type mean predictor:
+    * 5 deterministic md5 folds, each scored by the mean fitted on the
+    * OTHER four — the iid model-selection leg beside q240's
+    * time-ordered rolling backtest (which this must NOT replace for
+    * temporal data; both ship so the contrast is visible). Exact
+    * integer throughout: the train mean comes from complement sums
+    * (S−s_k)/(N−n_k) in floor-milli, and the test SSE expands as
+    * 10⁶·Σv² − 2·p·10³·Σv + n·p² from (n, Σv, Σv²) cells — no
+    * per-row second pass; sums-of-squares lifted to DECIMAL(38,0)/
+    * HUGEINT (10⁶·Σv² crosses 2⁶³ near 10⁴ rows at these cent
+    * magnitudes).
+    *
+    * Scale: ONE corpus scan collapses to (type, fold) moment cells
+    * map-side; everything after is 5·|types| cell algebra. */
+  val q296KfoldCv: Q = Q(
+    "q296_kfold_cv",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5('cv_' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, fold, COUNT(*) AS n, SUM(v) AS s,
+      |    SUM(CAST(v AS HUGEINT) * v) AS sq
+      |  FROM e GROUP BY event_type, fold
+      |), tot AS (
+      |  SELECT event_type, SUM(n) AS nt, SUM(s) AS st FROM cells GROUP BY event_type
+      |), scored AS (
+      |  SELECT c.event_type, c.fold, c.n,
+      |    1000 * (t.st - c.s) // (t.nt - c.n) AS pred_milli,
+      |    c.s, c.sq
+      |  FROM cells c JOIN tot t USING (event_type)
+      |  WHERE t.nt - c.n > 0
+      |)
+      |SELECT event_type, CAST(fold AS BIGINT) AS fold, CAST(n AS BIGINT) AS n_test,
+      |  CAST(pred_milli AS BIGINT) AS pred_millicents,
+      |  CAST((1000000 * sq - 2 * CAST(pred_milli AS HUGEINT) * 1000 * s
+      |    + CAST(n AS HUGEINT) * pred_milli * pred_milli) // n AS BIGINT) AS mse_millicents2
+      |FROM scored
+      |ORDER BY event_type, fold""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      (conv(substring(md5(concat(lit("cv_"), col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 5).as("fold"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    val cells = e.groupBy("event_type", "fold")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sq"))
+    val tot = cells.groupBy("event_type").agg(sum("n").as("nt"), sum("s").as("st"))
+    cells.join(broadcast(tot), "event_type") // |types|-row totals
+      .filter(col("nt") - col("n") > 0)
+      .select(col("event_type"), col("fold"), col("n").as("n_test"),
+        expr("1000 * (st - s) div (nt - n)").as("pred_millicents"),
+        col("s"), col("sq"))
+      .withColumn("mse_millicents2",
+        expr("""CAST((1000000 * sq - 2 * CAST(pred_millicents AS DECIMAL(38,0)) * 1000 * s
+          + CAST(n_test AS DECIMAL(38,0)) * pred_millicents * pred_millicents)
+          div n_test AS BIGINT)"""))
+      .drop("s", "sq")
+      .orderBy("event_type", "fold")
+  }
+
+  /** q297 — quantile treatment effects (QTE at the 25th/50th/75th
+    * percentiles): the DISTRIBUTIONAL complement to q177/q275's mean
+    * effects — a treatment that helps the median user but hurts the
+    * tail has a zero mean gap and three non-zero QTEs. Per-arm exact
+    * order statistics (k = ⌈q·n/100⌉ via (q·n+99) div 100) read off
+    * cumulative value-domain cells — no per-row sort at any corpus
+    * size; the effect is an exact integer subtraction of two cent
+    * values.
+    *
+    * Scale: (arm, value) cells map-side; per-arm CDF windows over
+    * value-domain cells; the 3-row quantile spine broadcasts. */
+  val q297QuantileTe: Q = Q(
+    "q297_quantile_te",
+    """WITH e AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT arm, v, COUNT(*) AS c FROM e GROUP BY arm, v
+      |), cum AS (
+      |  SELECT arm, v,
+      |    SUM(c) OVER (PARTITION BY arm ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      |  FROM cells
+      |), tot AS (
+      |  SELECT arm, COUNT(*) AS n FROM e GROUP BY arm
+      |), qs AS (
+      |  SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct
+      |), pick AS (
+      |  SELECT q.q_pct, c.arm, MIN(c.v) AS p
+      |  FROM qs q
+      |  JOIN tot t ON TRUE
+      |  JOIN cum c ON c.arm = t.arm AND c.cm >= (q.q_pct * t.n + 99) // 100
+      |  GROUP BY q.q_pct, c.arm
+      |)
+      |SELECT p1.q_pct,
+      |  CAST(t0.n AS BIGINT) AS n_ctrl, CAST(t1.n AS BIGINT) AS n_treat,
+      |  CAST(p0.p AS BIGINT) AS p_ctrl_cents, CAST(p1.p AS BIGINT) AS p_treat_cents,
+      |  CAST(p1.p - p0.p AS BIGINT) AS qte_cents
+      |FROM pick p1 JOIN pick p0 ON p0.q_pct = p1.q_pct AND p0.arm = 0 AND p1.arm = 1
+      |CROSS JOIN (SELECT n FROM tot WHERE arm = 0) t0
+      |CROSS JOIN (SELECT n FROM tot WHERE arm = 1) t1
+      |ORDER BY p1.q_pct""") { (s, d) =>
+    val e = Tables.events(s, d).select((col("user_id") % 2).as("arm"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    val cells = e.groupBy("arm", "v").agg(count(lit(1)).as("c"))
+    val wCdf = Window.partitionBy("arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(col("arm"), col("v"), sum("c").over(wCdf).as("cm"))
+    val tot = e.groupBy("arm").agg(count(lit(1)).as("n"))
+    val qs = s.createDataFrame(Seq(Tuple1(25L), Tuple1(50L), Tuple1(75L))).toDF("q_pct")
+    val pick = cum.join(broadcast(tot), "arm") // 2-row totals
+      .crossJoin(broadcast(qs)) // 3-row quantile spine
+      .filter(col("cm") >= expr("(q_pct * n + 99) div 100"))
+      .groupBy("q_pct", "arm").agg(min("v").as("p"))
+    val p0 = pick.filter(col("arm") === 0).select(col("q_pct"), col("p").as("p_ctrl_cents"))
+    val p1 = pick.filter(col("arm") === 1).select(col("q_pct"), col("p").as("p_treat_cents"))
+    val t0 = tot.filter(col("arm") === 0).select(col("n").as("n_ctrl"))
+    val t1 = tot.filter(col("arm") === 1).select(col("n").as("n_treat"))
+    p1.join(p0, "q_pct")
+      .crossJoin(broadcast(t0)).crossJoin(broadcast(t1)) // 1-row arm counts
+      .select(col("q_pct"), col("n_ctrl"), col("n_treat"),
+        col("p_ctrl_cents"), col("p_treat_cents"),
+        (col("p_treat_cents") - col("p_ctrl_cents")).as("qte_cents"))
+      .orderBy("q_pct")
+  }
+
+  /** q298 — EWMA one-step forecast eval: per type, predict each day's
+    * revenue from the trailing 8 OBSERVED days with α=¼ exponential
+    * weights, report MAE and signed bias — the cheap-baseline forecast
+    * audit that tells a capacity planner whether yesterday-weighted
+    * smoothing suffices before reaching for q192's seasonal
+    * decomposition. Exact integer: truncated-EWMA weights ship as the
+    * pinned integer table 3ᵏ⁻¹·4⁸⁻ᵏ (Σ = 4⁸−3⁸ = 58975), ŷ = Σwᵏ·
+    * y_{t−k} div 58975 (non-negative), MAE floors once, bias is
+    * sign-split (the q259 rule).
+    *
+    * Scale: the corpus collapses to (type, day) cells map-side; the 8
+    * lags are one window pass per type over time-bounded cells. */
+  val q298EwmaForecast: Q = Q(
+    "q298_ewma_forecast",
+    {
+      val w = (1 to 8).map(k =>
+        math.pow(3, k - 1).toLong * math.pow(4, 8 - k).toLong)
+      val num = (1 to 8).map(k => s"${w(k - 1)} * l$k").mkString(" + ")
+      val lags = (1 to 8).map(k =>
+        s"LAG(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k").mkString(",\n      |    ")
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+         |  FROM events GROUP BY event_type, day
+         |), lagged AS (
+         |  SELECT event_type, day, x,
+         |    $lags
+         |  FROM daily
+         |), scored AS (
+         |  SELECT event_type, x, ($num) // 58975 AS yhat
+         |  FROM lagged WHERE l8 IS NOT NULL
+         |)
+         |SELECT event_type, COUNT(*) AS n_scored,
+         |  CAST(SUM(ABS(x - yhat)) // COUNT(*) AS BIGINT) AS mae_cents,
+         |  CAST(CASE WHEN SUM(x - yhat) >= 0 THEN SUM(x - yhat) // COUNT(*)
+         |    ELSE -((-SUM(x - yhat)) // COUNT(*)) END AS BIGINT) AS bias_cents
+         |FROM scored GROUP BY event_type
+         |ORDER BY event_type"""
+    }) { (s, d) =>
+    val wgt = (1 to 8).map(k => math.pow(3, k - 1).toLong * math.pow(4, 8 - k).toLong)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to 8).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag("x", k).over(w))
+    }
+    val num = (1 to 8).map(k => s"${wgt(k - 1)} * l$k").mkString(" + ")
+    lagged.filter(col("l8").isNotNull)
+      .select(col("event_type"), col("x"), expr(s"($num) div 58975").as("yhat"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        expr("CAST(sum(abs(x - yhat)) div count(1) AS BIGINT)").as("mae_cents"),
+        expr("""CAST(CASE WHEN sum(x - yhat) >= 0 THEN sum(x - yhat) div count(1)
+          ELSE -((-sum(x - yhat)) div count(1)) END AS BIGINT)""").as("bias_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q299 — Cramér's V association between event type and weekday: is
+    * WHAT users do correlated with WHEN — the normalized [0,1] effect
+    * size on top of a χ² independence test, comparable across tables
+    * of any shape (χ² alone grows with n, so big data makes everything
+    * "significant"; V is the number you can threshold). χ² via the
+    * identity n·(Σo²/(rᵢcⱼ) − 1) with per-cell floors in milli
+    * (products lifted to DECIMAL(38,0)/HUGEINT), V = √(χ²/(n·min(r−1,
+    * c−1))) via isqrt on an exact integer (arg ≤ 10⁶ — always exact).
+    * Weekday is pinned to DuckDB's 0=Sunday convention on both
+    * engines.
+    *
+    * Scale: the corpus collapses to ≤|types|·7 contingency cells
+    * map-side; marginals and the fold are cell algebra. */
+  val q299CramersV: Q = Q(
+    "q299_cramers_v",
+    """WITH e AS (
+      |  SELECT event_type, dayofweek(ts) AS wd FROM events
+      |), cells AS (
+      |  SELECT event_type, wd, COUNT(*) AS o FROM e GROUP BY event_type, wd
+      |), rows_ AS (
+      |  SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type
+      |), cols_ AS (
+      |  SELECT wd, SUM(o) AS c FROM cells GROUP BY wd
+      |), n_ AS (
+      |  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+      |    COUNT(DISTINCT wd) AS nc
+      |  FROM cells
+      |), chi AS (
+      |  SELECT SUM(CAST(cl.o AS HUGEINT) * cl.o * 1000 * n_.n // (r.r * c.c)) - 1000 * n_.n AS chi2_milli,
+      |    n_.n, n_.nr, n_.nc
+      |  FROM cells cl
+      |  JOIN rows_ r USING (event_type) JOIN cols_ c USING (wd)
+      |  CROSS JOIN n_
+      |  GROUP BY n_.n, n_.nr, n_.nc
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |  CAST(chi2_milli AS BIGINT) AS chi2_milli,
+      |  CAST(FLOOR(SQRT(CAST(chi2_milli * 1000000 // (1000 * n * LEAST(nr - 1, nc - 1))
+      |    AS DOUBLE))) AS BIGINT) AS cramers_v_milli
+      |FROM chi""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("wd"))
+    val cells = e.groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // contingency cells feed marginals + the fold
+    val rws = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val cls = cells.groupBy("wd").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"), countDistinct("event_type").as("nr"),
+      countDistinct("wd").as("nc"))
+    cells.join(broadcast(rws), "event_type").join(broadcast(cls), "wd")
+      .crossJoin(broadcast(n)) // 1-row totals
+      .groupBy("n", "nr", "nc")
+      .agg((sum(expr("CAST(o AS DECIMAL(38,0)) * o * 1000 * n div (r * c)"))
+        - expr("1000 * n")).as("chi2_milli"))
+      .select(col("n").cast("long").as("n"),
+        expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").as("dof"),
+        col("chi2_milli").cast("long").as("chi2_milli"),
+        expr("""CAST(FLOOR(SQRT(CAST(chi2_milli * 1000000 div (1000 * n * LEAST(nr - 1, nc - 1))
+          AS DOUBLE))) AS BIGINT)""").as("cramers_v_milli"))
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -3724,5 +3971,6 @@ object Events {
     q264PinballEval, q265BradleyTerry, q270KsTest, q275Cuped,
     q280LogRank, q281QiniUplift, q282Wasserstein, q283Changepoint,
     q286MannKendall, q289WilcoxonSignedRank, q290KruskalWallis,
-    q291StratifiedAte, q293RandomizedResponse)
+    q291StratifiedAte, q293RandomizedResponse, q296KfoldCv,
+    q297QuantileTe, q298EwmaForecast, q299CramersV)
 }

@@ -2120,7 +2120,82 @@ object Text {
       .orderBy(col("total").desc, col("token")).limit(30)
   }
 
-  val all: Seq[Q] = Seq(q287Flesch, q288Burstiness,
+  /** q295 — RAKE keyword extraction (Rose 2010): candidate phrases are
+    * maximal runs of non-stopword tokens (split on the pinned q23
+    * stopword lists), each word scores deg/freq — deg sums the lengths
+    * of every phrase the word appears in, so words that travel in long
+    * collocations outrank loners — and a phrase scores the sum of its
+    * words; top-20 by score. The unsupervised keyword/keyphrase stage
+    * of a document-enrichment pipeline, complementing q75's tf-idf
+    * (corpus-frequency view) and q161's PMI (pair-association view)
+    * with a phrase-level degree view. Word scores in exact floor-ppm;
+    * identical phrases score identically by construction, so the
+    * distinct-phrase collapse is exact.
+    *
+    * Scale: position explode is in-scan; island grouping windows per
+    * doc_id (co-partitioned); word stats are vocab-cardinality; the
+    * phrase re-join keys on (doc, island). Top-20 is a two-phase
+    * orderBy/limit. */
+  val q295RakeKeywords: Q = Q(
+    "q295_rake_keywords",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($DToks) AS tok,
+       |    unnest(range(1, len($DToks) + 1)) AS pos
+       |  FROM documents
+       |), ns AS (
+       |  SELECT doc_id, tok, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM t WHERE tok NOT IN ${"(" + graft.functions.TextFunctions.LangStopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString(",") + ")"}
+       |), ph AS (
+       |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS plen
+       |  FROM ns GROUP BY doc_id, grp
+       |), ws AS (
+       |  SELECT n.tok, SUM(p.plen) * 1000000 // COUNT(*) AS score_ppm
+       |  FROM ns n JOIN ph p USING (doc_id, grp)
+       |  GROUP BY n.tok
+       |), psc AS (
+       |  SELECT n.doc_id, n.grp, SUM(w.score_ppm) AS score_ppm
+       |  FROM ns n JOIN ws w USING (tok)
+       |  GROUP BY n.doc_id, n.grp
+       |), agg AS (
+       |  SELECT p.phrase, CAST(p.plen AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_occurrences, MIN(s.score_ppm) AS score_ppm
+       |  FROM ph p JOIN psc s USING (doc_id, grp)
+       |  GROUP BY p.phrase, p.plen
+       |)
+       |SELECT phrase, n_words, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |  CAST(score_ppm AS BIGINT) AS score_ppm
+       |FROM agg
+       |ORDER BY score_ppm DESC, phrase LIMIT 20""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val stops = graft.functions.TextFunctions.LangStopwords.flatMap(_._2).distinct
+    val t = docs(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+    val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+    val ns = t.filter(!col("tok").isin(stops: _*))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .localCheckpoint() // island rows feed phrases, word stats, and the re-join
+    val ph = ns.groupBy("doc_id", "grp")
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .localCheckpoint() // phrase cells feed word degrees and the score re-join
+    val ws = ns.join(ph.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+      .groupBy("tok")
+      .agg(expr("sum(plen) * 1000000 div count(1)").as("score_ppm"))
+    val psc = ns.join(ws, "tok")
+      .groupBy("doc_id", "grp").agg(sum("score_ppm").as("score_ppm"))
+    ph.join(psc, Seq("doc_id", "grp"))
+      .groupBy("phrase", "plen")
+      .agg(count(lit(1)).as("n_occurrences"), min("score_ppm").as("score_ppm"))
+      .select(col("phrase"), col("plen").as("n_words"),
+        col("n_occurrences"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase")).limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q287Flesch, q288Burstiness, q295RakeKeywords,
     q202QuantileNorm, q21TokenStats, q22QualityScore, q23LangId,
     q24Fingerprint, q25LangSourceAgg, q63TokenTopk, q88PairMerge,
     q93TokenChunks, q94VocabOov, q101BigramLm, q107LangConfusion,

@@ -1459,4 +1459,97 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(4) == nTrue1 * 1000000L / n)
     assert(r.getLong(5) == 2 * obs - 500000L - nTrue1 * 1000000L / n)
   }
+
+  test("q296: fold predictions come from the complement; MSE replays from moments") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(1), h32(s"cv_${r.getLong(0)}") % 5, r.getLong(2)))
+    val rows = ops.Events.q296KfoldCv.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, k) = (r.getString(0), r.getLong(1))
+      val test = evs.filter(x => x._1 == t && x._2 == k)
+      val train = evs.filter(x => x._1 == t && x._2 != k)
+      assert(r.getLong(2) == test.length.toLong, s"$t/$k")
+      val pred = 1000L * train.map(_._3).sum / train.length
+      assert(r.getLong(3) == pred, s"$t/$k")
+      val sse = test.map(x => { val e = BigInt(1000L * x._3 - pred); e * e }).sum
+      assert(r.getLong(4) == (sse / test.length).toLong, s"$t/$k")
+    }
+  }
+
+  test("q297: QTE percentiles are exact order statistics per arm") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select((col("user_id") % 2).as("arm"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = ops.Events.q297QuantileTe.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 75L))
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val a0 = evs.filter(_._1 == 0).map(_._2).sorted
+      val a1 = evs.filter(_._1 == 1).map(_._2).sorted
+      assert(r.getLong(1) == a0.length.toLong && r.getLong(2) == a1.length.toLong)
+      val p0 = a0(((q * a0.length + 99) / 100 - 1).toInt)
+      val p1 = a1(((q * a1.length + 99) / 100 - 1).toInt)
+      assert(r.getLong(3) == p0 && r.getLong(4) == p1, s"q$q")
+      assert(r.getLong(5) == p1 - p0, s"q$q")
+    }
+  }
+
+  test("q298: EWMA forecasts replay from the pinned integer weight table") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = (1 to 8).map(k => math.pow(3, k - 1).toLong * math.pow(4, 8 - k).toLong)
+    assert(w.sum == 58975L)
+    val rows = ops.Events.q298EwmaForecast.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val scored = (8 until xs.length).map { i =>
+        val yhat = (1 to 8).map(k => w(k - 1) * xs(i - k)).sum / 58975L
+        (xs(i), yhat)
+      }
+      assert(r.getLong(1) == scored.length.toLong, t)
+      assert(r.getLong(2) == scored.map(x => math.abs(x._1 - x._2)).sum / scored.length, t)
+      val se = scored.map(x => x._1 - x._2).sum
+      val bias = if (se >= 0) se / scored.length else -((-se) / scored.length)
+      assert(r.getLong(3) == bias, t)
+    }
+  }
+
+  test("q299: chi-square identity and Cramer's V replay from the contingency table") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("wd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = evs.length.toLong
+    val cells = evs.groupBy(identity).map { case ((t, w), xs) => (t, w, xs.length.toLong) }
+    val rowM = evs.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val colM = evs.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val chi2 = cells.map { case (t, w, o) =>
+      BigInt(o) * o * 1000 * n / (rowM(t) * colM(w)) }.sum - 1000L * n
+    val m = math.min(rowM.size - 1, colM.size - 1).toLong
+    val v = math.floor(math.sqrt((chi2 * 1000000 / (1000L * n * m)).toDouble)).toLong
+    val rows = ops.Events.q299CramersV.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == (rowM.size - 1).toLong * (colM.size - 1))
+    assert(r.getLong(2) == chi2.toLong)
+    assert(r.getLong(3) == v)
+    assert(v >= 0 && v <= 1000)
+  }
 }

@@ -115,7 +115,9 @@ class PlanAuditSpec extends SparkSpec {
     "q289_wilcoxon_signed_rank" -> "corpus-scalar join: the 1-row midpoint broadcasts into the per-user diff rollup (q275's shape)",
     "q290_kruskal_wallis" -> "scalar joins: the two 1-row H/tie folds cross-combine into the |types|-row report",
     "q291_stratified_ate" -> "scalar-scalar join: the two 1-row folds (weighted ATE, naive gap) combine into the single report row",
-    "q294_morans_i" -> "scalar joins: the 1-row (n, Σx) scalar broadcasts into the link/centering scans; the two 1-row moment folds combine into the report row")
+    "q294_morans_i" -> "scalar joins: the 1-row (n, Σx) scalar broadcasts into the link/centering scans; the two 1-row moment folds combine into the report row",
+    "q297_quantile_te" -> "spine joins: the 3-row quantile spine and two 1-row arm counts broadcast into value-domain CDF cells",
+    "q299_cramers_v" -> "corpus-scalar join: the 1-row (n, r, c) totals broadcast into the ≤|types|·7 contingency cells")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

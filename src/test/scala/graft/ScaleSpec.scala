@@ -626,7 +626,18 @@ class ScaleSpec extends SparkSpec {
       "q293_randomized_response" -> 8L,
       // q294: edge table + centered-attribute equi-joins (ids + one
       // decimal each), two 1-row moment folds
-      "q294_morans_i" -> 35L)
+      "q294_morans_i" -> 35L,
+      // q295: island rows + phrase cells through the doc-keyed windows
+      // and the vocab-cardinality word-score join
+      "q295_rake_keywords" -> 2400L,
+      // q296: (type, fold) moment cells only
+      "q296_kfold_cv" -> 20L,
+      // q297: (arm, value) cells through the per-arm CDF window
+      "q297_quantile_te" -> 300L,
+      // q298: (type, day) cells through one lag window per type
+      "q298_ewma_forecast" -> 20L,
+      // q299: |types|x7 contingency cells + marginals
+      "q299_cramers_v" -> 10L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

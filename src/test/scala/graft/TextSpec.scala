@@ -515,4 +515,37 @@ class TextSpec extends SparkSpec {
       assert(fano >= 0, t)
     }
   }
+
+  test("q295: RAKE word and phrase scores replay from a brute island split") {
+    import org.apache.spark.sql.functions._
+    val stops = graft.functions.TextFunctions.LangStopwords.flatMap(_._2).distinct.toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    // phrases: maximal runs of non-stopword tokens
+    val phrases = docs.flatMap { toks =>
+      val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toList
+    }
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    phrases.foreach { p => p.foreach { w => deg(w) += p.length; freq(w) += 1 } }
+    val wscore = deg.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val scored = phrases.map(p => (p.mkString(" "), p.length.toLong, p.map(wscore).sum))
+    val agg = scored.groupBy(x => (x._1, x._2)).map { case ((ph, len), xs) =>
+      (ph, len, xs.length.toLong, xs.head._3) }.toSeq
+    val expected = agg.sortBy { case (ph, _, _, sc) => (-sc, ph) }.take(20)
+    val rows = ops.Text.q295RakeKeywords.fn(spark, sf).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (ph, len, occ, sc)) =>
+      assert(r.getString(0) == ph, ph)
+      assert(r.getLong(1) == len && r.getLong(2) == occ && r.getLong(3) == sc, ph)
+    }
+    assert(rows.exists(_.getLong(1) > 1), "fixture must yield multi-word phrases")
+  }
 }

@@ -3127,7 +3127,161 @@ object Analytics {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
+  /** q302 — Spearman rank correlation (tie-aware, via Pearson on
+    * midranks) between per-nation revenue and order value: the
+    * MONOTONE-association companion to q235's Kendall τ — Spearman
+    * weights by rank distance (sensitive to how FAR ranks disagree)
+    * where τ counts inversions, and the two disagreeing is itself a
+    * shape signal. Midranks ×2 from value cells (2·cum_less + ties +
+    * 1 — always integer; the ×2 scale cancels in the ratio), ρ from
+    * cross-multiplied rank moments with sign-split milli and isqrt on
+    * an exact integer (cell counts bound every product far below
+    * 2⁵³).
+    *
+    * Scale: q235's shape — the fact table collapses to ≤|nations|
+    * cells behind broadcast dims; rank walks and moments are cell
+    * algebra. */
+  val q302Spearman: Q = Q(
+    "q302_spearman",
+    """WITH cells AS (
+      |  SELECT n_name,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS aov
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |), rx AS (
+      |  SELECT rev, 2 * (SUM(c) OVER (ORDER BY rev ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) - c) + c + 1 AS r2
+      |  FROM (SELECT rev, COUNT(*) AS c FROM cells GROUP BY rev)
+      |), ry AS (
+      |  SELECT aov, 2 * (SUM(c) OVER (ORDER BY aov ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) - c) + c + 1 AS r2
+      |  FROM (SELECT aov, COUNT(*) AS c FROM cells GROUP BY aov)
+      |), ranked AS (
+      |  SELECT rx.r2 AS x, ry.r2 AS y
+      |  FROM cells JOIN rx USING (rev) JOIN ry USING (aov)
+      |), m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM ranked
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_groups,
+      |  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+      |    WHEN n * sxy - sx * sy >= 0 THEN
+      |      (n * sxy - sx * sy) * 1000
+      |        // CAST(FLOOR(SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))) AS BIGINT)
+      |    ELSE -((-(n * sxy - sx * sy)) * 1000
+      |        // CAST(FLOOR(SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))) AS BIGINT))
+      |    END AS BIGINT) AS spearman_milli
+      |FROM m""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .select(col("n_name"), col("rev"), expr("rev div cnt").as("aov"))
+      .localCheckpoint() // ≤|nations| cells feed both rank walks + the join-back
+    def rank2(df: DataFrame, v: String): DataFrame = {
+      val wCum = Window.orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(v).agg(count(lit(1)).as("c"))
+        .select(col(v), (lit(2) * (sum("c").over(wCum) - col("c")) + col("c") + 1).as("r2"))
+    }
+    val ranked = cells
+      .join(broadcast(rank2(cells, "rev").withColumnRenamed("r2", "x")), "rev")
+      .join(broadcast(rank2(cells, "aov").withColumnRenamed("r2", "y")), "aov")
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_groups"),
+        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+          WHEN n * sxy - sx * sy >= 0 THEN
+            (n * sxy - sx * sy) * 1000
+              div CAST(FLOOR(SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))) AS BIGINT)
+          ELSE -((-(n * sxy - sx * sy)) * 1000
+              div CAST(FLOOR(SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))) AS BIGINT))
+          END AS BIGINT)""").as("spearman_milli"))
+  }
+
+  /** q303 — Cronbach's alpha over the user × event-type spend matrix:
+    * do the five per-type spend signals measure ONE underlying
+    * engagement trait (α near 1) or five unrelated behaviors (α near
+    * 0)? The internal-consistency check run before anyone averages
+    * per-item scores into a composite metric — eval-suite composites
+    * included. α = k/(k−1)·(1 − Σvar_i/var_total) with population
+    * variances as the integer moments D = nΣx² − (Σx)² (the /n²
+    * cancels in the ratio); absent (user, type) cells are exact
+    * zeros and contribute nothing to Σx/Σx², so NO dense fill is
+    * materialized — only the 1-row user count enters. Sign-split
+    * milli (α < 0 is possible and meaningful); DECIMAL(38,0)/HUGEINT
+    * lifts on the squared sums.
+    *
+    * Scale: one (user, type) rollup; item moments are |types| cells,
+    * the total-score moments one more per-user fold. */
+  val q303CronbachAlpha: Q = Q(
+    "q303_cronbach_alpha",
+    """WITH ut AS (
+      |  SELECT user_id, event_type,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      |  FROM events GROUP BY user_id, event_type
+      |), nu AS (
+      |  SELECT COUNT(DISTINCT user_id) AS n FROM ut
+      |), items AS (
+      |  SELECT event_type, SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM ut GROUP BY event_type
+      |), isum AS (
+      |  SELECT COUNT(*) AS k,
+      |    SUM(CAST(nu.n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS d_items
+      |  FROM items CROSS JOIN nu GROUP BY nu.n
+      |), totals AS (
+      |  SELECT user_id, SUM(x) AS tx FROM ut GROUP BY user_id
+      |), dt AS (
+      |  SELECT CAST(nu.n AS HUGEINT) * SUM(CAST(tx AS HUGEINT) * tx)
+      |    - CAST(SUM(tx) AS HUGEINT) * SUM(tx) AS d_total
+      |  FROM totals CROSS JOIN nu GROUP BY nu.n
+      |)
+      |SELECT CAST(i.k AS BIGINT) AS k_items,
+      |  CAST(nu.n AS BIGINT) AS n_users,
+      |  CAST(CASE WHEN dt.d_total = 0 OR i.k < 2 THEN NULL
+      |    WHEN dt.d_total - i.d_items >= 0 THEN
+      |      1000 * i.k * (dt.d_total - i.d_items) // ((i.k - 1) * dt.d_total)
+      |    ELSE -(1000 * i.k * (i.d_items - dt.d_total) // ((i.k - 1) * dt.d_total))
+      |    END AS BIGINT) AS alpha_milli
+      |FROM isum i CROSS JOIN dt CROSS JOIN nu""") { (s, d) =>
+    val ut = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+      .localCheckpoint() // (user, type) cells feed items, totals, and the count
+    val nu = ut.agg(countDistinct("user_id").as("n"))
+    val items = ut.groupBy("event_type")
+      .agg(sum("x").as("sx"), sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val isum = items.crossJoin(broadcast(nu)) // 1-row user count
+      .groupBy("n")
+      .agg(count(lit(1)).as("k"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+          .as("d_items"))
+    val totals = ut.groupBy("user_id").agg(sum("x").as("tx"))
+    val dt = totals.crossJoin(broadcast(nu))
+      .groupBy("n")
+      .agg(expr("""CAST(min(n) AS DECIMAL(38,0)) * sum(CAST(tx AS DECIMAL(38,0)) * tx)
+        - CAST(sum(tx) AS DECIMAL(38,0)) * sum(tx)""").as("d_total"))
+    isum.select(col("k"), col("d_items"))
+      .crossJoin(broadcast(dt.select(col("d_total")))) // 1-row folds
+      .crossJoin(broadcast(nu))
+      .select(col("k").as("k_items"), col("n").as("n_users"),
+        expr("""CAST(CASE WHEN d_total = 0 OR k < 2 THEN NULL
+          WHEN d_total - d_items >= 0 THEN
+            1000 * k * (d_total - d_items) div ((k - 1) * d_total)
+          ELSE -(1000 * k * (d_items - d_total) div ((k - 1) * d_total))
+          END AS BIGINT)""").as("alpha_milli"))
+  }
+
+  val all: Seq[Q] = Seq(q302Spearman, q303CronbachAlpha,
+    q48Pivot, q49GroupingSets, q50Sketch, q56MapOps,
     q57Percentiles, q58Cube, q59RankFamily, q65TopkOperator, q82KmvSketch,
     q90CmsSketch, q112CorrMatrix, q141DriftReport, q152KanonRelease,
     q153ExactSelect, q155QiAudit, q157JackknifeCi, q159ContractAudit,

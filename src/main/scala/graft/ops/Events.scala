@@ -3958,6 +3958,156 @@ object Events {
           AS DOUBLE))) AS BIGINT)""").as("cramers_v_milli"))
   }
 
+  /** q300 — instrumental-variable (Wald) estimation under an
+    * encouragement design: a randomized md5 instrument z "encourages"
+    * uptake, actual treatment t follows a deterministic compliance
+    * pattern (z=1 → 2/3 comply, z=0 → 1/5 crossover — pinned user-id
+    * rules both engines replay), and the uptake EFFECT is identified
+    * as ITT/first-stage — the Wald ratio, the identification strategy
+    * for when the treatment itself can't be randomized but a nudge
+    * can. Completes the causal family: RCT mean gap (q177), CUPED
+    * (q275), DiD (q241), stratification (q291), logged-bandit IPS/DR
+    * (q217/q228), permutation (q247), QTE (q297). Exact integer:
+    * per-arm uptake in floor-ppm, per-arm mean outcome in floor-milli,
+    * the Wald division sign-split with a NULLIF-style zero-first-stage
+    * guard (weak-instrument explosions surface as NULL, not garbage).
+    *
+    * Scale: one per-user rollup (the only corpus shuffle) collapses to
+    * 2 instrument-arm cells map-side. */
+  val q300IvWald: Q = Q(
+    "q300_iv_wald",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5('iv_' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS z,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+      |  FROM events GROUP BY user_id
+      |), t AS (
+      |  SELECT z, y,
+      |    CASE WHEN z = 1 THEN CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END END AS t
+      |  FROM u
+      |), arms AS (
+      |  SELECT z, COUNT(*) AS n, SUM(t) AS nt, SUM(y) AS sy FROM t GROUP BY z
+      |), w AS (
+      |  SELECT
+      |    MAX(CASE WHEN z = 0 THEN n END) AS n0, MAX(CASE WHEN z = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN z = 0 THEN nt * 1000000 // n END) AS up0,
+      |    MAX(CASE WHEN z = 1 THEN nt * 1000000 // n END) AS up1,
+      |    MAX(CASE WHEN z = 0 THEN 1000 * sy // n END) AS y0,
+      |    MAX(CASE WHEN z = 1 THEN 1000 * sy // n END) AS y1
+      |  FROM arms
+      |)
+      |SELECT CAST(n0 AS BIGINT) AS n_z0, CAST(n1 AS BIGINT) AS n_z1,
+      |  CAST(up0 AS BIGINT) AS uptake_z0_ppm, CAST(up1 AS BIGINT) AS uptake_z1_ppm,
+      |  CAST(up1 - up0 AS BIGINT) AS first_stage_ppm,
+      |  CAST(y1 - y0 AS BIGINT) AS itt_millicents,
+      |  CAST(CASE WHEN up1 - up0 = 0 THEN NULL
+      |    WHEN (y1 - y0) * (up1 - up0) >= 0 THEN ABS(y1 - y0) * 1000000 // ABS(up1 - up0)
+      |    ELSE -(ABS(y1 - y0) * 1000000 // ABS(up1 - up0)) END AS BIGINT) AS wald_millicents
+      |FROM w""") { (s, d) =>
+    import graft.functions.TextFunctions.hex32
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("y"))
+      .select(col("user_id"),
+        (hex32(concat(lit("iv_"), col("user_id").cast("string"))) % 2).as("z"),
+        col("y"))
+    val t = u.select(col("z"), col("y"),
+      when(col("z") === 1, when(col("user_id") % 3 =!= 0, 1L).otherwise(0L))
+        .otherwise(when(col("user_id") % 5 === 0, 1L).otherwise(0L)).as("t"))
+    val arms = t.groupBy("z")
+      .agg(count(lit(1)).as("n"), sum("t").as("nt"), sum("y").as("sy"))
+    arms.agg(
+      max(when(col("z") === 0, col("n"))).as("n_z0"),
+      max(when(col("z") === 1, col("n"))).as("n_z1"),
+      max(when(col("z") === 0, expr("nt * 1000000 div n"))).as("uptake_z0_ppm"),
+      max(when(col("z") === 1, expr("nt * 1000000 div n"))).as("uptake_z1_ppm"),
+      max(when(col("z") === 0, expr("1000 * sy div n"))).as("y0"),
+      max(when(col("z") === 1, expr("1000 * sy div n"))).as("y1"))
+      .select(col("n_z0"), col("n_z1"), col("uptake_z0_ppm"), col("uptake_z1_ppm"),
+        (col("uptake_z1_ppm") - col("uptake_z0_ppm")).as("first_stage_ppm"),
+        (col("y1") - col("y0")).as("itt_millicents"),
+        expr("""CAST(CASE WHEN uptake_z1_ppm - uptake_z0_ppm = 0 THEN NULL
+          WHEN (y1 - y0) * (uptake_z1_ppm - uptake_z0_ppm) >= 0
+            THEN ABS(y1 - y0) * 1000000 div ABS(uptake_z1_ppm - uptake_z0_ppm)
+          ELSE -(ABS(y1 - y0) * 1000000 div ABS(uptake_z1_ppm - uptake_z0_ppm))
+          END AS BIGINT)""").as("wald_millicents"))
+  }
+
+  /** q301 — autocorrelation function of daily revenue, lags 1–7 per
+    * event type: WHICH lags carry signal — the structure diagnostic
+    * that justifies q298's trailing-window choice and flags the weekly
+    * cycle q192 decomposes. Exact integer via q294's ×n centering
+    * trick (Xₜ = n·xₜ − Σx — no fractional mean ever materializes):
+    * acf_k = ΣXₜX₍ₜ₋ₖ₎/ΣX² in sign-split milli, products lifted to
+    * DECIMAL(38,0)/HUGEINT (X² carries n² ≈ 10¹² extra at sf1).
+    * Standard short-series caveat: numerator sums over n−k terms
+    * against the full-series denominator (the textbook biased
+    * estimator — both engines, identically).
+    *
+    * Scale: the corpus collapses to (type, day) cells map-side; the 7
+    * lags are one window pass per type; moments are |types|-row
+    * folds. */
+  val q301Acf: Q = Q(
+    "q301_acf",
+    {
+      val lagCols = (1 to 7).map(k =>
+        s"LAG(xc, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k").mkString(",\n      |    ")
+      val lagRows = (1 to 7).map(k =>
+        s"SELECT event_type, $k AS lag, xc * l$k AS prod FROM lagged WHERE l$k IS NOT NULL")
+        .mkString("\n      |  UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+         |  FROM events GROUP BY event_type, day
+         |), tot AS (
+         |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx FROM daily GROUP BY event_type
+         |), centered AS (
+         |  SELECT d.event_type, d.day, CAST(t.n AS HUGEINT) * d.x - t.sx AS xc
+         |  FROM daily d JOIN tot t USING (event_type)
+         |), lagged AS (
+         |  SELECT event_type, day, xc,
+         |    $lagCols
+         |  FROM centered
+         |), nums AS (
+         |  SELECT event_type, lag, SUM(prod) AS num
+         |  FROM ($lagRows)
+         |  GROUP BY event_type, lag
+         |), den AS (
+         |  SELECT event_type, SUM(xc * xc) AS ss FROM centered GROUP BY event_type
+         |)
+         |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+         |  CAST(t.n AS BIGINT) AS n_days,
+         |  CAST(CASE WHEN n.num >= 0 THEN n.num * 1000 // d.ss
+         |    ELSE -((-n.num) * 1000 // d.ss) END AS BIGINT) AS acf_milli
+         |FROM nums n JOIN den d USING (event_type) JOIN tot t USING (event_type)
+         |ORDER BY n.event_type, n.lag"""
+    }) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+    val tot = daily.groupBy("event_type").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val centered = daily.join(broadcast(tot), "event_type") // |types|-row totals
+      .select(col("event_type"), col("day"),
+        expr("CAST(n AS DECIMAL(38,0)) * x - sx").as("xc"))
+      .localCheckpoint() // centered cells feed the lag pass and the denominator
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to 7).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"l$k", lag("xc", k).over(w))
+    }
+    val nums = lagged.select(col("event_type"), explode(array((1 to 7).map(k =>
+        struct(lit(k.toLong).as("lag"), (col("xc") * col(s"l$k")).as("prod"))): _*)).as("t"))
+      .select(col("event_type"), col("t.lag").as("lag"), col("t.prod").as("prod"))
+      .filter(col("prod").isNotNull)
+      .groupBy("event_type", "lag").agg(sum("prod").as("num"))
+    val den = centered.groupBy("event_type")
+      .agg(sum(col("xc") * col("xc")).as("ss"))
+    nums.join(broadcast(den), "event_type").join(broadcast(tot.select(col("event_type"), col("n"))), "event_type")
+      .select(col("event_type"), col("lag"), col("n").as("n_days"),
+        expr("""CAST(CASE WHEN num >= 0 THEN num * 1000 div ss
+          ELSE -((-num) * 1000 div ss) END AS BIGINT)""").as("acf_milli"))
+      .orderBy("event_type", "lag")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -3972,5 +4122,5 @@ object Events {
     q280LogRank, q281QiniUplift, q282Wasserstein, q283Changepoint,
     q286MannKendall, q289WilcoxonSignedRank, q290KruskalWallis,
     q291StratifiedAte, q293RandomizedResponse, q296KfoldCv,
-    q297QuantileTe, q298EwmaForecast, q299CramersV)
+    q297QuantileTe, q298EwmaForecast, q299CramersV, q300IvWald, q301Acf)
 }

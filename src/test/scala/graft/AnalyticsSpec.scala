@@ -1552,4 +1552,114 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) == v)
     assert(v >= 0 && v <= 1000)
   }
+
+  test("q300: Wald ratio replays from the pinned compliance pattern") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    val users = Tables.events(spark, sf).groupBy("user_id")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (u, y) =>
+        val z = h32(s"iv_$u") % 2
+        val t = if (z == 1) (if (u % 3 != 0) 1L else 0L) else (if (u % 5 == 0) 1L else 0L)
+        (z, t, y)
+      }
+    val rows = ops.Events.q300IvWald.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val a0 = users.filter(_._1 == 0); val a1 = users.filter(_._1 == 1)
+    assert(r.getLong(0) == a0.length.toLong && r.getLong(1) == a1.length.toLong)
+    val up0 = a0.map(_._2).sum * 1000000L / a0.length
+    val up1 = a1.map(_._2).sum * 1000000L / a1.length
+    assert(r.getLong(2) == up0 && r.getLong(3) == up1)
+    val fs = up1 - up0
+    assert(r.getLong(4) == fs)
+    assert(fs > 300000L, "the pinned compliance pattern must give a strong first stage")
+    val itt = 1000L * a1.map(_._3).sum / a1.length - 1000L * a0.map(_._3).sum / a0.length
+    assert(r.getLong(5) == itt)
+    val wald = if (itt * fs >= 0) math.abs(itt) * 1000000L / math.abs(fs)
+      else -(math.abs(itt) * 1000000L / math.abs(fs))
+    assert(r.getLong(6) == wald)
+  }
+
+  test("q301: ACF replays via the xn centering trick; lag 0 would be exactly 1000") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = ops.Events.q301Acf.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, k) = (r.getString(0), r.getLong(1).toInt)
+      val xs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      assert(r.getLong(2) == n, s"$t/$k")
+      val sx = xs.sum
+      val xc = xs.map(x => BigInt(n) * x - sx)
+      val num = (k until xc.length).map(i => xc(i) * xc(i - k)).sum
+      val den = xc.map(x => x * x).sum
+      val acf = (if (num >= 0) num * 1000 / den else -((-num) * 1000 / den)).toLong
+      assert(r.getLong(3) == acf, s"$t lag $k")
+      assert(den > 0 && (xc.map(x => x * x).sum * 1000 / den).toLong == 1000L, t)
+    }
+  }
+
+  test("q302: Spearman equals Pearson on locally-computed midranks") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .select(col("n_name"), col("rev"), expr("rev div cnt").as("aov"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val revs = cells.map(_._1); val aovs = cells.map(_._2)
+    def rank2(vs: Array[Long], v: Long): Long = 2L * vs.count(_ < v) + vs.count(_ == v) + 1
+    val xy = cells.map { case (rv, av) => (rank2(revs, rv), rank2(aovs, av)) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val root = math.floor(math.sqrt((BigInt(dx) * dy).toDouble)).toLong
+    val rho = if (num >= 0) num * 1000L / root else -((-num) * 1000L / root)
+    val rows = ops.Analytics.q302Spearman.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == n)
+    assert(rows.head.getLong(1) == rho)
+    assert(math.abs(rho) <= 1000L)
+  }
+
+  test("q303: alpha replays from integer moments; zeros need no dense fill") {
+    import org.apache.spark.sql.functions._
+    val ut = Tables.events(spark, sf).groupBy("user_id", "event_type")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = ut.map(_._1).distinct.length.toLong
+    val items = ut.groupBy(_._2).values.map { g =>
+      val sx = g.map(_._3).sum
+      BigInt(n) * g.map(x => BigInt(x._3) * x._3).sum - BigInt(sx) * sx
+    }
+    val k = items.size.toLong
+    val dItems = items.sum
+    val totals = ut.groupBy(_._1).values.map(_.map(_._3).sum).toSeq
+    val dTotal = BigInt(n) * totals.map(t => BigInt(t) * t).sum -
+      BigInt(totals.sum) * totals.sum
+    val num = dTotal - dItems
+    val alpha = (if (num >= 0) BigInt(1000) * k * num / ((k - 1) * dTotal)
+      else -(BigInt(1000) * k * (-num) / ((k - 1) * dTotal))).toLong
+    val rows = ops.Analytics.q303CronbachAlpha.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(r.getLong(2) == alpha)
+  }
 }

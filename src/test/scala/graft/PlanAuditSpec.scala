@@ -117,7 +117,9 @@ class PlanAuditSpec extends SparkSpec {
     "q291_stratified_ate" -> "scalar-scalar join: the two 1-row folds (weighted ATE, naive gap) combine into the single report row",
     "q294_morans_i" -> "scalar joins: the 1-row (n, Σx) scalar broadcasts into the link/centering scans; the two 1-row moment folds combine into the report row",
     "q297_quantile_te" -> "spine joins: the 3-row quantile spine and two 1-row arm counts broadcast into value-domain CDF cells",
-    "q299_cramers_v" -> "corpus-scalar join: the 1-row (n, r, c) totals broadcast into the ≤|types|·7 contingency cells")
+    "q299_cramers_v" -> "corpus-scalar join: the 1-row (n, r, c) totals broadcast into the ≤|types|·7 contingency cells",
+    "q302_spearman" -> "cell-table joins: the ≤|nations|-row midrank tables broadcast back onto the cells; moments are a 1-row fold",
+    "q303_cronbach_alpha" -> "corpus-scalar joins: the 1-row user count broadcasts into item/total moment folds, which cross-combine into the report row")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

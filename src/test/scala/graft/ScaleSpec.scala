@@ -637,7 +637,15 @@ class ScaleSpec extends SparkSpec {
       // q298: (type, day) cells through one lag window per type
       "q298_ewma_forecast" -> 20L,
       // q299: |types|x7 contingency cells + marginals
-      "q299_cramers_v" -> 10L)
+      "q299_cramers_v" -> 10L,
+      // q300: per-user rollup then 2 instrument-arm cells
+      "q300_iv_wald" -> 10L,
+      // q301: (type, day) centered cells through the lag window + folds
+      "q301_acf" -> 50L,
+      // q302: |nations| cells + rank-walk joins
+      "q302_spearman" -> 12L,
+      // q303: (user, type) cells feeding item + total moments
+      "q303_cronbach_alpha" -> 60L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -2124,7 +2124,83 @@ object Clean {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q279Mcnemar, q292HorvitzThompson,
+  /** q304 — Cochran's Q test across THREE matched quality classifiers
+    * (q279's char-length and vocab proxies plus a mean-token-length
+    * rule, all scored against the tokenizer gold): the k-classifier
+    * generalization of McNemar — "are these k filters interchangeable
+    * on the same documents?" asked once, before k² pairwise tests
+    * inflate the false-positive rate. Q = k(k−1)Σ(C_j−T/k)²/(kT−ΣR_i²)
+    * spelled with the ×k lift so no mean materializes (Σ(kC_j−T)²
+    * numerator — always integer), decided against the pinned χ²₂
+    * 5.991; degenerate denominators (all docs all-correct or
+    * all-wrong) yield NULL. All from per-doc correct-counts — one
+    * narrow projection.
+    *
+    * Scale: one scan projects k bits per doc; the fold needs only
+    * ΣR_i, ΣR_i², and the three C_j — a 1-row aggregate. */
+  val q304CochranQ: Q = Q(
+    "q304_cochran_q",
+    s"""WITH t AS (
+       |  SELECT len($DToks) >= 30 AS gold,
+       |    n_chars >= 180 AS a,
+       |    len(list_distinct($DToks)) >= 20 AS b,
+       |    CASE WHEN len($DToks) = 0 THEN FALSE
+       |      ELSE list_sum(list_transform($DToks, w -> len(w))) * 10 >= 45 * len($DToks)
+       |      END AS c
+       |  FROM documents
+       |), bits AS (
+       |  SELECT CASE WHEN a = gold THEN 1 ELSE 0 END AS ca,
+       |    CASE WHEN b = gold THEN 1 ELSE 0 END AS cb,
+       |    CASE WHEN c = gold THEN 1 ELSE 0 END AS cc
+       |  FROM t
+       |), agg AS (
+       |  SELECT COUNT(*) AS n, SUM(ca) AS c1, SUM(cb) AS c2, SUM(cc) AS c3,
+       |    SUM(ca + cb + cc) AS tt,
+       |    SUM((ca + cb + cc) * (ca + cb + cc)) AS r2
+       |  FROM bits
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  CAST(c1 AS BIGINT) AS a_correct, CAST(c2 AS BIGINT) AS b_correct,
+       |  CAST(c3 AS BIGINT) AS c_correct,
+       |  CAST(CASE WHEN 3 * tt - r2 > 0 THEN
+       |    2 * ((3*c1 - tt)*(3*c1 - tt) + (3*c2 - tt)*(3*c2 - tt) + (3*c3 - tt)*(3*c3 - tt))
+       |      * 1000 // (3 * (3 * tt - r2))
+       |    ELSE NULL END AS BIGINT) AS q_milli,
+       |  CASE WHEN 3 * tt - r2 > 0 THEN
+       |    2 * ((3*c1 - tt)*(3*c1 - tt) + (3*c2 - tt)*(3*c2 - tt) + (3*c3 - tt)*(3*c3 - tt))
+       |      * 1000 // (3 * (3 * tt - r2)) > 5991
+       |    ELSE NULL END AS reject_05
+       |FROM agg""") { (s, d) =>
+    val t = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        (size(col("toks")) >= 30).as("gold"),
+        (col("n_chars") >= 180).as("a"),
+        (size(array_distinct(col("toks"))) >= 20).as("b"),
+        when(size(col("toks")) === 0, lit(false))
+          .otherwise(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+            * 10 >= size(col("toks")).cast("long") * 45).as("c"))
+    val bits = t.select(
+      when(col("a") === col("gold"), 1L).otherwise(0L).as("ca"),
+      when(col("b") === col("gold"), 1L).otherwise(0L).as("cb"),
+      when(col("c") === col("gold"), 1L).otherwise(0L).as("cc"))
+    bits.agg(count(lit(1)).as("n"), sum("ca").as("c1"), sum("cb").as("c2"),
+      sum("cc").as("c3"),
+      sum(col("ca") + col("cb") + col("cc")).as("tt"),
+      sum((col("ca") + col("cb") + col("cc"))
+        * (col("ca") + col("cb") + col("cc"))).as("r2"))
+      .select(col("n").as("n_docs"), col("c1").as("a_correct"),
+        col("c2").as("b_correct"), col("c3").as("c_correct"),
+        expr("""CAST(CASE WHEN 3 * tt - r2 > 0 THEN
+          2 * ((3*c1 - tt)*(3*c1 - tt) + (3*c2 - tt)*(3*c2 - tt) + (3*c3 - tt)*(3*c3 - tt))
+            * 1000 div (3 * (3 * tt - r2))
+          ELSE NULL END AS BIGINT)""").as("q_milli"))
+      .withColumn("reject_05",
+        when(col("q_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("q_milli") > 5991))
+  }
+
+  val all: Seq[Q] = Seq(q279Mcnemar, q292HorvitzThompson, q304CochranQ,
     q68Repetition, q69QualityGate, q70PiiScrub,
     q71Normalize, q72Contamination, q73StratifiedSample, q74CurationFunnel,
     q75Tfidf, q76DocPacking, q77MixtureRebalance, q86TemperatureSample,

@@ -4108,6 +4108,246 @@ object Events {
       .orderBy("event_type", "lag")
   }
 
+  /** q305 — Cochran-Mantel-Haenszel test: arm × "high-value buyer"
+    * (mean purchase ≥ the $48 fixture mean — a bit that splits
+    * ~50/50 at ANY corpus size, where any-purchase or max-based bits
+    * saturate with event count and zero the variance) stratified by
+    * user cohort — "does treatment move the
+    * conversion BIT after controlling for the stratifying confounder",
+    * the binary-outcome sibling of q291's continuous stratified ATE
+    * and q280's time-to-event log-rank (all three share the
+    * hypergeometric O−E/variance core; which one you need depends on
+    * the outcome type). Per stratum: O = treated conversions, E =
+    * n₁ₓm₁ₓ/nₓ in floor-micro, Var = n₁ₓn₀ₓm₁ₓm₀ₓ/(nₓ²(nₓ−1)) in
+    * floor-micro with DECIMAL(38,0)/HUGEINT lifts; χ² (no continuity
+    * correction — both engines identically) against the pinned 3.841.
+    *
+    * Scale: one per-user rollup collapses to (stratum, arm) conversion
+    * cells map-side; the fold is a 1-row aggregate. */
+  val q305CmhTest: Q = Q(
+    "q305_cmh_test",
+    """WITH u AS (
+      |  SELECT user_id % 5 AS x, user_id % 2 AS arm,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      |      AND SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+      |      >= 4800 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id
+      |), cells AS (
+      |  SELECT x,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS o1,
+      |    SUM(conv) AS m1,
+      |    COUNT(*) AS nn
+      |  FROM u GROUP BY x
+      |), agg AS (
+      |  SELECT SUM(o1) AS o,
+      |    SUM(CAST(n1 AS HUGEINT) * m1 * 1000000 // nn) AS e_micro,
+      |    SUM(CASE WHEN nn > 1 THEN
+      |      CAST(n1 AS HUGEINT) * n0 * m1 * (nn - m1) * 1000000
+      |        // (CAST(nn AS HUGEINT) * nn * (nn - 1))
+      |      ELSE 0 END) AS v_micro,
+      |    COUNT(*) AS n_strata
+      |  FROM cells
+      |)
+      |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+      |  CAST(o AS BIGINT) AS observed,
+      |  CAST(e_micro AS BIGINT) AS expected_micro,
+      |  CAST(v_micro AS BIGINT) AS var_micro,
+      |  CAST(CASE WHEN v_micro > 0 THEN
+      |    CAST(o * 1000000 - e_micro AS HUGEINT) * (o * 1000000 - e_micro) * 1000
+      |      // (CAST(v_micro AS HUGEINT) * 1000000)
+      |    ELSE NULL END AS BIGINT) AS chi2_milli,
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(o * 1000000 - e_micro AS HUGEINT) * (o * 1000000 - e_micro) * 1000
+      |      // (CAST(v_micro AS HUGEINT) * 1000000) > 3841
+      |    ELSE NULL END AS reject_05
+      |FROM agg""") { (s, d) =>
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("sp"))
+      .select((col("user_id") % 5).as("x"), (col("user_id") % 2).as("arm"),
+        when(col("np") > 0 && col("sp") >= lit(4800L) * col("np"), 1L)
+          .otherwise(0L).as("conv"))
+    val cells = u.groupBy("x")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("o1"),
+        sum("conv").as("m1"), count(lit(1)).as("nn"))
+    cells.agg(sum("o1").as("o"),
+      sum(expr("CAST(n1 AS DECIMAL(38,0)) * m1 * 1000000 div nn")).as("e_micro"),
+      sum(expr("""CASE WHEN nn > 1 THEN
+        CAST(n1 AS DECIMAL(38,0)) * n0 * m1 * (nn - m1) * 1000000
+          div (CAST(nn AS DECIMAL(38,0)) * nn * (nn - 1))
+        ELSE 0 END""")).as("v_micro"),
+      count(lit(1)).as("n_strata"))
+      .select(col("n_strata"), col("o").as("observed"),
+        col("e_micro").cast("long").as("expected_micro"),
+        col("v_micro").cast("long").as("var_micro"),
+        expr("""CAST(CASE WHEN v_micro > 0 THEN
+          CAST(o * 1000000 - e_micro AS DECIMAL(38,0)) * (o * 1000000 - e_micro) * 1000
+            div (CAST(v_micro AS DECIMAL(38,0)) * 1000000)
+          ELSE NULL END AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") > 3841))
+  }
+
+  /** q306 — Friedman test over day-blocks: within each day, rank the
+    * five event types by daily revenue (midranks ×2 for ties), then
+    * test whether the type rank PROFILES differ — the repeated-
+    * measures companion to q290's Kruskal-Wallis (KW pools all days;
+    * Friedman blocks by day, removing day-level level shifts the way
+    * q275 removes user-level variance). Conover's tie-exact form:
+    * χ²_F = (k−1)·Σ_j(R_j − n(k+1)/2)²/(Σr²ᵢⱼ − nk(k+1)²/4), which
+    * with midranks ×2 becomes the ALL-INTEGER (k−1)·Σ(R2_j −
+    * n(k+1))²/(Σr2²ᵢⱼ − nk(k+1)²) — no rank mean or quarter ever
+    * materializes (hand-checked against the classic 2-block example:
+    * χ² = 4). Decision against the pinned χ²₄ 9.488; all-tied blocks
+    * degenerate to NULL. Only complete blocks (all k types present
+    * that day) enter — partial days would bias every rank.
+    *
+    * Scale: (day, type) cells map-side; ranks are per-day windows
+    * over ≤k rows; the fold is |types| rank sums + one tie sum. */
+  val q306Friedman: Q = Q(
+    "q306_friedman",
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      |  FROM events GROUP BY day, event_type
+      |), k AS (
+      |  SELECT COUNT(DISTINCT event_type) AS k FROM daily
+      |), full_ AS (
+      |  SELECT day FROM daily CROSS JOIN k GROUP BY day, k.k
+      |  HAVING COUNT(*) = MAX(k.k)
+      |), ranked AS (
+      |  SELECT d.day, d.event_type,
+      |    2 * (COUNT(*) FILTER (WHERE d2.x < d.x)) + (COUNT(*) FILTER (WHERE d2.x = d.x)) + 1 AS r2
+      |  FROM daily d
+      |  JOIN full_ f ON f.day = d.day
+      |  JOIN daily d2 ON d2.day = d.day
+      |  GROUP BY d.day, d.event_type, d.x
+      |), rsums AS (
+      |  SELECT event_type, SUM(r2) AS r2sum FROM ranked GROUP BY event_type
+      |), nb AS (
+      |  SELECT COUNT(*) AS n FROM full_
+      |), sq AS (
+      |  SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS sum_r2sq FROM ranked
+      |), stat AS (
+      |  SELECT nb.n, k.k,
+      |    (k.k - 1) * SUM(CAST(r.r2sum - nb.n * (k.k + 1) AS HUGEINT)
+      |      * (r.r2sum - nb.n * (k.k + 1))) AS num,
+      |    MAX(sq.sum_r2sq - CAST(nb.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1)) AS den
+      |  FROM rsums r CROSS JOIN nb CROSS JOIN k CROSS JOIN sq
+      |  GROUP BY nb.n, k.k
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_groups,
+      |  CAST(CASE WHEN den > 0 THEN num * 1000 // den ELSE NULL END AS BIGINT) AS chi2_milli,
+      |  CASE WHEN den > 0 THEN num * 1000 // den > 9488 ELSE NULL END AS reject_05
+      |FROM stat""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+      .localCheckpoint() // (day, type) cells feed ranks, blocks, and ties
+    val k = daily.agg(countDistinct("event_type").as("k"))
+    val fullDays = daily.crossJoin(broadcast(k)) // 1-row k
+      .groupBy("day", "k").agg(count(lit(1)).as("c"))
+      .filter(col("c") === col("k")).select("day")
+      .localCheckpoint() // complete blocks feed the rank join and ties
+    val inBlocks = daily.join(fullDays, "day")
+    val ranked = inBlocks.as("d")
+      .join(inBlocks.select(col("day").as("day2"), col("x").as("x2")),
+        col("day") === col("day2"))
+      .groupBy(col("day"), col("event_type"), col("x"))
+      .agg((lit(2) * sum(when(col("x2") < col("x"), 1L).otherwise(0L))
+        + sum(when(col("x2") === col("x"), 1L).otherwise(0L)) + 1).as("r2"))
+    val ranked2 = ranked.localCheckpoint() // rank cells feed sums + squares
+    val rsums = ranked2.groupBy("event_type").agg(sum("r2").as("r2sum"))
+    val nb = fullDays.agg(count(lit(1)).as("n"))
+    val sq = ranked2.agg(sum(expr("CAST(r2 AS DECIMAL(38,0)) * r2")).as("sum_r2sq"))
+    rsums.crossJoin(broadcast(nb)).crossJoin(broadcast(k)).crossJoin(broadcast(sq))
+      .groupBy("n", "k")
+      .agg(((col("k") - 1) * sum(expr(
+        """CAST(r2sum - n * (k + 1) AS DECIMAL(38,0))
+          * (r2sum - n * (k + 1))"""))).as("num"),
+        max(expr("sum_r2sq - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)")).as("den"))
+      .select(col("n").as("n_blocks"), col("k").cast("long").as("k_groups"),
+        expr("""CAST(CASE WHEN den > 0 THEN num * 1000 div den
+          ELSE NULL END AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") > 9488))
+  }
+
+  /** q307 — one-way ANOVA F statistic + η² effect size across event
+    * types: the parametric leg beside q290's rank-based omnibus — F
+    * answers "is any group mean different", η² = SSB/SST answers "how
+    * much of the variance does the grouping explain" (the number that
+    * stays comparable as n grows). Exact integer via the moment
+    * identities n·SSB = n·Σsₓ²/nₓ − S² and n·SST = n·Σv² − S², with
+    * the ONE per-group floor pushed inside (A = Σ⌊sₓ²/nₓ⌋ — each
+    * quotient is ~group-sum²/count, bounded in BIGINT at any SF where
+    * the group sum itself fits); everything else multiplies in
+    * DECIMAL(38,0)/HUGEINT and divides once. Floor slack can nudge
+    * n·SSB a hair negative when SSB≈0 — clamped to 0 on both engines.
+    * No pinned decision — F's critical value depends on both dfs, so
+    * the statistic and dfs ship and the caller brings the table.
+    *
+    * Scale: one scan collapses to |types| moment cells; everything
+    * after is cell algebra. */
+  val q307AnovaEta: Q = Q(
+    "q307_anova_eta",
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, COUNT(*) AS ng, SUM(v) AS sg,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qg
+      |  FROM e GROUP BY event_type
+      |), tot AS (
+      |  SELECT SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q, COUNT(*) AS k,
+      |    SUM(CAST(sg AS HUGEINT) * sg // ng) AS a
+      |  FROM g
+      |), parts AS (
+      |  SELECT n, k,
+      |    GREATEST(CAST(n AS HUGEINT) * a - CAST(s AS HUGEINT) * s, 0) AS ssb_n,
+      |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS sst_n,
+      |    CAST(n AS HUGEINT) * q - CAST(n AS HUGEINT) * a AS ssw_n
+      |  FROM tot
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_groups,
+      |  CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within,
+      |  CAST(CASE WHEN sst_n > 0 THEN ssb_n * 1000000 // sst_n ELSE NULL END
+      |    AS BIGINT) AS eta2_ppm,
+      |  CAST(CASE WHEN ssw_n > 0 THEN
+      |    ssb_n * (n - k) * 1000 // (ssw_n * (k - 1))
+      |    ELSE NULL END AS BIGINT) AS f_milli
+      |FROM parts""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    val g = e.groupBy("event_type")
+      .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qg"))
+    g.agg(sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+      count(lit(1)).as("k"),
+      sum(expr("CAST(sg AS DECIMAL(38,0)) * sg div ng")).as("a"))
+      .select(col("n"), col("k"), col("s"), col("q"), col("a"),
+        expr("""GREATEST(CAST(n AS DECIMAL(38,0)) * a - CAST(s AS DECIMAL(38,0)) * s,
+          CAST(0 AS DECIMAL(38,0)))""").as("ssb_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s").as("sst_n"),
+        expr("CAST(n AS DECIMAL(38,0)) * q - CAST(n AS DECIMAL(38,0)) * a").as("ssw_n"))
+      .select(col("n").as("n_rows"), col("k").as("k_groups"),
+        (col("k") - 1).as("df_between"), (col("n") - col("k")).as("df_within"),
+        expr("""CAST(CASE WHEN sst_n > 0 THEN ssb_n * 1000000 div sst_n
+          ELSE NULL END AS BIGINT)""").as("eta2_ppm"),
+        expr("""CAST(CASE WHEN ssw_n > 0 THEN
+          ssb_n * (n - k) * 1000 div (ssw_n * (k - 1))
+          ELSE NULL END AS BIGINT)""").as("f_milli"))
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -4122,5 +4362,6 @@ object Events {
     q280LogRank, q281QiniUplift, q282Wasserstein, q283Changepoint,
     q286MannKendall, q289WilcoxonSignedRank, q290KruskalWallis,
     q291StratifiedAte, q293RandomizedResponse, q296KfoldCv,
-    q297QuantileTe, q298EwmaForecast, q299CramersV, q300IvWald, q301Acf)
+    q297QuantileTe, q298EwmaForecast, q299CramersV, q300IvWald, q301Acf,
+    q305CmhTest, q306Friedman, q307AnovaEta)
 }

@@ -1662,4 +1662,91 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(0) == k && r.getLong(1) == n)
     assert(r.getLong(2) == alpha)
   }
+
+  test("q305: CMH O-E and hypergeometric variance replay per stratum in BigInt") {
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, sf).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L)).as("sp"))
+      .collect().map(r => (r.getLong(0) % 5, r.getLong(0) % 2,
+        if (r.getLong(1) > 0 && r.getLong(2) >= 4800L * r.getLong(1)) 1L else 0L))
+    var (o, e, v) = (0L, BigInt(0), BigInt(0))
+    val strata = users.groupBy(_._1)
+    strata.foreach { case (_, g) =>
+      val n1 = g.count(_._2 == 1).toLong; val n0 = g.count(_._2 == 0).toLong
+      val m1 = g.map(_._3).sum; val nn = n1 + n0
+      o += g.filter(_._2 == 1).map(_._3).sum
+      e += BigInt(n1) * m1 * 1000000 / nn
+      if (nn > 1)
+        v += BigInt(n1) * n0 * m1 * (nn - m1) * 1000000 / (BigInt(nn) * nn * (nn - 1))
+    }
+    val rows = ops.Events.q305CmhTest.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == strata.size.toLong)
+    assert(r.getLong(1) == o && r.getLong(2) == e.toLong && r.getLong(3) == v.toLong)
+    assert(v > 0)
+    val d = BigInt(o) * 1000000 - e
+    val chi2 = d * d * 1000 / (v * 1000000)
+    assert(r.getLong(4) == chi2.toLong)
+    assert(r.getBoolean(5) == (chi2 > 3841))
+  }
+
+  test("q306: Friedman chi-square replays via Conover's tie-exact form") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val k = daily.map(_._2).distinct.length
+    val blocks = daily.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toLong
+    // midranks x2 within each complete block
+    val ranked = blocks.values.flatMap { g =>
+      val xs = g.map(_._3)
+      g.map { case (_, t, x) =>
+        (t, 2L * xs.count(_ < x) + xs.count(_ == x) + 1) }
+    }.toSeq
+    val rsums = ranked.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+    val num = BigInt(k - 1) * rsums.values.map { r2 =>
+      val d = BigInt(r2) - n * (k + 1); d * d }.sum
+    val den = ranked.map(r => BigInt(r._2) * r._2).sum - BigInt(n) * k * (k + 1) * (k + 1)
+    val rows = ops.Events.q306Friedman.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == k.toLong)
+    assert(den > 0)
+    val chi2 = (num * 1000 / den).toLong
+    assert(r.getLong(2) == chi2)
+    assert(r.getBoolean(3) == (chi2 > 9488))
+  }
+
+  test("q307: eta-squared and F replay from group moments; eta2 in [0, 1e6]") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = evs.groupBy(_._1).values.toSeq
+    val n = evs.length.toLong
+    val k = groups.length.toLong
+    val s = evs.map(_._2).sum
+    val q = evs.map(x => BigInt(x._2) * x._2).sum
+    val a = groups.map { g =>
+      val sg = g.map(_._2).sum; BigInt(sg) * sg / g.length }.sum
+    val ssbN = (BigInt(n) * a - BigInt(s) * s).max(0)
+    val sstN = BigInt(n) * q - BigInt(s) * s
+    val sswN = BigInt(n) * q - BigInt(n) * a
+    val rows = ops.Events.q307AnovaEta.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == k)
+    assert(r.getLong(2) == k - 1 && r.getLong(3) == n - k)
+    val eta = (ssbN * 1000000 / sstN).toLong
+    assert(r.getLong(4) == eta)
+    assert(eta >= 0 && eta <= 1000000L)
+    assert(sswN > 0)
+    assert(r.getLong(5) == (ssbN * (n - k) * 1000 / (sswN * (k - 1))).toLong)
+  }
 }

@@ -294,4 +294,31 @@ class CleanSpec extends SparkSpec {
       assert(r.getLong(7) == err, lang)
     }
   }
+
+  test("q304: Cochran's Q replays from the three matched classifier bit-vectors") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("text", "n_chars").collect()
+      .map { r =>
+        val toks = r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val gold = toks.length >= 30
+        val a = r.getLong(1) >= 180
+        val b = toks.distinct.length >= 20
+        val c = toks.nonEmpty && toks.map(_.length.toLong).sum * 10 >= 45L * toks.length
+        (if (a == gold) 1L else 0L, if (b == gold) 1L else 0L, if (c == gold) 1L else 0L)
+      }
+    val rows = ops.Clean.q304CochranQ.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (c1, c2, c3) = (docs.map(_._1).sum, docs.map(_._2).sum, docs.map(_._3).sum)
+    val tt = docs.map(x => x._1 + x._2 + x._3).sum
+    val r2 = docs.map(x => { val s = x._1 + x._2 + x._3; s * s }).sum
+    assert(r.getLong(0) == docs.length.toLong)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((c1, c2, c3)))
+    val den = 3 * (3 * tt - r2)
+    assert(den > 0, "fixture must not be fully concordant")
+    val num = BigInt(2) * Seq(c1, c2, c3).map(c => { val d = 3 * c - tt; BigInt(d) * d }).sum
+    val q = (num * 1000 / den).toLong
+    assert(r.getLong(4) == q)
+    assert(r.getBoolean(5) == (q > 5991))
+  }
 }

@@ -119,7 +119,8 @@ class PlanAuditSpec extends SparkSpec {
     "q297_quantile_te" -> "spine joins: the 3-row quantile spine and two 1-row arm counts broadcast into value-domain CDF cells",
     "q299_cramers_v" -> "corpus-scalar join: the 1-row (n, r, c) totals broadcast into the ≤|types|·7 contingency cells",
     "q302_spearman" -> "cell-table joins: the ≤|nations|-row midrank tables broadcast back onto the cells; moments are a 1-row fold",
-    "q303_cronbach_alpha" -> "corpus-scalar joins: the 1-row user count broadcasts into item/total moment folds, which cross-combine into the report row")
+    "q303_cronbach_alpha" -> "corpus-scalar joins: the 1-row user count broadcasts into item/total moment folds, which cross-combine into the report row",
+    "q306_friedman" -> "scalar joins: the 1-row k/block-count/rank-square folds cross-combine into the single report row; ranks come from day-co-partitioned cell joins")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

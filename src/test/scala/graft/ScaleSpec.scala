@@ -645,7 +645,15 @@ class ScaleSpec extends SparkSpec {
       // q302: |nations| cells + rank-walk joins
       "q302_spearman" -> 12L,
       // q303: (user, type) cells feeding item + total moments
-      "q303_cronbach_alpha" -> 60L)
+      "q303_cronbach_alpha" -> 60L,
+      // q304: narrow 3-bit projection then a 1-row fold
+      "q304_cochran_q" -> 230L,
+      // q305: per-user rollup then (stratum, arm) conversion cells
+      "q305_cmh_test" -> 12L,
+      // q306: (day, type) cells through per-day rank joins + folds
+      "q306_friedman" -> 40L,
+      // q307: |types| moment cells, one fold, zero exchange beyond it
+      "q307_anova_eta" -> 5L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

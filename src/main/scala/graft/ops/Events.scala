@@ -3553,7 +3553,10 @@ object Events {
         sum(expr("CAST(c AS DECIMAL(38,0)) * rank2")).as("r2_g"))
       .localCheckpoint() // |types| cells feed both the fold and the report
     val tot = grp.agg(sum("n_g").as("n"),
-      sum(expr("CAST(r2_g AS DECIMAL(38,0)) * r2_g div (4 * n_g)")).as("srq"))
+      // keep the summed quotients DECIMAL: a LONG sum would overflow in
+      // the 12000*srq lift at sf1 magnitudes (measured on the x16 tree)
+      sum(expr("CAST(CAST(r2_g AS DECIMAL(38,0)) * r2_g div (4 * n_g) AS DECIMAL(38,0))"))
+        .as("srq"))
     val ties = vcells.agg(
       sum(expr("cv * (CAST(cv AS DECIMAL(38,0)) * cv - 1)")).as("tie_adj"))
     val h = tot.select(col("n"),

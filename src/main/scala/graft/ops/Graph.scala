@@ -1113,8 +1113,10 @@ object Graph {
       .orderBy(col("ppr_micro").desc, col("host"))
   }
 
-  /** q284 — link-prediction scores over q173's document graph (the
-    * 20-host graph is near-complete, leaving nothing to predict): for
+  /** q284 — link-prediction scores over a uniform-degree document
+    * graph (the 20-host graph is near-complete, leaving nothing to
+    * predict; q173's 8-bit link targets hub-collapse as n grows — see
+    * the in-body note): for
     * the top non-adjacent pairs at distance 2, the three classic
     * neighborhood predictors — common-neighbor count, neighbor-set
     * Jaccard, and the resource-allocation index Σ_z 1/deg(z) (Zhou
@@ -1139,7 +1141,7 @@ object Graph {
       |  SELECT COUNT(*) AS n FROM documents
       |), links AS (
       |  SELECT doc_id AS src,
-      |    CAST(concat('0x', substr(md5(text), 2*t.j + 1, 2)) AS BIGINT) * 7919 % nd.n AS dst
+      |    CAST(concat('0x', substr(md5(text), 8*t.j + 1, 8)) AS BIGINT) % nd.n AS dst
       |  FROM documents
       |  CROSS JOIN nd
       |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t
@@ -1168,14 +1170,18 @@ object Graph {
       |JOIN degv ga ON ga.v = c.a JOIN degv gb ON gb.v = c.b
       |ORDER BY ra_micro DESC, common_neighbors DESC, doc_a, doc_b
       |LIMIT 50""") { (s, d) =>
-    // q173's document graph (the 20-host graph is near-complete — no
-    // non-adjacent pairs to predict): doc_id nodes, 2 md5 links each
+    // A doc graph shaped like q173's (doc_id nodes, 2 md5 links each)
+    // but with 32-BIT link targets: q173's 2-hex-char derivation has a
+    // 256-value target space, so at n docs those targets become n/256-
+    // degree hubs and the wedge join goes quadratic — a fixture
+    // artifact, not graph structure (measured: 162x shuffle at x16).
+    // Full-width hashes keep the mean degree ~4 at ANY n.
     val docs = Tables.documents(s, d)
     val nd = docs.agg(count(lit(1)).as("n"))
     val links = docs
       .crossJoin(broadcast(nd)) // 1-row doc count: scale-safe scalar
       .select(col("doc_id").as("src"), explode(array((0 until 2).map(j =>
-        conv(substring(md5(col("text")), 2 * j + 1, 2), 16, 10).cast("long") * 7919 % col("n")): _*)).as("dst"))
+        conv(substring(md5(col("text")), 8 * j + 1, 8), 16, 10).cast("long") % col("n")): _*)).as("dst"))
     // ue feeds the neighbor list AND the adjacency anti-join; nb feeds
     // both wedge legs and the degree table — materialize each once
     val ue = links.filter(col("src") =!= col("dst"))

@@ -312,7 +312,7 @@ class GraphSpec extends SparkSpec {
     val ue = docs.flatMap { case (id, text) =>
       val hx = md5hex(text)
       (0 until 2).map { j =>
-        val dst = java.lang.Long.parseLong(hx.substring(2 * j, 2 * j + 2), 16) * 7919 % n
+        val dst = java.lang.Long.parseLong(hx.substring(8 * j, 8 * j + 8), 16) % n
         (math.min(id, dst), math.max(id, dst))
       }
     }.filter(p => p._1 != p._2).distinct

@@ -603,9 +603,10 @@ class ScaleSpec extends SparkSpec {
       "q282_wasserstein" -> 880L,
       // q283: (type, day) cells only — the sweep is a window over them
       "q283_changepoint" -> 25L,
-      // q284: edge/neighbor tables of the degree-4 doc graph; wedges
-      // carry ids only
-      "q284_link_prediction" -> 230L,
+      // q284: edge/neighbor tables of the uniform degree-4 doc graph;
+      // wedges carry ids only (79 KiB re-measured after the 32-bit
+      // link-target fix)
+      "q284_link_prediction" -> 200L,
       // q285: 20-query top-10 rank cells (corpus scored in-scan)
       "q285_err_eval" -> 15L,
       // q286: (type, day) daily cells through the time-bounded pair join

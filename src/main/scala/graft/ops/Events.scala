@@ -3303,7 +3303,8 @@ object Events {
     * variance 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) kept
     * ×18 (always integer), and the continuity-corrected normal score
     * z ≈ (|S|−1)·√18/√(V18) — spelled sign·((|S|−1)·424264 div
-    * isqrt(V18·10⁴)) with √18·10² pinned as 424264/10³ and isqrt =
+    * isqrt(V18·10⁴)) with √18·10⁵ pinned as 424264, so the quotient
+    * is z·10³ exactly as z_milli promises, and isqrt =
     * floor of an IEEE sqrt on an exact integer (exact while V18·10⁴ <
     * 2⁵³, i.e. ~35k daily cells — decades of days; the q270 rule).
     * The nonparametric trend referee: no normality assumption, robust
@@ -3339,13 +3340,13 @@ object Events {
       |  CAST(s.s_stat AS BIGINT) AS s_stat, CAST(v.v18 AS BIGINT) AS var18,
       |  CAST(CASE WHEN v.v18 > 0 AND ABS(s.s_stat) > 1 THEN
       |    CASE WHEN s.s_stat > 0 THEN
-      |      (s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))
-      |    ELSE -((-s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))) END
+      |      (s.s_stat - 1) * 424264 // CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT)
+      |    ELSE -((-s.s_stat - 1) * 424264 // CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT)) END
       |    ELSE 0 END AS BIGINT) AS z_milli,
       |  CASE WHEN v.v18 > 0 AND ABS(s.s_stat) > 1 THEN
       |    ABS(CASE WHEN s.s_stat > 0 THEN
-      |      (s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))
-      |    ELSE -((-s.s_stat - 1) * 424264 // (100 * CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT))) END) > 1960
+      |      (s.s_stat - 1) * 424264 // CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT)
+      |    ELSE -((-s.s_stat - 1) * 424264 // CAST(FLOOR(SQRT(CAST(v.v18 * 10000 AS DOUBLE))) AS BIGINT)) END) > 1960
       |    ELSE FALSE END AS reject_05
       |FROM v JOIN s USING (event_type)
       |ORDER BY v.event_type""") { (s, d) =>
@@ -3372,8 +3373,8 @@ object Events {
       .select(col("event_type"), col("n_days"), col("s_stat"), col("v18").as("var18"),
         expr("""CAST(CASE WHEN v18 > 0 AND ABS(s_stat) > 1 THEN
           CASE WHEN s_stat > 0 THEN
-            (s_stat - 1) * 424264 div (100 * CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT))
-          ELSE -((-s_stat - 1) * 424264 div (100 * CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT))) END
+            (s_stat - 1) * 424264 div CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT)
+          ELSE -((-s_stat - 1) * 424264 div CAST(FLOOR(SQRT(CAST(v18 * 10000 AS DOUBLE))) AS BIGINT)) END
           ELSE 0 END AS BIGINT)""").as("z_milli"))
       .withColumn("reject_05", abs(col("z_milli")) > 1960)
       .orderBy("event_type")
@@ -3907,7 +3908,11 @@ object Events {
     * "significant"; V is the number you can threshold). χ² via the
     * identity n·(Σo²/(rᵢcⱼ) − 1) with per-cell floors in milli
     * (products lifted to DECIMAL(38,0)/HUGEINT), V = √(χ²/(n·min(r−1,
-    * c−1))) via isqrt on an exact integer (arg ≤ 10⁶ — always exact).
+    * c−1))) via isqrt on an exact integer (arg ≤ 10⁶ — always exact;
+    * the radicand is GREATEST-clamped at 0 because per-cell milli
+    * floors can nudge chi2 a hair negative under near-perfect
+    * independence, and a NaN→BIGINT cast diverges between engines —
+    * the q307 ssb_n treatment).
     * Weekday is pinned to DuckDB's 0=Sunday convention on both
     * engines.
     *
@@ -3938,7 +3943,7 @@ object Events {
       |SELECT CAST(n AS BIGINT) AS n,
       |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
       |  CAST(chi2_milli AS BIGINT) AS chi2_milli,
-      |  CAST(FLOOR(SQRT(CAST(chi2_milli * 1000000 // (1000 * n * LEAST(nr - 1, nc - 1))
+      |  CAST(FLOOR(SQRT(CAST(GREATEST(chi2_milli, 0) * 1000000 // (1000 * n * LEAST(nr - 1, nc - 1))
       |    AS DOUBLE))) AS BIGINT) AS cramers_v_milli
       |FROM chi""") { (s, d) =>
     val e = Tables.events(s, d)
@@ -3957,7 +3962,7 @@ object Events {
       .select(col("n").cast("long").as("n"),
         expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").as("dof"),
         col("chi2_milli").cast("long").as("chi2_milli"),
-        expr("""CAST(FLOOR(SQRT(CAST(chi2_milli * 1000000 div (1000 * n * LEAST(nr - 1, nc - 1))
+        expr("""CAST(FLOOR(SQRT(CAST(GREATEST(chi2_milli, 0) * 1000000 div (1000 * n * LEAST(nr - 1, nc - 1))
           AS DOUBLE))) AS BIGINT)""").as("cramers_v_milli"))
   }
 

@@ -1337,7 +1337,7 @@ class AnalyticsSpec extends SparkSpec {
       val z =
         if (v18 > 0 && math.abs(s) > 1) {
           val root = math.floor(math.sqrt((v18 * 10000L).toDouble)).toLong
-          val mag = (math.abs(s) - 1) * 424264L / (100L * root)
+          val mag = (math.abs(s) - 1) * 424264L / root
           if (s > 0) mag else -mag
         } else 0L
       assert(r.getLong(4) == z, t)
@@ -1542,7 +1542,7 @@ class AnalyticsSpec extends SparkSpec {
     val chi2 = cells.map { case (t, w, o) =>
       BigInt(o) * o * 1000 * n / (rowM(t) * colM(w)) }.sum - 1000L * n
     val m = math.min(rowM.size - 1, colM.size - 1).toLong
-    val v = math.floor(math.sqrt((chi2 * 1000000 / (1000L * n * m)).toDouble)).toLong
+    val v = math.floor(math.sqrt((chi2.max(0) * 1000000 / (1000L * n * m)).toDouble)).toLong
     val rows = ops.Events.q299CramersV.fn(spark, sf).collect()
     assert(rows.length == 1)
     val r = rows.head

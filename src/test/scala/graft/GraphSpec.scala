@@ -320,7 +320,9 @@ class GraphSpec extends SparkSpec {
     val nb = (ue.map(p => (p._1, p._2)) ++ ue.map(p => (p._2, p._1)))
     val deg = nb.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
     val cand = nb.groupBy(_._1).toSeq.flatMap { case (z, xs) =>
-      val vs = xs.map(_._2).sorted
+      // capped semantics: each wedge center pairs only its Q284AdjCap
+      // lowest-id neighbors (a no-op here — mean degree ~4)
+      val vs = xs.map(_._2).sorted.take(ops.Graph.Q284AdjCap)
       for { i <- vs.indices; j <- (i + 1) until vs.length }
         yield ((vs(i), vs(j)), z)
     }.filter { case (p, _) => !adj(p) }
@@ -338,6 +340,46 @@ class GraphSpec extends SparkSpec {
       assert(r.getLong(2) == cn && r.getLong(3) == jac && r.getLong(4) == ra, s"pair $a-$b scores")
     }
     assert(rows.nonEmpty, "doc graph must yield non-adjacent distance-2 pairs")
+  }
+
+  test("q284 cap: a planted hub's wedges are bounded by the adjacency cap") {
+    import spark.implicits._
+    // Node 0 is a hub adjacent to 1..100 (degree n/2 at n=200 — worse
+    // than the n/10 bar); 100..199 form a sparse path. Uncapped, the
+    // hub alone emits C(100,2)=4950 wedges; capped at 8 it emits
+    // C(8,2)=28 — the Σ_z C(min(deg,cap),2) bound the operator
+    // guarantees whatever the degree distribution.
+    val cap = 8
+    val hubEdges = (1 to 100).map(v => (0L, v.toLong))
+    val pathEdges = (100 until 199).map(v => (v.toLong, (v + 1).toLong))
+    val edges = hubEdges ++ pathEdges
+    val ue = edges.toDF("a", "b").localCheckpoint()
+    val rows = ops.Graph.linkPredictionFromEdges(ue, cap).collect()
+    // local replay of the capped semantics: candidates from each z's
+    // `cap` lowest-id neighbors, scored with TRUE degrees
+    val adj = edges.toSet
+    val nb = edges.map(p => (p._1, p._2)) ++ edges.map(p => (p._2, p._1))
+    val deg = nb.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    val cand = nb.groupBy(_._1).toSeq.flatMap { case (z, xs) =>
+      val vs = xs.map(_._2).sorted.take(cap)
+      for { i <- vs.indices; j <- (i + 1) until vs.length }
+        yield ((vs(i), vs(j)), z)
+    }.filter { case (p, _) => !adj(p) }
+    val hubWedges = cand.count(_._2 == 0L)
+    assert(hubWedges == cap * (cap - 1) / 2,
+      s"hub must emit exactly C($cap,2) wedges, got $hubWedges")
+    val expected = cand.groupBy(_._1).map { case ((a, b), ws) =>
+      val cn = ws.length.toLong
+      val ra = ws.map { case (_, z) => 1000000L / deg(z) }.sum
+      val jac = cn * 1000000L / (deg(a) + deg(b) - cn)
+      (a, b, cn, jac, ra)
+    }.toSeq.sortBy { case (a, b, cn, _, ra) => (-ra, -cn, a, b) }.take(50)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (a, b, cn, jac, ra)) =>
+      assert((r.getLong(0), r.getLong(1)) == ((a, b)), s"pair $a-$b")
+      assert(r.getLong(2) == cn && r.getLong(3) == jac && r.getLong(4) == ra,
+        s"pair $a-$b scores")
+    }
   }
 
   test("q294: Moran's I equals the brute centered cross-product replay") {

@@ -109,7 +109,7 @@ class PlanAuditSpec extends SparkSpec {
     "q251_isotonic_fit" -> "scalar join: the 1-row min/max broadcasts into the 32-bin histogram pass (q226's two-pass shape); PAVA runs on cells",
     "q252_dbscan" -> "checkpoint-hidden: the CC rounds' scalar folds run behind the core-edge checkpoint; candidates are the 9-cell grid equi-join, never n²",
     "q280_logrank" -> "scalar joins: the 1-row observation-end day broadcasts into the streak tag (q249's shape) and the two 1-row folds cross-combine into the single report row",
-    "q284_link_prediction" -> "checkpoint-hidden: the 1-row doc-count scalar broadcasts into the link derivation; wedges, degrees, and the adjacency anti-join are equi-joins",
+    "q284_link_prediction" -> "checkpoint-hidden: the 1-row doc-count scalar broadcasts into the link derivation; wedges (cap-64 windowed adjacency), degrees, and the adjacency anti-join are equi-joins with no explicit broadcast hint — AQE picks the degree-table strategy",
     "q285_err_eval" -> "q250's shape: the 20 query vectors broadcast; corpus streams once; the cascade fold runs on 10 rows per query",
     "q288_burstiness" -> "corpus-scalar join: the 1-row doc count broadcasts into the vocab-cardinality Fano scoring",
     "q289_wilcoxon_signed_rank" -> "corpus-scalar join: the 1-row midpoint broadcasts into the per-user diff rollup (q275's shape)",

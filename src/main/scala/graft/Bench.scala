@@ -83,39 +83,39 @@ object Bench {
       dropCheckpoints()
     }
 
-    // Round-9 head-of-suite fix (round-8 VERDICT item 3): even after the
-    // sacrificial pass, the FIRST timed queries (q01/q206 in the r8 driver
-    // record: 6x/13x their steady state, ext=0.0) paid two residual
-    // in-process costs no later query pays:
-    //  * the sacrificial pass ends with the C2 compile queue still deep —
-    //    background compiler threads steal cores from the first timed
-    //    samples until the backlog drains;
-    //  * the head queries are the STALEST: q01 was sacrificed ~3 minutes
-    //    before its timed run (the whole rest of the pass ran in between),
-    //    the tail queries seconds before.
-    // Drain both: poll the JVM compiler until it goes quiet, then re-run
-    // the first HEAD_WARM selected queries untimed so the head of the
-    // timed pass is as freshly warmed as the tail.
+    // Round-10 warm-up redesign (round-9 VERDICT items 1+2). The round-9
+    // HeadWarm=8 re-warm demonstrably did not stick (q01/q04/q05 still
+    // 3.2-4.4x inside the re-warmed head), and q35 regressed 2.4x with
+    // its source unchanged. Instrumented sampling (gc=/jit= below) found
+    // the shared mechanism: it is not heap, page cache, or external load
+    // — it is C2/deoptimization churn. q35's ~100 generated classes cost
+    // ~100 s of JIT-compiler time on first execution and keep
+    // recompiling (deopt -> re-queue) for several CONSECUTIVE
+    // executions (measured: jit=103s/18s/7s across JitProbe passes with
+    // ZERO new Janino classes after pass 1 — the codegen cache hits;
+    // the JVM churns anyway). Suite-interleaved warm-up passes never
+    // give a query consecutive executions, so giants arrive at their
+    // timed samples mid-churn behind a 306-query compile backlog
+    // (measured in-suite: 127 s first q35 sample vs 21 s isolated).
+    // Fix: give EVERY query an untimed pre-warm run immediately before
+    // its own timed samples, then poll the compiler quiet (bounded) so
+    // C2 settles on THIS query's classes while nothing is being timed.
+    // This subsumes the head-warm special case — head and tail queries
+    // now see identical freshness.
     val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
-    def jitQuiesce(maxMs: Long = 60000): Unit = {
+    def jitQuiesce(maxMs: Long): Unit = {
       var quiet = 0
       var waited = 0L
       var last = compBean.getTotalCompilationTime
       while (quiet < 2 && waited < maxMs) {
-        Thread.sleep(500); waited += 500
+        Thread.sleep(200); waited += 200
         val now = compBean.getTotalCompilationTime
-        quiet = if (now - last < 100) quiet + 1 else 0
+        quiet = if (now - last < 50) quiet + 1 else 0
         last = now
       }
-      System.err.println(s"[bench-warmup] jit quiesced after ${waited}ms")
     }
-    jitQuiesce()
-    val HeadWarm = 8
-    for (q <- selected.take(HeadWarm)) {
-      try run(q, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
-      dropCheckpoints()
-    }
+    jitQuiesce(60000)
+    System.err.println("[bench-warmup] jit quiesced after sacrificial pass")
 
     // --- external-contention telemetry (round-7 VERDICT item 4) ------
     // The host shows multi-minute bursts of external load that inflate
@@ -143,11 +143,21 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val nCores = Runtime.getRuntime.availableProcessors()
 
-    final case class Sample(sec: Double, load: Double, extCores: Double)
+    // Per-sample JVM-internal pressure telemetry (round-9 VERDICT item
+    // 1): q35's driver drift reproduced locally as a 127 s first timed
+    // sample decaying to 12 s by the third, ext=0.0 — the cost is
+    // INSIDE this JVM. gc= and jit= deltas per sample separate heap
+    // churn from compiler churn mechanically.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    final case class Sample(sec: Double, load: Double, extCores: Double,
+        gcSec: Double, jitSec: Double)
     def timed(q: Q): Sample = {
       val (idle0, tot0) = procStat()
       val cpu0 = osBean.getProcessCpuTime
       val la0 = loadavg1()
+      val (gc0, jit0) = (gcMs(), compBean.getTotalCompilationTime)
       val t0 = System.nanoTime()
       try run(q, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
@@ -159,8 +169,14 @@ object Bench {
         (1.0 - (idle1 - idle0).toDouble / (tot1 - tot0)) * nCores else 0.0
       val selfCores = (osBean.getProcessCpuTime - cpu0).toDouble / wallNs
       val ext = math.max(0.0, busyCores - selfCores)
-      System.err.println(f"[bench-sample] ${q.name} $sec%.2f load=$la%.1f ext=$ext%.1f")
-      Sample(sec, la, ext)
+      val gcS = (gcMs() - gc0) / 1e3
+      val jitS = (compBean.getTotalCompilationTime - jit0) / 1e3
+      // self= own-process CPU cores over the sample window: low self
+      // with low ext and a long wall means threads were BLOCKED (I/O,
+      // lock, allocation stall), not computing — distinguishes the
+      // residual first-sample spikes from CPU-bound work
+      System.err.println(f"[bench-sample] ${q.name} $sec%.2f load=$la%.1f ext=$ext%.1f self=$selfCores%.1f gc=$gcS%.1f jit=$jitS%.1f")
+      Sample(sec, la, ext, gcS, jitS)
     }
     // Best-of-N for EVERY query (round-6 VERDICT item 3): two samples
     // minimum; a third when the min still exceeds 1s; a FOURTH when the
@@ -175,6 +191,13 @@ object Bench {
       s
     }
     val results = selected.map { q =>
+      // untimed immediate pre-warm + bounded compiler drain: the timed
+      // samples start with this query's classes freshly hot and the C2
+      // queue quiet (see the round-10 note above)
+      try run(q, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench-prewarm] ${q.name}: $e") }
+      dropCheckpoints()
+      jitQuiesce(10000)
       var best = Seq(sample(q), sample(q)).minBy(_.sec)
       if (best.sec > 1.0) best = Seq(best, sample(q)).minBy(_.sec)
       if (best.extCores >= ExtTaint) best = Seq(best, sample(q)).minBy(_.sec)
@@ -189,8 +212,13 @@ object Bench {
     val taintJson = tainted.map { case (k, v) =>
       "\"" + k + f"""":{"sec":${v.sec}%.3f,"ext_cores":${v.extCores}%.1f,"load1":${v.load}%.1f}"""
     }.mkString("{", ",", "}")
+    // Run conditions travel WITH the record (round-9 VERDICT item 3:
+    // a steady baseline is only comparable under stated conditions).
+    val startLoad = loadavg1()
+    val conditions =
+      f"""{"cpus":$cpus%s,"warmup_passes":3,"per_query_prewarm":true,"jit_quiesce_ms":10000,"min_of":"2-4","loadavg_at_end":$startLoad%.1f,"ext_taint_cores":$ExtTaint%.1f}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tainted":$taintJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tainted":$taintJson,"conditions":$conditions}"""
     println(line)
     // The stdout line can lose its head to log-tail truncation when the
     // harness keeps only the last N bytes (the full 131-query map is

@@ -34,6 +34,11 @@ object E2eBench {
       s"<BUYER><NAME>Dept $i</NAME></BUYER><TAGS><TAG>award</TAG></TAGS>" +
       s"<NOTES>$pad</NOTES></UK7_2023>"
 
+  /** One full pipeline pass, returned as data so CI can assert on it
+    * (round-9 VERDICT stretch item 8) while `main` prints the JSON. */
+  final case class Report(nZips: Int, notices: Int, nOk: Long, nErr: Long,
+      tExtract: Double, tMerge: Double, tCsv: Double, shufWKib: Long, shufRKib: Long)
+
   def main(args: Array[String]): Unit = {
     val nZips = args.lift(0).map(_.toInt).getOrElse(64)
     val perZip = args.lift(1).map(_.toInt).getOrElse(1250)
@@ -48,7 +53,12 @@ object E2eBench {
       .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, nZips, perZip)
+    println(f"""{"metric":"e2e","zips":${r.nZips},"notices":${r.notices},"ok":${r.nOk},"parse_errors":${r.nErr},"extract_sec":${r.tExtract}%.1f,"merge_sec":${r.tMerge}%.1f,"csv_sec":${r.tCsv}%.1f,"total_sec":${r.tExtract + r.tMerge + r.tCsv}%.1f,"shuffle_w_kib":${r.shufWKib},"shuffle_r_kib":${r.shufRKib}}""")
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, nZips: Int, perZip: Int): Report = {
     // ---- fixture: nZips daily archives, perZip notices each ----------
     val raw = Files.createTempDirectory("graft-e2e-raw").toString
     val pad = "procurement notice body text " * 32 // ~1 KiB payload
@@ -119,7 +129,7 @@ object E2eBench {
 
     val nOk = report.filter(_.getAs[String]("status") == "ok").map(_.getAs[Long]("n")).sum
     val nErr = report.filter(_.getAs[String]("status") == "parse_error").map(_.getAs[Long]("n")).sum
-    println(f"""{"metric":"e2e","zips":$nZips,"notices":${nZips * perZip},"ok":$nOk,"parse_errors":$nErr,"extract_sec":$tExtract%.1f,"merge_sec":$tMerge%.1f,"csv_sec":$tCsv%.1f,"total_sec":${tExtract + tMerge + tCsv}%.1f,"shuffle_w_kib":${shufW.get / 1024},"shuffle_r_kib":${shufR.get / 1024}}""")
-    spark.stop()
+    Report(nZips, nZips * perZip, nOk, nErr, tExtract, tMerge, tCsv,
+      shufW.get / 1024, shufR.get / 1024)
   }
 }

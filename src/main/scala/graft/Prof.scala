@@ -92,6 +92,22 @@ object Prof {
     // bytes written to / read from shuffle per profiled run
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
+    // skew-join engagement probe (round-9 VERDICT item 5): count
+    // "skew=true" markers in the AQE-final executed plan — a
+    // SortMergeJoinExec/ShuffledHashJoinExec that OptimizeSkewedJoin
+    // split prints its nodeName with that suffix. Read AFTER execution
+    // (the listener fires on success) so the ADAPTIVE final plan, not
+    // the initial one, is what's scanned.
+    val skewNodes = new java.util.concurrent.atomic.AtomicInteger
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val s = try qe.executedPlan.toString catch { case _: Throwable => "" }
+        skewNodes.addAndGet("skew=true".r.findAllIn(s).length)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
     // per-stage parallelism evidence: (numTasks, executor cpu-seconds);
     // distinguishes "the host was busy" from "AQE serialized the stage"
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double)]
@@ -115,12 +131,12 @@ object Prof {
       // independent of what ran before it (same rationale as Bench)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      shufWrite.set(0); shufRead.set(0); stages.clear()
+      shufWrite.set(0); shufRead.set(0); stages.clear(); skewNodes.set(0)
       val t0 = System.nanoTime()
       byName(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150) // let the async listener bus drain stage events
-      println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB")
+      println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB skew=${skewNodes.get}%d")
       import scala.jdk.CollectionConverters._
       val heavy = stages.asScala.toSeq.sortBy(-_._3).take(6)
         .map { case (id, n, s) => f"s$id:$n%dt/$s%.1fs" }.mkString(" ")

@@ -45,8 +45,36 @@ import org.apache.spark.sql.functions._
   * untouched — planted variants derive from the copy's own text at
   * query time — so true pairs grow 16x with the data, not 256x.
   */
+  /** ZIPF mode (4th arg, round-9 VERDICT item 5) derives a ×factor tree
+  * whose KEY distributions are heavy-tailed instead of uniform — the
+  * one 100-TB hazard class (hot keys) the uniform waves cannot see.
+  * Mechanism: block-merged copy offsets. For a skewed key column, the
+  * key's residue r = key mod 16 selects a Zipf-ish multiplicity
+  * m(r) ∈ {16,8,4,2,1} and the copy offset becomes
+  * (copy div m(r))·m(r)·stride — copies within a block share ONE key
+  * universe for that residue class, so a residue-0 key carries 16× its
+  * base row count, residues 1–2 8×, 3–6 4×, 7–10 2×, 11–15 stay 1×
+  * (mass-vs-rank roughly ∝ 1/rank — a discretized Zipf head).
+  * Deterministic per copy, zero randomness. Skewed axes:
+  *   * events.user_id — per-user event density becomes heavy-tailed
+  *     (hot sessions/windows; q37/q187's real hazard);
+  *   * orders.o_custkey — hot-customer join fan-in (the orders⋈customer
+  *     SMJ partition skew that AQE's skew join exists for; referential
+  *     integrity holds because the merged key equals the block-base
+  *     copy's customer, which the plain remap always writes);
+  *   * documents — mutate-mode text (so dedup pair structure stays
+  *     honest) plus LENGTH skew: every 64th base doc's text repeats 8×
+  *     (token SET unchanged — only boundary shingles differ — so
+  *     set-similarity pair structure survives while per-doc CPU and
+  *     fingerprint counts get a Zipf-ish long-doc straggler tail).
+  * Row counts: events/orders/lineitem/docs still grow exactly ×factor
+  * (skew moves keys, not rows).
+  */
 object ScaleUp {
   private val Stride = 1L << 32
+  /** Zipf-ish multiplicity by key residue (mod 16): how many adjacent
+    * copies share one key universe for that residue class. */
+  private val ZipfMult = Seq(16, 8, 8, 4, 4, 4, 4, 2, 2, 2, 2, 1, 1, 1, 1, 1)
   /** documents/embeddings use a SMALL stride: the corpus convention
     * (Dedup.corpus, q72/q83/q120) encodes semantics in doc_id RANGES —
     * ids < 1e6 are corpus rows and ids >= 2e6 are (synthesized)
@@ -59,7 +87,7 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(16)
-    val mutate = args.lift(3).contains("mutate")
+    val mode = args.lift(3).getOrElse("")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -71,6 +99,16 @@ object ScaleUp {
       .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dest, factor, mode)
+    spark.stop()
+  }
+
+  /** The derivation itself, callable from specs (ScaleUpSpec runs a
+    * factor-4 zipf tree on the shared test session). */
+  def run(spark: SparkSession, src: String, dest: String, factor: Int,
+      mode: String): Unit = {
+    val zipf = mode == "zipf"
+    val mutate = mode == "mutate" || zipf // zipf builds on mutate-mode text
 
     require(factor <= 16, s"doc_id band [0, 1e6) fits at most 16 copies, got $factor")
     val copies = broadcast(spark.range(factor).select(col("id").as("copy")))
@@ -79,6 +117,16 @@ object ScaleUp {
         d.withColumn(k, col(k) + col("copy") * stride)
       }
     def remap(keys: String*)(df: DataFrame): DataFrame = remapBy(Stride)(keys: _*)(df)
+    // Block-merged offset for a SKEWED key (zipf mode): copies within a
+    // block of size m(key mod 16) share one key universe, so hot
+    // residues aggregate up to factor x base density. Clamped to the
+    // actual factor so smaller trees stay consistent.
+    def zipfKey(k: String)(df: DataFrame): DataFrame = {
+      val multArr = array(ZipfMult.map(m => lit(math.min(m, factor).toLong)): _*)
+      df.withColumn("_m", element_at(multArr, pmod(col(k), lit(16L)).cast("int") + 1))
+        .withColumn(k, col(k) + expr("copy div _m") * col("_m") * Stride)
+        .drop("_m")
+    }
 
     def write(name: String, df: DataFrame): Unit = {
       df.drop("copy").write.mode("overwrite").parquet(s"$dest/$name.parquet")
@@ -95,8 +143,12 @@ object ScaleUp {
       spark.read.parquet(s"$src/supplier.parquet")))
     write("part", remap("p_partkey")(
       spark.read.parquet(s"$src/part.parquet")))
-    write("orders", remap("o_orderkey", "o_custkey")(
-      spark.read.parquet(s"$src/orders.parquet")))
+    // zipf: o_custkey block-merges (hot customers get up to factor x
+    // order fan-in); o_orderkey stays disjoint (order grain preserved)
+    val ordersBase = remap("o_orderkey")(spark.read.parquet(s"$src/orders.parquet"))
+    write("orders",
+      if (zipf) zipfKey("o_custkey")(ordersBase)
+      else ordersBase.withColumn("o_custkey", col("o_custkey") + col("copy") * Stride))
     write("lineitem", remap("l_orderkey", "l_partkey", "l_suppkey")(
       spark.read.parquet(s"$src/lineitem.parquet")))
     // per-copy user universe: per-user event density (the sessionization
@@ -108,8 +160,12 @@ object ScaleUp {
     // Either output shape round-trips through the schema-adaptive
     // Tables.events (nano shim vs NTZ→UTC cast) — asserted below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write("events", remap("event_id", "user_id")(
-      spark.read.parquet(s"$src/events.parquet")))
+    // zipf: user_id block-merges (heavy-tailed per-user event density);
+    // event_id stays disjoint (event grain preserved)
+    val eventsBase = remap("event_id")(spark.read.parquet(s"$src/events.parquet"))
+    write("events",
+      if (zipf) zipfKey("user_id")(eventsBase)
+      else eventsBase.withColumn("user_id", col("user_id") + col("copy") * Stride))
     // Fail loud here rather than 16 queries deep: the derived events
     // file must load through Tables.events with the public schema.
     val tsType = Tables.events(spark, dest).schema("ts").dataType
@@ -149,6 +205,15 @@ object ScaleUp {
     val docs = remapBy(DocStride)("doc_id")(spark.read.parquet(s"$src/documents.parquet"))
       .withColumn("text", when(col("copy") === 0, col("text"))
         .otherwise(expr(if (mutate) mutatedText else permutedText)))
+      // zipf: every 64th base doc's text repeats 8x — a deterministic
+      // long-doc straggler tail (token SET unchanged; only the 7
+      // boundary shingles per junction are new, so set-similarity pair
+      // structure survives while per-doc CPU and fingerprint volume
+      // get a heavy tail)
+      .withColumn("text",
+        if (zipf) when(pmod(col("doc_id"), lit(DocStride)) % 64 === 0,
+          array_join(array_repeat(col("text"), 8), " ")).otherwise(col("text"))
+        else col("text"))
       .withColumn("n_chars", length(col("text")))
     write("documents", docs)
 
@@ -163,6 +228,5 @@ object ScaleUp {
     write("embeddings", emb)
 
     println(s"[scaleup] done: $src x$factor -> $dest")
-    spark.stop()
   }
 }

@@ -144,10 +144,19 @@ object ScaleUp {
     write("part", remap("p_partkey")(
       spark.read.parquet(s"$src/part.parquet")))
     // zipf: o_custkey block-merges (hot customers get up to factor x
-    // order fan-in); o_orderkey stays disjoint (order grain preserved)
+    // order fan-in); o_orderkey stays disjoint (order grain preserved).
+    // On top, a SUPER-HOT head: 1/8 of ALL orders land on base custkey
+    // 16 (residue 0, so the key is identical in every copy and exists
+    // in customer) — block-merge alone spreads heat across 1/16 of the
+    // key space and never dominates a shuffle PARTITION, which is what
+    // AQE skew-join splits; a 12.5%-of-table key does (measured: the
+    // probe below engaged skew=true only once this head existed).
     val ordersBase = remap("o_orderkey")(spark.read.parquet(s"$src/orders.parquet"))
     write("orders",
       if (zipf) zipfKey("o_custkey")(ordersBase)
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(8L)) === 0, lit(16L))
+            .otherwise(col("o_custkey")))
       else ordersBase.withColumn("o_custkey", col("o_custkey") + col("copy") * Stride))
     write("lineitem", remap("l_orderkey", "l_partkey", "l_suppkey")(
       spark.read.parquet(s"$src/lineitem.parquet")))
@@ -165,6 +174,12 @@ object ScaleUp {
     val eventsBase = remap("event_id")(spark.read.parquet(s"$src/events.parquet"))
     write("events",
       if (zipf) zipfKey("user_id")(eventsBase)
+        // super-hot head, same rationale as orders: 1/8 of all events
+        // on base user 0 (residue 0 — one key in every copy). The
+        // stride is 2^32 so pmod(event_id, 8) is copy-invariant.
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(8L)) === 0, lit(0L))
+            .otherwise(col("user_id")))
       else eventsBase.withColumn("user_id", col("user_id") + col("copy") * Stride))
     // Fail loud here rather than 16 queries deep: the derived events
     // file must load through Tables.events with the public schema.

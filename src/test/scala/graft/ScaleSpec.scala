@@ -724,4 +724,34 @@ class ScaleSpec extends SparkSpec {
       .filter(to_date(col("ts")) === "2024-01-05").count()
     assert(got == want && got > 0)
   }
+
+  test("AQE skew join engages and splits a partition-dominant hot key") {
+    // The zipf x16 tree proves walls/shuffles stay bounded under a
+    // heavy-tailed key distribution (COVERAGE.md wave); THIS pins the
+    // machinery itself: a 50%-hot join key must make AQE's
+    // OptimizeSkewedJoin split the dominant partition (skew=true in the
+    // executed SMJ node), with thresholds scaled to fixture bytes the
+    // same way production thresholds scale to partition targets.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    val left = s.range(400000).select(
+      when(col("id") % 2 === 0, lit(7L)).otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      concat(lit("payload-"), col("id")).as("v"))
+    val right = s.range(1000).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("w"))
+    val joined = left.join(right, "k")
+    // collect() drives THIS Dataset's own QueryExecution (count() would
+    // spawn a fresh one and the inspected plan would never execute)
+    val n = joined.collect().length
+    assert(n == 400000, s"inner join must keep every left row, got $n")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"OptimizeSkewedJoin did not engage on a 50%-hot key:\n$plan")
+  }
 }

@@ -4356,6 +4356,190 @@ object Events {
           ELSE NULL END AS BIGINT)""").as("f_milli"))
   }
 
+  /** q308 — TOST equivalence test (two one-sided tests) on the q177
+    * arms: is the B arm's per-user purchase revenue EQUIVALENT to A's
+    * within a ±5%-of-pooled-mean margin — the eval-parity primitive
+    * q177 cannot express (failing to reject H0:"different" is NOT
+    * evidence of sameness; TOST's reversed hypotheses are). Declare
+    * equivalence iff BOTH z_low = (d̄+δ)/SE and z_high = (δ−d̄)/SE
+    * exceed the one-sided 5% critical value 1.645. Exact integer: arm
+    * moments as in q177, Welch SE² = v₀/n₀ + v₁/n₁ in integer cents²,
+    * SE via isqrt on SE²·10⁴ (radicand ≪ 2⁵³ — the q270 rule), means
+    * and margin in milli-cents, z in milli via sign-split floor
+    * division (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * identical only after the CASE split both engines spell).
+    *
+    * Scale: one user-keyed partial-sum pass (map-side combine) to two
+    * arm cells, then 1-row arithmetic — q177's exact shape. */
+  val q308TostEquivalence: Q = Q(
+    "q308_tost_equivalence",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), p AS (
+      |  SELECT user_id, SUM(CAST(FLOOR(value*100) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), m AS (
+      |  SELECT u.user_id % 2 AS arm, COALESCE(p.cents, 0) AS x
+      |  FROM u LEFT JOIN p USING (user_id)
+      |), a AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+      |  FROM m GROUP BY arm
+      |), v AS (
+      |  SELECT arm, n, sx, (n*sxx - sx*sx)//(n*(n-1)) AS var_cents2 FROM a
+      |), t AS (
+      |  SELECT c.n AS n0, x.n AS n1,
+      |    CAST(FLOOR(c.sx*1000/c.n) AS BIGINT) - CAST(FLOOR(x.sx*1000/x.n) AS BIGINT) AS diff_milli,
+      |    CAST(FLOOR((c.sx + x.sx)*50/(c.n + x.n)) AS BIGINT) AS delta_milli,
+      |    CAST(FLOOR(SQRT(CAST((c.var_cents2//c.n + x.var_cents2//x.n)*10000 AS DOUBLE))) AS BIGINT) AS se_centi
+      |  FROM v c, v x WHERE c.arm = 0 AND x.arm = 1
+      |), z AS (
+      |  SELECT n0, n1, diff_milli, delta_milli, se_centi,
+      |    CASE WHEN se_centi > 0 THEN
+      |      CASE WHEN diff_milli + delta_milli >= 0
+      |        THEN (diff_milli + delta_milli) * 100 // se_centi
+      |        ELSE -((-(diff_milli + delta_milli)) * 100 // se_centi) END
+      |      ELSE NULL END AS zlow_milli,
+      |    CASE WHEN se_centi > 0 THEN
+      |      CASE WHEN delta_milli - diff_milli >= 0
+      |        THEN (delta_milli - diff_milli) * 100 // se_centi
+      |        ELSE -((-(delta_milli - diff_milli)) * 100 // se_centi) END
+      |      ELSE NULL END AS zhigh_milli
+      |  FROM t
+      |)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  diff_milli, delta_milli, se_centi,
+      |  CAST(zlow_milli AS BIGINT) AS zlow_milli,
+      |  CAST(zhigh_milli AS BIGINT) AS zhigh_milli,
+      |  zlow_milli > 1645 AND zhigh_milli > 1645 AS equivalent
+      |FROM z""") { (s, d) =>
+    val u = Tables.events(s, d).select("user_id").distinct()
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val v = u.join(p, Seq("user_id"), "left")
+      .select(pmod(col("user_id"), lit(2)).as("arm"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("arm"), col("n"), col("sx"),
+        expr("(n*sxx - sx*sx) div (n*(n-1))").as("var_cents2"))
+      .localCheckpoint() // 2 cells feed both scalar legs
+    val c = v.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("sx").as("sx0"), col("var_cents2").as("v0"))
+    val x = v.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("sx").as("sx1"), col("var_cents2").as("v1"))
+    c.crossJoin(x)
+      .select(col("n0"), col("n1"),
+        (floor(col("sx0") * 1000 / col("n0")).cast("long")
+          - floor(col("sx1") * 1000 / col("n1")).cast("long")).as("diff_milli"),
+        floor((col("sx0") + col("sx1")) * 50 / (col("n0") + col("n1")))
+          .cast("long").as("delta_milli"),
+        expr("""CAST(FLOOR(SQRT(CAST((v0 div n0 + v1 div n1)*10000 AS DOUBLE))) AS BIGINT)""")
+          .as("se_centi"))
+      .select(col("n0"), col("n1"), col("diff_milli"), col("delta_milli"), col("se_centi"),
+        expr("""CAST(CASE WHEN se_centi > 0 THEN
+          CASE WHEN diff_milli + delta_milli >= 0
+            THEN (diff_milli + delta_milli) * 100 div se_centi
+            ELSE -((-(diff_milli + delta_milli)) * 100 div se_centi) END
+          ELSE NULL END AS BIGINT)""").as("zlow_milli"),
+        expr("""CAST(CASE WHEN se_centi > 0 THEN
+          CASE WHEN delta_milli - diff_milli >= 0
+            THEN (delta_milli - diff_milli) * 100 div se_centi
+            ELSE -((-(delta_milli - diff_milli)) * 100 div se_centi) END
+          ELSE NULL END AS BIGINT)""").as("zhigh_milli"))
+      .withColumn("equivalent", col("zlow_milli") > 1645 && col("zhigh_milli") > 1645)
+  }
+
+  /** q309 — Cochran-Armitage trend test: does the ABOVE-POOLED-MEAN
+    * spender rate move monotonically across the four ordered user
+    * cohorts (user_id mod 4 — the deterministic stand-in for an
+    * ordered exposure level; the mean-threshold outcome guarantees
+    * both classes exist at every SF, where raw has-purchase saturates)? The
+    * categorical family's missing member: q299 tests ASSOCIATION
+    * (any deviation), q304/q305 matched/stratified designs — CA tests
+    * specifically for a linear-in-score trend, the dose-response
+    * readout. Exact integer: with weights wᵢ = dose, T·N =
+    * Σwᵢ(xᵢN − nᵢX) and Var(T)·N³ = X(N−X)(NΣwᵢ²nᵢ − (Σwᵢnᵢ)²) are
+    * both integers, so z² = (T·N)²·N / (Var·N³) is one exact division
+    * — products lift to DECIMAL(38,0)/HUGEINT (TN²·N ~ 10²² at sf1).
+    *
+    * Scale: user-cell collapse to 4 dose cells map-side; the trend
+    * scalar is 1-row and broadcasts back onto the 4-row report. */
+  val q309CochranArmitage: Q = Q(
+    "q309_cochran_armitage",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), p AS (
+      |  SELECT user_id, SUM(CAST(FLOOR(value*100) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), ux AS (
+      |  SELECT u.user_id, COALESCE(p.cents, 0) AS x
+      |  FROM u LEFT JOIN p USING (user_id)
+      |), tot AS (
+      |  SELECT COUNT(*) AS cnt, SUM(x) AS sm FROM ux
+      |), m AS (
+      |  SELECT ux.user_id % 4 AS dose,
+      |    CASE WHEN ux.x * tot.cnt > tot.sm THEN 1 ELSE 0 END AS y
+      |  FROM ux CROSS JOIN tot
+      |), g AS (
+      |  SELECT dose, COUNT(*) AS n, SUM(y) AS x FROM m GROUP BY dose
+      |), s AS (
+      |  SELECT SUM(n) AS nn, SUM(x) AS xx, SUM(dose*n) AS swn,
+      |    SUM(dose*dose*n) AS sw2n, SUM(dose*x) AS swx
+      |  FROM g
+      |), t AS (
+      |  SELECT swx*nn - swn*xx AS tn,
+      |    xx*(nn-xx)*(nn*sw2n - swn*swn) AS vn3, nn
+      |  FROM s
+      |)
+      |SELECT g.dose AS dose, CAST(g.n AS BIGINT) AS n_users,
+      |  CAST(g.x AS BIGINT) AS n_converted,
+      |  CAST(g.x*1000000 // g.n AS BIGINT) AS rate_ppm,
+      |  CAST(CASE WHEN t.vn3 > 0
+      |    THEN CAST(t.tn AS HUGEINT)*t.tn*t.nn*1000 // t.vn3
+      |    ELSE 0 END AS BIGINT) AS z2_milli,
+      |  CASE WHEN t.vn3 > 0
+      |    THEN CAST(t.tn AS HUGEINT)*t.tn*t.nn*1000 // t.vn3 > 3841
+      |    ELSE FALSE END AS significant
+      |FROM g CROSS JOIN t ORDER BY dose""") { (s, d) =>
+    val u = Tables.events(s, d).select("user_id").distinct()
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val ux = u.join(p, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("cents"), lit(0L)).as("x"))
+      .localCheckpoint() // user cells feed the 1-row total AND the cohorts
+    val tot = ux.agg(count(lit(1)).as("cnt"), sum("x").as("sm"))
+    val g = ux.crossJoin(broadcast(tot))
+      .select(pmod(col("user_id"), lit(4)).as("dose"),
+        when(col("x") * col("cnt") > col("sm"), 1L).otherwise(0L).as("y"))
+      .groupBy("dose")
+      .agg(count(lit(1)).as("n"), sum("y").as("x"))
+      .localCheckpoint() // 4 cells feed the scalar and the report
+    val t = g.agg(sum("n").as("nn"), sum("x").as("xx"),
+        sum(col("dose") * col("n")).as("swn"),
+        sum(col("dose") * col("dose") * col("n")).as("sw2n"),
+        sum(col("dose") * col("x")).as("swx"))
+      .select(
+        (col("swx") * col("nn") - col("swn") * col("xx")).as("tn"),
+        (col("xx") * (col("nn") - col("xx"))
+          * (col("nn") * col("sw2n") - col("swn") * col("swn"))).as("vn3"),
+        col("nn"))
+    g.crossJoin(broadcast(t))
+      .select(col("dose"), col("n").as("n_users"), col("x").as("n_converted"),
+        expr("CAST(x*1000000 div n AS BIGINT)").as("rate_ppm"),
+        expr("""CAST(CASE WHEN vn3 > 0
+          THEN CAST(tn AS DECIMAL(38,0))*tn*nn*1000 div vn3
+          ELSE 0 END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE WHEN vn3 > 0
+          THEN CAST(tn AS DECIMAL(38,0))*tn*nn*1000 div vn3 > 3841
+          ELSE FALSE END""").as("significant"))
+      .orderBy("dose")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -4371,5 +4555,6 @@ object Events {
     q286MannKendall, q289WilcoxonSignedRank, q290KruskalWallis,
     q291StratifiedAte, q293RandomizedResponse, q296KfoldCv,
     q297QuantileTe, q298EwmaForecast, q299CramersV, q300IvWald, q301Acf,
-    q305CmhTest, q306Friedman, q307AnovaEta)
+    q305CmhTest, q306Friedman, q307AnovaEta,
+    q308TostEquivalence, q309CochranArmitage)
 }

@@ -1749,4 +1749,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(sswN > 0)
     assert(r.getLong(5) == (ssbN * (n - k) * 1000 / (sswN * (k - 1))).toLong)
   }
+
+  test("q308: TOST z-scores and margin replay from arm moments") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = evs.map(_._1).distinct
+    val cents = evs.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).sum }
+    val arms = users.map(u => (((u % 2) + 2) % 2, cents.getOrElse(u, 0L)))
+    def mom(a: Long): (Long, Long, BigInt) = {
+      val xs = arms.filter(_._1 == a).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val (n0, s0, q0) = mom(0); val (n1, s1, q1) = mom(1)
+    def varc(n: Long, s: Long, q: BigInt): Long =
+      ((BigInt(n) * q - BigInt(s) * s) / (BigInt(n) * (n - 1))).toLong
+    val (v0, v1) = (varc(n0, s0, q0), varc(n1, s1, q1))
+    val diff = math.floor(s0 * 1000.0 / n0).toLong - math.floor(s1 * 1000.0 / n1).toLong
+    val delta = math.floor((s0 + s1) * 50.0 / (n0 + n1)).toLong
+    val se = math.floor(math.sqrt(((v0 / n0 + v1 / n1) * 10000L).toDouble)).toLong
+    assert(se > 0, "fixture arms must have nonzero variance")
+    def z(num: Long): Long = if (num >= 0) num * 100 / se else -((-num) * 100 / se)
+    val rows = ops.Events.q308TostEquivalence.fn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == n0 && r.getLong(1) == n1)
+    assert(r.getLong(2) == diff && r.getLong(3) == delta && r.getLong(4) == se)
+    assert(r.getLong(5) == z(diff + delta) && r.getLong(6) == z(delta - diff))
+    assert(r.getBoolean(7) == (z(diff + delta) > 1645 && z(delta - diff) > 1645))
+  }
+
+  test("q309: Cochran-Armitage trend z2 replays from dose cells") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = evs.map(_._1).distinct
+    val cents = evs.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).sum }
+    val xs = users.map(u => u -> cents.getOrElse(u, 0L))
+    val cnt = xs.length.toLong; val sm = xs.map(_._2).sum
+    val above = xs.filter { case (_, x) => BigInt(x) * cnt > sm }.map(_._1).toSet
+    val cells = users.groupBy(u => ((u % 4) + 4) % 4).toSeq.map {
+      case (dz, us) => (dz, us.length.toLong, us.count(above).toLong)
+    }.sortBy(_._1)
+    val nn = cells.map(_._2).sum; val xx = cells.map(_._3).sum
+    val swn = cells.map(c => c._1 * c._2).sum
+    val sw2n = cells.map(c => c._1 * c._1 * c._2).sum
+    val swx = cells.map(c => c._1 * c._3).sum
+    val tn = BigInt(swx) * nn - BigInt(swn) * xx
+    val vn3 = BigInt(xx) * (nn - xx) * (BigInt(nn) * sw2n - BigInt(swn) * swn)
+    assert(vn3 > 0)
+    val z2 = (tn * tn * nn * 1000 / vn3).toLong
+    val rows = ops.Events.q309CochranArmitage.fn(spark, sf).collect()
+    assert(rows.length == cells.length)
+    rows.zip(cells).foreach { case (r, (dz, n, x)) =>
+      assert(r.getLong(0) == dz && r.getLong(1) == n && r.getLong(2) == x)
+      assert(r.getLong(3) == x * 1000000 / n)
+      assert(r.getLong(4) == z2)
+      assert(r.getBoolean(5) == (z2 > 3841))
+    }
+  }
 }

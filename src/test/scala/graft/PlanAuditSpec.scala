@@ -120,7 +120,9 @@ class PlanAuditSpec extends SparkSpec {
     "q299_cramers_v" -> "corpus-scalar join: the 1-row (n, r, c) totals broadcast into the ≤|types|·7 contingency cells",
     "q302_spearman" -> "cell-table joins: the ≤|nations|-row midrank tables broadcast back onto the cells; moments are a 1-row fold",
     "q303_cronbach_alpha" -> "corpus-scalar joins: the 1-row user count broadcasts into item/total moment folds, which cross-combine into the report row",
-    "q306_friedman" -> "scalar joins: the 1-row k/block-count/rank-square folds cross-combine into the single report row; ranks come from day-co-partitioned cell joins")
+    "q306_friedman" -> "scalar joins: the 1-row k/block-count/rank-square folds cross-combine into the single report row; ranks come from day-co-partitioned cell joins",
+    "q308_tost_equivalence" -> "scalar-scalar join: the two 1-row arm frames cross-combine into the single TOST report row (q177's shape)",
+    "q309_cochran_armitage" -> "scalar join: the 1-row trend statistic broadcasts back onto the 4 dose cells (q177's shape)")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

@@ -654,7 +654,12 @@ class ScaleSpec extends SparkSpec {
       // q306: (day, type) cells through per-day rank joins + folds
       "q306_friedman" -> 40L,
       // q307: |types| moment cells, one fold, zero exchange beyond it
-      "q307_anova_eta" -> 5L)
+      "q307_anova_eta" -> 5L,
+      // round 10 additions (measured via graft.Prof at sf0.01, ~2.5x):
+      // q308: q177's two arm cells then 1-row TOST arithmetic
+      "q308_tost_equivalence" -> 15L,
+      // q309: per-user rollup then 4 dose cells + a 1-row trend scalar
+      "q309_cochran_armitage" -> 18L)
     // Attribution is keyed on the job group, not on wall-clock windows: a
     // straggler stage that completes after its query's action returns is
     // still credited to ITS OWN gauge (the round-5 drain heuristic could

@@ -244,6 +244,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":${v.sec}%.3f""" }.mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"sf":"$sfDir","tainted_n":${tainted.size}%d,"note":"10 slowest of ${results.size}%d; full map in BENCH_LOCAL.json"}""")
+    // When stdout is a PIPE (the driver harness), System.out is FULLY
+    // buffered, not line-buffered — the ~8 KB full-map line fills the
+    // buffer and the compact line can sit unflushed when the JVM exits
+    // through Spark's shutdown hooks. The round-9 driver record ended
+    // mid-map at a buffer-sized boundary and parsed as null for exactly
+    // this reason. Flush explicitly before stopping.
+    System.out.flush()
     spark.stop()
+    System.out.flush()
   }
 }

@@ -4424,7 +4424,13 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("arm"), col("n"), col("sx"),
-        expr("(n*sxx - sx*sx) div (n*(n-1))").as("var_cents2"))
+        // DECIMAL(38,0) lift: DuckDB's SUM(BIGINT) is HUGEINT so its
+        // n*sxx - sx*sx is 128-bit; Spark's LongType product would wrap
+        // silently past 2^63 (the zipf tree's super-hot user pushes
+        // n*sxx to ~5e20). div on decimals returns LongType — the
+        // quotient (per-user variance in cents²) fits.
+        expr("""(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx)
+          div (n*(n-1))""").as("var_cents2"))
       .localCheckpoint() // 2 cells feed both scalar legs
     val c = v.filter(col("arm") === 0)
       .select(col("n").as("n0"), col("sx").as("sx0"), col("var_cents2").as("v0"))
@@ -4525,8 +4531,12 @@ object Events {
         sum(col("dose") * col("x")).as("swx"))
       .select(
         (col("swx") * col("nn") - col("swn") * col("xx")).as("tn"),
-        (col("xx") * (col("nn") - col("xx"))
-          * (col("nn") * col("sw2n") - col("swn") * col("swn"))).as("vn3"),
+        // DECIMAL(38,0) lift (same hazard class as q308's variance
+        // numerator): vn3 is ~O(nn⁴) — LongType wraps silently past
+        // ~75k distinct users while DuckDB computes it in HUGEINT.
+        (col("xx").cast("decimal(38,0)") * (col("nn") - col("xx"))
+          * (col("nn").cast("decimal(38,0)") * col("sw2n")
+            - col("swn").cast("decimal(38,0)") * col("swn"))).as("vn3"),
         col("nn"))
     g.crossJoin(broadcast(t))
       .select(col("dose"), col("n").as("n_users"), col("x").as("n_converted"),

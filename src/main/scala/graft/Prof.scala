@@ -21,6 +21,8 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val byName: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+        // 1<<20, not Int.MaxValue: seg+7 must not wrap (slice length)
+        "q224_seg_off" -> ((s, d) => ops.Dedup.q224Pipeline(s, d, 1 << 20)),
         "xml_construct" -> ((s, d) => ops.Xml.docsTable(s, d)),
         "json_construct" -> ((s, d) => ops.Ocds.releaseJson(s, d)),
         "q46_scan_only" -> { (s, d) =>
@@ -111,8 +113,20 @@ object Prof {
     // per-stage parallelism evidence: (numTasks, executor cpu-seconds);
     // distinguishes "the host was busy" from "AQE serialized the stage"
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double)]
+    // straggler telemetry (round-10 VERDICT item 8): per-stage task
+    // wall times, so CPU-tail stragglers (q224's long-doc class — one
+    // task serialized behind a single expensive row) are a RECORDED
+    // max/median ratio per wave rather than a wall-ratio inference
+    val taskSecs = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Double]]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null)
+            taskSecs.computeIfAbsent(te.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Double])
+              .add(te.taskInfo.duration / 1e3)
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
@@ -132,12 +146,26 @@ object Prof {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       shufWrite.set(0); shufRead.set(0); stages.clear(); skewNodes.set(0)
+      taskSecs.clear()
       val t0 = System.nanoTime()
       byName(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150) // let the async listener bus drain stage events
-      println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB skew=${skewNodes.get}%d")
       import scala.jdk.CollectionConverters._
+      // straggler = worst max/median task-wall ratio over MATERIAL
+      // stages (>= 4 tasks, max task >= 0.5 s — tiny stages are noise);
+      // report the worst stage's absolutes alongside the ratio
+      val strag = taskSecs.asScala.toSeq.flatMap { case (sid, q) =>
+        val ts = q.asScala.toSeq.sorted
+        if (ts.size >= 4 && ts.last >= 0.5) {
+          val med = ts(ts.size / 2)
+          if (med > 0) Some((ts.last / med, sid, ts.last, med)) else None
+        } else None
+      }.sortBy(-_._1).headOption
+      val stragStr = strag.map { case (r, sid, mx, med) =>
+        f"straggler=$r%.1fx(s$sid max=$mx%.1fs med=$med%.1fs)" }
+        .getOrElse("straggler=1.0x")
+      println(f"[prof] $name%-24s $sec%.2f s  shuffle w=${shufWrite.get / 1024}%d KiB r=${shufRead.get / 1024}%d KiB skew=${skewNodes.get}%d $stragStr")
       val heavy = stages.asScala.toSeq.sortBy(-_._3).take(6)
         .map { case (id, n, s) => f"s$id:$n%dt/$s%.1fs" }.mkString(" ")
       println(s"[prof-stages] $name $heavy")

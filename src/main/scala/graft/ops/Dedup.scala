@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication pack: exact hash-dedup, MinHash+LSH banding, SimHash
@@ -1024,6 +1024,58 @@ object Dedup {
       .orderBy("a_key", "b_key")
   }
 
+  /** Chunk stride for winnowing's long-doc split: chunks of ~this many
+    * windows bound per-task CPU; the 7-token overlap costs < 3% extra
+    * hashing at 256. Fixture docs are 10-100 tokens (short path); the
+    * zipf tree's x8 tail (up to ~800) and any real heavy-tailed corpus
+    * engage the split. */
+  private[graft] val WinnowSeg = 256
+
+  /** Distinct (doc_id, f) winnowing fingerprints (k=5-gram hashes, w=4
+    * window minima) with bounded per-task work: docs longer than
+    * seg+7 tokens explode into seg-stride chunks (overlap (k-1)+(w-1)=7
+    * tokens) that repartition across tasks BEFORE the O(len) hash +
+    * window pass. Exactness: hash j reads toks[j..j+4], window i reads
+    * hashes i..i+3 i.e. toks[i..i+7]; chunk c = toks[c*seg ..
+    * c*seg+seg+6] serves exactly windows [c*seg, c*seg+seg-1] — every
+    * whole-doc window lives in exactly one chunk, so the per-chunk
+    * distinct-union equals the whole-doc fingerprint set (DedupSpec
+    * pins the equality). Short docs keep the exchange-free path; only
+    * long-doc tokens ride the chunk repartition. */
+  private[graft] def winnowFingerprints(docs: DataFrame, seg: Int): DataFrame = {
+    // `h` MUST be a real aliased projection referenced twice downstream:
+    // CollapseProject's non-cheap-used-twice guard then keeps it a
+    // separate projection evaluated ONCE per row. Inlining the same tree
+    // as a constructed expression puts the whole md5 shingle-hash
+    // transform inside the window lambda, and higher-order functions
+    // (CodegenFallback, no subexpression elimination) re-evaluate the
+    // lambda BODY per element — O(len²) md5 calls per doc (measured ~3x
+    // q224's sf1z wall before this shape was restored).
+    def fps(chunks: DataFrame, tcol: String): DataFrame =
+      chunks
+        .withColumn("h", transform(shingles(col(tcol), 5), sh => hex32(sh)))
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("h")) - 4),
+            i => array_min(slice(col("h"), i + 1, lit(4)))))).as("f"))
+    val base = docs.filter(size(col("toks")) >= 8)
+    val shortDocs = fps(base.filter(size(col("toks")) <= seg + 7), "toks")
+    val longDocs = fps(
+      base.filter(size(col("toks")) > seg + 7)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - lit(8)) / lit(seg)).cast("int")),
+          c => slice(col("toks"), c * seg + 1, lit(seg + 7)))))
+        // explicit N: a column-only repartition is AQE-coalescible, and
+        // coalescing here would re-serialize the chunks behind few
+        // tasks — the exact straggler this split exists to break
+        .repartition(
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"), col("pos")),
+      "col")
+      .distinct() // a fingerprint can recur across chunks of one doc
+    shortDocs.unionAll(longDocs)
+  }
+
   /** q224 — winnowing fingerprints (the MOSS algorithm): per document,
     * keep the MINIMUM shingle hash of every w=4-window over the 5-gram
     * hash sequence, dedup to the fingerprint set — the document-
@@ -1042,7 +1094,20 @@ object Dedup {
     * only exchanges carry (doc_id, fp) ints, df-capped before the
     * self-join. Complements q27 (MinHash estimates global Jaccard;
     * winnowing localizes shared SPANS) and q84 (exact span dedup needs
-    * the quadratic-ish span join; winnowing is the sublinear screen). */
+    * the quadratic-ish span join; winnowing is the sublinear screen).
+    *
+    * Long-doc straggler bound (round-10 VERDICT item 3): per-doc
+    * fingerprinting is O(len) CPU inside one task, so a heavy-tailed
+    * length distribution serializes whole tasks behind single documents
+    * (measured 1.70x wall on the zipf x16 tree's x8-length tail).
+    * Winnowing is position-local — window i reads only toks[i..i+w+k-2]
+    * — so docs longer than WinnowSeg split into WinnowSeg-stride chunks
+    * with a (w-1)+(k-1)=7-token overlap, chunks repartition across
+    * tasks, and the per-chunk fingerprint sets union to EXACTLY the
+    * whole-doc set (every w-window of hashes lives in exactly one
+    * chunk; DedupSpec pins segment-merge == whole-doc equality). Short
+    * docs keep the shuffle-free path; only long-doc tokens pay the
+    * chunk exchange. */
   val q224Winnowing: Q = Q(
     "q224_winnowing",
     s"""WITH $DCorpus, hs AS (
@@ -1071,14 +1136,27 @@ object Dedup {
        |JOIN nfp na ON na.doc_id = doc_a
        |JOIN nfp nb ON nb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val hs = corpus(s, d)
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"),
-        transform(shingles(col("toks"), 5), sh => hex32(sh)).as("h"))
-      .filter(size(col("h")) >= 4)
-    val fp = hs.select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(0), size(col("h")) - 4),
-        i => array_min(slice(col("h"), i + 1, lit(4)))))).as("f"))
+    q224Pipeline(s, d, WinnowSeg)
+  }
+
+  /** q224 body with the chunk stride exposed for Prof A/Bs. */
+  private[graft] def q224Pipeline(s: SparkSession, d: String, seg: Int): DataFrame = {
+    // Checkpoint the fingerprints: the df-count leg and the semi-join
+    // leg otherwise RECOMPUTE the whole hash+window pass (their
+    // exchanges differ — partial-agg above one, bare fp under the
+    // other — so no shuffle reuse; measured ~2x the query's cost).
+    // The repartition is on f with an EXPLICIT partition count, for two
+    // reasons: (1) the checkpoint preserves outputPartitioning, so the
+    // df count, the semi-join, and the pairs SELF-JOIN below all reuse
+    // this one exchange instead of re-shuffling; (2) AQE never
+    // coalesces an explicit-N repartition — without it AQE sized the
+    // self-join's input stage by rare's (small, df-capped) bytes and
+    // ran the 20x-EXPANDING join + pair aggregation in 3 tasks
+    // (measured ~140 s/task at sf1z; the classic
+    // coalesce-before-expanding-join trap).
+    val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val fp = winnowFingerprints(corpus(s, d), seg)
+      .repartition(nShuf, col("f")).localCheckpoint()
     val df = fp.groupBy("f").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= 20).select("f")
     val rare = fp.join(df, Seq("f"), "left_semi").localCheckpoint()

@@ -182,6 +182,30 @@ class DedupSpec extends SparkSpec {
     assert(nearHits > 0, "no near-duplicate pair surfaced")
   }
 
+  test("q224: segment-split fingerprints == whole-doc fingerprints (any seg)") {
+    import org.apache.spark.sql.functions._
+    // corpus docs plus a planted heavy-tail doc (783 tokens, internal
+    // repeats so fingerprints recur ACROSS chunks — the distinct-merge
+    // path) — lengths straddle every tested seg so both the short path
+    // and multi-chunk splits (incl. a short final chunk) are exercised
+    val longToks = (0 until 783).map(i => s"t${(i * 7919) % 97}")
+    val planted = Seq((9000001L, longToks)).toDF("doc_id", "toks")
+    val docs = ops.Dedup.corpus(spark, sf).unionByName(planted)
+    def fpSet(seg: Int): Set[(Long, Long)] =
+      ops.Dedup.winnowFingerprints(docs, seg).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = fpSet(1 << 30) // no doc splits: the reference set
+    assert(whole.exists(_._1 == 9000001L), "planted doc must fingerprint")
+    for (seg <- Seq(16, 100, 256)) {
+      val split = fpSet(seg)
+      assert(split == whole, {
+        val extra = (split -- whole).take(3)
+        val miss = (whole -- split).take(3)
+        s"seg=$seg: extra=$extra missing=$miss"
+      })
+    }
+  }
+
   test("q277: the sweep replays off q29's verified Jaccard table") {
     val jac = ops.Dedup.q29JaccardVerify.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1151,16 +1151,22 @@ object Graph {
     * table `ue(a, b)` with a < b — reusable so the hub fixture in
     * GraphSpec can feed a synthetic graph. */
   def linkPredictionFromEdges(ue: DataFrame, adjCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nb = ue.select(col("a").as("z"), col("b").as("v"))
       .unionAll(ue.select(col("b").as("z"), col("a").as("v")))
       .localCheckpoint()
     val degv = nb.groupBy(col("z").as("v")).agg(count(lit(1)).as("dg"))
     // Candidate cap: z emits pairs only among its adjCap lowest-id
     // neighbors — deterministic, and a no-op while deg(z) <= cap.
-    val nbc = nb
-      .withColumn("rk", row_number().over(Window.partitionBy("z").orderBy("v")))
-      .filter(col("rk") <= adjCap).drop("rk")
+    // TopKPerGroup, not row_number-over-window (round-10 VERDICT item
+    // 5): the window spelling sorts a hub's ENTIRE adjacency in one
+    // task (O(deg·log deg) serialized behind the exchange) before the
+    // rk <= cap filter; the bounded-heap operator caps at adjCap rows
+    // per (z, input partition) MAP-SIDE, so a power-law hub never
+    // funnels more than adjCap·partitions rows through the exchange
+    // and no per-group sort buffer exists. (z, v) pairs are unique
+    // (ue is a deduped undirected edge set), so min-v top-k is
+    // tie-free and identical to the window spelling.
+    val nbc = graft.plans.TopKPerGroup(nb, Seq("z"), Seq(("v", true)), adjCap)
     val wedge = nbc.as("n1").join(nbc.as("n2"),
         col("n1.z") === col("n2.z") && col("n1.v") < col("n2.v"))
       .select(col("n1.v").as("a"), col("n2.v").as("b"), col("n1.z").as("z"))

@@ -354,7 +354,16 @@ class GraphSpec extends SparkSpec {
     val pathEdges = (100 until 199).map(v => (v.toLong, (v + 1).toLong))
     val edges = hubEdges ++ pathEdges
     val ue = edges.toDF("a", "b").localCheckpoint()
-    val rows = ops.Graph.linkPredictionFromEdges(ue, cap).collect()
+    val capped = ops.Graph.linkPredictionFromEdges(ue, cap)
+    // the cap must lower to the map-side bounded-heap partial (round-10
+    // VERDICT item 5) — a Window row_number would sort the hub's whole
+    // adjacency in one task before filtering
+    val planStr = capped.queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerGroupPartial"),
+      s"adjacency cap must plan as TopKPerGroupPartial:\n$planStr")
+    assert(!planStr.contains("Window"),
+      s"no window sort expected in the capped plan:\n$planStr")
+    val rows = capped.collect()
     // local replay of the capped semantics: candidates from each z's
     // `cap` lowest-id neighbors, scored with TRUE degrees
     val adj = edges.toSet

@@ -27,6 +27,29 @@ object ContractsFinder {
     * failures (retried), return invalid JSON for permanent ones. */
   type Fetcher = String => String
 
+  /** Production transport (S1/S2, reference `1a:45-58` / `2a:32-48`):
+    * one JDK HttpURLConnection GET per call — zero-dependency, real
+    * sockets. A non-2xx status raises IOException so `fetchWithRetry`'s
+    * bounded retry engages on transient 5xx exactly as it does on
+    * connect/read timeouts. `enrich` instantiates one Fetcher per
+    * partition, so connection keep-alive is per-task. Spec-pinned over
+    * a 127.0.0.1 loopback server in CfPipelineSpec (zero egress). */
+  def httpFetcher(connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): Fetcher = { url =>
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept", "application/json")
+    try {
+      val code = conn.getResponseCode
+      if (code / 100 != 2) throw new java.io.IOException(s"HTTP $code for $url")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
   /** S1 retry loop: up to `maxRetries` attempts on IOException. */
   def fetchWithRetry(fetch: Fetcher, maxRetries: Int = 3)(url: String): String = {
     var attempt = 1

@@ -34,8 +34,66 @@ object CfFixtures extends Serializable {
   }
 }
 
+/** Serializable factory for the REAL socket transport — tasks capture
+  * only this object, never the spec class or the server. */
+object CfHttpFixture extends Serializable {
+  val mk: () => ContractsFinder.Fetcher =
+    () => ContractsFinder.httpFetcher(connectTimeoutMs = 2000, readTimeoutMs = 5000)
+}
+
 class CfPipelineSpec extends SparkSpec {
   import CfFixtures.mkFetcher
+
+  test("S1/S2 over real sockets: loopback server, retry observed, permanent failure becomes a status row") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // zero-egress real-socket leg (round-10 VERDICT item 4): the only
+    // transport the mock leg can't exercise is the HttpURLConnection
+    // path itself — status-code mapping, stream read, timeout config
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val badHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1L else b.length.toLong)
+      if (b.nonEmpty) { val os = ex.getResponseBody; os.write(b); os.close() }
+      ex.close()
+    }
+    server.createContext("/pkg/", (ex: HttpExchange) =>
+      respond(ex, 200, CfFixtures.ocds(ex.getRequestURI.getPath.stripPrefix("/pkg/"))))
+    server.createContext("/flaky", (ex: HttpExchange) =>
+      if (flakyHits.incrementAndGet() == 1) respond(ex, 500, "boom")
+      else respond(ex, 200, CfFixtures.ocds("flaky")))
+    server.createContext("/bad", (ex: HttpExchange) => {
+      badHits.incrementAndGet(); respond(ex, 500, "down")
+    })
+    server.createContext("/invalid", (ex: HttpExchange) =>
+      respond(ex, 200, "not json at all"))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val dir = Files.createTempDirectory("graft-cf-http").toString
+      Files.writeString(Paths.get(dir, "notices-2024-04-01.csv"),
+        s"uri,ignored\n$base/pkg/a,j\n$base/flaky,j\n$base/bad,j\n$base/invalid,j\n$base/pkg/a,dup\n")
+      val wide = ContractsFinder.flatten(ContractsFinder.enrich(spark,
+        ContractsFinder.dedupWithAudit(ContractsFinder.uriTable(spark, dir)),
+        CfHttpFixture.mk)).collect()
+      val status = wide.map(r =>
+        r.getAs[String]("uri") -> r.getAs[String]("status")).toSeq
+      assert(status.count(_ == (s"$base/pkg/a", "ok")) == 1)
+      assert(status.contains((s"$base/pkg/a", "duplicate_uri_skipped_fetch")))
+      // 500-then-200: fetchWithRetry's real socket path retried
+      assert(status.contains((s"$base/flaky", "ok")))
+      assert(flakyHits.get == 2, s"flaky endpoint must be hit twice, got ${flakyHits.get}")
+      // permanent 500: all 3 attempts spent, then a status row, not a crash
+      assert(status.contains((s"$base/bad", "fetch_failed_or_invalid_json")))
+      assert(badHits.get == 3, s"bad endpoint must see maxRetries=3 attempts, got ${badHits.get}")
+      // a 200 with an unparseable body downgrades at the flatten, as in the mock leg
+      assert(status.contains((s"$base/invalid", "fetch_failed_or_invalid_json")))
+      val ok = wide.find(r => r.getAs[String]("uri") == s"$base/pkg/a"
+        && r.getAs[String]("status") == "ok").get
+      assert(ok.getAs[String]("ocid") == "a" && ok.getAs[String]("buyer_name") == "Council a")
+    } finally server.stop(0)
+  }
 
   test("csv -> dedup-audit -> retrying mock fetch -> flatten -> sinks") {
     val dir = Files.createTempDirectory("graft-cf").toString

@@ -64,21 +64,48 @@ object Bench {
     val selected = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name)))
 
-    // Three warmup passes, none of which is timed:
-    //  * sf0.001 compiles every codegen class cheaply;
-    //  * sf0.01 drives enough row-loop invocations (~60k) to get the
-    //    giant generated classes (q35/q36/q42 JSON+XML round-trips, the
-    //    media codecs of q115/q126) through C2 JIT — one sf0.001 pass
-    //    alone leaves them interpreted (~10x) for their first timed run;
-    //  * a full SACRIFICIAL pass at the measured sf (round-6 VERDICT
-    //    item 3: the driver's record showed q01, the first-timed query,
-    //    at 31.8x its steady state purely because it had no warm
-    //    neighbors — page cache cold, host contention un-amortized).
-    //    After this pass every timed sample runs on a warmed page cache
-    //    and a JIT-settled JVM, media pack included (item 7).
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir);
-         q <- selected) {
-      try run(q, dir)
+    // Round-11 wall-budget redesign (round-10 VERDICT item 1): the
+    // round-10 harness measured correctly but ran ~6-7 executions per
+    // query and the driver killed it mid-suite (BENCH_r10 rc=124, dead
+    // at query ~43 of 308 — the driver's sbt wall budget is ~30 min).
+    // Cuts, none of which loses the round-10 measurement fix:
+    //  (a) the per-query pre-warm run IS the first timed sample when
+    //      its wall lands within 20% of the next sample (stable queries
+    //      pay 2 executions total, not 3);
+    //  (b) the compiler quiesce runs only after pre-warms that actually
+    //      compiled (jit > 0.5 s), not after all 308;
+    //  (c) the sf0.01 C2 warm-up pass runs only for queries whose
+    //      committed steady time is >= 1 s (or unknown) — sub-second
+    //      queries don't need 60k row-loop invocations to be fair;
+    //  (d) the sacrificial full pass at the measured sf is gone — its
+    //      job (first-execution page-cache/JIT cold start never counts)
+    //      is now done per-query by discarding an inconsistent pre-warm;
+    //  (e) results flush incrementally (file after every query, compact
+    //      cumulative stdout line after every query) so even a kill
+    //      leaves a parseable prefix in a 2,000-char log tail.
+
+    // Steady-time hints drive WARM-UP POLICY ONLY (which queries get the
+    // sf0.01 pass) — never the measurement itself. Unknown => heavy.
+    val steadyHint: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_STEADY.json")), "UTF-8")
+        """"(q[0-9][^"]*)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+
+    // Warm-up pass 1 — sf0.001, every query: compiles every codegen
+    // class cheaply (the codegen cache then holds the one generation).
+    // Warm-up pass 2 — sf0.01, heavy queries only (cut c): drives the
+    // giant generated classes (q35/q36/q42 JSON+XML round-trips, the
+    // media codecs) through enough row-loop invocations for C2.
+    for (q <- selected) {
+      try run(q, "/root/testdata/sf0.001")
+      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
+      dropCheckpoints()
+    }
+    for (q <- selected if steadyHint.get(q.name).forall(_ >= 1.0)) {
+      try run(q, "/root/testdata/sf0.01")
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
       dropCheckpoints()
     }
@@ -114,8 +141,8 @@ object Bench {
         last = now
       }
     }
-    jitQuiesce(60000)
-    System.err.println("[bench-warmup] jit quiesced after sacrificial pass")
+    jitQuiesce(30000)
+    System.err.println("[bench-warmup] jit quiesced after warm-up passes")
 
     // --- external-contention telemetry (round-7 VERDICT item 4) ------
     // The host shows multi-minute bursts of external load that inflate
@@ -190,18 +217,58 @@ object Bench {
       dropCheckpoints() // outside the timed window; see above
       s
     }
-    val results = selected.map { q =>
-      // untimed immediate pre-warm + bounded compiler drain: the timed
-      // samples start with this query's classes freshly hot and the C2
-      // queue quiet (see the round-10 note above)
-      try run(q, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench-prewarm] ${q.name}: $e") }
-      dropCheckpoints()
-      jitQuiesce(10000)
-      var best = Seq(sample(q), sample(q)).minBy(_.sec)
-      if (best.sec > 1.0) best = Seq(best, sample(q)).minBy(_.sec)
+    // Incremental flush (cut e): after EVERY query, rewrite the full
+    // cumulative map to the scratch files and print a compact cumulative
+    // line (total-so-far + 10 slowest + done/of, ~500 B) to stdout. The
+    // driver keeps only the last ~2,000 chars of output — a kill at any
+    // point leaves at least one complete partial line in that window.
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Sample)]
+    def fullMapJson(partial: Boolean): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"""":${v.sec}%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2.sec).sum
+      val p = if (partial) s""","partial":true,"done":${results.size},"of":${selected.size}""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$p}"""
+    }
+    def compactJson(partial: Boolean, extra: String): String = {
+      val slow = results.sortBy(-_._2.sec).take(10)
+        .map { case (k, v) => "\"" + k + f"""":${v.sec}%.3f""" }.mkString("{", ",", "}")
+      val total = results.map(_._2.sec).sum
+      val p = if (partial) s""","partial":true""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"sf":"$sfDir","done":${results.size},"of":${selected.size}$p$extra,"note":"10 slowest of ${results.size}; full map in BENCH_LOCAL.json"}"""
+    }
+    def flushPartial(): Unit = {
+      val line = fullMapJson(partial = true)
+      for (path <- Seq("/tmp/bench.json", "BENCH_LOCAL.json"))
+        try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable => System.err.println(s"[bench] write $path: $e") }
+      println(compactJson(partial = true, extra = ""))
+      System.out.flush()
+    }
+    for (q <- selected) {
+      // pre-warm run, TIMED (cut a): it counts as the first sample when
+      // its wall is within 20% of the next one — otherwise it served as
+      // the warm-up it always was (first-execution JIT/page-cache cost
+      // never enters the record either way)
+      val s0 = sample(q)
+      // bounded compiler drain only when the pre-warm actually compiled
+      // (cut b): C2 settles on THIS query's classes while nothing is
+      // being timed
+      if (s0.jitSec > 0.5) jitQuiesce(8000)
+      val s1 = sample(q)
+      var cand = if (s0.sec <= s1.sec * 1.2) Seq(s0, s1) else Seq(s1)
+      // a discarded pre-warm leaves one counted sample — take a mate; a
+      // >=1 s query whose two samples still disagree by >20% gets a
+      // tiebreaker (the round-10 "third when min>1s" rule, now gated on
+      // actual disagreement instead of unconditional)
+      if (cand.size < 2 ||
+          (cand.map(_.sec).min > 1.0 && cand.map(_.sec).max > cand.map(_.sec).min * 1.2))
+        cand = cand :+ sample(q)
+      var best = cand.minBy(_.sec)
       if (best.extCores >= ExtTaint) best = Seq(best, sample(q)).minBy(_.sec)
-      q.name -> best
+      results += q.name -> best
+      flushPartial()
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v.sec}%.3f""" }
       .mkString("{", ",", "}")
@@ -214,9 +281,11 @@ object Bench {
     }.mkString("{", ",", "}")
     // Run conditions travel WITH the record (round-9 VERDICT item 3:
     // a steady baseline is only comparable under stated conditions).
-    val startLoad = loadavg1()
+    // cpus is quoted as a JSON string — a non-numeric SPARK_GRAFT_CPUS
+    // (e.g. "*") must not produce an unparseable record.
+    val endLoad = loadavg1()
     val conditions =
-      f"""{"cpus":$cpus%s,"warmup_passes":3,"per_query_prewarm":true,"jit_quiesce_ms":10000,"min_of":"2-4","loadavg_at_end":$startLoad%.1f,"ext_taint_cores":$ExtTaint%.1f}"""
+      f"""{"cpus":"$cpus%s","warmup_passes":"sf0.001 all + sf0.01 heavy","per_query_prewarm":"timed, counted when within 20%% of sample 2","jit_quiesce_ms":8000,"min_of":"2-4","loadavg_at_end":$endLoad%.1f,"ext_taint_cores":$ExtTaint%.1f}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tainted":$taintJson,"conditions":$conditions}"""
     println(line)
@@ -240,10 +309,7 @@ object Bench {
     // COMPACT line (total + the 10 slowest queries, ~500 B) LAST so any
     // tail-truncating harness still captures complete, parseable JSON
     // carrying the headline numbers.
-    val slow = results.sortBy(-_._2.sec).take(10)
-      .map { case (k, v) => "\"" + k + f"""":${v.sec}%.3f""" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"sf":"$sfDir","tainted_n":${tainted.size}%d,"note":"10 slowest of ${results.size}%d; full map in BENCH_LOCAL.json"}""")
+    println(compactJson(partial = false, extra = s""","tainted_n":${tainted.size}"""))
     // When stdout is a PIPE (the driver harness), System.out is FULLY
     // buffered, not line-buffered — the ~8 KB full-map line fills the
     // buffer and the compact line can sit unflushed when the JVM exits

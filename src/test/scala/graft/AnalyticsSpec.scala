@@ -316,6 +316,57 @@ class AnalyticsSpec extends SparkSpec {
       "residual input order survived the shuffle")
   }
 
+  test("q310: pair support equals a local sessionize-and-scan replay") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Events.q310SequenceSupport.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // local replay: 30-min-gap sessionize per user ordered by (ts,
+    // event_id), then "some A strictly before some B" per session on
+    // second granularity (min_sec(A) < max_sec(B))
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getLong(4)))
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._5))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        scala.collection.mutable.ArrayBuffer[(String, Long)]]
+      var prev = Long.MinValue
+      sorted.foreach { case (_, t, sec, _, _) =>
+        if (prev == Long.MinValue || sec - prev > 1800)
+          buf += scala.collection.mutable.ArrayBuffer.empty
+        buf.last += ((t, sec)); prev = sec
+      }
+      buf
+    }.toSeq
+    val nTot = sessions.size.toLong
+    val cells = sessions.map(s => s.groupBy(_._1)
+      .map { case (t, xs) => t -> (xs.map(_._2).min, xs.map(_._2).max) })
+    val nType = cells.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val pairSup = cells.flatMap { m =>
+      val ms = m.toSeq // NOT the Map: a for over a Map yields a Map and
+                       // collapses every b for the same a to one entry
+      for { (a, (fa, _)) <- ms; (b, (_, lb)) <- ms if fa < lb } yield (a, b)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got.keySet == pairSup.keySet,
+      s"pair sets differ: extra=${got.keySet -- pairSup.keySet} missing=${pairSup.keySet -- got.keySet}")
+    pairSup.foreach { case ((a, b), n) =>
+      val (nAb, sup, conf, lift) = got((a, b))
+      assert(nAb == n, s"($a,$b) support: got $nAb want $n")
+      assert(sup == n * 1000000L / nTot, s"($a,$b) support_ppm")
+      assert(conf == n * 1000000L / nType(a), s"($a,$b) confidence_ppm")
+      assert(lift == (BigInt(n) * nTot * 1000000 / (BigInt(nType(a)) * nType(b))).toLong,
+        s"($a,$b) lift_ppm")
+    }
+    // semantic spot-checks: A=A repeat pairs exist (multi-occurrence
+    // sessions), and lift is meaningfully spread around 1e6
+    assert(got.keys.exists { case (a, b) => a == b })
+    assert(got.values.exists(_._4 != 1000000L))
+  }
+
   test("q215: weighted median/p90 equal a local sort-and-scan replay") {
     import org.apache.spark.sql.functions._
     val got = ops.Analytics.q215WeightedMedian.fn(spark, sf).collect()

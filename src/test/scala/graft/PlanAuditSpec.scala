@@ -122,7 +122,8 @@ class PlanAuditSpec extends SparkSpec {
     "q303_cronbach_alpha" -> "corpus-scalar joins: the 1-row user count broadcasts into item/total moment folds, which cross-combine into the report row",
     "q306_friedman" -> "scalar joins: the 1-row k/block-count/rank-square folds cross-combine into the single report row; ranks come from day-co-partitioned cell joins",
     "q308_tost_equivalence" -> "scalar-scalar join: the two 1-row arm frames cross-combine into the single TOST report row (q177's shape)",
-    "q309_cochran_armitage" -> "scalar join: the 1-row trend statistic broadcasts back onto the 4 dose cells (q177's shape)")
+    "q309_cochran_armitage" -> "scalar join: the 1-row trend statistic broadcasts back onto the 4 dose cells (q177's shape)",
+    "q310_sequence_support" -> "corpus-scalar join: the 1-row session count broadcasts into the |types|²-cell pair report; the pair join itself is the session-key equi-join, bounded |types|² per session")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

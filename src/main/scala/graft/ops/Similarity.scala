@@ -928,6 +928,109 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  /** q311 — IVF nprobe operating curve: recall@10 AND candidate-scan
+    * cost for nprobe ∈ {1, 2, 4, 8} — the tuning readout behind q54's
+    * single fixed operating point, and the ANN analog of q277's dedup
+    * threshold curve: "how many cells to probe" is THE
+    * recall-vs-latency knob an IVF deployment turns at 100 TB, and the
+    * decision needs the whole curve, not one sample. Exactness trick:
+    * with exact cosine re-ranking a candidate SUBSET, any candidate
+    * scoring above a true-top-10 member is itself true-top-10, so
+    * recall@10 = |truth ∩ candidates| / 10 — the curve needs no
+    * re-rank at all, just the id-intersection. All outputs are exact
+    * integers (candidate counts, hit counts, floor-ppm recall); the
+    * only doubles are the q54 probe/assignment cosines, reused in
+    * their bit-identical spellings.
+    *
+    * Scale: one broadcast-codebook assignment pass (no shuffle), a
+    * ≤ |queries|·8·4-row broadcast probe spine, and the truth join is
+    * ids-only; the cost column (n_candidates) IS the quantity a real
+    * deployment pays per probe setting — measured here, not modeled. */
+  val q311NprobeCurve: Q = Q(
+    "q311_nprobe_curve",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, $DVec AS v FROM embeddings
+       |), $DCentroids, scored AS (
+       |  SELECT vec_id, v, label, ${dCosPpm("v", "c")} AS s
+       |  FROM vecs CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), proberanks AS (
+       |  SELECT vec_id AS query_id, label AS cell, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+       |    FROM scored WHERE vec_id < 5) WHERE rn <= 8
+       |), np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |cand AS (
+       |  SELECT np.nprobe, p.query_id, a.vec_id
+       |  FROM np JOIN proberanks p ON p.rn <= np.nprobe
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |), truth AS (
+       |  SELECT query_id, vec_id FROM (${q31KnnBrute.oracle.get})
+       |), qn AS (SELECT COUNT(DISTINCT query_id) AS nq FROM truth),
+       |stats AS (
+       |  SELECT c.nprobe, COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM cand c LEFT JOIN truth t
+       |    ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+       |  GROUP BY c.nprobe
+       |)
+       |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+       |  CAST(qn.nq AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(s.n_hits, 0) * 1000000 // (10 * qn.nq) AS BIGINT) AS recall_ppm
+       |FROM np LEFT JOIN stats s ON s.nprobe = np.nprobe CROSS JOIN qn
+       |ORDER BY nprobe""") { (s, d) =>
+    val vecs = withNorm(graft.Q.stageBarrier(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+    val cents = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          _.getField("e")).as("vs"))
+      .select(col("label"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+            (acc, e) => zip_with(acc, e, (x, y) => x + y)),
+          x => x / col("n")).as("c"))
+      .localCheckpoint() // consumed by the codebook and the probe ranking
+    val assign = assignTo(vecs, cents.select(col("label").as("cluster"), col("c")))
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("s").desc, col("cell"))
+    val probeRanks = vecs.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(withNorm(cents, "c")))
+      .select(col("vec_id").as("query_id"), col("label").as("cell"),
+        cosPpmPre(dot(col("v"), col("c")), col("v_nrm"), col("c_nrm")).as("s"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 8)
+      .select("query_id", "cell", "rn")
+    val spine = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L),
+      Tuple1(8L))).toDF("nprobe")
+    val probed = probeRanks.crossJoin(spine) // ≤ 5·8·4 rows, broadcast below
+      .filter(col("rn") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"), col("cell"))
+    val truth = q31KnnBrute.fn(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint() // hit test + the 1-row query count
+    val nq = truth.select("query_id").distinct().agg(count(lit(1)).as("nq"))
+    val stats = broadcast(probed).join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    spine.join(stats, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nq)) // 1-row query count
+      .select(col("nprobe"),
+        col("nq").as("n_queries"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST(coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 div (10 * nq) AS BIGINT)")
+          .as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   /** q109 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): planted
     * near-copies (every 10th vector, first coord ×1.001 — the q33
     * augmentation) are caught by clustering the space and comparing
@@ -2243,7 +2346,8 @@ object Similarity {
     q104AnnRecall, q109SemDedup, q116BitextMine, q117ClusterQuality, q125HybridRrf,
     q134IvfAppend, q137IvfPqSearch, q172PrefixDimQuality, q204MutualNn,
     q220PcaPower, q221JlDistortion, q234KCenterCoreset, q237MmrRerank,
-    q250MrrEval, q257NdcgEval, q258MapEval, q276RankBiasedOverlap)
+    q250MrrEval, q257NdcgEval, q258MapEval, q276RankBiasedOverlap,
+    q311NprobeCurve)
 
 
 }

@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 /** Similarity-pack invariants not already pinned by the DuckDB oracle. */
 class SimilaritySpec extends SparkSpec {
 
+  test("q311: the nprobe curve is monotone and its ppm math recomputes") {
+    val rows = ops.Similarity.q311NprobeCurve.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val nq = rows.head._2
+    assert(nq == 5)
+    // probing more cells can only ADD candidates (cells are disjoint,
+    // probe lists are rank-prefixes) — so cost and hits are monotone
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._3 <= w(1)._3, s"candidate cost must grow: $w")
+      assert(w(0)._4 <= w(1)._4, s"hits must grow: $w")
+    }
+    rows.foreach { case (np, q, nc, nh, rec) =>
+      assert(nh <= 10 * nq, s"nprobe=$np hits exceed truth size")
+      assert(nc >= nh, s"nprobe=$np candidates below hits")
+      assert(rec == nh * 1000000L / (10 * nq), s"nprobe=$np ppm math")
+    }
+    // the curve must actually move — a flat curve means the probe knob
+    // is disconnected from the candidate generator
+    assert(rows.last._4 > rows.head._4, "recall flat across nprobe")
+  }
+
   test("q109: every planted near-copy is dropped, at cosine >= 0.999") {
     val out = ops.Similarity.q109SemDedup.fn(spark, sf).collect()
     val dropped = out.map(_.getLong(0)).toSet

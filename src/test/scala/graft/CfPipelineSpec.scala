@@ -66,6 +66,10 @@ class CfPipelineSpec extends SparkSpec {
     server.createContext("/bad", (ex: HttpExchange) => {
       badHits.incrementAndGet(); respond(ex, 500, "down")
     })
+    val goneHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/gone", (ex: HttpExchange) => {
+      goneHits.incrementAndGet(); respond(ex, 404, "no such notice")
+    })
     server.createContext("/invalid", (ex: HttpExchange) =>
       respond(ex, 200, "not json at all"))
     server.start()
@@ -73,7 +77,7 @@ class CfPipelineSpec extends SparkSpec {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
       val dir = Files.createTempDirectory("graft-cf-http").toString
       Files.writeString(Paths.get(dir, "notices-2024-04-01.csv"),
-        s"uri,ignored\n$base/pkg/a,j\n$base/flaky,j\n$base/bad,j\n$base/invalid,j\n$base/pkg/a,dup\n")
+        s"uri,ignored\n$base/pkg/a,j\n$base/flaky,j\n$base/bad,j\n$base/invalid,j\n$base/gone,j\n$base/pkg/a,dup\n")
       val wide = ContractsFinder.flatten(ContractsFinder.enrich(spark,
         ContractsFinder.dedupWithAudit(ContractsFinder.uriTable(spark, dir)),
         CfHttpFixture.mk)).collect()
@@ -87,6 +91,9 @@ class CfPipelineSpec extends SparkSpec {
       // permanent 500: all 3 attempts spent, then a status row, not a crash
       assert(status.contains((s"$base/bad", "fetch_failed_or_invalid_json")))
       assert(badHits.get == 3, s"bad endpoint must see maxRetries=3 attempts, got ${badHits.get}")
+      // 4xx is permanent: exactly ONE attempt, no retry budget spent
+      assert(status.contains((s"$base/gone", "fetch_failed_or_invalid_json")))
+      assert(goneHits.get == 1, s"404 endpoint must be hit once (no retry), got ${goneHits.get}")
       // a 200 with an unparseable body downgrades at the flatten, as in the mock leg
       assert(status.contains((s"$base/invalid", "fetch_failed_or_invalid_json")))
       val ok = wide.find(r => r.getAs[String]("uri") == s"$base/pkg/a"

@@ -89,16 +89,25 @@ object Dedup {
     * would otherwise recompute the signature subtree — the cluster
     * equivalent is a checkpoint/cached staging table. */
   private def sigTable(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
+    sigTableOf(corpus(s, d))
+
+  /** [[sigTable]] over an arbitrary (doc_id, toks) frame — the dedup
+    * corpus for the registry queries, a day's batch or a persisted
+    * store snapshot for the incremental-merge path (q312/mergeDay). */
+  private def sigTableOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("sig", expr("graft_minhash(toks)"))
       .localCheckpoint()
 
   /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */
-  private def bandRows(s: SparkSession, d: String): DataFrame = {
-    val sig = sigTable(s, d)
+  private def bandRows(s: SparkSession, d: String): DataFrame =
+    bandRowsOf(sigTable(s, d))
+
+  /** Band explode over any (doc_id, sig) frame (no shuffle: a narrow
+    * 4-way per-row explode of 16-byte keys). */
+  private def bandRowsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b => bandKey(col("sig"), b, 4)): _*)).as("bkey"))
-  }
 
   /** Signature + band-key CTEs without a candidate rule — shared by the
     * pairwise `cand` (DBands) and q132's incremental batch-vs-index
@@ -134,7 +143,11 @@ object Dedup {
     * identically. localCheckpoint'd: both sides of the pair join (and
     * any resolution pass) read it. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
+    shingleSetsOf(corpus(s, d))
+
+  /** [[shingleSets]] over an arbitrary (doc_id, toks) frame. */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
       .localCheckpoint()
 
@@ -1054,6 +1067,12 @@ object Dedup {
     def fps(chunks: DataFrame, tcol: String): DataFrame =
       chunks
         .withColumn("h", transform(shingles(col(tcol), 5), sh => hex32(sh)))
+        // self-defending guard (round-11 ADVICE): callers guarantee every
+        // chunk carries >= 8 tokens (so >= 4 hashes), but if the chunk
+        // math ever changes, sequence(0, size(h)-4) on a short chunk
+        // would silently DESCEND and slice() would run with non-positive
+        // indices — filter rather than trust the invariant
+        .filter(size(col("h")) >= 4)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(0), size(col("h")) - 4),
             i => array_min(slice(col("h"), i + 1, lit(4)))))).as("f"))
@@ -1254,9 +1273,294 @@ object Dedup {
       .orderBy("threshold_ppm")
   }
 
+  // ---- Incremental dedup-store maintenance (q312/q313 + mergeDay) ----
+  //
+  // The day-at-a-time merge the reference runs per daily extract
+  // (2b:502-509 merges the day's rows into the master workbook; 3:41-57
+  // unions daily files): merge a NEW day's documents into an EXISTING
+  // MinHash/LSH fingerprint store — new docs band against the stored
+  // index, intra-batch duplicates resolve to cluster canonicals, only
+  // novel docs append, audit counts out. The dedup analog of q154's
+  // inverted-index maintenance.
+
+  /** Day-merge corpus: the dedup corpus plus two HALF-DOC variants per
+    * doc_id%11==0 base doc (+3e6 = first ⌈len/2⌉ tokens, +4e6 = the
+    * same minus its last token). The halves duplicate EACH OTHER
+    * (J = (L−8)/(L−4) ≥ 0.7 once L ≥ 18) but never their base doc
+    * (shingle containment caps J(half, base) ≈ 0.5) — batch docs whose
+    * duplicate lives only INSIDE the batch, so the intra-batch
+    * resolution leg is non-trivial (near/exact copies always have an
+    * index-side match and exit at the probe). */
+  private[graft] def mergeCorpus(s: SparkSession, d: String): DataFrame = {
+    val all = corpus(s, d)
+    val b0 = all.filter(col("doc_id") < 1000000L && col("doc_id") % 11 === 0)
+    val halfLen = expr("(size(toks)+1) div 2")
+    val halfA = b0.select((col("doc_id") + 3000000L).as("doc_id"),
+      slice(col("toks"), lit(1), halfLen).as("toks"))
+    val halfB = b0.select((col("doc_id") + 4000000L).as("doc_id"),
+      slice(col("toks"), lit(1), halfLen - 1).as("toks"))
+    all.unionByName(halfA).unionByName(halfB)
+  }
+
+  /** DuckDB mirror of [[mergeCorpus]] (extends DCorpus — keep in sync). */
+  private val DMergeCorpus =
+    """base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL SELECT doc_id+1000000, toks[2:] FROM base WHERE doc_id%5=0
+      |  UNION ALL SELECT doc_id+2000000, toks FROM base WHERE doc_id%7=0
+      |  UNION ALL SELECT doc_id+3000000, toks[1:(len(toks)+1)//2] FROM base WHERE doc_id%11=0
+      |  UNION ALL SELECT doc_id+4000000, toks[1:(len(toks)+1)//2 - 1] FROM base WHERE doc_id%11=0
+      |)""".stripMargin
+
+  /** The q29 verify rule as a SELECT over a candidate CTE (requires
+    * `sigs` in scope — same predicate as [[DVerified]]). */
+  private def dVerify(cand: String): String =
+    s"""SELECT doc_a, doc_b FROM $cand
+       |  JOIN sigs sx ON sx.doc_id = doc_a
+       |  JOIN sigs sy ON sy.doc_id = doc_b
+       |  WHERE len(list_distinct(sx.hs || sy.hs)) > 0
+       |    AND len(list_intersect(sx.hs, sy.hs))*1000000 >= 700000*len(list_distinct(sx.hs || sy.hs))""".stripMargin
+
+  /** The shared decision CTE chain for q312/q313: probe → surviving
+    * batch → intra-batch candidates → CC roots → per-doc decision. */
+  private val DMergeDecisions =
+    s"""idxb AS (
+       |  SELECT doc_id AS ib, bkey FROM bands WHERE doc_id < 1000000
+       |), batb AS (
+       |  SELECT doc_id, bkey FROM bands WHERE doc_id >= 1000000
+       |), candx AS (
+       |  SELECT DISTINCT b.doc_id AS doc_a, i.ib AS doc_b
+       |  FROM batb b JOIN idxb i USING (bkey)
+       |), verx AS (
+       |  ${dVerify("candx")}
+       |), dupx AS (
+       |  SELECT doc_a AS doc_id, MIN(doc_b) AS idx_dup FROM verx GROUP BY doc_a
+       |), surv AS (
+       |  SELECT doc_id FROM corpus WHERE doc_id >= 1000000
+       |    AND doc_id NOT IN (SELECT doc_id FROM dupx)
+       |), sb AS (
+       |  SELECT b.doc_id, b.bkey FROM batb b JOIN surv USING (doc_id)
+       |), candb AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sb x JOIN sb y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), verb AS (
+       |  ${dVerify("candb")}
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verb
+       |  UNION ALL SELECT doc_b, doc_a FROM verb
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM surv
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+       |), comp AS (
+       |  SELECT src AS doc_id, MIN(dst) AS root FROM reach GROUP BY src
+       |), dec AS (
+       |  SELECT c.doc_id,
+       |    COALESCE(dx.idx_dup, CASE WHEN cp.root < c.doc_id THEN cp.root END) AS dup_of,
+       |    CASE WHEN dx.idx_dup IS NOT NULL THEN 'dup_index'
+       |         WHEN cp.root < c.doc_id THEN 'dup_batch' ELSE 'new' END AS decision
+       |  FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+       |  LEFT JOIN dupx dx USING (doc_id)
+       |  LEFT JOIN comp cp USING (doc_id)
+       |)""".stripMargin
+
+  /** Decision table for merging a batch into an existing fingerprint
+    * store: `idxSig`/`idxSh` are the STORE side ((doc_id, sig) /
+    * (doc_id, sh) — read from a snapshot, never recomputed), `batSig`/
+    * `batSh` the incoming day. Per batch doc: `dup_index` (verified
+    * J ≥ 0.7 match in the store, dup_of = min matching store id),
+    * `dup_batch` (no store match, but resolves to a smaller canonical
+    * inside the batch — connected components over verified intra-batch
+    * pairs, the q61 convention, so transitive chains collapse to one
+    * canonical), or `new` (dup_of null — the docs that append).
+    *
+    * Scale shape: the probe join moves band KEYS only; a daily batch
+    * (≪ corpus) broadcasts, so the store is never shuffled; verify
+    * fetches shingle sets for candidate ids only; the CC loop runs on
+    * the batch-survivor graph (day-cardinality, not corpus). */
+  private[graft] def mergeDecisions(idxSig: DataFrame, idxSh: DataFrame,
+      batSig: DataFrame, batSh: DataFrame): DataFrame = {
+    val idxB = bandRowsOf(idxSig).select(col("doc_id").as("doc_b"), col("bkey"))
+    val batB = bandRowsOf(batSig).select(col("doc_id"), col("bkey")).localCheckpoint()
+    val candIdx = batB.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(idxB, "bkey").select("doc_a", "doc_b").distinct()
+    // union is safe under id overlap (re-merging an already-admitted
+    // batch): duplicate (doc_id, sh) rows fan the verify join out and
+    // the min-aggregate absorbs them
+    val sh = batSh.select("doc_id", "sh").unionByName(idxSh.select("doc_id", "sh"))
+    val dupIdx = verifiedDupPairs(candIdx, sh)
+      .groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("idx_dup"))
+      .localCheckpoint() // read by surv anti-join AND the decision join
+    val batIds = batSig.select("doc_id")
+    val surv = batIds.join(dupIdx.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // read by sb and the CC node set
+    val sb = batB.join(surv, "doc_id")
+    val candBat = sb.as("x").join(sb.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val verBat = verifiedDupPairs(candBat, batSh.select("doc_id", "sh"))
+    val edges = verBat.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(verBat.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint() // read once per CC round
+    val comp = connectedComponents(surv.select(col("doc_id").as("id")), edges)
+    batIds
+      .join(dupIdx, Seq("doc_id"), "left")
+      .join(comp.select(col("id").as("doc_id"), col("comp").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("idx_dup"),
+          when(col("root") < col("doc_id"), col("root"))).as("dup_of"),
+        when(col("idx_dup").isNotNull, lit("dup_index"))
+          .when(col("root") < col("doc_id"), lit("dup_batch"))
+          .otherwise(lit("new")).as("decision"))
+  }
+
+  /** Per-doc fingerprint-store record: (doc_id, sig, sh) — everything
+    * the probe + verify path needs, so a merge never re-tokenizes the
+    * stored corpus. This is the schema [[mergeDay]] persists. */
+  def fingerprintStore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig", expr("graft_minhash(toks)"))
+      .withColumn("sh", array_distinct(tokenShingleHashes(col("toks"))))
+      .select("doc_id", "sig", "sh")
+
+  /** Incremental store maintenance: merge a day's `batchDocs`
+    * (doc_id, toks) into the Versioned fingerprint store at `dir` —
+    * probe against the stored index, resolve intra-batch clusters,
+    * append ONLY the novel docs' records as a new snapshot version
+    * (no-op when nothing is novel, so at-least-once delivery of a day
+    * is safe: a re-merged batch self-matches at J = 1 and admits
+    * nothing). Returns (store version after, decision table).
+    * DedupSpec proves incremental == from-scratch store equality and
+    * re-merge idempotence; q312/q313 oracle-check the same decision
+    * algebra registry-side. */
+  def mergeDay(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): (Int, DataFrame) = {
+    val store = graft.sources.Versioned.read(spark, dir).localCheckpoint()
+    val bat = fingerprintStore(batchDocs).localCheckpoint()
+    val dec = mergeDecisions(
+      store.select("doc_id", "sig"), store.select("doc_id", "sh"),
+      bat.select("doc_id", "sig"), bat.select("doc_id", "sh"))
+      .localCheckpoint() // read for the admit filter AND returned
+    val admitted = bat.join(
+      dec.filter(col("decision") === "new").select("doc_id"), "doc_id")
+    val v =
+      if (admitted.isEmpty) graft.sources.Versioned.latestVersion(dir).getOrElse(0)
+      else graft.sources.Versioned.commitAppend(spark, dir, admitted)
+    (v, dec)
+  }
+
+  /** q312 — incremental dedup-store MERGE decisions: one row per batch
+    * doc (the ≥ 1e6 synthetics = "today's drop") probed against the
+    * band index of the base docs (= the persisted store), with
+    * intra-batch resolution via connected components among the
+    * survivors. The registry twin of [[mergeDay]] — same algebra on
+    * the same frames, minus the disk round-trip the SQL harness can't
+    * express (DedupSpec covers that half). Extends q132 (probe-only,
+    * intra-batch out of scope) with the admission step that closes the
+    * maintenance loop. Oracle replays the probe, the verify rule, and
+    * the CC fixpoint (recursive CTE, q61's pattern). */
+  val q312DedupMerge: Q = Q(
+    "q312_dedup_merge",
+    s"""WITH RECURSIVE $DMergeCorpus, $DSigsBands, $DMergeDecisions
+       |SELECT doc_id, dup_of, decision FROM dec
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mc = mergeCorpus(s, d)
+    val idx = mc.filter(col("doc_id") < 1000000L)
+    val bat = mc.filter(col("doc_id") >= 1000000L)
+    mergeDecisions(sigTableOf(idx), shingleSetsOf(idx),
+      sigTableOf(bat), shingleSetsOf(bat))
+      .orderBy("doc_id")
+  }
+
+  /** q313 — dedup-store maintenance AUDIT: the counts a production
+    * merge reports (batch decision mix, store size before/after) plus
+    * the invariant that justifies the incremental path at all:
+    * the incrementally-APPENDED band store (old rows + admitted docs'
+    * rows) checksum-equals a FROM-SCRATCH rebuild over base+admitted
+    * (`store_match` = 1). The checksum is an order-insensitive SUM of
+    * per-row hashes — a commutative fold, so both stores compare
+    * without any global sort or driver-side collect at any scale. */
+  val q313StoreAudit: Q = Q(
+    "q313_dedup_store_audit",
+    s"""WITH RECURSIVE $DMergeCorpus, $DSigsBands, $DMergeDecisions, adm AS (
+       |  SELECT doc_id FROM dec WHERE decision = 'new'
+       |), before_rows AS (
+       |  SELECT doc_id, bkey FROM bands WHERE doc_id < 1000000
+       |), appended AS (
+       |  SELECT b.doc_id, b.bkey FROM batb b JOIN adm USING (doc_id)
+       |), after_rows AS (
+       |  SELECT * FROM before_rows UNION ALL SELECT * FROM appended
+       |), scratch AS (
+       |  SELECT doc_id, bkey FROM bands
+       |  WHERE doc_id < 1000000 OR doc_id IN (SELECT doc_id FROM adm)
+       |), ck AS (
+       |  SELECT
+       |    (SELECT CAST(COALESCE(SUM(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '_', bkey)),1,8)) AS BIGINT)), 0) AS BIGINT) FROM after_rows) AS a,
+       |    (SELECT CAST(COALESCE(SUM(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '_', bkey)),1,8)) AS BIGINT)), 0) AS BIGINT) FROM scratch) AS s
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'batch_admitted' AS metric, CAST((SELECT COUNT(*) FROM adm) AS BIGINT) AS value
+       |  UNION ALL SELECT 'batch_docs', (SELECT COUNT(*) FROM dec)
+       |  UNION ALL SELECT 'batch_dup_batch', (SELECT COUNT(*) FROM dec WHERE decision = 'dup_batch')
+       |  UNION ALL SELECT 'batch_dup_index', (SELECT COUNT(*) FROM dec WHERE decision = 'dup_index')
+       |  UNION ALL SELECT 'index_band_rows_after', (SELECT COUNT(*) FROM after_rows)
+       |  UNION ALL SELECT 'index_band_rows_before', (SELECT COUNT(*) FROM before_rows)
+       |  UNION ALL SELECT 'index_docs_after', (SELECT COUNT(DISTINCT doc_id) FROM after_rows)
+       |  UNION ALL SELECT 'index_docs_before', (SELECT COUNT(DISTINCT doc_id) FROM before_rows)
+       |  UNION ALL SELECT 'store_checksum_after', (SELECT a FROM ck)
+       |  UNION ALL SELECT 'store_match', (SELECT CASE WHEN a = s THEN 1 ELSE 0 END FROM ck)
+       |)
+       |ORDER BY metric""".stripMargin) { (s, d) =>
+    val mc = mergeCorpus(s, d)
+    val idx = mc.filter(col("doc_id") < 1000000L)
+    val bat = mc.filter(col("doc_id") >= 1000000L)
+    val idxSig = sigTableOf(idx)
+    val batSig = sigTableOf(bat)
+    val dec = mergeDecisions(idxSig, shingleSetsOf(idx), batSig, shingleSetsOf(bat))
+      .localCheckpoint() // read by four counting legs + the admit filter
+    val adm = dec.filter(col("decision") === "new").select("doc_id")
+    val before = bandRowsOf(idxSig).select("doc_id", "bkey")
+    val appended = bandRowsOf(batSig).select("doc_id", "bkey").join(adm, "doc_id")
+    val after = before.unionByName(appended).localCheckpoint() // 3 readers
+    // the from-scratch leg genuinely RECOMPUTES signatures from tokens
+    // over base + admitted (a fresh sigTableOf pipeline), so the
+    // checksum equality tests the append algebra, not frame identity
+    val keep = idx.select("doc_id").unionByName(adm)
+    val scratch = bandRowsOf(sigTableOf(mc.join(keep, "doc_id")))
+      .select("doc_id", "bkey")
+    val ckOf: Column =
+      coalesce(sum(hex32(concat(col("doc_id").cast("string"), lit("_"), col("bkey")))), lit(0L))
+    val ckA = after.agg(ckOf.as("a")).localCheckpoint() // 2 readers
+    val ckS = scratch.agg(ckOf.as("s"))
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    def cntD(name: String, df: DataFrame): DataFrame =
+      df.agg(countDistinct(col("doc_id")).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    cnt("batch_admitted", adm)
+      .unionByName(cnt("batch_docs", dec))
+      .unionByName(cnt("batch_dup_batch", dec.filter(col("decision") === "dup_batch")))
+      .unionByName(cnt("batch_dup_index", dec.filter(col("decision") === "dup_index")))
+      .unionByName(cnt("index_band_rows_after", after))
+      .unionByName(cnt("index_band_rows_before", before))
+      .unionByName(cntD("index_docs_after", after))
+      .unionByName(cntD("index_docs_before", before))
+      .unionByName(ckA.select(lit("store_checksum_after").as("metric"), col("a").as("value")))
+      .unionByName(ckA.crossJoin(broadcast(ckS)) // two 1-row checksums
+        .select(lit("store_match").as("metric"),
+          when(col("a") === col("s"), 1L).otherwise(0L).as("value")))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(q205SortedNeighborhood, q26ExactDedup, q27MinhashLsh, q28SimhashPairs,
     q29JaccardVerify, q30DedupResolve, q61ConnectedComponents, q84SpanDedup,
     q85SpanDupGate, q97BestRep, q102ParagraphDedup, q108LshQuality,
     q119CdcChunks, q120SplitLeakage, q132IncrementalDedup, q163PrefixJoin,
-    q168ContainmentJoin, q224Winnowing, q277ThresholdCurve)
+    q168ContainmentJoin, q224Winnowing, q277ThresholdCurve, q312DedupMerge,
+    q313StoreAudit)
 }

@@ -231,4 +231,60 @@ class DedupSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 700000L).get.getLong(1) ==
       jac.count(_._3 >= 700000L).toLong)
   }
+
+  test("mergeDay: planted decisions, incremental == from-scratch store, idempotent re-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpstore").toString
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t.split(" ").toSeq) }.toDF("doc_id", "toks")
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    val t2 = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec plum orange nectar melon lemon kiwi"
+    val t3 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val day0 = docs(1L -> t1)
+    val v1 = sources.Versioned.commitOverwrite(spark, dir, ops.Dedup.fingerprintStore(day0))
+    val batch = docs(
+      101L -> t1, // exact copy of stored doc 1    -> dup_index(1)
+      102L -> t2, // novel                         -> new (cluster canonical)
+      103L -> t2, // exact copy of batch doc 102   -> dup_batch(102)
+      104L -> t3) // novel                         -> new
+    val (v2, dec) = ops.Dedup.mergeDay(spark, dir, batch)
+    val m = dec.collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getString(2)))
+      .toMap
+    assert(m(101L) == ((Some(1L), "dup_index")))
+    assert(m(102L) == ((None, "new")))
+    assert(m(103L) == ((Some(102L), "dup_batch")))
+    assert(m(104L) == ((None, "new")))
+    assert(v2 == v1 + 1)
+    // THE maintenance invariant: the incrementally-appended store equals
+    // a from-scratch fingerprint build over base + admitted docs
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Long](2).toList)).toSet
+    val scratch = ops.Dedup.fingerprintStore(day0.unionByName(docs(102L -> t2, 104L -> t3)))
+    assert(snap(sources.Versioned.read(spark, dir).select("doc_id", "sig", "sh")) ==
+      snap(scratch.select("doc_id", "sig", "sh")))
+    // at-least-once safety: re-merging the same day admits nothing and
+    // commits no version — every doc now self-matches the store at J=1
+    val (v3, dec2) = ops.Dedup.mergeDay(spark, dir, batch)
+    assert(v3 == v2, "re-merge must not commit a new version")
+    val m2 = dec2.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m2.values.forall(_ != "new"), s"re-merge admitted something: $m2")
+    assert(m2(102L) == "dup_index" && m2(104L) == "dup_index",
+      "previously admitted docs must self-match the store on re-merge")
+  }
+
+  test("q313: store_match holds and the audit counts are internally consistent at sf0.001") {
+    val out = ops.Dedup.q313StoreAudit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("store_match") == 1L,
+      "incremental band store must checksum-equal the from-scratch rebuild")
+    assert(out("index_docs_after") == out("index_docs_before") + out("batch_admitted"))
+    assert(out("index_band_rows_after") ==
+      out("index_band_rows_before") + 4L * out("batch_admitted"))
+    assert(out("batch_docs") ==
+      out("batch_admitted") + out("batch_dup_batch") + out("batch_dup_index"))
+    // the half-doc variants make the intra-batch leg non-trivial: all
+    // three decision classes must be populated at every fixture SF
+    assert(out("batch_dup_index") > 0L && out("batch_dup_batch") > 0L &&
+      out("batch_admitted") > 0L)
+  }
 }

@@ -124,7 +124,8 @@ class PlanAuditSpec extends SparkSpec {
     "q308_tost_equivalence" -> "scalar-scalar join: the two 1-row arm frames cross-combine into the single TOST report row (q177's shape)",
     "q309_cochran_armitage" -> "scalar join: the 1-row trend statistic broadcasts back onto the 4 dose cells (q177's shape)",
     "q310_sequence_support" -> "corpus-scalar join: the 1-row session count broadcasts into the |types|²-cell pair report; the pair join itself is the session-key equi-join, bounded |types|² per session",
-    "q311_nprobe_curve" -> "spine joins: the ≤160-row (nprobe × query × cell) probe spine broadcasts into the cell-assignment scan; the 1-row query count broadcasts into the 4-row curve (q277's threshold-curve shape); centroids are q54's broadcast codebook")
+    "q311_nprobe_curve" -> "spine joins: the ≤160-row (nprobe × query × cell) probe spine broadcasts into the cell-assignment scan; the 1-row query count broadcasts into the 4-row curve (q277's threshold-curve shape); centroids are q54's broadcast codebook",
+    "q313_dedup_store_audit" -> "scalar-scalar join: the two 1-row store checksums (incremental vs from-scratch) cross into the single store_match row; every other leg is a collapsing count over band-key equi-joins")
 
   /** Plans executed EAGERLY while a query builds (localCheckpoint
     * materialization) never appear in the final executedPlan — without

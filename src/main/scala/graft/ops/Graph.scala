@@ -771,11 +771,22 @@ object Graph {
       raw.crossJoin(broadcast(mx)) // 1-row max: scale-safe scalar
         .select(col("hid"), expr("raw * 1000000 div mx").as("x"))
     }
-    var h = hosts.select(col("hid"), lit(1000000L).as("x"))
+    // Each half-round is localCheckpoint'd: beyond making every score
+    // table a one-shot input to the next round (instead of re-deriving
+    // the whole chain per reference), the checkpoint boundary keeps all
+    // four half-rounds STRUCTURALLY IDENTICAL plans (RDD scan → bcast
+    // join → agg → scalar rescale), so they share one set of generated
+    // classes instead of four nested-depth variants — measured: the
+    // unrolled spelling kept C2 churning for ~8 executions (jit= 3-5 s
+    // per run, wall 3.5 s settling to 2.7 only after ~10 runs); the
+    // staged spelling compiles once and reuses. On a cluster this is a
+    // per-iteration checkpoint of a host-cardinality table — standard
+    // iterative-algorithm hygiene (same as connectedComponents).
+    var h = hosts.select(col("hid"), lit(1000000L).as("x")).localCheckpoint()
     var a: DataFrame = null
     (1 to rounds).foreach { _ =>
-      a = halfRound(h, "src", "dst")
-      h = halfRound(a, "dst", "src")
+      a = halfRound(h, "src", "dst").localCheckpoint()
+      h = halfRound(a, "dst", "src").localCheckpoint()
     }
     hosts.select("hid")
       .join(a.withColumnRenamed("x", "a"), Seq("hid"), "left")

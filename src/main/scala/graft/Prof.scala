@@ -154,12 +154,17 @@ object Prof {
       import scala.jdk.CollectionConverters._
       // straggler = worst max/median task-wall ratio over MATERIAL
       // stages (>= 4 tasks, max task >= 0.5 s — tiny stages are noise);
-      // report the worst stage's absolutes alongside the ratio
+      // report the worst stage's absolutes alongside the ratio. The
+      // median gets a 0.1 s floor in the RATIO (round-11 stretch item:
+      // a ~0.02 s median under a 1.5 s max printed "75x" for stages
+      // where salting is working fine — scheduling jitter, not skew);
+      // absolutes still come from the true median, so nothing is hidden
       val strag = taskSecs.asScala.toSeq.flatMap { case (sid, q) =>
         val ts = q.asScala.toSeq.sorted
         if (ts.size >= 4 && ts.last >= 0.5) {
           val med = ts(ts.size / 2)
-          if (med > 0) Some((ts.last / med, sid, ts.last, med)) else None
+          if (med > 0) Some((ts.last / math.max(med, 0.1), sid, ts.last, med))
+          else None
         } else None
       }.sortBy(-_._1).headOption
       val stragStr = strag.map { case (r, sid, mx, med) =>

@@ -1055,7 +1055,25 @@ object Dedup {
     * distinct-union equals the whole-doc fingerprint set (DedupSpec
     * pins the equality). Short docs keep the exchange-free path; only
     * long-doc tokens ride the chunk repartition. */
-  private[graft] def winnowFingerprints(docs: DataFrame, seg: Int): DataFrame = {
+  /** Memoized exact max token length per dataset dir — the table
+    * statistic that gates the long-doc split (round-11 stretch item:
+    * the split's second tokenize scan + exchange scaffolding cost ~10%
+    * on uniform corpora for insurance only heavy tails need). Computed
+    * once per JVM per dir with an exact aggregate (a sampling gate
+    * would forfeit the straggler insurance exactly when one giant doc
+    * needs it); the fixture trees are immutable for a JVM's lifetime,
+    * and on a cluster this is the catalog column statistic an ANALYZE
+    * maintains — read, not recomputed, per query. */
+  private val maxTokLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private[graft] def maxTokLen(s: SparkSession, d: String): Int =
+    maxTokLenCache.computeIfAbsent(d, _ =>
+      Integer.valueOf(corpus(s, d)
+        .agg(coalesce(max(size(col("toks"))), lit(0)).as("m"))
+        .head().getInt(0))).intValue()
+
+  private[graft] def winnowFingerprints(docs: DataFrame, seg: Int,
+      split: Boolean = true): DataFrame = {
     // `h` MUST be a real aliased projection referenced twice downstream:
     // CollapseProject's non-cheap-used-twice guard then keeps it a
     // separate projection evaluated ONCE per row. Inlining the same tree
@@ -1066,17 +1084,28 @@ object Dedup {
     // q224's sf1z wall before this shape was restored).
     def fps(chunks: DataFrame, tcol: String): DataFrame =
       chunks
-        .withColumn("h", transform(shingles(col(tcol), 5), sh => hex32(sh)))
         // self-defending guard (round-11 ADVICE): callers guarantee every
-        // chunk carries >= 8 tokens (so >= 4 hashes), but if the chunk
-        // math ever changes, sequence(0, size(h)-4) on a short chunk
-        // would silently DESCEND and slice() would run with non-positive
-        // indices — filter rather than trust the invariant
-        .filter(size(col("h")) >= 4)
+        // chunk carries >= 8 tokens (so >= 4 window hashes: shingles
+        // yields len-4 of them for len >= 5), but if the chunk math is
+        // ever changed, sequence(0, size(h)-4) on a short chunk would
+        // silently DESCEND and slice() would run with non-positive
+        // indices — filter rather than trust the invariant. The guard
+        // reads the INPUT column, NOT `h`: a filter between the aliased
+        // `h` projection and its consumer gets pushdown-rewritten in
+        // terms of the child and breaks the CollapseProject
+        // evaluate-once shape below — measured 8.5 -> 73+ s at sf1m
+        // (the O(len²) HOF re-evaluation this comment block exists to
+        // prevent, resurrected by the guard's first spelling)
+        .filter(size(col(tcol)) >= 8)
+        .withColumn("h", transform(shingles(col(tcol), 5), sh => hex32(sh)))
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(0), size(col("h")) - 4),
             i => array_min(slice(col("h"), i + 1, lit(4)))))).as("f"))
     val base = docs.filter(size(col("toks")) >= 8)
+    // split=false (caller's length stat proves no doc exceeds seg+7):
+    // single-scan short path — no second tokenize pass to find zero
+    // long docs, no empty repartition/distinct scaffolding
+    if (!split) return fps(base, "toks")
     val shortDocs = fps(base.filter(size(col("toks")) <= seg + 7), "toks")
     val longDocs = fps(
       base.filter(size(col("toks")) > seg + 7)
@@ -1174,7 +1203,15 @@ object Dedup {
     // (measured ~140 s/task at sf1z; the classic
     // coalesce-before-expanding-join trap).
     val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val fp = winnowFingerprints(corpus(s, d), seg)
+    // Auto-size the long-doc split (round-11 stretch item 8): the exact
+    // per-dir max-length stat proves the split leg empty on short-doc
+    // corpora (every fixture tree and the uniform sf1m are <= 100
+    // tokens), so they keep the single-scan exchange-free path; the
+    // zipf tree's x8 tail (~800 tokens > seg+7) engages it. Either way
+    // the fingerprint set is IDENTICAL (DedupSpec pins segment-merge ==
+    // whole-doc), so the oracle never sees the difference.
+    val fp = winnowFingerprints(corpus(s, d), seg,
+        split = maxTokLen(s, d) > seg + 7)
       .repartition(nShuf, col("f")).localCheckpoint()
     val df = fp.groupBy("f").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= 20).select("f")

@@ -204,6 +204,16 @@ class DedupSpec extends SparkSpec {
         s"seg=$seg: extra=$extra missing=$miss"
       })
     }
+    // the auto-size gate's single-scan path (split=false) is also the
+    // identical set — so the stat-driven plan choice can never change
+    // the fingerprints, only the shape that computes them
+    val gated = ops.Dedup.winnowFingerprints(docs, 256, split = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == whole, "split=false path must equal the split paths")
+    // the gating stat itself is exact: corpus docs are <= 100 tokens, so
+    // on the raw fixture the stat proves the long leg empty
+    assert(ops.Dedup.maxTokLen(spark, sf) <= 256 + 7,
+      "fixture corpus must take the exchange-free path under the gate")
   }
 
   test("q277: the sweep replays off q29's verified Jaccard table") {

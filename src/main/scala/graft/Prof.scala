@@ -53,6 +53,34 @@ object Prof {
               array_join(transform(expr("graft_minhash(toks)"),
                 _.cast("string")), ",").as("sig"))
         },
+        // round-12 fused-fingerprint diagnostics: is the sh column
+        // evaluated once (guarded projection) or inlined twice?
+        "fpx_sh_only" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          graft.Q.stageBarrier(Tables.documents(s, d))
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+        },
+        "fpx_fused" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          graft.Q.stageBarrier(Tables.documents(s, d))
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+            .withColumn("sig", expr("graft_minhash_hashes(sh)"))
+        },
+        "fpx_two_exprs" -> { (s, d) =>
+          import org.apache.spark.sql.functions._
+          import graft.functions.TextFunctions._
+          graft.Q.stageBarrier(Tables.documents(s, d))
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              array_distinct(tokenShingleHashes(col("toks"))).as("sh"),
+              expr("graft_minhash(toks)").as("sig"))
+        },
         "q28_hash_stage" -> { (s, d) =>
           import org.apache.spark.sql.functions._
           import graft.functions.TextFunctions._

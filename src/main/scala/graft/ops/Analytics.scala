@@ -13,6 +13,61 @@ object Analytics {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Exact multi-target weighted selection by HISTOGRAM narrowing
+    * (round-12 generalization of q197's single-rank `kth`, guide §1.2:
+    * fix the algorithm before the per-task work): for each target t,
+    * the smallest value v with Σ(w | c ≤ v) ≥ t. Each pass buckets
+    * every still-open target's range into ≤ B = 4096 cells with ONE
+    * posexplode-tagged aggregate over the frame and narrows to the
+    * bucket holding the remaining target weight — log₄₀₉₆(range) ≈ 2
+    * scans for any domain up to B² ≈ 16.7M wide, where the former
+    * bit-wise binary search (q153's old shape) needed log₂(range) ≈ 24
+    * SEQUENTIAL scans, each a separate job. B = 4096 (not q197's 2¹⁶)
+    * keeps the per-pass exchange at ≤ targets·B map-side cells per
+    * task — ScaleSpec gauges it; data-size-INDEPENDENT, unlike a sort.
+    * Driver state is O(targets · buckets) cells per pass (the
+    * documented q197/q153 bounded-scalar exception), never row data.
+    * Exact: integer bucket math, final pass has width 1. Weights must
+    * be non-negative (counts / quantities here). */
+  private def selectByCumWeight(v: DataFrame, cName: String, w: Column,
+      targets: Seq[Long], vmin: Long, vmax: Long): Array[Long] = {
+    val nT = targets.length
+    val lo = Array.fill(nT)(vmin)
+    val hi = Array.fill(nT)(vmax)
+    val rem = targets.toArray // target weight remaining within [lo_i, hi_i]
+    val B = 4096L
+    while (lo.indices.exists(i => lo(i) < hi(i))) {
+      val open = lo.indices.filter(i => lo(i) < hi(i))
+      val widths = open.map(i => (hi(i) - lo(i)) / B + 1L)
+      // one scan: each row contributes (target-index, bucket, weight)
+      // for every open target whose range contains it
+      val bucketCols = open.zip(widths).map { case (i, wd) =>
+        when(col(cName) >= lo(i) && col(cName) <= hi(i),
+          expr(s"($cName - ${lo(i)}L) div ${wd}L")).otherwise(lit(null))
+      }
+      val cells = v
+        .select(posexplode(array(bucketCols: _*)).as(Seq("ti", "b")), w.as("w"))
+        .filter(col("b").isNotNull)
+        .groupBy("ti", "b").agg(sum(col("w")).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (ti, rows) =>
+          ti -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+      open.zipWithIndex.foreach { case (i, oi) =>
+        var need = rem(i)
+        val buckets = cells.getOrElse(oi, Array.empty[(Long, Long)])
+        val hit = buckets.find { case (_, n) =>
+          if (need <= n) true else { need -= n; false } }
+          .getOrElse(sys.error("selection target out of range — weights drifted"))
+        rem(i) = need
+        val newLo = lo(i) + hit._1 * widths(oi)
+        hi(i) = math.min(hi(i), newLo + widths(oi) - 1L)
+        lo(i) = newLo
+      }
+    }
+    lo
+  }
+
   /** q48 — pivot: order counts and revenue per (priority, status),
     * statuses pivoted to columns. Oracle mirrors with CASE aggregation —
     * the relational definition of pivot. */
@@ -586,23 +641,13 @@ object Analytics {
     val head = v.agg(count(lit(1)), min("c"), max("c")).head()
     val n = head.getLong(0)
     val (vmin, vmax) = (head.getLong(1), head.getLong(2))
-    // (0-based target rank, search bounds) per statistic
+    // (stat, 0-based target rank): smallest v with cnt_le(v) >= rank+1.
+    // Histogram selection (selectByCumWeight): 2 scans instead of the
+    // old ~24-round value-domain binary search — same exact answer.
     val targets = Array(("median", (n - 1) / 2), ("p90", (n - 1) * 9 / 10))
-    val lo = Array.fill(targets.length)(vmin)
-    val hi = Array.fill(targets.length)(vmax)
-    while (targets.indices.exists(i => lo(i) < hi(i))) {
-      val mids = targets.indices.map(i => (lo(i) + hi(i)) >> 1)
-      val counts = v.agg(
-        sum(when(col("c") <= mids(0), 1L).otherwise(0L)),
-        sum(when(col("c") <= mids(1), 1L).otherwise(0L))).head()
-      targets.indices.foreach { i =>
-        if (lo(i) < hi(i)) {
-          if (counts.getLong(i) > targets(i)._2) hi(i) = mids(i)
-          else lo(i) = mids(i) + 1
-        }
-      }
-    }
-    targets.indices.map(i => (targets(i)._1, targets(i)._2, lo(i)))
+    val vals = selectByCumWeight(v, "c", lit(1L),
+      targets.map(_._2 + 1).toSeq, vmin, vmax)
+    targets.indices.map(i => (targets(i)._1, targets(i)._2, vals(i)))
       .toDF("stat", "k", "value_cents")
       .orderBy("stat")
   }
@@ -2066,24 +2111,14 @@ object Analytics {
     val wt = head.getLong(0)
     val (vmin, vmax) = (head.getLong(1), head.getLong(2))
     // (stat, target cumulative weight): lower weighted quantile = the
-    // smallest value whose cumulative weight reaches the target
+    // smallest value whose cumulative weight reaches the target.
+    // Histogram selection (selectByCumWeight, sum-of-weight cells): 2
+    // scans instead of ~24 binary-search rounds — same exact answer.
     val targets = Array(("p50_weighted", (wt + 1) / 2),
       ("p90_weighted", (9 * wt + 9) / 10))
-    val lo = Array.fill(targets.length)(vmin)
-    val hi = Array.fill(targets.length)(vmax)
-    while (targets.indices.exists(i => lo(i) < hi(i))) {
-      val mids = targets.indices.map(i => (lo(i) + hi(i)) >> 1)
-      val sums = v.agg(
-        sum(when(col("c") <= mids(0), col("w")).otherwise(0L)),
-        sum(when(col("c") <= mids(1), col("w")).otherwise(0L))).head()
-      targets.indices.foreach { i =>
-        if (lo(i) < hi(i)) {
-          if (sums.getLong(i) >= targets(i)._2) hi(i) = mids(i)
-          else lo(i) = mids(i) + 1
-        }
-      }
-    }
-    targets.indices.map(i => (targets(i)._1, targets(i)._2, lo(i)))
+    val vals = selectByCumWeight(v, "c", col("w"),
+      targets.map(_._2).toSeq, vmin, vmax)
+    targets.indices.map(i => (targets(i)._1, targets(i)._2, vals(i)))
       .toDF("stat", "target_weight", "value_cents")
       .orderBy("stat")
   }
@@ -2463,25 +2498,13 @@ object Analytics {
       .localCheckpoint() // narrow 1-col projection: every search round scans it
     val n = v.count()
     val k = n / 10
-    // value-domain binary search for the (k+1)-th and (n-k)-th smallest
-    // (q153's pattern: O(1) driver scalars per round, no sort)
+    // histogram selection for the (k+1)-th and (n-k)-th smallest
+    // (selectByCumWeight: 2 scans instead of ~24 binary-search rounds;
+    // O(buckets) driver cells per pass, no sort — same exact answer)
     val bounds = v.agg(min("c"), max("c")).head()
-    val lo = Array(bounds.getLong(0), bounds.getLong(0))
-    val hi = Array(bounds.getLong(1), bounds.getLong(1))
-    val targets = Array(k + 1, n - k) // rank = least v with cnt_le(v) >= rank
-    while (targets.indices.exists(i => lo(i) < hi(i))) {
-      val mids = targets.indices.map(i => lo(i) + (hi(i) - lo(i)) / 2)
-      val counts = v.agg(
-        sum(when(col("c") <= mids(0), 1L).otherwise(0L)),
-        sum(when(col("c") <= mids(1), 1L).otherwise(0L))).head()
-      targets.indices.foreach { i =>
-        if (lo(i) < hi(i)) {
-          if (counts.getLong(i) >= targets(i)) hi(i) = mids(i)
-          else lo(i) = mids(i) + 1
-        }
-      }
-    }
-    val (vLo, vHi) = (lo(0), lo(1))
+    val vals = selectByCumWeight(v, "c", lit(1L), Seq(k + 1, n - k),
+      bounds.getLong(0), bounds.getLong(1))
+    val (vLo, vHi) = (vals(0), vals(1))
     // one final scan: inside-sum + exact tie corrections at the bounds
     v.agg(
         sum(when(col("c") > vLo && col("c") < vHi, col("c")).otherwise(0L)).as("mid_sum"),

@@ -87,21 +87,56 @@ object Dedup {
     * localCheckpoint'd because every consumer references it 2-4 times
     * (band self-join sides + signature re-joins) and each reference
     * would otherwise recompute the signature subtree — the cluster
-    * equivalent is a checkpoint/cached staging table. */
-  private def sigTable(s: SparkSession, d: String): DataFrame =
-    sigTableOf(corpus(s, d))
+    * equivalent is a checkpoint/cached staging table.
+    *
+    * Since round 12 only q313's from-scratch audit leg (which must
+    * genuinely recompute from tokens) uses this; every query that needs
+    * BOTH signatures and shingle sets goes through [[fpTable]], which
+    * pays the md5-per-shingle pass once instead of twice. */
+  /** Checkpoint at the session's shuffle parallelism, not the union's
+    * inherited partition count (round-12, guide §2.2/§6: fewer, larger
+    * partitions). The synthetic corpus is a 3-5-leg union of 32-split
+    * scans, so a naive checkpoint carries 96-160 partitions and EVERY
+    * downstream consumer (4-6 scans per dedup query) pays that many
+    * task launches to read a few thousand rows — measured ~0.1 s of
+    * executor time per task of pure overhead, the dominant cost of
+    * q312/q313. coalesce (no exchange) folds the legs to
+    * spark.sql.shuffle.partitions, which already scales with the
+    * cluster; a no-op when the frame is narrower. */
+  private def tightCheckpoint(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.coalesce(n).localCheckpoint()
+  }
 
-  /** [[sigTable]] over an arbitrary (doc_id, toks) frame — the dedup
-    * corpus for the registry queries, a day's batch or a persisted
-    * store snapshot for the incremental-merge path (q312/mergeDay). */
   private def sigTableOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("sig", expr("graft_minhash(toks)"))
-      .localCheckpoint()
+    tightCheckpoint(docs.withColumn("sig", expr("graft_minhash(toks)")))
+
+  /** ONE fused fingerprint pass (round-12 optimization, guide §1.2/§2.4:
+    * don't compute the same expensive thing twice): (doc_id, n_tok, sh,
+    * sig) where `sh` is the distinct 5-shingle hash set (the verify
+    * side) and `sig` the 16-perm MinHash signature DERIVED from `sh` by
+    * pure integer arithmetic (plans.MinHashFromHashes — min over a set
+    * ignores multiplicity, so it is bit-identical to
+    * `graft_minhash(toks)`; PlanSpec pins it). Before: sigTable and
+    * shingleSets each ran the md5-per-shingle pass (MinHashSig.compute
+    * IS ShingleHashes.compute plus 16 multiplies), so q29/q30/q61/q97/
+    * q108/q120/q132/q312/q313 tokenized and hashed the corpus twice and
+    * checkpointed it twice. One checkpoint now feeds the band index,
+    * the verify joins, the node sets, and the representative pick —
+    * and it stores 8-byte hash arrays, not token strings. */
+  private def fpTableOf(docs: DataFrame): DataFrame =
+    tightCheckpoint(docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
+      .withColumn("sig", expr("graft_minhash_hashes(sh)")))
+
+  /** [[fpTableOf]] over the synthetic-duplicate corpus. */
+  private def fpTable(s: SparkSession, d: String): DataFrame =
+    fpTableOf(corpus(s, d))
 
   /** Band rows (doc_id, band key) — 4 bands × 4 signature rows. */
   private def bandRows(s: SparkSession, d: String): DataFrame =
-    bandRowsOf(sigTable(s, d))
+    bandRowsOf(fpTable(s, d))
 
   /** Band explode over any (doc_id, sig) frame (no shuffle: a narrow
     * 4-way per-row explode of 16-byte keys). */
@@ -128,9 +163,10 @@ object Dedup {
        |)""".stripMargin
 
   /** LSH candidate pairs: doc_a < doc_b sharing >= 1 of the 4 band keys
-    * (the Spark twin of DBands' `cand`). */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandRows(s, d)
+    * (the Spark twin of DBands' `cand`) — over a shared [[fpTableOf]]
+    * frame so the fingerprint pass is paid once per query. */
+  private def candidatePairsOf(fp: DataFrame): DataFrame = {
+    val bands = bandRowsOf(fp)
     bands.as("x").join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -147,9 +183,8 @@ object Dedup {
 
   /** [[shingleSets]] over an arbitrary (doc_id, toks) frame. */
   private def shingleSetsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
+    tightCheckpoint(docs
+      .select(col("doc_id"), array_distinct(tokenShingleHashes(col("toks"))).as("sh")))
 
   /** Exact-Jaccard >= 0.7 verified near-dup pairs over `cand` — the ONE
     * verify rule (q29's), shared by resolution (q30/q61/q97), the
@@ -188,8 +223,9 @@ object Dedup {
        |JOIN sigs sx ON sx.doc_id = doc_a
        |JOIN sigs sy ON sy.doc_id = doc_b
        |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val cand = candidatePairs(s, d)
-    val sigs = sigTable(s, d).select(col("doc_id"), col("sig"))
+    val fp = fpTable(s, d)
+    val cand = candidatePairsOf(fp)
+    val sigs = fp.select(col("doc_id"), col("sig"))
     val matches = aggregate(sequence(lit(1), lit(16)), lit(0L),
       (acc, i) => acc + when(element_at(col("sx"), i) === element_at(col("sy"), i), 1L)
         .otherwise(0L))
@@ -263,13 +299,13 @@ object Dedup {
        |JOIN sigs sx ON sx.doc_id = doc_a
        |JOIN sigs sy ON sy.doc_id = doc_b
        |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val cand = candidatePairs(s, d)
-    val sh = shingleSets(s, d)
+    val fp = fpTable(s, d)
+    val cand = candidatePairsOf(fp)
     val inter = size(array_intersect(col("sx"), col("sy"))).cast("long")
     val uni = size(array_distinct(concat(col("sx"), col("sy")))).cast("long")
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         when(uni === 0, 0L).otherwise(floor(inter * 1000000L / uni)).as("jac_ppm"),
         when(uni > 0 && inter * 1000000L >= uni * 700000L, 1).otherwise(0).as("is_dup"))
@@ -289,8 +325,9 @@ object Dedup {
        |FROM corpus c LEFT JOIN verified v ON v.doc_b = c.doc_id
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""") { (s, d) =>
-    val verified = verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
-    corpus(s, d).as("c")
+    val fp = fpTable(s, d)
+    val verified = verifiedDupPairs(candidatePairsOf(fp), fp)
+    fp.select("doc_id").as("c")
       .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
       .groupBy(col("c.doc_id").as("doc_id"))
       .agg(least(col("doc_id"), coalesce(min(col("v.doc_a")), col("doc_id"))).as("canonical"),
@@ -327,11 +364,12 @@ object Dedup {
        |  CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS is_canonical
        |FROM reach GROUP BY src
        |ORDER BY doc_id""") { (s, d) =>
-    val verified = verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
+    val fp = fpTable(s, d)
+    val verified = verifiedDupPairs(candidatePairsOf(fp), fp)
     val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
-    val nodes = corpus(s, d).select(col("doc_id").as("id"))
+    val nodes = fp.select(col("doc_id").as("id"))
     connectedComponents(nodes, edges)
       .select(col("id").as("doc_id"), col("comp").as("component"),
         when(col("comp") === col("id"), 1).otherwise(0).as("is_canonical"))
@@ -520,14 +558,11 @@ object Dedup {
        |FROM ranked WHERE rn = 1 AND n_members > 1
        |ORDER BY cluster""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    // sh keeps n_tok for the representative pick; the verify helper
+    // fp carries n_tok for the representative pick; the verify helper
     // reads only (doc_id, sh)
-    val sh = corpus(s, d)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
-        array_distinct(tokenShingleHashes(col("toks"))).as("sh"))
-      .localCheckpoint()
-    val verified = verifiedDupPairs(candidatePairs(s, d), sh)
-    val resolved = sh.select(col("doc_id"), col("n_tok")).as("c")
+    val fp = fpTable(s, d)
+    val verified = verifiedDupPairs(candidatePairsOf(fp), fp)
+    val resolved = fp.select(col("doc_id"), col("n_tok")).as("c")
       .join(verified.as("v"), col("v.doc_b") === col("c.doc_id"), "left")
       .groupBy(col("c.doc_id").as("doc_id"), col("n_tok"))
       .agg(least(col("doc_id"), coalesce(min(col("v.doc_a")), col("doc_id"))).as("cluster"))
@@ -628,9 +663,10 @@ object Dedup {
        |  (SELECT COUNT(*) FROM found) AS n_planted_found,
        |  CAST(FLOOR((SELECT COUNT(*) FROM found)*1000000.0
        |    / greatest((SELECT COUNT(*) FROM planted), 1)) AS BIGINT) AS recall_ppm""") { (s, d) =>
-    val cand = candidatePairs(s, d)
+    val fp = fpTable(s, d)
+    val cand = candidatePairsOf(fp)
       .localCheckpoint() // counted, verified against, and recall-joined
-    val verified = verifiedDupPairs(cand, shingleSets(s, d))
+    val verified = verifiedDupPairs(cand, fp)
     val baseIds = graft.Q.stageBarrier(Tables.documents(s, d)).select(col("doc_id"))
     val planted = baseIds.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
@@ -727,7 +763,8 @@ object Dedup {
       val b = pmod(hex32(concat(lit("spl_"), id.cast("string"))), lit(10L))
       when(b < 8, "train").when(b === 8, "val").otherwise("test")
     }
-    verifiedDupPairs(candidatePairs(s, d), shingleSets(s, d))
+    locally { val fp = fpTable(s, d)
+      verifiedDupPairs(candidatePairsOf(fp), fp) }
       .select(least(split(col("doc_a")), split(col("doc_b"))).as("split_a"),
         greatest(split(col("doc_a")), split(col("doc_b"))).as("split_b"))
       .groupBy("split_a", "split_b")
@@ -779,16 +816,17 @@ object Dedup {
        |LEFT JOIN (SELECT doc_a AS doc_id, min(doc_b) AS dup_of
        |           FROM verified GROUP BY doc_a) v USING (doc_id)
        |ORDER BY doc_id""") { (s, d) =>
-    val bands = bandRows(s, d)
+    val fp = fpTable(s, d)
+    val bands = bandRowsOf(fp)
     val idx = bands.filter(col("doc_id") < 1000000L)
       .select(col("doc_id").as("doc_b"), col("bkey"))
     val batch = bands.filter(col("doc_id") >= 1000000L)
       .select(col("doc_id").as("doc_a"), col("bkey"))
     val cand = batch.join(idx, "bkey").select("doc_a", "doc_b").distinct()
-    val matched = verifiedDupPairs(cand, shingleSets(s, d))
+    val matched = verifiedDupPairs(cand, fp)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    corpus(s, d).filter(col("doc_id") >= 1000000L).select("doc_id")
+    fp.filter(col("doc_id") >= 1000000L).select("doc_id")
       .join(matched, Seq("doc_id"), "left")
       .withColumn("decision", when(col("dup_of").isNull, "new").otherwise("dup"))
       .orderBy("doc_id")
@@ -1279,10 +1317,10 @@ object Dedup {
        |LEFT JOIN aff ON aff.t = ts.t
        |CROSS JOIN nn
        |ORDER BY threshold_ppm""") { (s, d) =>
-    val sh = shingleSets(s, d)
-    val jac = candidatePairs(s, d)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
+    val fp = fpTable(s, d)
+    val jac = candidatePairsOf(fp)
+      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sx")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sy")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sx"), col("sy"))).cast("long").as("i"),
         size(array_distinct(concat(col("sx"), col("sy")))).cast("long").as("u"))
@@ -1299,7 +1337,7 @@ object Dedup {
     val aff = hit.select(col("t"), col("doc_a").as("doc"))
       .unionAll(hit.select(col("t"), col("doc_b").as("doc")))
       .groupBy("t").agg(countDistinct("doc").as("n_affected"))
-    val nn = corpus(s, d).agg(count(lit(1)).as("n"))
+    val nn = fp.agg(count(lit(1)).as("n"))
     ts.join(agg, Seq("t"), "left").join(aff, Seq("t"), "left")
       .crossJoin(broadcast(nn)) // 1-row corpus count
       .select(col("t").as("threshold_ppm"),
@@ -1418,27 +1456,26 @@ object Dedup {
     * (≪ corpus) broadcasts, so the store is never shuffled; verify
     * fetches shingle sets for candidate ids only; the CC loop runs on
     * the batch-survivor graph (day-cardinality, not corpus). */
-  private[graft] def mergeDecisions(idxSig: DataFrame, idxSh: DataFrame,
-      batSig: DataFrame, batSh: DataFrame): DataFrame = {
-    val idxB = bandRowsOf(idxSig).select(col("doc_id").as("doc_b"), col("bkey"))
-    val batB = bandRowsOf(batSig).select(col("doc_id"), col("bkey")).localCheckpoint()
+  private[graft] def mergeDecisions(idxFp: DataFrame, batFp: DataFrame): DataFrame = {
+    val idxB = bandRowsOf(idxFp).select(col("doc_id").as("doc_b"), col("bkey"))
+    val batB = bandRowsOf(batFp).select(col("doc_id"), col("bkey")).localCheckpoint()
     val candIdx = batB.select(col("doc_id").as("doc_a"), col("bkey"))
       .join(idxB, "bkey").select("doc_a", "doc_b").distinct()
     // union is safe under id overlap (re-merging an already-admitted
     // batch): duplicate (doc_id, sh) rows fan the verify join out and
     // the min-aggregate absorbs them
-    val sh = batSh.select("doc_id", "sh").unionByName(idxSh.select("doc_id", "sh"))
+    val sh = batFp.select("doc_id", "sh").unionByName(idxFp.select("doc_id", "sh"))
     val dupIdx = verifiedDupPairs(candIdx, sh)
       .groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("idx_dup"))
       .localCheckpoint() // read by surv anti-join AND the decision join
-    val batIds = batSig.select("doc_id")
+    val batIds = batFp.select("doc_id")
     val surv = batIds.join(dupIdx.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint() // read by sb and the CC node set
     val sb = batB.join(surv, "doc_id")
     val candBat = sb.as("x").join(sb.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    val verBat = verifiedDupPairs(candBat, batSh.select("doc_id", "sh"))
+    val verBat = verifiedDupPairs(candBat, batFp.select("doc_id", "sh"))
     val edges = verBat.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(verBat.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint() // read once per CC round
@@ -1459,9 +1496,12 @@ object Dedup {
     * the probe + verify path needs, so a merge never re-tokenizes the
     * stored corpus. This is the schema [[mergeDay]] persists. */
   def fingerprintStore(docs: DataFrame): DataFrame =
+    // one md5-per-shingle pass: sh first, sig derived from it (identical
+    // values — see fpTableOf; PlanSpec pins graft_minhash_hashes∘distinct
+    // == graft_minhash)
     docs
-      .withColumn("sig", expr("graft_minhash(toks)"))
       .withColumn("sh", array_distinct(tokenShingleHashes(col("toks"))))
+      .withColumn("sig", expr("graft_minhash_hashes(sh)"))
       .select("doc_id", "sig", "sh")
 
   /** Incremental store maintenance: merge a day's `batchDocs`
@@ -1478,9 +1518,7 @@ object Dedup {
       batchDocs: DataFrame): (Int, DataFrame) = {
     val store = graft.sources.Versioned.read(spark, dir).localCheckpoint()
     val bat = fingerprintStore(batchDocs).localCheckpoint()
-    val dec = mergeDecisions(
-      store.select("doc_id", "sig"), store.select("doc_id", "sh"),
-      bat.select("doc_id", "sig"), bat.select("doc_id", "sh"))
+    val dec = mergeDecisions(store, bat)
       .localCheckpoint() // read for the admit filter AND returned
     val admitted = bat.join(
       dec.filter(col("decision") === "new").select("doc_id"), "doc_id")
@@ -1505,11 +1543,11 @@ object Dedup {
     s"""WITH RECURSIVE $DMergeCorpus, $DSigsBands, $DMergeDecisions
        |SELECT doc_id, dup_of, decision FROM dec
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val mc = mergeCorpus(s, d)
-    val idx = mc.filter(col("doc_id") < 1000000L)
-    val bat = mc.filter(col("doc_id") >= 1000000L)
-    mergeDecisions(sigTableOf(idx), shingleSetsOf(idx),
-      sigTableOf(bat), shingleSetsOf(bat))
+    // ONE fused fingerprint pass over the whole merge corpus (was four:
+    // sig + shingles per side, each its own tokenize + md5 pass)
+    val fpAll = fpTableOf(mergeCorpus(s, d))
+    mergeDecisions(fpAll.filter(col("doc_id") < 1000000L),
+      fpAll.filter(col("doc_id") >= 1000000L))
       .orderBy("doc_id")
   }
 
@@ -1553,20 +1591,22 @@ object Dedup {
        |)
        |ORDER BY metric""".stripMargin) { (s, d) =>
     val mc = mergeCorpus(s, d)
-    val idx = mc.filter(col("doc_id") < 1000000L)
-    val bat = mc.filter(col("doc_id") >= 1000000L)
-    val idxSig = sigTableOf(idx)
-    val batSig = sigTableOf(bat)
-    val dec = mergeDecisions(idxSig, shingleSetsOf(idx), batSig, shingleSetsOf(bat))
+    // ONE fused fingerprint pass for the decision + append legs (was
+    // four sig/shingle passes — round-12 optimization, same algebra)
+    val fpAll = fpTableOf(mc)
+    val idxFp = fpAll.filter(col("doc_id") < 1000000L)
+    val batFp = fpAll.filter(col("doc_id") >= 1000000L)
+    val dec = mergeDecisions(idxFp, batFp)
       .localCheckpoint() // read by four counting legs + the admit filter
     val adm = dec.filter(col("decision") === "new").select("doc_id")
-    val before = bandRowsOf(idxSig).select("doc_id", "bkey")
-    val appended = bandRowsOf(batSig).select("doc_id", "bkey").join(adm, "doc_id")
+    val before = bandRowsOf(idxFp).select("doc_id", "bkey")
+    val appended = bandRowsOf(batFp).select("doc_id", "bkey").join(adm, "doc_id")
     val after = before.unionByName(appended).localCheckpoint() // 3 readers
     // the from-scratch leg genuinely RECOMPUTES signatures from tokens
-    // over base + admitted (a fresh sigTableOf pipeline), so the
-    // checksum equality tests the append algebra, not frame identity
-    val keep = idx.select("doc_id").unionByName(adm)
+    // over base + admitted (a fresh sigTableOf pipeline — deliberately
+    // NOT the shared fpAll checkpoint), so the checksum equality tests
+    // the append algebra, not frame identity
+    val keep = idxFp.select("doc_id").unionByName(adm)
     val scratch = bandRowsOf(sigTableOf(mc.join(keep, "doc_id")))
       .select("doc_id", "bkey")
     val ckOf: Column =

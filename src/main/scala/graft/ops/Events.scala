@@ -2195,7 +2195,15 @@ object Events {
       |GROUP BY obs.gap""") { (s, d) =>
     val e = Tables.events(s, d).select(col("user_id"),
       (dec(col("value")) * 100).cast("long").as("r"))
-    val tagged = e.select(col("user_id"), col("r"),
+    // arm assignment is a function of (b, user_id) only, so collapse to
+    // per-USER partials BEFORE the ×17 explode (round-12, guide §2.3
+    // "aggregate before you shuffle"): the md5 pseudo-assignments and
+    // the exploded rows now scale with |users|, not |events| (~50×
+    // fewer md5 evaluations at sf0.1), and the per-arm mean folds the
+    // partials exactly: Σ_users Σ_user r = Σ r, Σ_users n_user = n.
+    val u = e.groupBy("user_id")
+      .agg(sum(col("r")).as("sr"), count(lit(1)).as("nr"))
+    val tagged = u.select(col("user_id"), col("sr"), col("nr"),
         explode(sequence(lit(0), lit(16))).as("b"))
       .select(col("b"),
         when(col("b") === 0, col("user_id") % 2)
@@ -2203,9 +2211,9 @@ object Events {
             concat(lit("perm_"), col("b").cast("string"), lit("_"),
               col("user_id").cast("string"))), 1, 8), 16, 10)
             .cast("long") % 2).as("arm"),
-        col("r"))
+        col("sr"), col("nr"))
     val cells = tagged.groupBy("b", "arm")
-      .agg(expr("CAST(1000 * sum(r) div count(1) AS BIGINT)").as("mean_milli"))
+      .agg(expr("CAST(1000 * sum(sr) div sum(nr) AS BIGINT)").as("mean_milli"))
     val gaps = cells.filter(col("arm") === 1)
       .join(cells.filter(col("arm") === 0)
         .select(col("b"), col("mean_milli").as("m0")), "b")
@@ -2290,18 +2298,23 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, d).select(col("event_type"), col("user_id"),
       (dec(col("value")) * 100).cast("long").as("r"))
-    val tagged = e.select(col("event_type"), col("r"),
-        explode(sequence(lit(0), lit(40))).as("b"),
-        col("user_id"))
+    // per-(type, user) partials BEFORE the ×41 explode — q247's
+    // rationale (arm is a function of (b, user_id) only); the exploded
+    // row count and the 40 md5 evaluations per row now scale with
+    // |type × user| cells, not |events|
+    val u = e.groupBy("event_type", "user_id")
+      .agg(sum(col("r")).as("sr"), count(lit(1)).as("nr"))
+    val tagged = u.select(col("event_type"), col("user_id"), col("sr"), col("nr"),
+        explode(sequence(lit(0), lit(40))).as("b"))
       .select(col("event_type"), col("b"),
         when(col("b") === 0, col("user_id") % 2)
           .otherwise(conv(substring(md5(
             concat(lit("perm_"), col("b").cast("string"), lit("_"),
               col("user_id").cast("string"))), 1, 8), 16, 10)
             .cast("long") % 2).as("arm"),
-        col("r"))
+        col("sr"), col("nr"))
     val cells = tagged.groupBy("event_type", "b", "arm")
-      .agg(expr("CAST(1000 * sum(r) div count(1) AS BIGINT)").as("mean_milli"))
+      .agg(expr("CAST(1000 * sum(sr) div sum(nr) AS BIGINT)").as("mean_milli"))
     val gaps = cells.filter(col("arm") === 1)
       .join(cells.filter(col("arm") === 0)
         .select(col("event_type"), col("b"), col("mean_milli").as("m0")),

@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(args.head)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_hashes"),
+      new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_hashes(hashes) takes one argument")
+        MinHashFromHashes(args.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => {

@@ -116,6 +116,36 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_minhash") && l.trim.startsWith("*(")), s"not codegen'd:\n$plan")
   }
 
+  test("graft_minhash_hashes over (distinct) shingle hashes equals graft_minhash") {
+    // round-12 fused fingerprint pass: the dedup pack derives the
+    // signature from the already-computed shingle-hash set instead of
+    // re-running md5 per shingle; min over a set ignores multiplicity
+    // and order, so both the raw and the distinct hash array must give
+    // the signature graft_minhash computes from tokens
+    val both = ops.Dedup.corpus(spark, sf)
+      .select(col("doc_id"),
+        expr("graft_minhash(toks)").as("direct"),
+        expr("graft_minhash_hashes(graft_shingle_hashes(toks))").as("raw"),
+        expr("graft_minhash_hashes(array_distinct(graft_shingle_hashes(toks)))")
+          .as("dedup"))
+    assert(both.filter(col("direct") =!= col("raw")).count() == 0)
+    assert(both.filter(col("direct") =!= col("dedup")).count() == 0)
+    // null propagates; a null element is skipped, not NPE'd
+    assert(spark.sql("SELECT graft_minhash_hashes(CAST(NULL AS ARRAY<BIGINT>)) AS s")
+      .head.isNullAt(0))
+    val skipNull = spark.sql(
+      "SELECT graft_minhash_hashes(array(7L, CAST(NULL AS BIGINT))) AS a, " +
+        "graft_minhash_hashes(array(7L)) AS b").head
+    assert(skipNull.getSeq[Long](0) == skipNull.getSeq[Long](1))
+    // codegen marker: stays inside whole-stage codegen
+    val nat = spark.range(100)
+      .selectExpr("graft_minhash_hashes(array(id)) AS sig")
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_minhash_hashes") && l.trim.startsWith("*(")),
+      s"not codegen'd:\n$plan")
+  }
+
   test("AsofJoin plans as the merge exec over two sorted exchanges and equals the window spelling") {
     val q81 = ops.Events.q81AsofOperator.fn(spark, sf)
     val plan = q81.queryExecution.executedPlan.toString

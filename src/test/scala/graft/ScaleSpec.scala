@@ -201,7 +201,9 @@ class ScaleSpec extends SparkSpec {
       "q150_phrase_query" -> 230L,
       "q151_public_suffix" -> 64L,
       "q152_kanon_release" -> 320L,
-      "q153_exact_select" -> 8L,
+      // q153 (round 12): histogram selection — ≤ targets·4096 bucket
+      // cells per map task per pass, 2 passes; data-size-independent
+      "q153_exact_select" -> 192L,
       "q154_index_maintain" -> 1280L,
       "q155_qi_audit" -> 1560L,
       // q156: (type, day) count partials + 150-cell window input;
@@ -400,9 +402,9 @@ class ScaleSpec extends SparkSpec {
       // q214: (flag, reg) register maxes — ≤ 3×256 cells after map-side
       // combine — plus the exact-distinct partials. Measured 54 KiB
       "q214_hll_registers" -> 140L,
-      // q215: log₂(range) conditional-SUM scans, each a 2-cell result;
-      // nothing row-cardinality ever shuffles. Measured 1 KiB at sf0.01
-      "q215_weighted_median" -> 8L,
+      // q215 (round 12): histogram selection — ≤ targets·4096 weight
+      // cells per map task per pass, 2 passes; data-size-independent
+      "q215_weighted_median" -> 192L,
       // q216: (type, day) cell partials collapse map-side; the spine and
       // both IGNORE-NULLS windows run on cells. Measured 6 KiB at sf0.01
       "q216_linear_interp" -> 16L,
@@ -477,9 +479,10 @@ class ScaleSpec extends SparkSpec {
       "q240_rolling_backtest" -> 8L,
       // q241: 1-row midpoint + 4 (group, period) cells (measured 0)
       "q241_diff_in_diff" -> 4L,
-      // q242: conditional-count partials only — the whole point is
-      // that nothing resembling a sort ever shuffles
-      "q242_trimmed_mean" -> 8L,
+      // q242 (round 12): histogram selection cells (≤ targets·4096 per
+      // map task per pass) + the final tie-correction scan's 1-row fold;
+      // nothing resembling a sort ever shuffles
+      "q242_trimmed_mean" -> 192L,
       // q243: two passes of the q105 tf/df cell shape (the (doc, term)
       // cell table shuffles once per pass)
       "q243_prf_expansion" -> 4000L,

@@ -128,11 +128,19 @@ object Analytics {
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(1 AS BIGINT) AS approx_within_10pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    // round 12: two-level aggregation instead of countDistinct-next-to-
+    // count (which plans an Expand that doubles every input row). The
+    // (flag, partkey) pre-aggregate collapses map-side to key cells;
+    // exact_nd = cell count, n = Σ cell counts, and the HLL sketch is
+    // IDENTICAL on deduplicated input (register updates are idempotent
+    // per value), so the derived within-10% column cannot change.
     Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+      .agg(count(lit(1)).as("exact_nd"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
-        count(lit(1)).as("n"))
+        sum(col("cnt")).as("n"))
       .select(col("l_returnflag"), col("exact_nd"), col("n"),
         when(abs(col("approx_nd") - col("exact_nd")) * 10 <= col("exact_nd"), 1L)
           .otherwise(0L).as("approx_within_10pct"))

@@ -884,14 +884,27 @@ object Clean {
 
   /** Spark side of the chain: per matched doc (doc_id, n_terms, score)
     * — unranked; q105 tops it, q125's fusion ranks it. */
-  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  /** The shared BM25 frames: (tf, df, dl, stats). Round 12: `t` and
+    * `tf` are checkpointed so one tokenize + one term aggregation feed
+    * every consumer — q243 previously built this chain TWICE (its own
+    * tf + bm25Scored's), re-tokenizing the corpus ~6x across the legs. */
+  private[ops] def bm25Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // tokenize once: tf, dl, stats all read it
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by df + the scoring pass(es)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
     val stats = t.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("double")./(count(lit(1))).as("avgdl"))
+    (tf, df, dl, stats)
+  }
+
+  /** BM25 scoring of the fixed seed query over prebuilt frames. */
+  private[ops] def bm25ScoredFrom(tf: DataFrame, df: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame = {
     val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
     val tfc = (col("tf").cast("double") * 2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tok") / col("avgdl")))
@@ -904,6 +917,11 @@ object Clean {
       .agg(count(lit(1)).as("n_terms"),
         aggregate(transform(sort_array(collect_list(struct(col("term"), col("sc")))),
           _.getField("sc")), lit(0.0), (a, e) => a + e).as("score"))
+  }
+
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val (tf, df, dl, stats) = bm25Parts(s, d)
+    bm25ScoredFrom(tf, df, dl, stats)
   }
 
   val q105Bm25: Q = Q(
@@ -1949,15 +1967,12 @@ object Clean {
        |  doc_id IN (SELECT doc_id FROM fb) AS in_feedback
        |FROM agg2
        |ORDER BY score_milli DESC, doc_id LIMIT 10""") { (s, d) =>
-    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by pass 1 (via bm25Scored), exp, and pass 2
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
-    val stats = t.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks"))).cast("double")./(count(lit(1))).as("avgdl"))
-    val fb = bm25Scored(s, d)
+    // round 12: ONE bm25Parts chain feeds pass 1 (via bm25ScoredFrom),
+    // the expansion leg, and pass 2 — before, the query built its own
+    // t/tok/tf/df/dl/stats AND bm25Scored rebuilt the identical chain,
+    // re-tokenizing the corpus for each un-checkpointed consumer.
+    val (tf, df, dl, stats) = bm25Parts(s, d)
+    val fb = bm25ScoredFrom(tf, df, dl, stats)
       .orderBy(floor(col("score") * 1000).cast("long").desc, col("doc_id"))
       .limit(3).select("doc_id")
       .localCheckpoint() // 3 feedback docs

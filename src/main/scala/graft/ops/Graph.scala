@@ -680,7 +680,14 @@ object Graph {
       .groupBy("u").agg(count(lit(1)).as("dg"))
     var alive = nodes.select("v")
     (1 to rounds).foreach { _ =>
+      // checkpoint each round's alive set (round 12, q212's fix applied
+      // here too): aliveDeg references `alive` TWICE (u- and v-side
+      // broadcasts), so a lazy chain re-evaluates round r-1 twice per
+      // reference — ~2^rounds evaluations of round 1 by the fixpoint
+      // guard. The set is host-cardinality; the checkpoint is the
+      // per-iteration staging any iterative graph algorithm needs.
       alive = aliveDeg(alive).filter(col("dg") >= k).select(col("u").as("v"))
+        .localCheckpoint()
     }
     val fin = aliveDeg(alive)
       .select(col("u").as("v"), col("dg").as("core_degree"))

@@ -376,7 +376,8 @@ object Multimodal {
     *
     * Scale shape: one narrow per-row pass (build + walk are in-row
     * byte work, the md5 record fingerprint is a codegen'd projection);
-    * the only exchange is the export sort. */
+    * the exchanges are the export sort plus, on low-split layouts only,
+    * the stage barrier's O(rows × 88 B) seed exchange (round 12). */
   val q142PngMetadata: Q = Q(
     "q142_png_metadata",
     """SELECT doc_id, CAST(3 AS BIGINT) AS n_chunks, CAST(3 AS BIGINT) AS crc_ok,
@@ -384,11 +385,15 @@ object Multimodal {
       |      CAST(n_chars AS VARCHAR)) AS meta_fp
       |FROM documents ORDER BY doc_id""") { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        MM.hex80(col("text")).as("hx"))
-      .as[(Long, String, String, Long, String)]
-      .mapPartitions(_.map { case (id, lang, src, nch, hx) =>
+    // barrier + unhexed-seed projection (round 12, mediaTable's recipe):
+    // PNG encode + chunk insert + walk per row ran on 1 of 32 cores on
+    // the one-row-group fixture without the exchange
+    graft.Q.stageBarrier(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          unhex(MM.hex80(col("text"))).as("seed")))
+      .as[(Long, String, String, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, lang, src, nch, seed) =>
+        val hx = MM.bytesToHex(seed)
         val png = MM.insertTextChunks(MM.genPng(hx),
           Seq("lang" -> lang, "source" -> src, "chars" -> nch.toString))
         val got = MM.textChunks(png)

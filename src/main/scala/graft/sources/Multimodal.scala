@@ -604,11 +604,25 @@ object Multimodal {
     * frame j's row y = md5 bytes 4j..4j+3 rotated right by y). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hex80(col("text")).as("hx"))
-      .as[(Long, String)]
+    // barrier (round 12): the single-row-group documents scan plans one
+    // partition, so WITHOUT it every media encode (here) AND decode
+    // (all consumers chain mapPartitions on these partitions) ran on 1
+    // of 32 cores — graft.Prof showed the whole multimodal pack
+    // serialized into 1-task stages. Same adaptive no-op-on-real-layouts
+    // rule as Dedup.corpus / Text.docs (Q.stageBarrier). The barrier
+    // sits ABOVE the seed projection (guide §2.3: project before the
+    // exchange, narrower types): the round-robin exchange ships the
+    // 80-byte UNHEXED payload seed — never document text, and not the
+    // 160-char hex string either (md5 output is incompressible, so hex
+    // doubles the exchange for free). Re-hexing costs one byte loop per
+    // row inside the already-heavy encode task. ScaleSpec's gauges pin
+    // the O(rows × 88 B) bound.
+    graft.Q.stageBarrier(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), unhex(hex80(col("text"))).as("seed")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, hx) =>
+        it.map { case (id, seed) =>
+          val hx = bytesToHex(seed)
           (id % 3).toInt match {
             case 0 => MediaFile(id, "image", "png", genPng(hx))
             case 1 => MediaFile(id, "audio", "wav", encodeWav(hexBytes(hx, 32)))
@@ -629,12 +643,15 @@ object Multimodal {
     * demux plumbing is format-dispatched like a real media pipeline. */
   def aviTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 3 === 2)
-      .select(col("doc_id"), hex80(col("text")).as("hx"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, hx) =>
-        MediaFile(id, "video", "avi", genAvi(hx))
+    // same barrier rationale as mediaTable (round 12): filter + narrow
+    // unhexed-seed projection below the exchange, so only video-doc
+    // seeds move, at 80 bytes each
+    graft.Q.stageBarrier(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), unhex(hex80(col("text"))).as("seed")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        MediaFile(id, "video", "avi", genAvi(bytesToHex(seed)))
       })
   }
 
@@ -657,6 +674,21 @@ object Multimodal {
     * the image dims, bytes 8..79 the 72 grid cells. The first 64 hex
     * chars equal the pre-round-5 payload stream, so the audio/video
     * oracles are unchanged. */
+  /** Lowercase hex of a byte array — the closure-side inverse of the
+    * `unhex` that narrows the stage-barrier exchange to raw seed bytes
+    * (md5 hex is incompressible, so shipping the string would double
+    * the exchange). Matches Spark's md5()/hex80 rendering exactly. */
+  def bytesToHex(bs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bs.length * 2)
+    var i = 0
+    while (i < bs.length) {
+      sb.append(Character.forDigit((bs(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bs(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   def hex80(text: Column): Column =
     concat(md5(text), md5(concat(text, lit("2"))), md5(concat(text, lit("3"))),
       md5(concat(text, lit("4"))), md5(concat(text, lit("5"))))
@@ -843,11 +875,15 @@ object Multimodal {
     * pipeline, with both feature paths real. */
   def captionAlignment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), hex80(col("text")).as("hx"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, hx) =>
+    // barrier + unhexed-seed projection (round 12, mediaTable's recipe):
+    // the detector encodes AND decodes a PNG per row — on the one-row-
+    // group fixture that ran on 1 of 32 cores without the exchange
+    graft.Q.stageBarrier(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), unhex(hex80(col("text"))).as("seed")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        val hx = bytesToHex(seed)
         val base = genPng(hx)
         val payload =
           if (id % 7 == 0) reencodePerturbed(base, 4, 2, 16) else base

@@ -24,6 +24,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
   }
 
+  test("seed exchange narrowing: bytesToHex(unhex(hex80)) == hex80 on every doc") {
+    // round 12: mediaTable/aviTable ship the 80-byte UNHEXED seed through
+    // the stage-barrier exchange and re-hex it in the encode closure —
+    // this pins the round-trip to the exact string the encoders consumed
+    // before the change (lowercase, length 160), for all fixture docs.
+    import org.apache.spark.sql.functions._
+    val rows = Tables.documents(spark, sf)
+      .select(Multimodal.hex80(col("text")).as("hx"),
+        unhex(Multimodal.hex80(col("text"))).as("seed"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val hx = r.getString(0)
+      assert(hx.length == 160)
+      assert(Multimodal.bytesToHex(r.getAs[Array[Byte]](1)) == hx)
+    }
+  }
+
   test("audio decode is REAL: arbitrary PCM round-trips through the WAV container") {
     val samples = Array.tabulate(32)(j => ((j * 83 + 5) % 256).toByte)
     val wav = Multimodal.encodeWav(samples)

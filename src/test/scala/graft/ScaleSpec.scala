@@ -182,7 +182,10 @@ class ScaleSpec extends SparkSpec {
       "q98_kmeans_lloyd" -> 2048L,
       "q101_bigram_lm" -> 2048L,
       "q112_corr_matrix" -> 16L,
-      "q115_phash_dedup" -> 32L,
+      // q115: + the mediaTable stage barrier's unhexed-seed exchange
+      // (round 12, q259's caveat: O(rows × 88 B), never payloads —
+      // measured 44 KiB at sf0.01 with the seed shipped as raw bytes)
+      "q115_phash_dedup" -> 56L,
       "q123_bpe_encode" -> 2800L,
       "q124_asof_directions" -> 560L,
       "q125_hybrid_rrf" -> 1630L,
@@ -591,8 +594,10 @@ class ScaleSpec extends SparkSpec {
       // counts collapse map-side per threshold
       "q277_threshold_curve" -> 1600L,
       // q278: decode + histogram + order statistics run in-scan per
-      // image; only per-image stats rows ever move
-      "q278_contrast_gate" -> 40L,
+      // image; only per-image stats rows ever move — plus, round 12,
+      // the mediaTable stage barrier's unhexed-seed exchange (q259's
+      // caveat: O(rows × 88 B); measured 51 KiB at sf0.01)
+      "q278_contrast_gate" -> 64L,
       // round 9 additions (measured via graft.Prof at sf0.01, ~2.5x):
       // q279: |langs| contingency cells after a narrow bit projection
       "q279_mcnemar" -> 260L,

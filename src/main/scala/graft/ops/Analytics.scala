@@ -967,31 +967,40 @@ object Analytics {
       |  CAST(n_out*1000000//n.n AS BIGINT) AS outlier_ppm
       |FROM n JOIN med USING (t) JOIN mad USING (t) JOIN outl USING (t)
       |ORDER BY event_type""") { (s, d) =>
+    // Round 12 (guide §2.4 — two operations keyed the same way share
+    // one exchange; §1.2 — fewer sequential jobs): the previous
+    // spelling materialized n/med/mad as separate frames and attached
+    // them with FOUR broadcast joins — each broadcast is its own
+    // driver-synchronized job, so the query was ~8 sequential jobs of
+    // sub-second work. Everything here is per-type state over the
+    // (t, c) histogram, so the medians attach as WINDOW aggregates over
+    // the partition they are computed from (med = MIN(c | cm ≥ ⌈n/2⌉)
+    // as a conditional min over the whole t-partition — same integer
+    // definition, no join), and the whole query is ONE linear chain:
+    // scan → (t,c) agg → t-windows → (t,dv) agg → t-windows → t agg.
+    // No checkpoint either: nothing reads the histogram twice anymore.
     import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("t").orderBy("c")
+    val wd = Window.partitionBy("t").orderBy("dv")
+    val wAll = Window.partitionBy("t")
     val h = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type").as("t"), floor(col("value") * 100).cast("long").as("c"))
       .groupBy("t", "c").agg(count(lit(1)).as("k"))
-      .localCheckpoint() // the histogram IS the dataset from here on
-    val n = h.groupBy("t").agg(sum("k").as("n"))
-    val wc = Window.partitionBy("t").orderBy("c")
-    val med = h.withColumn("cm", sum("k").over(wc))
-      .join(broadcast(n), "t")
-      .filter(col("cm") >= floor((col("n") + 1) / 2))
-      .groupBy("t").agg(min("c").as("med"))
-    val dh = h.join(broadcast(med), "t")
+    val hm = h
+      .withColumn("cm", sum("k").over(wc))
+      .withColumn("n", sum("k").over(wAll))
+      .withColumn("med",
+        min(when(col("cm") >= floor((col("n") + 1) / 2), col("c"))).over(wAll))
+    val dm = hm
       .groupBy(col("t"), abs(col("c") - col("med")).as("dv"))
-      .agg(sum("k").as("k"))
-    val wd = Window.partitionBy("t").orderBy("dv")
-    val mad = dh.withColumn("cm", sum("k").over(wd))
-      .join(broadcast(n), "t")
-      .filter(col("cm") >= floor((col("n") + 1) / 2))
-      .groupBy("t").agg(min("dv").as("mad"))
-    val outl = h.join(broadcast(med), "t").join(broadcast(mad), "t")
-      .groupBy("t")
-      .agg(sum(when(abs(col("c") - col("med")) > col("mad") * 3, col("k"))
-        .otherwise(0L)).as("n_out"))
-    n.join(med, "t").join(mad, "t").join(outl, "t")
+      .agg(sum("k").as("k"), max("n").as("n"), max("med").as("med"))
+      .withColumn("cm", sum("k").over(wd))
+      .withColumn("mad",
+        min(when(col("cm") >= floor((col("n") + 1) / 2), col("dv"))).over(wAll))
+    dm.groupBy("t")
+      .agg(max("n").as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dv") > col("mad") * 3, col("k")).otherwise(0L)).as("n_out"))
       .select(col("t").as("event_type"), col("n"),
         col("med").as("median_cents"), col("mad").as("mad_cents"),
         col("n_out").as("n_outliers"),
@@ -1578,10 +1587,15 @@ object Analytics {
     // log₂(range) ≈ 40. Driver state is O(buckets), not O(data) —
     // the same documented exception as q153's scalars. Exact: integer
     // bucket math, final pass groups by the value itself.
-    def kth(df: DataFrame, c: String, k: Long): Long = {
-      val h = df.agg(min(col(c)), max(col(c))).head()
+    // round 12 (guide §1.2 — fewer sequential driver jobs): the rank k
+    // is always (n-1)/2, and n was a SEPARATE count() job before — one
+    // agg now returns (min, max, count) so each median costs one fused
+    // stats job + the histogram passes. Returns (median, n).
+    def medianAndCount(df: DataFrame, c: String): (Long, Long) = {
+      val h = df.agg(min(col(c)), max(col(c)), count(lit(1))).head()
+      val n = h.getLong(2)
       var lo = h.getLong(0); var hi = h.getLong(1)
-      var kk = k
+      var kk = (n - 1) / 2
       def cellPick(cells: Array[(Long, Long)]): (Long, Long) = {
         // (first cell where the running count passes kk, rank within it)
         var rem = kk
@@ -1604,25 +1618,29 @@ object Analytics {
       val exact = df.filter(col(c) >= lo && col(c) <= hi)
         .groupBy(col(c)).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      cellPick(exact)._1
+      (cellPick(exact)._1, n)
     }
     val cells = Tables.orders(s, d)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("d"))
       .agg(sum(dec(col("o_totalprice")) * 100).cast("long").as("rev"))
       .localCheckpoint()
+    // (a repartition of the probe side before the pair join was tried
+    // in round 12 and REVERTED on measurement: spreading the
+    // nested-loop probe over 32 partitions inflated total CPU ~15x —
+    // per-task broadcast iteration overhead — for no wall win; the
+    // |days|² pair pass is sub-second in one task at any fixture SF)
     val a = cells.select(col("d").as("da"), col("rev").as("ra"))
     val b = cells.select(col("d").as("db"), col("rev").as("rb"))
     val slopes = a.join(b, col("da") < col("db"))
       .select(floor((col("rb") - col("ra")) * lit(1000.0) / (col("db") - col("da")))
         .cast("long").as("sl"))
       .localCheckpoint()
-    val nPairs = slopes.count()
-    val slope = kth(slopes, "sl", (nPairs - 1) / 2)
+    val (slope, nPairs) = medianAndCount(slopes, "sl")
+    // no checkpoint: ics is a narrow projection over the checkpointed
+    // day cells — cheaper to re-project per pass than to stage (round 12)
     val ics = cells.select((col("rev") * 1000L - lit(slope) * col("d")).as("ic"))
-      .localCheckpoint()
-    val nDays = ics.count()
-    val intercept = kth(ics, "ic", (nDays - 1) / 2)
+    val (intercept, nDays) = medianAndCount(ics, "ic")
     Seq((slope, intercept, nPairs, nDays))
       .toDF("slope_milli", "intercept_milli", "n_pairs", "n_days")
   }

@@ -1374,7 +1374,13 @@ object Text {
       |WHERE c.doc_id % 5 <> 0
       |ORDER BY c.doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.filter(col("doc_id") % 5 =!= 0)
+    // barrier (round 12): the one-row-group scan plans a single
+    // partition, so the O(len²) DP pairs all ran on 1 of 32 cores —
+    // graft.Prof showed TWO 1-task 2.7 s stages (the second is the
+    // global orderBy's range-sampling re-execution of the shuffle-free
+    // subtree). The barrier parallelizes the DP 32-way and bounds the
+    // resampling to one cheap shuffle read + a parallel re-projection.
+    graft.Q.stageBarrier(docs.filter(col("doc_id") % 5 =!= 0))
       .join(docs.select((col("doc_id")).as("rid"), col("text").as("rtext")),
         col("rid") === col("doc_id") - col("doc_id") % 5)
       .select(col("doc_id"),

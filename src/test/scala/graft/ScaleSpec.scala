@@ -525,8 +525,12 @@ class ScaleSpec extends SparkSpec {
       // is the only row-level exchange. Measured 33 KiB at sf0.01
       "q254_conformal_interval" -> 90L,
       // q255: one id equi-join per candidate; the DP is in-scan CPU,
-      // not exchange. Measured 9 KiB at sf0.01
-      "q255_cer_eval" -> 25L,
+      // not exchange — plus, round 12, the stage barrier's candidate
+      // exchange on low-split layouts (O(rows × text), each candidate's
+      // text crossing ONCE so the O(len²) DP runs on all cores instead
+      // of the scan's single task — guide §8's move-payload-once rule;
+      // a no-op on multi-split inputs). Measured 75 KiB at sf0.01
+      "q255_cer_eval" -> 110L,
       // q256: q248's (doc, n, hash, count) cell shape + one more
       // doc-cardinality lens join
       "q256_bleu_eval" -> 1500L,

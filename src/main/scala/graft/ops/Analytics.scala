@@ -1468,8 +1468,14 @@ object Analytics {
         expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 676) % 26 + 1, 1)"),
         expr(s"substr('$alpha', (CAST(c_custkey AS BIGINT) div 26) % 26 + 1, 1)"),
         expr(s"substr('$alpha', CAST(c_custkey AS BIGINT) % 26 + 1, 1)"))
-      val canon = Tables.customer(s, d)
-        .select(k.as("ck"), canonical.as("canonical"))
+      // barrier (round 12): the one-row-group customer scan plans a
+      // single partition, so the ×(L+1) variant explode AND its 22 MiB
+      // shuffle write ran in ONE task (graft.Prof: a 1-task 1.7 s CPU
+      // stage). The barrier exchange ships (ck, canonical) — ~24 B/row —
+      // and the explode + exchange write go 32-way. No-op on
+      // multi-split layouts.
+      val canon = graft.Q.stageBarrier(Tables.customer(s, d)
+        .select(k.as("ck"), canonical.as("canonical")))
       val noisy = canon.select(col("ck").as("nk"),
         when(col("ck") % 3 === 0,
           concat(expr("substr(canonical, 1, CAST(ck % 8 AS INT))"),
